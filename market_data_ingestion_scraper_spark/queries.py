@@ -1,0 +1,390 @@
+"""Query registry: every implemented operator exposed as a named query.
+
+Each entry pairs a PySpark callable ``(spark, sf_dir) -> DataFrame`` with an
+equivalent ANSI-SQL oracle string for DuckDB (run by the driver's
+correctness gate against the same parquet; see ``__spark_entry__.py``).
+Oracle-less entries are genuinely non-SQL-expressible (noted per entry) and
+get the weaker rows-only check.
+
+Determinism contract (why the SQL looks the way it does):
+- double SUMs go through per-row DECIMAL casts in BOTH engines → exact,
+  summation-order-independent, bit-identical results at any parallelism;
+- AVG = exact decimal sum / count in double, ROUND(...,6) — identical IEEE ops;
+- every computed column is aliased identically in Spark and SQL;
+- timestamps truncate through CAST(... AS DATE); session TZ pinned to UTC.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import sanitize_name
+from .operators import analytics as A
+from .sources import load_table
+
+# Fixed run date so lineage constants are reproducible across engines/runs
+# (the reference stamps dt_date.today(), div_link_handler.py:35 — a moving
+# value can't be oracle-checked, so the query layer takes it as a literal).
+RUN_DATE = "2026-08-13"
+
+# Shared SQL fragment: exact revenue sum (see module docstring).
+_REV = "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)"
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------- flagship
+
+@register(
+    "top5_commodities",
+    f"""
+    SELECT p_name AS commodity, {_REV} AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_name
+    ORDER BY revenue DESC, commodity
+    LIMIT 5
+    """,
+    doc="T1 flagship: reference form_handler.top_five() stub, implemented.",
+)
+def q_top5(spark: SparkSession, sf: str) -> DataFrame:
+    return A.top_commodities(_t(spark, sf, "lineitem"), _t(spark, sf, "part"), k=5)
+
+
+# ------------------------------------------------------- joins / star schema
+
+@register(
+    "revenue_by_region",
+    f"""
+    SELECT r_name AS region, {_REV} AS revenue, COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN orders   ON l_orderkey  = o_orderkey
+    JOIN customer ON o_custkey   = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    doc="Ext-J4 star-schema rollup; dims broadcast, fact join shuffles.",
+)
+def q_revenue_by_region(spark: SparkSession, sf: str) -> DataFrame:
+    return A.revenue_by_region(
+        *[_t(spark, sf, n) for n in ("lineitem", "orders", "customer", "nation", "region")]
+    )
+
+
+@register(
+    "customers_without_orders",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    doc="P5/J1 anti-semijoin: work list minus completed set (div_link_handler.py:501-503).",
+)
+def q_anti_join(spark: SparkSession, sf: str) -> DataFrame:
+    return A.unprocessed_work(_t(spark, sf, "customer"), _t(spark, sf, "orders"))
+
+
+# ------------------------------------------------------------- aggregations
+
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity      AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(l_extendedprice), 6) AS avg_price,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="Ext-A6 TPC-H-Q1-shaped pricing/volume stats (README.md:4 analytics).",
+)
+def q_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    return A.pricing_summary(_t(spark, sf, "lineitem"))
+
+
+@register(
+    "priority_counts",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           COUNT(*) FILTER (WHERE o_totalprice > 100000) AS n_big
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="A2 conditional count per group (data-row counting, div_link_handler.py:236-244).",
+)
+def q_priority_counts(spark: SparkSession, sf: str) -> DataFrame:
+    return A.priority_counts(_t(spark, sf, "orders"))
+
+
+@register(
+    "count_data_rows",
+    """
+    SELECT COUNT(*) AS n_data_rows FROM documents
+    WHERE NOT (lower(text) LIKE '%total%' OR lower(text) LIKE '%summary%')
+    """,
+    doc="P3 summary-row exclusion (case-insensitive substring, div_link_handler.py:238-243).",
+)
+def q_count_data_rows(spark: SparkSession, sf: str) -> DataFrame:
+    return A.count_data_rows(_t(spark, sf, "documents"))
+
+
+@register(
+    "container_classification",
+    """
+    WITH per_order AS (
+      SELECT l_orderkey, COUNT(*) AS n_lines FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT CASE WHEN n_lines <= 1 THEN 'single_container'
+                ELSE 'multi_container' END AS container_class,
+           COUNT(*) AS n_orders
+    FROM per_order GROUP BY 1
+    """,
+    doc="A4 CASE-over-aggregate classification (div_link_handler.py:248-253).",
+)
+def q_classification(spark: SparkSession, sf: str) -> DataFrame:
+    return A.classify_containers(_t(spark, sf, "lineitem"))
+
+
+@register(
+    "completed_link_types",
+    """
+    SELECT l_returnflag,
+           array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="A5 grouped collection (completed_commodities.json analog, div_link_handler.py:83-92).",
+)
+def q_collect(spark: SparkSession, sf: str) -> DataFrame:
+    return A.completed_link_types(_t(spark, sf, "lineitem"))
+
+
+@register(
+    "fully_covered_orders",
+    """
+    SELECT l_orderkey AS orderkey FROM lineitem
+    GROUP BY l_orderkey HAVING COUNT(DISTINCT l_returnflag) = 3
+    """,
+    doc="P6 subset-containment: key complete iff all expected sub-types seen "
+    "(div_link_handler.py:94-102); Spark side uses collect_set+forall.",
+)
+def q_covered(spark: SparkSession, sf: str) -> DataFrame:
+    return A.fully_covered_keys(_t(spark, sf, "lineitem"))
+
+
+@register(
+    "rollup_revenue",
+    f"""
+    SELECT l_returnflag, l_linestatus, {_REV} AS revenue
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="Ext-A6 hierarchical rollup in one grouping-sets pass.",
+)
+def q_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    return A.rollup_revenue(_t(spark, sf, "lineitem"))
+
+
+# ------------------------------------------------------------------ windows
+
+@register(
+    "top3_parts_per_brand",
+    f"""
+    WITH rev AS (
+      SELECT p_brand, p_name, {_REV} AS revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand, p_name
+    )
+    SELECT p_brand, p_name, revenue, rnk FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY p_brand
+                     ORDER BY revenue DESC, p_name) AS INT) AS rnk
+      FROM rev
+    ) WHERE rnk <= 3
+    """,
+    doc="§2.8 per-group top-k via row_number window (T1 generalized).",
+)
+def q_topk_group(spark: SparkSession, sf: str) -> DataFrame:
+    return A.topk_per_group(_t(spark, sf, "lineitem"), _t(spark, sf, "part"), k=3)
+
+
+@register(
+    "cumulative_monthly_volume",
+    """
+    WITH monthly AS (
+      SELECT p_brand AS commodity,
+             CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS month_qty
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1, 2
+    )
+    SELECT commodity, month, month_qty,
+           ROUND(SUM(month_qty) OVER (PARTITION BY commodity ORDER BY month
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_qty
+    FROM monthly
+    """,
+    doc="§2.8 running total — README's cumulative monthly volumes (README.md:4).",
+)
+def q_cum_monthly(spark: SparkSession, sf: str) -> DataFrame:
+    return A.cumulative_monthly_volume(_t(spark, sf, "lineitem"), _t(spark, sf, "part"))
+
+
+@register(
+    "daily_price_delta",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', l_shipdate) AS DATE) AS day,
+             ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(*), 6) AS avg_price
+      FROM lineitem GROUP BY 1
+    )
+    SELECT day, avg_price,
+           ROUND(avg_price - LAG(avg_price) OVER (ORDER BY day), 6) AS delta
+    FROM daily
+    """,
+    doc="§2.8 lag window: day-over-day average price delta.",
+)
+def q_lag_delta(spark: SparkSession, sf: str) -> DataFrame:
+    return A.daily_price_delta(_t(spark, sf, "lineitem"))
+
+
+@register(
+    "indexed_commodity_groups",
+    """
+    SELECT p_brand AS commodity_group,
+           CAST(ROW_NUMBER() OVER (ORDER BY p_brand) AS INT) AS idx
+    FROM (SELECT DISTINCT p_brand FROM part)
+    """,
+    doc="S3/T2 dimension enumeration with positional index "
+    "(the <select> option list, div_link_handler.py:477-497).",
+)
+def q_indexed_dim(spark: SparkSession, sf: str) -> DataFrame:
+    return A.indexed_dimension(_t(spark, sf, "part"), "p_brand")
+
+
+# ------------------------------------------------------ projections / scalar
+
+@register(
+    "sanitize_commodity_names",
+    r"""
+    SELECT p_partkey,
+           substring(regexp_replace(regexp_replace(lower(trim(p_name)),
+                     '[^\w\s-]', '', 'g'), '\s+', '_', 'g'), 1, 100) AS commodity
+    FROM part
+    """,
+    doc="F1-F4 sanitization chain, regex-identical to div_link_handler.py:116-123.",
+)
+def q_sanitize(spark: SparkSession, sf: str) -> DataFrame:
+    return _t(spark, sf, "part").select(
+        "p_partkey", sanitize_name("p_name").alias("commodity")
+    )
+
+
+@register(
+    "lineage_projection",
+    f"""
+    SELECT trim(p_name) AS commodity_raw,
+           p_retailprice AS price,
+           DATE '{RUN_DATE}' AS scrape_date,
+           'summary' AS link_type,
+           '{RUN_DATE}' AS ingestion_run_id
+    FROM part
+    """,
+    doc="L1 lineage-column injection (div_link_handler.py:282-285) + P1/P2 "
+    "ordered trim projection (table_scraper.py:16-35).",
+)
+def q_lineage(spark: SparkSession, sf: str) -> DataFrame:
+    return _t(spark, sf, "part").select(
+        F.trim("p_name").alias("commodity_raw"),
+        F.col("p_retailprice").alias("price"),
+        F.lit(RUN_DATE).cast("date").alias("scrape_date"),
+        F.lit("summary").alias("link_type"),
+        F.lit(RUN_DATE).alias("ingestion_run_id"),
+    )
+
+
+@register(
+    "union_day_slices",
+    """
+    SELECT l_orderkey, l_quantity AS qty, l_returnflag
+    FROM lineitem WHERE year(l_shipdate) = 1997
+    UNION ALL
+    SELECT l_orderkey, l_quantity AS qty, CAST(NULL AS VARCHAR) AS l_returnflag
+    FROM lineitem WHERE year(l_shipdate) = 1998
+    """,
+    doc="U1 schema-drift union: unionByName(allowMissingColumns=True) across day files.",
+)
+def q_union_days(spark: SparkSession, sf: str) -> DataFrame:
+    return A.union_day_slices(_t(spark, sf, "lineitem"))
+
+
+# ------------------------------------------------------------------- events
+
+@register(
+    "events_json_extract",
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    """,
+    doc="F10 JSON extraction from the events props column (checkpoint-JSON analog).",
+)
+def q_json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    return _t(spark, sf, "events").select(
+        "event_id", F.get_json_object("props", "$.k").cast("long").alias("k")
+    )
+
+
+@register(
+    "events_daily_by_type",
+    """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="§2.10 tumbling daily window, batch form (same agg the streaming path runs).",
+)
+def q_events_daily(spark: SparkSession, sf: str) -> DataFrame:
+    from .functions import exact_sum
+
+    return (
+        _t(spark, sf, "events")
+        .groupBy(
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum("value", scale=4).alias("total_value"),
+        )
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle}

@@ -1,0 +1,41 @@
+"""Differential tests: every registered query with an oracle must match
+DuckDB bit-for-bit under the driver's comparison (replica in oracle_utils).
+
+Runs at sf0.001 by default for speed; set ORACLE_SF_DIR=/root/testdata/sf0.01
+to run at the driver's correctness scale.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from market_data_ingestion_scraper_spark.queries import REGISTRY
+
+from .oracle_utils import compare_query
+
+SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")
+
+WITH_ORACLE = sorted(name for name, spec in REGISTRY.items() if spec.oracle)
+
+
+@pytest.mark.parametrize("name", WITH_ORACLE)
+def test_matches_oracle(spark, name):
+    spec = REGISTRY[name]
+    compare_query(spark, SF_DIR, spec.fn, spec.oracle)
+
+
+def test_all_queries_return_rows(spark):
+    for name, spec in REGISTRY.items():
+        df = spec.fn(spark, SF_DIR)
+        assert df.count() >= 0, name
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) == 5
+    assert rows[0]["revenue"] >= rows[-1]["revenue"]
