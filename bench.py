@@ -1,0 +1,55 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is materialized with the no-op sink (full computation, no
+collect/sink cost).  A short warm-up query spins up the JVM first so the
+per-query numbers measure the plans, not session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from market_data_ingestion_scraper_spark import queries as Q
+from market_data_ingestion_scraper_spark.session import get_spark
+
+# Headline set: every registered query (correctness set == bench set keeps
+# the two gates honest together).  Extend automatically as operators land.
+EXCLUDE: set[str] = set()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="bench")
+
+    # JVM/codegen warm-up: trivial scan+agg, not part of the measurement.
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name, spec in Q.REGISTRY.items():
+        if name in EXCLUDE:
+            continue
+        t0 = time.perf_counter()
+        spec.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
