@@ -1,0 +1,244 @@
+"""Deduplication operators for LLM-data pipelines (SURVEY.md §2.11 X1/X2):
+exact, content-hash, MinHash+LSH, SimHash, and n-gram Jaccard verification.
+
+Design for 100 TB (the whole point of these operators):
+- Exact/content-hash dedup is one hash-partitioned groupBy — Spark's
+  map-side combine means the shuffle carries one row per distinct hash.
+- Near-dup NEVER does an all-pairs crossJoin.  MinHash-LSH turns O(n²)
+  similarity into: per-row signature (narrow projection) → explode to
+  (band, band_key) → groupBy bucket → pairs only within buckets.  The
+  shuffle is rows × n_bands, and bucket sizes are bounded by collision
+  probability, not corpus size.  SimHash does the same with bit-chunk
+  banding (two docs within Hamming distance d share an identical chunk
+  when chunks > d — pigeonhole).
+- Everything is built-in expressions (xxhash64, transform, aggregate,
+  bitwise ops) — no Python in the flow.
+
+MinHash math: sig_i(doc) = min over shingles s of h_i(s), with
+h_i(x) = (a_i·x + b_i) mod p over a 31-bit prime field; agreement
+fraction of signatures estimates Jaccard similarity of shingle sets.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import HASH_P, tokens
+
+# Deterministic MinHash permutation parameters (seeded — reproducible runs).
+N_HASHES = 64
+_rng = random.Random(42)
+_AB = [( _rng.randrange(1, HASH_P), _rng.randrange(0, HASH_P)) for _ in range(N_HASHES)]
+
+
+def shingles(text: Column | str = "text", k: int = 3) -> Column:
+    """Word k-gram shingle set, hashed to 64-bit via xxhash64 then mapped
+    into the 31-bit prime field.  ``sequence`` + ``slice`` build the k-grams
+    from the token array without leaving codegen."""
+    t = tokens(text)
+    n = F.size(t)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(t, i, k)),
+    )
+    return F.array_distinct(
+        F.transform(grams, lambda g: F.pmod(F.xxhash64(g), F.lit(HASH_P)))
+    )
+
+
+def minhash_signature(text: Column | str = "text", k: int = 3) -> Column:
+    """64-value MinHash signature as array<long>; empty docs → p sentinel."""
+    sh = shingles(text, k)
+
+    def _minhash(a: int, b: int) -> Column:
+        return F.array_min(F.transform(sh, lambda x: (F.lit(a) * x + F.lit(b)) % HASH_P))
+
+    return F.array(*[F.coalesce(_minhash(a, b), F.lit(HASH_P)) for a, b in _AB])
+
+
+def lsh_candidate_pairs(
+    documents: DataFrame,
+    n_bands: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash-LSH near-duplicate candidates: docs sharing ≥1 signature band.
+
+    rows/bands = 64/16 → r=4 rows per band: P(candidate) = 1-(1-j⁴)¹⁶,
+    steep around j≈0.55.  Output: (doc_a, doc_b, est_jaccard) with
+    doc_a < doc_b, est_jaccard = fraction of agreeing signature values.
+    """
+    r = N_HASHES // n_bands
+    sig = documents.select(
+        F.col(id_col), minhash_signature(text_col).alias("sig")
+    )
+    banded = sig.select(
+        id_col,
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.concat_ws(",", F.slice("sig", b * r + 1, r))).alias("key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select(id_col, "sig", "bk.band", "bk.key")
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("doc_a"),
+            F.col(f"r.{id_col}").alias("doc_b"),
+            F.col("l.sig").alias("sig_a"),
+            F.col("r.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda a, b: a == b),
+            lambda x: x,
+        )
+    )
+    return pairs.select(
+        "doc_a", "doc_b", F.round(agree / F.lit(N_HASHES), 6).alias("est_jaccard")
+    )
+
+
+def exact_jaccard_pairs(
+    documents: DataFrame, candidates: DataFrame, k: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """n-gram Jaccard verification of candidate pairs: exact
+    |A∩B| / |A∪B| over shingle sets — joined per candidate, never all-pairs."""
+    sh = documents.select(F.col(id_col), shingles("text", k).alias("sh"))
+    out = (
+        candidates.join(sh.withColumnsRenamed({id_col: "doc_a", "sh": "sh_a"}), "doc_a")
+        .join(sh.withColumnsRenamed({id_col: "doc_b", "sh": "sh_b"}), "doc_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return out.select(
+        "doc_a",
+        "doc_b",
+        F.round(inter / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
+    )
+
+
+def near_duplicates(
+    documents: DataFrame, threshold: float = 0.7, id_col: str = "doc_id"
+) -> DataFrame:
+    """End-to-end near-dup detection: LSH candidates → exact Jaccard filter."""
+    cands = lsh_candidate_pairs(documents, id_col=id_col)
+    return exact_jaccard_pairs(documents, cands, id_col=id_col).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+# --------------------------------------------------------------- SimHash
+
+def simhash_table(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash per document: bit i of the result is 1 iff the count
+    of tokens with bit i set exceeds half the token count.
+
+    Shaped as explode → groupBy(doc) with 64 flat bit-count sums rather
+    than 64 nested array-lambda passes: the expression tree stays trivially
+    codegen-able and the only shuffle is the (doc_id) partial-aggregated
+    groupBy — at 100 TB the shuffle rows are (doc_id, 64 ints), not text."""
+    tok = documents.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("w")
+    ).select(id_col, F.xxhash64("w").alias("h"))
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.sum(F.shiftright("h", i).bitwiseAND(F.lit(1)).cast("int")).alias(f"c{i}")
+        for i in range(64)
+    ]
+    counts = tok.groupBy(id_col).agg(*aggs)
+    sh = F.lit(0).cast("long")
+    for i in range(64):
+        sh = sh.bitwiseOR(
+            F.when(
+                F.col(f"c{i}") * 2 > F.col("n"),
+                F.shiftleft(F.lit(1).cast("long"), i),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return counts.select(F.col(id_col), sh.alias("sh"))
+
+
+def simhash_near_duplicates(
+    documents: DataFrame, max_hamming: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """SimHash near-dups via chunk banding: split the 64-bit hash into 4
+    16-bit chunks; pairs within Hamming distance ≤3 must share ≥1 chunk
+    (pigeonhole), so the join is an equi-join on (chunk_idx, chunk_value)
+    — LSH-shaped, no crossJoin.  Verify with bit_count(a XOR b)."""
+    sh = simhash_table(documents, id_col=id_col)
+    chunked = sh.select(
+        id_col,
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftright(F.col("sh"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select(id_col, "sh", "c.chunk", "c.val")
+    left, right = chunked.alias("l"), chunked.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.val") == F.col("r.val"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("doc_a"),
+            F.col(f"r.{id_col}").alias("doc_b"),
+            F.col("l.sh").alias("sh_a"),
+            F.col("r.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return pairs.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+# ------------------------------------------------------------ exact dedup
+
+def exact_duplicate_groups(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """X1 exact dedup: group by content, keep min doc_id as representative."""
+    return documents.groupBy(text_col).agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+def content_hash_dedup(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """X1 at scale: dedup on sha256 of normalized content (lower + collapsed
+    whitespace) — the hash groupBy shuffles 32-byte keys, not documents."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return (
+        documents.select(F.sha2(norm, 256).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )

@@ -1,0 +1,231 @@
+"""Similarity search over embedding columns (SURVEY.md §2.11 X3/X5):
+brute-force cosine top-k baseline + random-hyperplane LSH as the scale path.
+
+Cosine is computed entirely with built-in array lambdas — ``zip_with`` for
+the products, ``aggregate`` for the fold — in double precision with a
+deterministic left-to-right summation order, so results are bit-reproducible
+across engines and parallelism.
+
+Scale design (100 TB of vectors):
+- Brute force is the *correctness baseline*: queries × corpus via a
+  broadcast of the (small) query set — corpus never shuffles; per-partition
+  compute, then a per-query top-k window.  Exact, O(|Q|·n).
+- The ANN path buckets vectors by a random-hyperplane signature (sign bits
+  of dot products with seeded Gaussian hyperplanes).  The join becomes an
+  equi-join on bucket id; recall is tunable by signature width / multi-probe.
+  Hyperplanes are generated driver-side from a fixed seed and folded into
+  the plan as literals — no state, reproducible everywhere.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dbl(v: Column) -> Column:
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double, sequential fold (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_norm(v: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    da, db = _dbl(a), _dbl(b)
+    return dot(da, db) / (l2_norm(da) * l2_norm(db))
+
+
+def embedding_norms(embeddings: DataFrame) -> DataFrame:
+    """X5 vector profiling: L2 norm per embedding, rounded for parity."""
+    return embeddings.select(
+        "vec_id", F.round(l2_norm(_dbl(F.col("embedding"))), 6).alias("l2_norm")
+    )
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the query set against the corpus,
+    rank per query.  Ties broken by neighbor id; cosine rounded to 6dp
+    *before* ranking so ordering is reproducible across engines."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+def hyperplanes(dim: int = 64, n_planes: int = 12, seed: int = 42) -> list[list[float]]:
+    """Seeded Gaussian hyperplanes, folded into plans as literals."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane signature: bit i = sign(v·planeᵢ) → int bucket id."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(dot(_dbl(vec_col), plane) >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket.bitwiseOR(F.shiftleft(bit, i))
+    return bucket
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k via multi-table hyperplane LSH: L independent hash tables
+    of b sign-bits each; a corpus vector is a candidate if it collides with
+    the query in ANY table (like MinHash banding).  The join is an
+    equi-join on (table, bucket) — never a crossJoin.
+
+    Recall/cost math: a neighbor at angle θ matches one b-bit table with
+    (1-θ/π)^b; over L tables recall ≈ 1-(1-(1-θ/π)^b)^L.  Defaults (b=4,
+    L=8) give ~0.97 recall at cos≈0.5 while scoring ~L/2^b = half the
+    corpus per query; raise b (and L) as the target similarity rises —
+    near-dup search (cos≥0.9) sustains b=12+ at a tiny fraction of the
+    corpus.  Tables add candidates, so cost is tunable, recall measured
+    against brute force in tests."""
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    for t in range(n_tables):
+        planes = hyperplanes(dim, n_planes, seed=1000 + t)
+        c = c.withColumn(f"b{t}", lsh_bucket(F.col("n_vec"), planes))
+        q = q.withColumn(f"b{t}", lsh_bucket(F.col("q_vec"), planes))
+    c_b = c.select(
+        "neighbor_id",
+        "n_vec",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("t"), F.col(f"b{t}").alias("bucket"))
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("neighbor_id", "n_vec", "tb.t", "tb.bucket")
+    q_b = q.select(
+        "query_id",
+        "q_vec",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("t"), F.col(f"b{t}").alias("bucket"))
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("query_id", "q_vec", "tb.t", "tb.bucket")
+    scored = (
+        c_b.join(F.broadcast(q_b), ["t", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "q_vec", "n_vec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    n_tables: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """X2 embedding-cosine near-dup: self-join within multi-table LSH
+    buckets only, keep pairs with cosine ≥ threshold.  At cos 0.95 a pair
+    matches an 8-bit table with ≈0.43 probability; over 6 tables recall
+    ≈0.96, while each table's buckets hold ~n/256 of the corpus — no
+    crossJoin anywhere."""
+    b = embeddings.select(F.col(id_col), F.col(vec_col))
+    for t in range(n_tables):
+        planes = hyperplanes(dim, n_planes, seed=7000 + t)
+        b = b.withColumn(f"b{t}", lsh_bucket(F.col(vec_col), planes))
+    banded = b.select(
+        id_col,
+        vec_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("t"), F.col(f"b{t}").alias("bucket"))
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select(id_col, vec_col, "tb.t", "tb.bucket")
+    l, r = banded.alias("l"), banded.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.t") == F.col("r.t"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("vec_a"),
+            F.col(f"r.{id_col}").alias("vec_b"),
+            F.col(f"l.{vec_col}").alias("va"),
+            F.col(f"r.{vec_col}").alias("vb"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,158 @@
+"""Text-analysis operators for LLM-data pipelines (SURVEY.md §2.11 X4 +
+driver-mandated extensions): tokenization, term counting, quality scoring,
+language-ID heuristic, document fingerprinting.
+
+Everything is built-in Catalyst expressions over the ``documents`` table —
+array/lambda functions (``split``/``filter``/``transform``/``aggregate``)
+run JVM-side inside codegen; there are no Python UDFs in any hot path.
+
+Scale notes (100 TB): all operators are embarrassingly parallel per-row
+projections (no shuffle at all) except term counting, which is an
+explode + groupBy — Spark does map-side partial aggregation on the
+exploded terms, so the shuffle carries only (term, partial_count) pairs,
+bounded by vocabulary size per partition, not corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Modulus for rolling hashes: largest 31-bit prime.  Keeps every
+# intermediate product < 2^63 so ANSI-mode arithmetic cannot overflow.
+HASH_P = 2_147_483_647
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic.  Real lists would be hundreds of words; the mechanism —
+# per-language token-set intersection scoring — is what scales.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "nicht", "mit"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr": ("le", "la", "de", "et", "un", "est", "que", "pour"),
+    "zh": ("de5", "shi4", "bu4", "le5", "wo3", "you3", "zai4", "ta1"),
+}
+
+
+def tokens(text: Column | str = "text") -> Column:
+    """Whitespace/punctuation tokenizer: lowercase, split on runs of
+    non-alphanumerics, drop empties.  Oracle twin:
+    ``list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')``."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.lower(c), r"[^a-z0-9]+"), lambda t: t != "")
+
+
+def bpe_ish_token_count(text: Column | str = "text") -> Column:
+    """Sub-word-ish token count: word tokens plus an extra token per 4 chars
+    of long words (a cheap BPE-rate proxy — long words split into pieces).
+    Deterministic, built-in only."""
+    t = tokens(text)
+    return F.aggregate(
+        t,
+        F.lit(0),
+        lambda acc, w: acc + F.greatest(F.lit(1), F.ceil(F.length(w) / 4).cast("int")),
+    )
+
+
+def term_frequencies(documents: DataFrame) -> DataFrame:
+    """Corpus term counts: explode tokens → count per term.  Map-side
+    combine bounds the shuffle by vocabulary, not corpus size."""
+    return (
+        documents.select(F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def quality_features(documents: DataFrame) -> DataFrame:
+    """Per-document quality signals: char/token counts, average token
+    length, punctuation ratio, stopword ratio, and a composite score.
+    All ratios rounded for cross-engine reproducibility."""
+    t = tokens("text")
+    n_tok = F.size(t)
+    n_chars = F.length("text")
+    n_punct = n_chars - F.length(F.regexp_replace("text", r"[^\w\s]", ""))
+    en = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    n_stop = F.size(F.filter(t, lambda w: F.array_contains(en, w)))
+    avg_tok = F.round(
+        F.aggregate(t, F.lit(0), lambda a, w: a + F.length(w))
+        / F.greatest(n_tok, F.lit(1)),
+        6,
+    )
+    stop_ratio = F.round(n_stop / F.greatest(n_tok, F.lit(1)), 6)
+    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6)
+    # Composite: long-enough, low-punctuation, some stopwords → "clean text".
+    score = F.round(
+        F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.5
+        + (F.lit(1.0) - punct_ratio) * 0.3
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.2,
+        6,
+    )
+    return documents.select(
+        "doc_id",
+        n_chars.alias("n_chars_obs"),
+        n_tok.alias("n_tokens"),
+        avg_tok.alias("avg_token_len"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def language_id(documents: DataFrame) -> DataFrame:
+    """Stopword-intersection language ID: score = |tokens ∩ stopwords(lang)|
+    per language; argmax with deterministic alphabetical tie-break.
+    A per-row projection — no shuffle, scales linearly."""
+    t = tokens("text")
+
+    def _score(words: tuple[str, ...]) -> Column:
+        arr = F.array(*[F.lit(x) for x in words])
+        return F.size(F.filter(t, lambda w: F.array_contains(arr, w)))
+
+    scores = {lang: _score(words) for lang, words in LANG_STOPWORDS.items()}
+    langs = sorted(scores)  # alphabetical order = tie-break order
+    best = F.greatest(*[scores[lang] for lang in langs])
+    pred = None
+    for lang in reversed(langs):
+        cond = scores[lang] == best
+        pred = F.when(cond, lang) if pred is None else F.when(cond, lang).otherwise(pred)
+    # reversed + overwrite-on-match makes the FIRST alphabetical max win
+    return documents.select(
+        "doc_id", "lang", pred.alias("pred_lang"), best.alias("best_score")
+    )
+
+
+def bow_fingerprint(text: Column | str = "text") -> Column:
+    """Bag-of-words fingerprint: sha256 over the sorted distinct token set —
+    order-insensitive content identity (catches shuffled near-dups).
+    Oracle twin: ``sha256(array_to_string(list_sort(list_distinct(toks)), ' '))``."""
+    return F.sha2(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text)))), 256
+    )
+
+
+def rolling_fingerprint(text: Column | str = "text") -> Column:
+    """Polynomial rolling hash over token stream (order-sensitive document
+    fingerprint): fold acc = (acc*131 + token_char_hash) mod p.  Built-in
+    ``aggregate`` fold — modular arithmetic keeps ANSI mode overflow-free."""
+    per_token = F.transform(
+        tokens(text),
+        lambda w: F.aggregate(
+            F.split(w, ""),
+            F.lit(0).cast("long"),
+            lambda acc, ch: (acc * 131 + F.ascii(ch)) % HASH_P,
+        ),
+    )
+    return F.aggregate(
+        per_token,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * 131 + h) % HASH_P,
+    )
+
+
+def fingerprints(documents: DataFrame) -> DataFrame:
+    return documents.select(
+        "doc_id",
+        bow_fingerprint("text").alias("bow_fp"),
+        rolling_fingerprint("text").alias("rolling_fp"),
+    )

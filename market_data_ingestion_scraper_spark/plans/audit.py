@@ -1,0 +1,77 @@
+"""Physical-plan audit utilities.
+
+The scale contract (SURVEY.md §4, driver brief) is that every operator's
+plan would survive a 100×/1000× scale-up: filters reach the parquet scan,
+projections prune columns, small dimensions broadcast, and the hot path
+stays inside whole-stage codegen.  These helpers make those properties
+*assertable* — tests/test_plans.py pins them so a regression in plan shape
+fails CI, not a production run.
+"""
+
+from __future__ import annotations
+
+import re
+from contextlib import contextmanager
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@contextmanager
+def aqe_disabled(spark: SparkSession):
+    """Inspect the static physical plan: under AQE the pre-execution plan is
+    ``isFinalPlan=false`` and carries no codegen markers, so audits that
+    need the concrete plan (codegen spans, final join strategy) build the
+    DataFrame inside this context.  Production keeps AQE on."""
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    """``df.explain(mode)`` as a string instead of stdout."""
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), mode
+    )
+
+
+@dataclass(frozen=True)
+class PlanReport:
+    n_broadcast_joins: int
+    n_sortmerge_joins: int
+    n_shuffles: int
+    n_wholestage_codegen: int
+    pushed_filters: list[str]
+    read_schemas: list[str]
+    has_partial_agg: bool
+
+    def summary(self) -> str:
+        return (
+            f"broadcast_joins={self.n_broadcast_joins} "
+            f"sortmerge_joins={self.n_sortmerge_joins} "
+            f"shuffles={self.n_shuffles} "
+            f"codegen_stages={self.n_wholestage_codegen} "
+            f"partial_agg={self.has_partial_agg} "
+            f"pushed_filters={len([p for p in self.pushed_filters if p != '[]'])}"
+        )
+
+
+def plan_report(df: DataFrame) -> PlanReport:
+    """Parse the formatted physical plan into checkable facts.  Codegen
+    stages are counted from simple mode (the ``*(n)`` markers) — formatted
+    mode doesn't carry them."""
+    txt = explain_str(df, "formatted")
+    simple = explain_str(df, "simple")
+    codegen_ids = set(re.findall(r"\*\((\d+)\)", simple))
+    return PlanReport(
+        n_broadcast_joins=len(re.findall(r"BroadcastHashJoin", txt)),
+        n_sortmerge_joins=len(re.findall(r"SortMergeJoin", txt)),
+        n_shuffles=len(re.findall(r"\bExchange\b|ShuffleExchange", txt)),
+        n_wholestage_codegen=len(codegen_ids),
+        pushed_filters=re.findall(r"PushedFilters: (\[.*?\])", txt),
+        read_schemas=re.findall(r"ReadSchema: (struct<[^\n]*>)", txt),
+        has_partial_agg=bool(re.search(r"HashAggregate.*partial|partial_", txt, re.S)),
+    )

@@ -382,6 +382,321 @@ def q_events_daily(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "user_sessionization",
+    """
+    WITH g AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g
+    )
+    SELECT user_id, MIN(ts) AS start, MAX(ts) + INTERVAL 30 MINUTE AS "end",
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value
+    FROM s GROUP BY user_id, session_id
+    """,
+    doc="§2.10 sessionization: Spark session_window (batch mode) vs the "
+    "classic lag+cumsum SQL sessionization — same sessions, same sums.",
+)
+def q_sessions(spark: SparkSession, sf: str) -> DataFrame:
+    from .functions import exact_sum
+
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum("value", scale=4).alias("session_value"),
+        )
+        .select("user_id", F.col("win.start").alias("start"),
+                F.col("win.end").alias("end"), "n_events", "session_value")
+    )
+
+
+# ------------------------------------------------- text analysis (X4)
+
+# Oracle twin of operators.text.tokens(): DuckDB list of non-empty
+# lowercase alphanumeric runs.
+_TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+_EN_STOP = "['the','a','of','and','to','in','is','it']"
+
+
+@register(
+    "term_frequencies",
+    f"""
+    SELECT term, COUNT(*) AS n
+    FROM (SELECT unnest({_TOKS}) AS term FROM documents)
+    GROUP BY term
+    """,
+    doc="X4 corpus term counts: tokenize → explode → count (map-side combined).",
+)
+def q_term_freq(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.text import term_frequencies
+
+    return term_frequencies(_t(spark, sf, "documents"))
+
+
+@register(
+    "text_quality",
+    f"""
+    WITH feat AS (
+      SELECT doc_id,
+             length(text) AS n_chars_obs,
+             len({_TOKS}) AS n_tokens,
+             round(list_sum(list_transform({_TOKS}, w -> length(w)))
+                   / greatest(len({_TOKS}), 1), 6) AS avg_token_len,
+             round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                   / greatest(length(text), 1), 6) AS punct_ratio,
+             round(len(list_filter({_TOKS}, w -> list_contains({_EN_STOP}, w)))
+                   / greatest(len({_TOKS}), 1), 6) AS stopword_ratio
+      FROM documents
+    )
+    SELECT doc_id, n_chars_obs, n_tokens, avg_token_len, punct_ratio, stopword_ratio,
+           round(least(n_tokens / 100.0, 1.0) * 0.5
+                 + (1.0 - punct_ratio) * 0.3
+                 + least(stopword_ratio * 5.0, 1.0) * 0.2, 6) AS quality_score
+    FROM feat
+    """,
+    doc="X4 per-document quality features + composite score.",
+)
+def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.text import quality_features
+
+    return quality_features(_t(spark, sf, "documents"))
+
+
+@register(
+    "language_id",
+    f"""
+    WITH s AS (
+      SELECT doc_id, lang,
+        len(list_filter({_TOKS}, w -> list_contains(['der','die','das','und','ist','ein','nicht','mit'], w))) AS s_de,
+        len(list_filter({_TOKS}, w -> list_contains({_EN_STOP}, w))) AS s_en,
+        len(list_filter({_TOKS}, w -> list_contains(['el','la','de','que','y','en','un','es'], w))) AS s_es,
+        len(list_filter({_TOKS}, w -> list_contains(['le','la','de','et','un','est','que','pour'], w))) AS s_fr,
+        len(list_filter({_TOKS}, w -> list_contains(['de5','shi4','bu4','le5','wo3','you3','zai4','ta1'], w))) AS s_zh
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN s_de = best THEN 'de' WHEN s_en = best THEN 'en'
+                WHEN s_es = best THEN 'es' WHEN s_fr = best THEN 'fr'
+                ELSE 'zh' END AS pred_lang,
+           best AS best_score
+    FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS best FROM s)
+    """,
+    doc="X4 stopword-intersection language ID with alphabetical tie-break.",
+)
+def q_language_id(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.text import language_id
+
+    return language_id(_t(spark, sf, "documents"))
+
+
+@register(
+    "doc_fingerprints",
+    f"""
+    SELECT doc_id,
+           sha256(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS bow_fp,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform({_TOKS},
+                 w -> list_reduce(
+                        list_prepend(CAST(0 AS BIGINT),
+                          list_transform(string_split(w, ''), c -> CAST(ascii(c) AS BIGINT))),
+                        (acc, ch) -> (acc * 131 + ch) % 2147483647))),
+             (acc, h) -> (acc * 131 + h) % 2147483647) AS rolling_fp
+    FROM documents
+    """,
+    doc="X4 document fingerprints: order-insensitive sha256 bag-of-words + "
+    "order-sensitive polynomial rolling hash.",
+)
+def q_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.text import fingerprints
+
+    return fingerprints(_t(spark, sf, "documents"))
+
+
+# ------------------------------------------------------- dedup (X1/X2)
+
+@register(
+    "dedup_exact_groups",
+    """
+    SELECT text, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+    doc="X1 exact dedup: group by content, min-id representative.",
+)
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.dedup import exact_duplicate_groups
+
+    return exact_duplicate_groups(_t(spark, sf, "documents"))
+
+
+@register(
+    "dedup_content_hash",
+    r"""
+    SELECT sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,
+           MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+    doc="X1 content-hash dedup: shuffle 32-byte hashes, not documents.",
+)
+def q_dedup_hash(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.dedup import content_hash_dedup
+
+    return content_hash_dedup(_t(spark, sf, "documents"))
+
+
+@register(
+    "minhash_lsh_candidates",
+    None,  # MinHash permutations + xxhash64 have no DuckDB twin → rows-only
+    doc="X2 MinHash-LSH near-dup candidate pairs with estimated Jaccard.",
+)
+def q_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.dedup import lsh_candidate_pairs
+
+    return lsh_candidate_pairs(_t(spark, sf, "documents"))
+
+
+@register(
+    "ngram_jaccard_near_dups",
+    None,  # candidate generation depends on xxhash64 LSH → rows-only
+    doc="X2 LSH candidates verified with exact n-gram Jaccard ≥ 0.7.",
+)
+def q_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.dedup import near_duplicates
+
+    return near_duplicates(_t(spark, sf, "documents"))
+
+
+@register(
+    "simhash_near_dups",
+    None,  # xxhash64-based SimHash has no DuckDB twin → rows-only
+    doc="X2 SimHash near-dups via 16-bit chunk banding + Hamming verify.",
+)
+def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.dedup import simhash_near_duplicates
+
+    return simhash_near_duplicates(_t(spark, sf, "documents"))
+
+
+# -------------------------------------------- similarity search (X3/X5)
+
+@register(
+    "embedding_norms",
+    """
+    SELECT vec_id,
+           round(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(embedding::DOUBLE[], x -> x * x)),
+                 (a, x) -> a + x)), 6) AS l2_norm
+    FROM embeddings
+    """,
+    doc="X5 vector-column profiling: L2 norms via built-in array fold.",
+)
+def q_embedding_norms(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.similarity import embedding_norms
+
+    return embedding_norms(_t(spark, sf, "embeddings"))
+
+
+@register(
+    "cosine_topk_bruteforce",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 8),
+         c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS nv FROM embeddings),
+         scored AS (
+           SELECT query_id, neighbor_id,
+                  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                          list_transform(range(1, len(qv) + 1), i -> qv[i] * nv[i])),
+                          (a, x) -> a + x)
+                        / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                             list_transform(qv, x -> x * x)), (a, x) -> a + x))
+                         * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                             list_transform(nv, x -> x * x)), (a, x) -> a + x))), 6) AS cos_sim
+           FROM c, q WHERE neighbor_id <> query_id)
+    SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    """,
+    doc="X3 exact cosine top-5 for query vectors vec_id<8; broadcast "
+    "queries × corpus, per-query rank window; fold order mirrored in SQL.",
+)
+def q_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf, "embeddings")
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+@register(
+    "lsh_topk_ann",
+    None,  # hyperplane literals impractical to mirror in SQL → rows-only;
+    # recall vs brute force is asserted in tests/test_similarity.py
+    doc="X3 ANN top-k via random-hyperplane LSH bucket equi-join.",
+)
+def q_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.similarity import lsh_topk
+
+    emb = _t(spark, sf, "embeddings")
+    return lsh_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+@register(
+    "embedding_near_dups",
+    None,  # LSH bucketing (seeded hyperplanes) → rows-only
+    doc="X2 embedding-cosine near-duplicate pairs within LSH buckets.  The "
+    "fixtures are random vectors with no true near-dups, so the registered "
+    "demo runs at cos ≥ 0.45 to exercise the path end-to-end; production "
+    "default is 0.95 (see tests for a planted-pair recall check).",
+)
+def q_embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.similarity import embedding_near_duplicates
+
+    return embedding_near_duplicates(_t(spark, sf, "embeddings"), threshold=0.45)
+
+
+# ---------------------------------------------------- multimodal (X5)
+
+@register(
+    "multimodal_features",
+    None,  # binary payload decode (stubbed) has no SQL twin → rows-only
+    doc="Multimodal plumbing: binary media columns → mapInPandas feature "
+    "extraction (deterministic fake decode; real decoder is a marked stub).",
+)
+def q_multimodal(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.multimodal import extract_features, synthetic_media
+
+    return extract_features(synthetic_media(spark, n=64, parts=4))
+
+
+# ------------------------------------------------------- sketches (X6)
+
+@register(
+    "approx_profile",
+    None,  # sketch algorithms (HLL++/GK) differ across engines by design
+    doc="X6 100TB-scale profiling: approx distinct + approx quantiles "
+    "(single pass, bounded memory; exactness traded for scale).",
+)
+def q_approx_profile(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99]).alias("price_quantiles"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

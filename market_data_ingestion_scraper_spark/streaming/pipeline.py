@@ -1,0 +1,129 @@
+"""Structured Streaming pipelines over the events feed (SURVEY.md §2.10).
+
+The reference is a micro-batch incremental ingester: durable progress state
+(checkpoint JSON, ``div_link_handler.py:57-71``), idempotent per-unit sink
+(fixed filename per unit, ``:291-293``), re-delivery handled by overwrite.
+Here that contract maps onto Spark's own machinery:
+
+- offsets/commit log  → ``checkpointLocation`` (replaces hand-rolled JSON);
+- exactly-once-ish sink → ``foreachBatch`` + dynamic partition overwrite
+  (idempotent per partition, like the reference's fixed filenames);
+- late/re-delivered data → watermark + ``dropDuplicates`` on the event key;
+- daily grain → tumbling windows; sliding/session windows as extensions.
+
+Every transformation is defined batch/stream-agnostically: the same
+function works on a batch DataFrame (tested against the DuckDB oracle via
+``queries.events_daily_by_type``) and on a readStream DataFrame — one code
+path, two execution modes.  At 100 TB/day the aggregations are standard
+watermarked stateful ops: state is bounded by (watermark horizon × key
+cardinality), not stream length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_STREAM_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def stream_events(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream of the events feed (one file = one micro-batch in
+    tests; a Kafka source would drop in unchanged downstream)."""
+    return (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
+def dedup_late_events(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked exactly-once-per-event view: re-delivered event_ids are
+    dropped; state for ids older than the watermark is reclaimed."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def tumbling_counts(
+    events: DataFrame, size: str = "1 day", watermark: str = "1 day"
+) -> DataFrame:
+    """Daily-grain aggregation (the reference's one-run-per-day cadence) as
+    a tumbling event-time window.  Works identically on batch input."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", size).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum("value").alias("total_value"))
+        .select(
+            F.col("win.start").cast("date").alias("day"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_value_avg(
+    events: DataFrame, size: str = "1 hour", slide: str = "15 minutes"
+) -> DataFrame:
+    """Sliding-window moving average of event values."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", size, slide).alias("win"), "event_type")
+        .agg(F.avg("value").alias("avg_value"), F.count(F.lit(1)).alias("n"))
+        .select("win.start", "win.end", "event_type", "avg_value", "n")
+    )
+
+
+def user_sessions(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user: a session closes after ``gap`` of
+    inactivity — the streaming analog of the reference's per-commodity
+    work unit boundaries."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("session_value"))
+        .select("win.start", "win.end", "user_id", "n_events", "session_value")
+    )
+
+
+def run_to_memory(df: DataFrame, name: str, spark: SparkSession) -> DataFrame:
+    """Drive a streaming query to completion synchronously against the
+    in-memory sink (test/driver harness; complete mode for aggregations)."""
+    q = (
+        df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
+
+
+def write_events_silver(
+    events: DataFrame, root: str, checkpoint: str
+) -> "StreamingQuery":  # noqa: F821 - py doc only
+    """L2-L6 as streaming: foreachBatch writes each micro-batch into a
+    date-partitioned silver table with dynamic partition overwrite — crash
+    + restart replays the uncommitted batch into the same partitions
+    (idempotent), the checkpoint dir replacing scraper_checkpoint.json."""
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        batch.sparkSession.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        (
+            batch.withColumn("event_date", F.col("ts").cast("date"))
+            .write.mode("append")
+            .partitionBy("event_date")
+            .parquet(f"{root}/events_silver")
+        )
+
+    return (
+        events.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -1,0 +1,79 @@
+"""Plan-shape regression tests: pin the physical-plan properties that make
+the headline queries scale — broadcasts for dimensions, pushdown/pruning at
+the scan, whole-stage codegen on the hot path.  A wrong plan that still
+returns right answers FAILS here by design."""
+
+from __future__ import annotations
+
+from market_data_ingestion_scraper_spark.plans import (
+    aqe_disabled,
+    explain_str,
+    plan_report,
+)
+from market_data_ingestion_scraper_spark.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name):
+    return REGISTRY[name].fn(spark, SF)
+
+
+def test_top5_broadcasts_part_dimension(spark):
+    with aqe_disabled(spark):
+        rep = plan_report(_plan(spark, "top5_commodities"))
+    assert rep.n_broadcast_joins >= 1, rep.summary()
+    assert rep.n_sortmerge_joins == 0, rep.summary()  # fact never sorts for a dim join
+    assert rep.n_wholestage_codegen >= 1, rep.summary()
+
+
+def test_star_join_broadcasts_all_dims(spark):
+    rep = plan_report(_plan(spark, "revenue_by_region"))
+    # customer/nation/region broadcast; lineitem⋈orders may be SMJ/SHJ
+    assert rep.n_broadcast_joins >= 3, rep.summary()
+
+
+def test_pricing_summary_pushdown_and_partial_agg(spark):
+    df = _plan(spark, "pricing_summary")
+    txt = explain_str(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in txt
+    rep = plan_report(df)
+    assert rep.has_partial_agg, rep.summary()  # map-side combine before shuffle
+
+
+def test_sanitize_prunes_columns(spark):
+    rep = plan_report(_plan(spark, "sanitize_commodity_names"))
+    # only the 2 referenced columns are read from an 6-column table
+    assert any(
+        "p_partkey" in s and "p_name" in s and "p_retailprice" not in s
+        for s in rep.read_schemas
+    ), rep.read_schemas
+
+
+def test_anti_join_is_broadcast(spark):
+    rep = plan_report(_plan(spark, "customers_without_orders"))
+    assert rep.n_broadcast_joins + rep.n_sortmerge_joins >= 1
+    # orders scan prunes to the join key only
+    assert any(s.count(":") == 1 and "o_custkey" in s for s in rep.read_schemas), (
+        rep.read_schemas
+    )
+
+
+def test_events_scan_prunes_unused_columns(spark):
+    rep = plan_report(_plan(spark, "events_json_extract"))
+    assert any(
+        "event_id" in s and "props" in s and "user_id" not in s
+        for s in rep.read_schemas
+    ), rep.read_schemas
+
+
+def test_minhash_lsh_has_no_cartesian(spark):
+    txt = explain_str(_plan(spark, "minhash_lsh_candidates"))
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+
+
+def test_embedding_near_dups_has_no_cartesian(spark):
+    txt = explain_str(_plan(spark, "embedding_near_dups"))
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
