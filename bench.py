@@ -39,6 +39,7 @@ def main() -> None:
         t0 = time.perf_counter()
         spec.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"  {name}: {timings[name]}s", file=sys.stderr, flush=True)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {

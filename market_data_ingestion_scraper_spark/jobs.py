@@ -1,0 +1,85 @@
+"""End-to-end batch jobs — the reference's ``main()`` orchestration
+(``main.py:15-53`` → ``handle_div_links_in_iframe``,
+``div_link_handler.py:460-567``) re-expressed as a Spark job.
+
+The reference's per-commodity browser loop becomes: enumerate the work list
+as a DataFrame, anti-join away completed units, and process each remaining
+(commodity, link_type) unit through normalize → classify → partitioned
+silver write, with status-table checkpointing around each unit.  The
+control flow that HAD to be sequential in a browser (one page at a time)
+stays a driver-side loop over *units*, but all data movement inside a unit
+is distributed — and units are partition-isolated, so a cluster scheduler
+could run them concurrently against the same lake.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import ingest as I
+from .operators import state as S
+from .operators.ingest import _sanitize_py
+from .operators.metrics import observed_ingest
+
+LINK_TYPES = ("summary", "container", "variety")
+
+
+def build_work_list(spark: SparkSession, commodities: list[str]) -> DataFrame:
+    """S3: the <select> option list × expected link types, as a DataFrame
+    keyed by the sanitized commodity (the partition key downstream)."""
+    rows = [
+        (_sanitize_py(c), lt) for c in commodities for lt in LINK_TYPES
+    ]
+    return spark.createDataFrame(rows, "commodity string, link_type string")
+
+
+def run_market_ingestion(
+    spark: SparkSession,
+    raw_paths: dict[str, str],
+    lake_root: str,
+    scrape_date: str,
+    run_id: str | None = None,
+) -> dict[str, tuple[int, int]]:
+    """Ingest every raw table into the silver lake, resumably.
+
+    ``raw_paths``: {commodity_display_name: csv_path} — the landed raw
+    scrape output (S1's file boundary).  Returns per-unit (rows, data_rows)
+    observed metrics.  Re-running skips completed units (L3/P5) and
+    re-does any in-flight unit idempotently (L2/L6).
+    """
+    work = build_work_list(spark, list(raw_paths))
+    by_key = {_sanitize_py(c): c for c in raw_paths}
+    metrics: dict[str, tuple[int, int]] = {}
+
+    def process(commodity_key: str, link_type: str, rid: str) -> None:
+        display = by_key[commodity_key]
+        raw = I.read_raw_csv(spark, raw_paths[display])
+        # A4/L11 dispatch: classification decides which link types apply
+        # (single-container commodities have no per-container tables)
+        if link_type != "summary" and I.classify_table(raw) == "single_container":
+            return
+        silver = I.normalize(raw, scrape_date, display, link_type, rid)
+        observed, obs = observed_ingest(silver, "commodity_raw", "container")
+        I.write_silver(observed, lake_root)
+        got = obs.get
+        metrics[f"{commodity_key}/{link_type}"] = (got["n_rows"], got["n_data_rows"])
+
+    S.run_incremental(spark, lake_root, work, process, run_id=run_id)
+    return metrics
+
+
+def daily_report(spark: SparkSession, lake_root: str) -> DataFrame:
+    """The reference README's promised analytics over the silver lake:
+    per (commodity, scrape_date) volume/revenue stats with partition
+    pruning available on both keys."""
+    silver = I.read_silver(spark, lake_root)
+    return (
+        silver.filter(F.col("link_type") == "summary")
+        .groupBy("commodity", "scrape_date")
+        .agg(
+            F.sum(F.col("qty_sold").cast("decimal(18,2)")).cast("double").alias("total_qty"),
+            F.sum(F.col("total_value").cast("decimal(18,2)")).cast("double").alias("total_revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )

@@ -50,13 +50,51 @@ def shingles(text: Column | str = "text", k: int = 3) -> Column:
 
 
 def minhash_signature(text: Column | str = "text", k: int = 3) -> Column:
-    """64-value MinHash signature as array<long>; empty docs → p sentinel."""
+    """64-value MinHash signature as array<long>; empty docs → p sentinel.
+
+    Column form — fine for single use, but NOTE: Catalyst's CollapseProject
+    will inline this whole expression into every downstream reference
+    (e.g. 16 LSH band keys → 16 recomputations).  Pipelines use
+    ``minhash_table`` instead, whose groupBy is a materialization barrier."""
     sh = shingles(text, k)
 
     def _minhash(a: int, b: int) -> Column:
         return F.array_min(F.transform(sh, lambda x: (F.lit(a) * x + F.lit(b)) % HASH_P))
 
     return F.array(*[F.coalesce(_minhash(a, b), F.lit(HASH_P)) for a, b in _AB])
+
+
+def minhash_table(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """MinHash signatures as a (id, sig) table, computed scalably: explode
+    the shingle set once → groupBy(id) with 64 flat MIN aggregates → pack
+    into one array column.
+
+    This shape matters twice over at 100 TB: shingling runs exactly once
+    per document (the groupBy shuffle is a hard materialization barrier no
+    CollapseProject can cross), and the shuffle carries (id, 64 longs) —
+    not shingle sets, not text.  Docs with no shingles (empty text) get the
+    sentinel signature via a left join."""
+    hashed = documents.select(
+        F.col(id_col), F.explode(shingles(text_col, k)).alias("x")
+    )
+    mins = hashed.groupBy(id_col).agg(
+        *[
+            F.min((F.lit(a) * F.col("x") + F.lit(b)) % HASH_P).alias(f"m{i}")
+            for i, (a, b) in enumerate(_AB)
+        ]
+    )
+    sig = mins.select(
+        id_col,
+        F.array(*[F.col(f"m{i}") for i in range(N_HASHES)]).alias("sig"),
+    )
+    sentinel = F.array(*[F.lit(HASH_P).cast("long")] * N_HASHES)
+    return (
+        documents.select(id_col)
+        .join(sig, id_col, "left")
+        .select(F.col(id_col), F.coalesce(F.col("sig"), sentinel).alias("sig"))
+    )
 
 
 def lsh_candidate_pairs(
@@ -72,9 +110,7 @@ def lsh_candidate_pairs(
     doc_a < doc_b, est_jaccard = fraction of agreeing signature values.
     """
     r = N_HASHES // n_bands
-    sig = documents.select(
-        F.col(id_col), minhash_signature(text_col).alias("sig")
-    )
+    sig = minhash_table(documents, id_col=id_col, text_col=text_col)
     banded = sig.select(
         id_col,
         "sig",
@@ -183,10 +219,17 @@ def simhash_near_duplicates(
     """SimHash near-dups via chunk banding: split the 64-bit hash into 4
     16-bit chunks; pairs within Hamming distance ≤3 must share ≥1 chunk
     (pigeonhole), so the join is an equi-join on (chunk_idx, chunk_value)
-    — LSH-shaped, no crossJoin.  Verify with bit_count(a XOR b)."""
+    — LSH-shaped, no crossJoin.  Verify with bit_count(a XOR b).
+
+    Scale shape: the corpus is collapsed to DISTINCT simhash values before
+    pairing (duplicate hashes ride along via a final expansion join), the
+    Hamming filter runs inside the pair join's projection, and only the
+    surviving pairs are deduped — on correlated corpora (shared vocabulary)
+    chunk buckets are big, so filtering before the distinct is the
+    difference between deduping thousands of rows and tens of millions."""
     sh = simhash_table(documents, id_col=id_col)
-    chunked = sh.select(
-        id_col,
+    distinct_sh = sh.select("sh").distinct()
+    chunked = distinct_sh.select(
         "sh",
         F.explode(
             F.array(
@@ -201,26 +244,34 @@ def simhash_near_duplicates(
                 ]
             )
         ).alias("c"),
-    ).select(id_col, "sh", "c.chunk", "c.val")
+    ).select("sh", "c.chunk", "c.val")
     left, right = chunked.alias("l"), chunked.alias("r")
-    pairs = (
+    hamming = F.bit_count(F.col("l.sh").bitwiseXOR(F.col("r.sh")))
+    # pair distinct hash values; ≤ (not <) so duplicate-hash doc pairs
+    # (hamming 0, equal sh) are representable after expansion
+    sh_pairs = (
         left.join(
             right,
             (F.col("l.chunk") == F.col("r.chunk"))
             & (F.col("l.val") == F.col("r.val"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+            & (F.col("l.sh") <= F.col("r.sh")),
         )
         .select(
-            F.col(f"l.{id_col}").alias("doc_a"),
-            F.col(f"r.{id_col}").alias("doc_b"),
             F.col("l.sh").alias("sh_a"),
             F.col("r.sh").alias("sh_b"),
+            hamming.alias("hamming"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["sh_a", "sh_b"])
     )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return pairs.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
-        F.col("hamming") <= max_hamming
+    # expand hash pairs back to document pairs
+    da = sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
+    db = sh.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        sh_pairs.join(da, "sh_a")
+        .join(db, "sh_b")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "hamming")
     )
 
 

@@ -340,6 +340,80 @@ def q_union_days(spark: SparkSession, sf: str) -> DataFrame:
     return A.union_day_slices(_t(spark, sf, "lineitem"))
 
 
+@register(
+    "link_text_filter",
+    """
+    SELECT source, COUNT(*) AS n_matching FROM documents
+    WHERE text LIKE '%join%' GROUP BY source
+    """,
+    doc="P7 link-text predicate: select rows whose text contains a constant "
+    "(the View-All-Container-Statistics anchor match, div_link_handler.py:193-220).",
+)
+def q_link_text(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        _t(spark, sf, "documents")
+        .filter(F.col("text").contains("join"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_matching"))
+    )
+
+
+@register(
+    "commodity_lookup",
+    """
+    SELECT p_partkey, p_name, p_retailprice FROM part
+    WHERE trim(p_name) = 'red gear'
+    """,
+    doc="J2 key lookup / point equi-predicate on trimmed text "
+    "(option re-selection, div_link_handler.py:309-314).",
+)
+def q_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        _t(spark, sf, "part")
+        .filter(F.trim(F.col("p_name")) == F.lit("red gear"))
+        .select("p_partkey", "p_name", "p_retailprice")
+    )
+
+
+@register(
+    "scalar_date_scan",
+    """
+    SELECT CAST(MIN(ts) AS DATE) AS scrape_date, CAST(MAX(ts) AS DATE) AS latest_date
+    FROM events
+    """,
+    doc="S2 scalar date scan: single date value extracted from the feed "
+    "(scrape_date analog, date_scraper.py:3-12), null-safe via aggregate.",
+)
+def q_scalar_date(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events")
+    return ev.agg(
+        F.min("ts").cast("date").alias("scrape_date"),
+        F.max("ts").cast("date").alias("latest_date"),
+    )
+
+
+@register(
+    "brands_never_shipped_1998",
+    """
+    SELECT p_brand FROM part
+    EXCEPT
+    SELECT p_brand FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE year(l_shipdate) = 1998
+    """,
+    doc="U2 set difference (remaining-work computation, div_link_handler.py:484,501-503).",
+)
+def q_except(spark: SparkSession, sf: str) -> DataFrame:
+    part = _t(spark, sf, "part")
+    li = _t(spark, sf, "lineitem")
+    shipped = (
+        part.join(li, part.p_partkey == li.l_partkey)
+        .filter(F.year("l_shipdate") == 1998)
+        .select("p_brand")
+    )
+    # subtract == SQL EXCEPT (distinct set semantics)
+    return part.select("p_brand").subtract(shipped)
+
+
 # ------------------------------------------------------------------- events
 
 @register(

@@ -1,0 +1,83 @@
+"""Tests for the end-to-end ingestion job (main() analog), observe-based
+metrics, and skew utilities."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from market_data_ingestion_scraper_spark import jobs
+from market_data_ingestion_scraper_spark.operators import metrics as M
+from market_data_ingestion_scraper_spark.operators import skew as K
+from market_data_ingestion_scraper_spark.sources import load_table
+
+APPLES = """commodity_raw,container,price,qty_sold,total_value
+Apples,10kg box,12.50,100,1250.00
+Apples,5kg bag,7.25,40,290.00
+TOTAL,,19.75,140,1540.00
+"""
+
+PEARS = """commodity_raw,container,price,qty_sold,total_value
+Pears,crate,30.00,10,300.00
+"""
+
+
+@pytest.fixture()
+def raw_paths(tmp_path):
+    a = tmp_path / "apples.csv"
+    a.write_text(APPLES)
+    p = tmp_path / "pears.csv"
+    p.write_text(PEARS)
+    return {"Apples (Golden)": str(a), "Pears": str(p)}
+
+
+def test_run_market_ingestion_end_to_end(spark, raw_paths, tmp_path):
+    lake = str(tmp_path / "lake")
+    metrics = jobs.run_market_ingestion(
+        spark, raw_paths, lake, scrape_date="2026-08-13", run_id="r1"
+    )
+    # apples is multi-container → all 3 link types; pears single → summary only
+    assert set(metrics) == {
+        "apples_golden/summary", "apples_golden/container", "apples_golden/variety",
+        "pears/summary",
+    }
+    assert metrics["apples_golden/summary"] == (2, 2)  # total row dropped pre-write
+    report = jobs.daily_report(spark, lake).collect()
+    by_c = {r["commodity"]: r for r in report}
+    assert by_c["apples_golden"]["total_qty"] == 140.0
+    assert by_c["pears"]["total_revenue"] == 300.0
+
+    # resume: everything completed → no units re-processed
+    again = jobs.run_market_ingestion(
+        spark, raw_paths, lake, scrape_date="2026-08-13", run_id="r2"
+    )
+    assert again == {}
+
+
+def test_observed_count_rides_action(spark, sf_smoke):
+    df, obs = M.observed_count(load_table(spark, sf_smoke, "part"))
+    df.write.mode("overwrite").format("noop").save()
+    assert obs.get["n_rows"] == 200
+
+
+def test_salted_group_sum_matches_plain(spark, sf_smoke):
+    li = load_table(spark, sf_smoke, "lineitem")
+    plain = {
+        r["l_returnflag"]: r["s"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("s"))
+        .collect()
+    }
+    salted = {
+        r["l_returnflag"]: r["s"]
+        for r in K.salted_group_sum(li, "l_returnflag", "l_quantity", "s").collect()
+    }
+    assert salted == plain  # bit-identical: decimal partials are exact
+
+
+def test_salted_broadcast_left_matches_plain(spark, sf_smoke):
+    li = load_table(spark, sf_smoke, "lineitem").withColumnRenamed("l_partkey", "p_partkey")
+    part = load_table(spark, sf_smoke, "part")
+    plain = li.join(F.broadcast(part), "p_partkey").count()
+    salted = K.salted_broadcast_left(li, part, "p_partkey").count()
+    assert salted == plain
