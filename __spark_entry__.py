@@ -11,12 +11,20 @@ is the thin binding layer.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from market_data_ingestion_scraper_spark import queries as Q
-from market_data_ingestion_scraper_spark.sources import load_table
+# Robust against being loaded by file path: the package lives next to this
+# file, which may not already be on sys.path.
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
+
+from market_data_ingestion_scraper_spark import queries as Q  # noqa: E402
+from market_data_ingestion_scraper_spark.sources import load_table  # noqa: E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 

@@ -208,6 +208,119 @@ def q_rollup(spark: SparkSession, sf: str) -> DataFrame:
     return A.rollup_revenue(_t(spark, sf, "lineitem"))
 
 
+@register(
+    "pivot_status_qty",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_F,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS qty_O
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Ext-A6 pivot: wide per-status quantity columns (Spark .pivot with "
+    "explicit values → no extra pass to discover them).",
+)
+def q_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"))
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("F").alias("qty_F"),
+        F.col("O").alias("qty_O"),
+    )
+
+
+@register(
+    "cube_revenue",
+    f"""
+    SELECT l_returnflag, l_linestatus, {_REV} AS revenue
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="Ext-A6 cube: all grouping-set grains in one shuffle pass.",
+)
+def q_cube(spark: SparkSession, sf: str) -> DataFrame:
+    from .functions import exact_sum, revenue
+
+    return _t(spark, sf, "lineitem").cube("l_returnflag", "l_linestatus").agg(
+        exact_sum(revenue(), scale=4).alias("revenue")
+    )
+
+
+@register(
+    "quantity_percentiles",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50,
+           ROUND(quantile_cont(l_quantity, 0.95), 6) AS p95
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Exact interpolated percentiles per group (Spark percentile ≡ "
+    "DuckDB quantile_cont); the approx_profile query is the sketch variant.",
+)
+def q_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("l_quantity", F.lit(0.95)), 6).alias("p95"),
+    )
+
+
+@register(
+    "top_part_per_brand_maxby",
+    f"""
+    WITH rev AS (
+      SELECT p_brand, p_name, {_REV} AS revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand, p_name
+    )
+    SELECT p_brand, arg_max(p_name, revenue) AS best_part,
+           MAX(revenue) AS best_revenue
+    FROM rev GROUP BY p_brand
+    """,
+    doc="T1 variant via max_by/arg_max: argmax aggregation instead of a "
+    "rank window — one pass, no window state.  Per-brand revenues are "
+    "verified tie-free in this data; with ties, compose the ordering key.",
+)
+def q_maxby(spark: SparkSession, sf: str) -> DataFrame:
+    from .functions import exact_sum, revenue
+
+    li, part = _t(spark, sf, "lineitem"), _t(spark, sf, "part")
+    rev = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_name")
+        .agg(exact_sum(revenue(), scale=4).alias("revenue"))
+    )
+    return rev.groupBy("p_brand").agg(
+        F.max_by("p_name", "revenue").alias("best_part"),
+        F.max("revenue").alias("best_revenue"),
+    )
+
+
+@register(
+    "shipping_lead_time",
+    """
+    SELECT datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS lead_days,
+           COUNT(*) AS n
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+    """,
+    doc="F8/F9 date arithmetic: order→ship lead-time histogram.",
+)
+def q_lead_time(spark: SparkSession, sf: str) -> DataFrame:
+    li, orders = _t(spark, sf, "lineitem"), _t(spark, sf, "orders")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")).alias("lead_days")
+        )
+        .groupBy("lead_days")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 # ------------------------------------------------------------------ windows
 
 @register(
