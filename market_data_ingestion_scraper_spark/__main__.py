@@ -1,0 +1,75 @@
+"""CLI for the engine: run registered queries, benchmarks, or an ingest job.
+
+    python -m market_data_ingestion_scraper_spark list
+    python -m market_data_ingestion_scraper_spark run top5_commodities \
+        [--sf-dir /root/testdata/sf0.01] [--explain] [--limit 20]
+    python -m market_data_ingestion_scraper_spark ingest \
+        --raw commodity=path.csv [--raw ...] --lake /path/lake --date 2026-08-13
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="market_data_ingestion_scraper_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("list", help="list registered queries")
+
+    runp = sub.add_parser("run", help="run a registered query")
+    runp.add_argument("name")
+    runp.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    runp.add_argument("--limit", type=int, default=20)
+    runp.add_argument("--explain", action="store_true")
+
+    ing = sub.add_parser("ingest", help="run the resumable market-ingestion job")
+    ing.add_argument("--raw", action="append", required=True,
+                     metavar="NAME=CSV", help="commodity display name = raw csv path")
+    ing.add_argument("--lake", required=True)
+    ing.add_argument("--date", required=True)
+    ing.add_argument("--run-id", default=None)
+
+    args = p.parse_args(argv)
+
+    from .queries import REGISTRY
+
+    if args.cmd == "list":
+        for name, spec in REGISTRY.items():
+            kind = "oracle" if spec.oracle else "rows-only"
+            print(f"{name:32s} [{kind}] {spec.doc}")
+        return 0
+
+    from .session import get_spark
+
+    spark = get_spark(app_name=f"cli:{args.cmd}")
+
+    if args.cmd == "run":
+        if args.name not in REGISTRY:
+            print(f"unknown query {args.name!r}; see `list`", file=sys.stderr)
+            return 2
+        df = REGISTRY[args.name].fn(spark, args.sf_dir)
+        if args.explain:
+            df.explain("formatted")
+        df.show(args.limit, truncate=False)
+        return 0
+
+    if args.cmd == "ingest":
+        from .jobs import run_market_ingestion
+
+        raw_paths = dict(kv.split("=", 1) for kv in args.raw)
+        metrics = run_market_ingestion(
+            spark, raw_paths, args.lake, scrape_date=args.date, run_id=args.run_id
+        )
+        for unit, (n, n_data) in sorted(metrics.items()):
+            print(f"{unit}: rows={n} data_rows={n_data}")
+        print(f"processed {len(metrics)} unit(s)")
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,74 @@
+"""Property-based tests (hypothesis): invariants that must hold for any
+input, not just fixtures.
+
+- sanitize_name (Spark expression) ≡ the reference's Python sanitization
+  for arbitrary strings — the regex-parity requirement from SURVEY.md §7.
+- exact decimal sums are invariant under repartitioning (the core claim
+  behind the oracle determinism contract).
+- MinHash estimate is a [0,1] value and exact-duplicate texts always get
+  estimate 1.0.
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from market_data_ingestion_scraper_spark.functions import sanitize_name
+
+_slow = settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _py_sanitize(name: str) -> str:
+    # the reference's chain (div_link_handler.py:116-123), ASCII semantics
+    cleaned = re.sub(r"[^\w\s-]", "", name.strip().lower(), flags=re.ASCII)
+    return re.sub(r"\s+", "_", cleaned, flags=re.ASCII)[:100]
+
+
+ascii_text = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=150
+)
+
+
+@_slow
+@given(names=st.lists(ascii_text, min_size=1, max_size=20))
+def test_sanitize_matches_reference_python(spark, names):
+    df = spark.createDataFrame([(n,) for n in names], "raw string")
+    got = [r["s"] for r in df.select(sanitize_name("raw").alias("s")).collect()]
+    assert got == [_py_sanitize(n) for n in names]
+
+
+@_slow
+@given(
+    values=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False), min_size=1, max_size=200
+    ),
+    parts=st.integers(min_value=1, max_value=8),
+)
+def test_exact_sum_invariant_under_repartition(spark, values, parts):
+    from market_data_ingestion_scraper_spark.functions import exact_sum
+
+    df = spark.createDataFrame([(v,) for v in values], "x double")
+    one = df.coalesce(1).agg(exact_sum("x").alias("s")).collect()[0]["s"]
+    many = df.repartition(parts).agg(exact_sum("x").alias("s")).collect()[0]["s"]
+    assert one == many  # bit-identical regardless of partitioning
+
+
+def test_minhash_exact_duplicates_estimate_one(spark):
+    from market_data_ingestion_scraper_spark.operators.dedup import lsh_candidate_pairs
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [(1, text), (2, text), (3, "totally different words here now ok fine")],
+        "doc_id long, text string",
+    )
+    pairs = {(r["doc_a"], r["doc_b"]): r["est_jaccard"]
+             for r in lsh_candidate_pairs(df).collect()}
+    assert pairs[(1, 2)] == 1.0
