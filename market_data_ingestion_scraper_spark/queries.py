@@ -344,6 +344,49 @@ def q_topk_group(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "revenue_rank_tiers",
+    f"""
+    WITH rev AS (
+      SELECT p_brand, p_name, {_REV} AS revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand, p_name
+    ),
+    tiers AS (SELECT p_brand, p_name, CAST(floor(revenue / 100000) AS BIGINT) AS tier FROM rev)
+    SELECT p_brand, p_name, tier,
+           CAST(RANK()       OVER (PARTITION BY p_brand ORDER BY tier DESC) AS INT) AS rnk,
+           CAST(DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY tier DESC) AS INT) AS drnk
+    FROM tiers
+    """,
+    doc="§2.8 rank/dense_rank with genuine ties (revenue tiers) — "
+    "deterministic under ties, unlike row_number.",
+)
+def q_rank_tiers(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .functions import exact_sum, revenue
+
+    li, part = _t(spark, sf, "lineitem"), _t(spark, sf, "part")
+    rev = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_name")
+        .agg(exact_sum(revenue(), scale=4).alias("revenue"))
+        .select(
+            "p_brand",
+            "p_name",
+            F.floor(F.col("revenue") / 100000).cast("long").alias("tier"),
+        )
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.desc("tier"))
+    return rev.select(
+        "p_brand",
+        "p_name",
+        "tier",
+        F.rank().over(w).cast("int").alias("rnk"),
+        F.dense_rank().over(w).cast("int").alias("drnk"),
+    )
+
+
+@register(
     "cumulative_monthly_volume",
     """
     WITH monthly AS (

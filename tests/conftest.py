@@ -14,8 +14,14 @@ SF_ORACLE = "/root/testdata/sf0.01"
 
 
 @pytest.fixture(scope="session")
-def spark():
-    spark = get_spark(app_name="tests", master="local[4]", shuffle_partitions=4)
+def spark(tmp_path_factory):
+    wh = tmp_path_factory.mktemp("spark_warehouse")
+    spark = get_spark(
+        app_name="tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={"spark.sql.warehouse.dir": str(wh)},
+    )
     yield spark
 
 
