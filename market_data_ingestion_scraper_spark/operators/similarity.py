@@ -28,6 +28,12 @@ def _dbl(v: Column) -> Column:
     return F.transform(v, lambda x: x.cast("double"))
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Spread a single-file corpus scan across cores before per-row vector
+    math (see operators.dedup._spread — same rationale)."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ in double, sequential fold (deterministic)."""
     return F.aggregate(
@@ -64,7 +70,7 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    c = embeddings.select(
+    c = _spread(embeddings).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec")
     )
     scored = (
@@ -126,7 +132,7 @@ def lsh_topk(
     near-dup search (cos≥0.9) sustains b=12+ at a tiny fraction of the
     corpus.  Tables add candidates, so cost is tunable, recall measured
     against brute force in tests."""
-    c = embeddings.select(
+    c = _spread(embeddings).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec")
     )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
@@ -191,7 +197,7 @@ def embedding_near_duplicates(
     matches an 8-bit table with ≈0.43 probability; over 6 tables recall
     ≈0.96, while each table's buckets hold ~n/256 of the corpus — no
     crossJoin anywhere."""
-    b = embeddings.select(F.col(id_col), F.col(vec_col))
+    b = _spread(embeddings).select(F.col(id_col), F.col(vec_col))
     for t in range(n_tables):
         planes = hyperplanes(dim, n_planes, seed=7000 + t)
         b = b.withColumn(f"b{t}", lsh_bucket(F.col(vec_col), planes))

@@ -1,0 +1,128 @@
+"""Custom stateful streaming operator (SURVEY.md §2.10 "custom state"):
+purchase-terminated user sessions via ``applyInPandasWithState``.
+
+Built-in ``session_window`` closes sessions only by inactivity gap.  The
+reference's work units additionally end on an explicit signal (commodity
+completed → marked done, ``div_link_handler.py:534-536``); the analog here:
+a user session ends EITHER on a terminal event (``purchase``) OR on
+processing-time timeout.  That event-type-dependent close is not
+expressible with built-in windows — exactly the case for GroupState.
+
+State per user: (session_start_ms, last_ts_ms, n_events, total_value) —
+fixed width, bounded by live-user cardinality, reclaimed on timeout.  At
+100 TB/day the state store shards by user hash across executors; a key's
+state is touched only by its own partition (no cross-task coordination).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start_ms", LongType()),
+        StructField("session_end_ms", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("ended_by", StringType()),  # purchase | timeout
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("session_start_ms", LongType()),
+        StructField("last_ts_ms", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+TIMEOUT_MS = 30_000
+
+
+def _close(user_id: int, st: tuple, ended_by: str) -> pd.DataFrame:
+    start, last, n, total = st
+    return pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "session_start_ms": [start],
+            "session_end_ms": [last],
+            "n_events": [n],
+            "total_value": [float(total)],
+            "ended_by": [ended_by],
+        }
+    )
+
+
+def session_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold this micro-batch's events for one user into session state;
+    emit a row when a purchase closes the session or the state times out."""
+    (user_id,) = key
+    if state.hasTimedOut:
+        if state.exists:
+            yield _close(user_id, tuple(state.get), "timeout")
+        state.remove()
+        return
+
+    st: tuple[Any, ...] | None = tuple(state.get) if state.exists else None
+    out: list[pd.DataFrame] = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values("ts")
+        for ts, etype, value in zip(
+            pdf["ts"].astype("int64") // 1_000_000,  # ns → ms
+            pdf["event_type"],
+            pdf["value"],
+        ):
+            if st is None:
+                st = (int(ts), int(ts), 1, float(value))
+            else:
+                # events may arrive out of event-time order across
+                # micro-batches: track min/max, not arrival order
+                st = (min(st[0], int(ts)), max(st[1], int(ts)),
+                      st[2] + 1, st[3] + float(value))
+            if etype == "purchase":
+                out.append(_close(user_id, st, "purchase"))
+                st = None
+    if st is not None:
+        state.update(st)
+        try:
+            state.setTimeoutDuration(TIMEOUT_MS)
+        except Exception:
+            pass  # NoTimeout mode: open sessions wait for their purchase
+    elif state.exists:
+        state.remove()
+    yield from out if out else iter(())
+
+
+def purchase_sessions(
+    events: DataFrame, timeout: str = GroupStateTimeout.NoTimeout
+) -> DataFrame:
+    """Apply the stateful session operator.
+
+    Default ``NoTimeout``: sessions close only on the terminal event, and a
+    drained stream (``processAllAvailable``) settles — with
+    ``ProcessingTimeTimeout`` the engine keeps scheduling timeout-evaluation
+    batches, so drain-style tests never return; pass it explicitly for
+    long-running production queries that must reap abandoned sessions."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        session_fn,
+        OUTPUT_SCHEMA,
+        STATE_SCHEMA,
+        "append",
+        timeout,
+    )
