@@ -927,6 +927,63 @@ def q_approx_profile(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- as-of / range joins (custom)
+
+@register(
+    "asof_last_purchase",
+    """
+    SELECT c.event_id, c.user_id, c.ts, p.value AS asof_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    doc="As-of join (custom operator, built from union+window composition): "
+    "each click joined to the user's most recent prior purchase value; "
+    "oracle is DuckDB's native ASOF JOIN.",
+)
+def q_asof(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.asof import asof_join
+
+    ev = _t(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    return asof_join(clicks, purchases, "ts", "user_id", ("value",)).select(
+        "event_id", "user_id", "ts", F.col("asof_value")
+    )
+
+
+@register(
+    "range_join_value_bands",
+    """
+    WITH bands(lo, hi, label) AS (VALUES
+      (0.0, 100.0, 'b0'), (100.0, 200.0, 'b1'), (200.0, 300.0, 'b2'),
+      (300.0, 500.0, 'b3'), (500.0, 1000.0, 'b4'))
+    SELECT label, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY label
+    """,
+    doc="Range/interval join (custom operator): points matched to [lo,hi) "
+    "bands via bucketized equi-join — no broadcast-nested-loop plan; "
+    "oracle is the plain inequality join.",
+)
+def q_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    from .functions import exact_sum
+    from .operators.asof import interval_join
+
+    bands = spark.createDataFrame(
+        [(0.0, 100.0, "b0"), (100.0, 200.0, "b1"), (200.0, 300.0, "b2"),
+         (300.0, 500.0, "b3"), (500.0, 1000.0, "b4")],
+        "lo double, hi double, label string",
+    )
+    ev = _t(spark, sf, "events")
+    joined = interval_join(ev, bands, "value", "lo", "hi", bucket_width=50.0)
+    return joined.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        exact_sum("value", scale=4).alias("total_value"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

@@ -77,3 +77,17 @@ def test_embedding_near_dups_has_no_cartesian(spark):
     txt = explain_str(_plan(spark, "embedding_near_dups"))
     assert "CartesianProduct" not in txt
     assert "BroadcastNestedLoopJoin" not in txt
+
+
+def test_range_join_is_equi_join_not_bnl(spark):
+    # the whole point of bucketization: a hash-partitionable equi-join on
+    # bucket id instead of the BNL plan a raw inequality join produces
+    txt = explain_str(_plan(spark, "range_join_value_bands"))
+    assert "BroadcastNestedLoopJoin" not in txt
+    assert "CartesianProduct" not in txt
+
+
+def test_asof_join_is_single_window_pass(spark):
+    rep = plan_report(_plan(spark, "asof_last_purchase"))
+    # composition is union + one windowed fill: no join operator at all
+    assert rep.n_broadcast_joins == 0 and rep.n_sortmerge_joins == 0, rep.summary()
