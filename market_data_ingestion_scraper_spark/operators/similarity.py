@@ -183,6 +183,79 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: partition the corpus into ``n_lists``
+    KMeans cells; each query scores only its ``n_probe`` nearest cells.
+
+    The IVF scale story vs hyperplane LSH: cells adapt to the data
+    distribution (clustered corpora get balanced cells where fixed
+    hyperplanes skew), and cost is exactly corpus·(n_probe/n_lists) per
+    query.  Training cost is one KMeans fit over a sample — at 100 TB you
+    fit on a fraction (KMeans centroids stabilize long before full data)
+    and assign with a cheap per-row argmin, which is what this does:
+    centroids come back to the driver (n_lists × dim floats — KBs) and are
+    folded into the plan as literals, so assignment is a built-in
+    expression, not an MLlib transform over the hot path."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = embeddings.select(
+        array_to_vector(_dbl(F.col(vec_col))).alias("features")
+    )
+    model = KMeans(k=n_lists, seed=seed, maxIter=6).fit(train)
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+
+    def _dist2(vec: Column, center: list[float]) -> Column:
+        carr = F.array(*[F.lit(x) for x in center])
+        diff = F.zip_with(_dbl(vec), carr, lambda a, b: (a - b) * (a - b))
+        return F.aggregate(diff, F.lit(0.0), lambda a, x: a + x)
+
+    def _cells(vec: Column, n: int) -> Column:
+        """indices of the n nearest centroids, as an array column"""
+        pairs = F.array(
+            *[
+                F.struct(_dist2(vec, c).alias("d"), F.lit(i).alias("i"))
+                for i, c in enumerate(centroids)
+            ]
+        )
+        return F.slice(F.transform(F.array_sort(pairs), lambda s: s["i"]), 1, n)
+
+    c = _spread(embeddings).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("n_vec"),
+        F.element_at(_cells(F.col(vec_col), 1), 1).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(_cells(F.col(vec_col), n_probe)).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
 def embedding_near_duplicates(
     embeddings: DataFrame,
     threshold: float = 0.95,

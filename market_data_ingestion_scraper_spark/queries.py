@@ -883,6 +883,20 @@ def q_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "ivf_topk_ann",
+    None,  # KMeans cell assignment has no SQL twin → rows-only; recall
+    # vs brute force asserted in tests/test_dedup_similarity.py
+    doc="X3 ANN top-k via IVF: KMeans cells + n_probe nearest-cell search; "
+    "the data-adaptive alternative to hyperplane LSH.",
+)
+def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.similarity import ivf_topk
+
+    emb = _t(spark, sf, "embeddings")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+@register(
     "embedding_near_dups",
     None,  # LSH bucketing (seeded hyperplanes) → rows-only
     doc="X2 embedding-cosine near-duplicate pairs within LSH buckets.  The "
@@ -908,6 +922,32 @@ def q_multimodal(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.multimodal import extract_features, synthetic_media
 
     return extract_features(synthetic_media(spark, n=64, parts=4))
+
+
+@register(
+    "validate_documents",
+    """
+    SELECT COUNT(*) AS n_rows,
+           COUNT(*) FILTER (WHERE n_chars <> length(text)) AS n_bad_len,
+           COUNT(*) FILTER (WHERE text IS NULL OR trim(text) = '') AS n_empty,
+           COUNT(*) FILTER (WHERE lang NOT IN ('de','en','es','fr','zh')) AS n_bad_lang
+    FROM documents
+    """,
+    doc="Data-quality validation: declared metadata vs actual content "
+    "(the ingest-side guard layer a training-data pipeline runs first).",
+)
+def q_validate(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("n_chars") != F.length("text"), 1)).alias("n_bad_len"),
+        F.count(
+            F.when(F.col("text").isNull() | (F.trim("text") == ""), 1)
+        ).alias("n_empty"),
+        F.count(
+            F.when(~F.col("lang").isin("de", "en", "es", "fr", "zh"), 1)
+        ).alias("n_bad_lang"),
+    )
 
 
 # ------------------------------------------------------- sketches (X6)

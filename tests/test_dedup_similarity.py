@@ -105,6 +105,18 @@ def test_lsh_topk_recall(spark, vectors):
     assert recall >= 0.6, f"recall@5 = {recall}"
 
 
+def test_ivf_topk_recall(spark, vectors):
+    """IVF with n_probe=4 of 16 cells: scores ~25% of the corpus per query;
+    recall floor well above that fraction proves the cells are informative."""
+    q = vectors.filter(F.col("vec_id") < 16)
+    bf = S.brute_force_topk(vectors, q, k=5)
+    ivf = S.ivf_topk(vectors, q, k=5, n_lists=16, n_probe=4)
+    bf_pairs = {(r["query_id"], r["neighbor_id"]) for r in bf.collect()}
+    ivf_pairs = {(r["query_id"], r["neighbor_id"]) for r in ivf.collect()}
+    recall = len(bf_pairs & ivf_pairs) / len(bf_pairs)
+    assert recall >= 0.5, f"IVF recall@5 = {recall}"
+
+
 def test_embedding_near_dups_finds_planted_pair(spark, vectors):
     """Plant a near-identical copy of vec_id 0 and check the detector
     finds exactly that pair at threshold 0.99."""
