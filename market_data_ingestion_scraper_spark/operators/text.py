@@ -15,7 +15,7 @@ bounded by vocabulary size per partition, not corpus size.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Modulus for rolling hashes: largest 31-bit prime.  Keeps every
@@ -119,6 +119,34 @@ def language_id(documents: DataFrame) -> DataFrame:
     # reversed + overwrite-on-match makes the FIRST alphabetical max win
     return documents.select(
         "doc_id", "lang", pred.alias("pred_lang"), best.alias("best_score")
+    )
+
+
+def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k TF-IDF terms per document: tf(doc,term) · ln(N/df(term)),
+    ranked per doc (ties broken by term).
+
+    Dataflow: explode → per-(doc,term) counts (map-side combined) →
+    document frequencies (one more bounded-by-vocabulary aggregation) →
+    broadcast the df table back — the corpus-sized shuffle happens once,
+    on (doc,term), everything else is vocabulary-sized."""
+    tf = (
+        documents.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = documents.count()  # scalar: one number to the driver
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "term", "tfidf", "rnk")
     )
 
 

@@ -675,6 +675,36 @@ def q_term_freq(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "tfidf_top_terms",
+    f"""
+    WITH tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+      GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(tf.tf * ln(n.n_docs / dfreq.df), 6) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf, rnk FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                     ORDER BY tfidf DESC, term) AS INT) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    """,
+    doc="X4 TF-IDF top-3 terms per document; rank on the rounded score so "
+    "ordering is identical across engines.",
+)
+def q_tfidf(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.text import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf, "documents"), k=3)
+
+
+@register(
     "text_quality",
     f"""
     WITH feat AS (
@@ -965,6 +995,25 @@ def q_approx_profile(spark: SparkSession, sf: str) -> DataFrame:
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99]).alias("price_quantiles"),
     )
+
+
+@register(
+    "clicks_recent_purchase",
+    """
+    SELECT c.event_id AS click_id, c.user_id AS user_id, c.ts AS click_ts,
+           p.event_id AS purchase_id, p.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts BETWEEN c.ts - INTERVAL 10 MINUTE AND c.ts
+    """,
+    doc="§2.10 event-time interval join (batch form of the stream-stream "
+    "join in streaming/pipeline.py — one code path, tested equal).",
+)
+def q_clicks_purchase(spark: SparkSession, sf: str) -> DataFrame:
+    from .streaming.pipeline import clicks_with_recent_purchase
+
+    return clicks_with_recent_purchase(_t(spark, sf, "events"))
 
 
 # ------------------------------------------- as-of / range joins (custom)

@@ -89,6 +89,42 @@ def user_sessions(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def clicks_with_recent_purchase(
+    events: DataFrame, lookback: str = "10 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Stream-stream interval join: each click joined to the same user's
+    purchases in the preceding ``lookback`` window.
+
+    Both sides carry watermarks and the join predicate bounds event-time
+    distance, so Spark can reap join state older than
+    (watermark + lookback) — state is bounded by purchase rate × window,
+    not stream length.  Identical code runs in batch (the watermark is a
+    no-op there), which is how the test cross-checks the result."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .withWatermark("ts", watermark)
+        .alias("c")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", watermark)
+        .alias("p")
+    )
+    return clicks.join(
+        purchases,
+        F.expr(
+            f"c.user_id = p.user_id AND "
+            f"p.ts BETWEEN c.ts - interval {lookback} AND c.ts"
+        ),
+    ).select(
+        F.col("c.event_id").alias("click_id"),
+        F.col("c.user_id").alias("user_id"),
+        F.col("c.ts").alias("click_ts"),
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("p.value").alias("purchase_value"),
+    )
+
+
 def run_to_memory(df: DataFrame, name: str, spark: SparkSession) -> DataFrame:
     """Drive a streaming query to completion synchronously against the
     in-memory sink (test/driver harness; complete mode for aggregations)."""

@@ -62,6 +62,31 @@ def test_sliding_and_session_windows_run(spark, sf_smoke):
     assert se.filter(F.col("end") < F.col("start")).count() == 0
 
 
+def test_stream_stream_interval_join_matches_batch(spark, sf_smoke, tmp_path):
+    # single-file landing → one micro-batch → no cross-batch late data, so
+    # the streaming result must equal the batch inequality join exactly
+    batch_events = load_table(spark, sf_smoke, "events")
+    d = str(tmp_path / "one_batch")
+    batch_events.coalesce(1).write.mode("overwrite").parquet(d)
+    stream = P.stream_events(spark, d)
+
+    q = (
+        P.clicks_with_recent_purchase(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_ssj")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {(r["click_id"], r["purchase_id"]) for r in spark.table("t_ssj").collect()}
+    want = {
+        (r["click_id"], r["purchase_id"])
+        for r in P.clicks_with_recent_purchase(batch_events).collect()
+    }
+    assert got == want and len(want) > 0
+
+
 def test_foreach_batch_sink_idempotent_resume(spark, events_dir, tmp_path):
     root, ckpt = str(tmp_path / "lake"), str(tmp_path / "ckpt")
     ev = P.stream_events(spark, events_dir)
