@@ -955,6 +955,59 @@ def q_multimodal(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "salted_qty_by_flag",
+    """
+    SELECT l_returnflag, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Skew-salted two-stage aggregation (operators/skew.py): the hot-key "
+    "spread plan must produce the same answer as the plain one-stage sum — "
+    "the oracle IS the plain sum, so the equality is hash-checked.",
+)
+def q_salted(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.skew import salted_group_sum
+
+    return salted_group_sum(
+        _t(spark, sf, "lineitem"), "l_returnflag", "l_quantity", "sum_qty"
+    )
+
+
+@register(
+    "grouped_pandas_price_stats",
+    None,  # UDAF via applyInPandas: float sum order inside pandas is not
+    # reproducible against SQL decimal sums → rows-only; equivalence to the
+    # built-in aggregation is asserted (with tolerance) in tests.
+    doc="UDAF surface (§2.11): per-brand weighted average price via "
+    "applyInPandas one-row-per-group output — the Arrow-batched escape "
+    "hatch for aggregations built-ins can't express.",
+)
+def q_grouped_pandas(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+
+    li, part = _t(spark, sf, "lineitem"), _t(spark, sf, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "p_brand", "l_extendedprice", "l_quantity"
+    )
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        w = pdf["l_quantity"].sum()
+        return pd.DataFrame(
+            {
+                "p_brand": [pdf["p_brand"].iloc[0]],
+                "weighted_avg_price": [
+                    float((pdf["l_extendedprice"] * pdf["l_quantity"]).sum() / w)
+                    if w else None
+                ],
+                "n_lines": [len(pdf)],
+            }
+        )
+
+    return joined.groupBy("p_brand").applyInPandas(
+        stats, "p_brand string, weighted_avg_price double, n_lines long"
+    )
+
+
+@register(
     "validate_documents",
     """
     SELECT COUNT(*) AS n_rows,
