@@ -570,6 +570,40 @@ def q_except(spark: SparkSession, sf: str) -> DataFrame:
     return part.select("p_brand").subtract(shipped)
 
 
+@register(
+    "parts_above_brand_avg",
+    """
+    WITH priced AS (
+      SELECT p_partkey, p_name, p_brand, p_retailprice,
+             AVG(p_retailprice) OVER (PARTITION BY p_brand) AS brand_avg
+      FROM part
+    )
+    SELECT p_partkey, p_name, p_brand,
+           ROUND(p_retailprice - brand_avg, 6) AS above_by
+    FROM priced WHERE p_retailprice > brand_avg
+    """,
+    doc="SQL-API surface: the engine's queries are Catalyst plans whether "
+    "written as DataFrame calls or SQL — this one is authored as SQL over "
+    "registered temp views (correlated-comparison via window).",
+)
+def q_sql_api(spark: SparkSession, sf: str) -> DataFrame:
+    from .sources import register_views
+
+    register_views(spark, sf, "part")
+    return spark.sql(
+        """
+        WITH priced AS (
+          SELECT p_partkey, p_name, p_brand, p_retailprice,
+                 AVG(p_retailprice) OVER (PARTITION BY p_brand) AS brand_avg
+          FROM part
+        )
+        SELECT p_partkey, p_name, p_brand,
+               ROUND(p_retailprice - brand_avg, 6) AS above_by
+        FROM priced WHERE p_retailprice > brand_avg
+        """
+    )
+
+
 # ------------------------------------------------------------------- events
 
 @register(
