@@ -29,8 +29,12 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="bench")
 
-    # JVM/codegen warm-up: trivial scan+agg, not part of the measurement.
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # Warm-up, not part of the measurement: JVM/codegen via a trivial
+    # scan+agg, and the Python worker pool via a tiny Arrow round-trip
+    # (first mapInPandas otherwise pays several seconds of worker spawn).
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    region.count()
+    region.mapInPandas(lambda it: it, region.schema).count()
 
     timings: dict[str, float] = {}
     for name, spec in Q.REGISTRY.items():
