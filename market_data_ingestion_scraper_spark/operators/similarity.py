@@ -99,7 +99,9 @@ def hyperplanes(dim: int = 64, n_planes: int = 12, seed: int = 42) -> list[list[
 
 
 def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
-    """Random-hyperplane signature: bit i = sign(v·planeᵢ) → int bucket id."""
+    """Random-hyperplane signature: bit i = sign(v·planeᵢ) → int bucket id.
+    Column form for single-table use; multi-table pipelines use
+    ``bucket_table`` (constant plan size regardless of table count)."""
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
         plane = F.array(*[F.lit(float(x)) for x in p])
@@ -108,6 +110,46 @@ def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
         )
         bucket = bucket.bitwiseOR(F.shiftleft(bit, i))
     return bucket
+
+
+def bucket_table(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_planes: int,
+    n_tables: int,
+    dim: int,
+    seed_base: int,
+) -> DataFrame:
+    """(id, t, bucket) for every (row, hash-table) pair, via relational ops.
+
+    The expression-based formulation builds n_tables × n_planes higher-order
+    dot products with dim literals each — analysis/codegen cost grows with
+    the configuration and dominated cold runs.  Here the hyperplane weights
+    are DATA: posexplode the vectors, broadcast-join the (t, plane, pos, w)
+    weight table, and two codegen'd aggregations produce dots → sign-bit
+    buckets.  Plan size is constant; the work is a dim-×-weights join that
+    scales linearly and shuffles only (id, t, plane, partial-dot) rows."""
+    rows = []
+    for t in range(n_tables):
+        for p, plane in enumerate(hyperplanes(dim, n_planes, seed=seed_base + t)):
+            rows.extend((t, p, pos, float(w)) for pos, w in enumerate(plane))
+    spark = df.sparkSession
+    weights = spark.createDataFrame(rows, "t int, plane int, pos int, w double")
+    vals = df.select(
+        F.col(id_col), F.posexplode(_dbl(F.col(vec_col))).alias("pos", "val")
+    )
+    dots = (
+        vals.join(F.broadcast(weights), "pos")
+        .groupBy(id_col, "t", "plane")
+        .agg(F.sum(F.col("val") * F.col("w")).alias("dot"))
+    )
+    # NB: python F.shiftleft needs a literal shift; SQL shiftleft takes columns
+    bit = F.expr(
+        "CASE WHEN dot >= 0 THEN shiftleft(CAST(1 AS BIGINT), plane) "
+        "ELSE CAST(0 AS BIGINT) END"
+    )
+    return dots.groupBy(id_col, "t").agg(F.sum(bit).alias("bucket"))
 
 
 def lsh_topk(
@@ -132,43 +174,24 @@ def lsh_topk(
     near-dup search (cos≥0.9) sustains b=12+ at a tiny fraction of the
     corpus.  Tables add candidates, so cost is tunable, recall measured
     against brute force in tests."""
-    c = _spread(embeddings).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec")
+    corpus = _spread(embeddings)
+    c_b = bucket_table(corpus, id_col, vec_col, n_planes, n_tables, dim, 1000).select(
+        F.col(id_col).alias("neighbor_id"), "t", "bucket"
     )
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    for t in range(n_tables):
-        planes = hyperplanes(dim, n_planes, seed=1000 + t)
-        c = c.withColumn(f"b{t}", lsh_bucket(F.col("n_vec"), planes))
-        q = q.withColumn(f"b{t}", lsh_bucket(F.col("q_vec"), planes))
-    c_b = c.select(
-        "neighbor_id",
-        "n_vec",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(t).alias("t"), F.col(f"b{t}").alias("bucket"))
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("tb"),
-    ).select("neighbor_id", "n_vec", "tb.t", "tb.bucket")
-    q_b = q.select(
-        "query_id",
-        "q_vec",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(t).alias("t"), F.col(f"b{t}").alias("bucket"))
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("tb"),
-    ).select("query_id", "q_vec", "tb.t", "tb.bucket")
-    scored = (
+    q_b = bucket_table(queries, id_col, vec_col, n_planes, n_tables, dim, 1000).select(
+        F.col(id_col).alias("query_id"), "t", "bucket"
+    )
+    cand = (
         c_b.join(F.broadcast(q_b), ["t", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "q_vec", "n_vec")
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    c_vec = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec"))
+    q_vec = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    scored = (
+        cand.join(c_vec, "neighbor_id")
+        .join(F.broadcast(q_vec), "query_id")
         .select(
             "query_id",
             "neighbor_id",
@@ -270,24 +293,10 @@ def embedding_near_duplicates(
     matches an 8-bit table with ≈0.43 probability; over 6 tables recall
     ≈0.96, while each table's buckets hold ~n/256 of the corpus — no
     crossJoin anywhere."""
-    b = _spread(embeddings).select(F.col(id_col), F.col(vec_col))
-    for t in range(n_tables):
-        planes = hyperplanes(dim, n_planes, seed=7000 + t)
-        b = b.withColumn(f"b{t}", lsh_bucket(F.col(vec_col), planes))
-    banded = b.select(
-        id_col,
-        vec_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(t).alias("t"), F.col(f"b{t}").alias("bucket"))
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("tb"),
-    ).select(id_col, vec_col, "tb.t", "tb.bucket")
+    corpus = _spread(embeddings)
+    banded = bucket_table(corpus, id_col, vec_col, n_planes, n_tables, dim, 7000)
     l, r = banded.alias("l"), banded.alias("r")
-    return (
+    cand = (
         l.join(
             r,
             (F.col("l.t") == F.col("r.t"))
@@ -297,10 +306,14 @@ def embedding_near_duplicates(
         .select(
             F.col(f"l.{id_col}").alias("vec_a"),
             F.col(f"r.{id_col}").alias("vec_b"),
-            F.col(f"l.{vec_col}").alias("va"),
-            F.col(f"r.{vec_col}").alias("vb"),
         )
         .dropDuplicates(["vec_a", "vec_b"])
+    )
+    va = corpus.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
+    vb = corpus.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
         .select(
             "vec_a",
             "vec_b",
