@@ -28,6 +28,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# The mapInPandas closures below reference module-level helpers; by default
+# cloudpickle serializes those BY REFERENCE, so executor python workers must
+# be able to `import` this package — which fails when the driving process
+# runs from a different cwd without the repo on PYTHONPATH (exactly how an
+# external harness loads __spark_entry__.py by file path).  Registering the
+# module for by-value pickling makes every shipped closure self-contained.
+import sys as _sys  # noqa: E402
+
+from pyspark import cloudpickle as _cloudpickle  # noqa: E402
+
+_cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

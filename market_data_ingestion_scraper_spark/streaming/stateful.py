@@ -30,6 +30,14 @@ from pyspark.sql.types import (
     StructType,
 )
 
+# Ship session_fn (and its module-level helpers) by value so executor
+# workers never need this package importable — see operators/multimodal.py.
+import sys as _sys  # noqa: E402
+
+from pyspark import cloudpickle as _cloudpickle  # noqa: E402
+
+_cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+
 OUTPUT_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),
