@@ -980,12 +980,28 @@ def q_embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     "multimodal_features",
     None,  # binary payload decode (stubbed) has no SQL twin → rows-only
     doc="Multimodal plumbing: binary media columns → mapInPandas feature "
-    "extraction (deterministic fake decode; real decoder is a marked stub).",
+    "extraction (deterministic fake decode; real decoder is a marked stub). "
+    "The array<double> feature column is projected to scalar digests here — "
+    "the driver's canonicalizer needs sortable scalars; the raw array shape "
+    "is covered by tests/test_multimodal.py.",
 )
 def q_multimodal(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.multimodal import extract_features, synthetic_media
 
-    return extract_features(synthetic_media(spark, n=64, parts=4))
+    feats = extract_features(synthetic_media(spark, n=64, parts=4))
+    # Sequential left fold over the 16 floats → reproducible across
+    # partitionings; rounded so the driver's value-hash is bit-stable.
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.size("features").alias("feat_dim"),
+        F.round(
+            F.aggregate("features", F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("feat_sum"),
+        F.round(F.array_min("features"), 6).alias("feat_min"),
+        F.round(F.array_max("features"), 6).alias("feat_max"),
+    )
 
 
 @register(
@@ -1077,10 +1093,15 @@ def q_validate(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q_approx_profile(spark: SparkSession, sf: str) -> DataFrame:
     li = _t(spark, sf, "lineitem")
+    # Quantiles projected to scalar columns (not one array<double>) so the
+    # driver's canonicalizer can sort the result.
+    q = F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99])
     return li.agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99]).alias("price_quantiles"),
+        q.getItem(0).alias("price_p50"),
+        q.getItem(1).alias("price_p95"),
+        q.getItem(2).alias("price_p99"),
     )
 
 
