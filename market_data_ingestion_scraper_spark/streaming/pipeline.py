@@ -139,27 +139,43 @@ def run_to_memory(df: DataFrame, name: str, spark: SparkSession) -> DataFrame:
     return spark.table(name)
 
 
+def sink_events_batch(batch: DataFrame, batch_id: int, root: str) -> None:
+    """Idempotent per-micro-batch silver write (the foreachBatch body,
+    exposed for direct replay testing).
+
+    Partitioning includes ``ingest_batch_id`` so the overwrite grain is
+    exactly one micro-batch: a crash-replayed batch dynamically overwrites
+    only its own ``(event_date, ingest_batch_id)`` subpartitions — the
+    streaming analog of the reference's fixed-filename-per-unit overwrite
+    (``div_link_handler.py:291-293``).  Partitioning by ``event_date``
+    alone would NOT be idempotent here: two micro-batches routinely share
+    an event_date, so a dynamic overwrite at date grain would clobber
+    earlier batches' rows.  Readers prune on ``event_date`` exactly as
+    before (prefix of the partition path); a nightly compaction can fold
+    the batch level away once the stream's retention window passes."""
+    batch.sparkSession.conf.set(
+        "spark.sql.sources.partitionOverwriteMode", "dynamic"
+    )
+    (
+        batch.withColumn("event_date", F.col("ts").cast("date"))
+        .withColumn("ingest_batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .partitionBy("event_date", "ingest_batch_id")
+        .parquet(f"{root}/events_silver")
+    )
+
+
 def write_events_silver(
     events: DataFrame, root: str, checkpoint: str
 ) -> "StreamingQuery":  # noqa: F821 - py doc only
-    """L2-L6 as streaming: foreachBatch writes each micro-batch into a
-    date-partitioned silver table with dynamic partition overwrite — crash
-    + restart replays the uncommitted batch into the same partitions
-    (idempotent), the checkpoint dir replacing scraper_checkpoint.json."""
-
-    def _sink(batch: DataFrame, batch_id: int) -> None:
-        batch.sparkSession.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", "dynamic"
-        )
-        (
-            batch.withColumn("event_date", F.col("ts").cast("date"))
-            .write.mode("append")
-            .partitionBy("event_date")
-            .parquet(f"{root}/events_silver")
-        )
-
+    """L2-L6 as streaming: foreachBatch + checkpointLocation give replay-
+    safe exactly-once landing — Spark's commit log replaces the reference's
+    scraper_checkpoint.json, and :func:`sink_events_batch` makes the replay
+    of an uncommitted batch overwrite rather than duplicate."""
     return (
-        events.writeStream.foreachBatch(_sink)
+        events.writeStream.foreachBatch(
+            lambda b, bid: sink_events_batch(b, bid, root)
+        )
         .option("checkpointLocation", checkpoint)
         .start()
     )

@@ -101,3 +101,24 @@ def test_foreach_batch_sink_idempotent_resume(spark, events_dir, tmp_path):
     q2.stop()
     n2 = spark.read.parquet(f"{root}/events_silver").count()
     assert n1 == n2 == 1000
+
+
+def test_foreach_batch_sink_replay_does_not_duplicate(spark, sf_smoke, tmp_path):
+    """Crash-replay contract: re-delivering the SAME micro-batch (same
+    batch_id, as Spark does when a crash interrupts the commit) must
+    overwrite, not append — and must not clobber other batches that share
+    an event_date."""
+    root = str(tmp_path / "lake")
+    ev = load_table(spark, sf_smoke, "events")
+    b0 = ev.filter(F.col("event_id") % 2 == 0)
+    b1 = ev.filter(F.col("event_id") % 2 == 1)  # same dates as b0
+
+    P.sink_events_batch(b0, 0, root)
+    P.sink_events_batch(b1, 1, root)
+    n_both = spark.read.parquet(f"{root}/events_silver").count()
+    assert n_both == ev.count()  # batches sharing dates coexist
+
+    P.sink_events_batch(b1, 1, root)  # crash-replay of batch 1
+    silver = spark.read.parquet(f"{root}/events_silver")
+    assert silver.count() == ev.count()  # replay overwrote, no duplicates
+    assert silver.select("event_id").distinct().count() == ev.count()
