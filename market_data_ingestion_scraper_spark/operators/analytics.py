@@ -141,7 +141,14 @@ def unprocessed_work(customer: DataFrame, orders: DataFrame) -> DataFrame:
 def indexed_dimension(df: DataFrame, col: str, alias: str = "commodity_group") -> DataFrame:
     """Dimension enumeration with positional index (S3/T2,
     ``div_link_handler.py:477-497``): distinct values, deterministically
-    ordered, with a 1-based index — the `<select>` option list as a table."""
+    ordered, with a 1-based index — the `<select>` option list as a table.
+
+    The unpartitioned window serializes one task, which is safe ONLY
+    because its input is post-DISTINCT dimension values (dozens of rows —
+    the reference's dropdown options).  Never apply this to a fact-table
+    cardinality; if the dimension ever explodes, switch to
+    zipWithIndex-style two-phase numbering (per-partition counts + offset
+    join) which stays parallel."""
     w = Window.orderBy(alias)
     return (
         df.select(F.col(col).alias(alias))
@@ -187,7 +194,13 @@ def cumulative_monthly_volume(lineitem: DataFrame, part: DataFrame) -> DataFrame
 
 
 def daily_price_delta(lineitem: DataFrame) -> DataFrame:
-    """Day-over-day average-price delta via lag (§2.8)."""
+    """Day-over-day average-price delta via lag (§2.8).
+
+    The lag window is unpartitioned but runs over POST-AGGREGATION rows —
+    one per day, bounded by the calendar (~2.5k rows for 7 years of TPC-H
+    dates), not by fact volume, so the single task is a few KB at any data
+    scale.  If the grain ever became (day, key), partition the window by
+    the key."""
     sum_price = exact_sum("l_extendedprice", scale=2)
     daily = lineitem.groupBy(
         F.date_trunc("day", "l_shipdate").cast("date").alias("day")

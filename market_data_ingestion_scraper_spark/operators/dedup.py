@@ -33,10 +33,13 @@ def _spread(df: DataFrame) -> DataFrame:
     """Spread a small-file scan across the cluster before heavy per-row
     compute.  Fixture tables arrive as one parquet file → one partition →
     single-threaded signature computation; at 100 TB the scan is naturally
-    split, so this repartition is a no-op cost there but the difference
-    between 1 and N cores locally.  Correctness is partition-independent
-    everywhere in this module by construction."""
+    split into thousands of partitions, so the repartition is SKIPPED there
+    (an unconditional ``repartition`` would be a full shuffle of the corpus
+    for nothing).  Correctness is partition-independent everywhere in this
+    module by construction."""
     target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
     return df.repartition(target)
 
 # Deterministic MinHash permutation parameters (seeded — reproducible runs).
@@ -176,8 +179,20 @@ def exact_jaccard_pairs(
     documents: DataFrame, candidates: DataFrame, k: int = 3, id_col: str = "doc_id"
 ) -> DataFrame:
     """n-gram Jaccard verification of candidate pairs: exact
-    |A∩B| / |A∪B| over shingle sets — joined per candidate, never all-pairs."""
-    sh = _spread(documents).select(F.col(id_col), shingles("text", k).alias("sh"))
+    |A∩B| / |A∪B| over shingle sets — joined per candidate, never all-pairs.
+
+    Only documents that appear in a candidate pair are (re-)shingled: the
+    corpus is semi-joined to the candidate id set first, so verification
+    cost is bounded by the candidate count, not the corpus size — at 100 TB
+    the LSH stage has already shrunk the problem by orders of magnitude and
+    this stage must not undo that."""
+    cand_ids = (
+        candidates.select(F.col("doc_a").alias(id_col))
+        .union(candidates.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    docs = documents.join(cand_ids, id_col, "left_semi")
+    sh = _spread(docs).select(F.col(id_col), shingles("text", k).alias("sh"))
     out = (
         candidates.join(sh.withColumnsRenamed({id_col: "doc_a", "sh": "sh_a"}), "doc_a")
         .join(sh.withColumnsRenamed({id_col: "doc_b", "sh": "sh_b"}), "doc_b")
@@ -194,8 +209,14 @@ def exact_jaccard_pairs(
 def near_duplicates(
     documents: DataFrame, threshold: float = 0.7, id_col: str = "doc_id"
 ) -> DataFrame:
-    """End-to-end near-dup detection: LSH candidates → exact Jaccard filter."""
-    cands = lsh_candidate_pairs(documents, id_col=id_col)
+    """End-to-end near-dup detection: LSH candidates → exact Jaccard filter.
+
+    The candidate table is persisted because verification references it
+    twice (the semi-join's id set and the pair join) — without it the whole
+    LSH pipeline would execute twice.  It holds only (doc_a, doc_b) pairs,
+    a vanishing fraction of the corpus; Spark's ContextCleaner reclaims it
+    when the plan is garbage-collected."""
+    cands = lsh_candidate_pairs(documents, id_col=id_col).persist()
     return exact_jaccard_pairs(documents, cands, id_col=id_col).filter(
         F.col("jaccard") >= threshold
     )

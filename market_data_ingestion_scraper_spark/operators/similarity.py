@@ -30,8 +30,13 @@ def _dbl(v: Column) -> Column:
 
 def _spread(df: DataFrame) -> DataFrame:
     """Spread a single-file corpus scan across cores before per-row vector
-    math (see operators.dedup._spread — same rationale)."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    math (see operators.dedup._spread — same rationale).  Conditional: a
+    scan that already has enough partitions (the 100 TB case) passes
+    through untouched — no shuffle."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -206,6 +211,34 @@ def lsh_topk(
     )
 
 
+def fit_ivf_centroids(
+    embeddings: DataFrame,
+    n_lists: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    max_train_rows: int = 100_000,
+) -> list[list[float]]:
+    """Fit IVF cell centroids on a bounded sample of the corpus.
+
+    KMeans centroids stabilize long before the full data is seen, so the
+    fit is capped at ``max_train_rows`` via a seeded sample — at 100 TB
+    this is a constant-cost training job instead of a multi-pass MLlib fit
+    over the whole corpus.  Returns plain floats (n_lists × dim — KBs) so
+    callers can persist/reuse them across queries; ``ivf_topk`` accepts
+    them via ``centroids=``."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    n = embeddings.count()
+    frac = min(1.0, max_train_rows / max(n, 1))
+    train_src = embeddings if frac >= 1.0 else embeddings.sample(
+        fraction=frac, seed=seed
+    )
+    train = train_src.select(array_to_vector(_dbl(F.col(vec_col))).alias("features"))
+    model = KMeans(k=n_lists, seed=seed, maxIter=6).fit(train)
+    return [list(map(float, c)) for c in model.clusterCenters()]
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -215,6 +248,7 @@ def ivf_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: partition the corpus into ``n_lists``
     KMeans cells; each query scores only its ``n_probe`` nearest cells.
@@ -222,20 +256,15 @@ def ivf_topk(
     The IVF scale story vs hyperplane LSH: cells adapt to the data
     distribution (clustered corpora get balanced cells where fixed
     hyperplanes skew), and cost is exactly corpus·(n_probe/n_lists) per
-    query.  Training cost is one KMeans fit over a sample — at 100 TB you
-    fit on a fraction (KMeans centroids stabilize long before full data)
-    and assign with a cheap per-row argmin, which is what this does:
-    centroids come back to the driver (n_lists × dim floats — KBs) and are
-    folded into the plan as literals, so assignment is a built-in
+    query.  Training is :func:`fit_ivf_centroids` — one sample-bounded
+    KMeans job, reused across calls when ``centroids`` is passed in.
+    Centroids live on the driver (n_lists × dim floats — KBs) and are
+    folded into the plan as literals, so cell assignment is a built-in
     expression, not an MLlib transform over the hot path."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    train = embeddings.select(
-        array_to_vector(_dbl(F.col(vec_col))).alias("features")
-    )
-    model = KMeans(k=n_lists, seed=seed, maxIter=6).fit(train)
-    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    if centroids is None:
+        centroids = fit_ivf_centroids(
+            embeddings, n_lists=n_lists, seed=seed, vec_col=vec_col
+        )
 
     def _dist2(vec: Column, center: list[float]) -> Column:
         carr = F.array(*[F.lit(x) for x in center])

@@ -91,3 +91,19 @@ def test_asof_join_is_single_window_pass(spark):
     rep = plan_report(_plan(spark, "asof_last_purchase"))
     # composition is union + one windowed fill: no join operator at all
     assert rep.n_broadcast_joins == 0 and rep.n_sortmerge_joins == 0, rep.summary()
+
+
+def test_spread_skips_repartition_when_already_parallel(spark):
+    # _spread must be a pass-through (no Exchange) once the scan is already
+    # split across >= defaultParallelism partitions — at 100 TB every scan
+    # is, and an unconditional repartition would shuffle the whole corpus.
+    from market_data_ingestion_scraper_spark.operators.dedup import _spread
+
+    target = spark.sparkContext.defaultParallelism
+    wide = spark.range(0, 10_000, numPartitions=target * 2)
+    assert _spread(wide) is wide  # no new plan node at all
+
+    narrow = spark.range(0, 10_000, numPartitions=1)
+    spread = _spread(narrow)
+    assert spread is not narrow
+    assert spread.rdd.getNumPartitions() == target
