@@ -222,6 +222,73 @@ def near_duplicates(
     )
 
 
+def string_shingles(text: Column | str = "text", k: int = 3) -> Column:
+    """Distinct word k-gram shingles as STRINGS (not field-hashed).
+
+    The string form exists for exact, engine-portable Jaccard (a DuckDB
+    twin can build byte-identical shingles); the hashed form
+    (:func:`shingles`) is the scale path — same semantics modulo 31-bit
+    collisions, but the explode/shuffle carries 8-byte longs instead of
+    strings.  Docs with < k tokens yield an empty set."""
+    t = tokens(text)
+    n = F.size(t)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(t, i, k)),
+    )
+    # sequence(1, n-k+1) counts DOWN when n < k — guard to an empty slice
+    return F.when(n >= k, F.array_distinct(grams)).otherwise(F.slice(t, 1, 0))
+
+
+def jaccard_similarity_join(
+    documents: DataFrame,
+    threshold: float = 0.7,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact all-pairs Jaccard similarity join via an inverted index — the
+    set-similarity-join shape: explode shingles, equi-join docs sharing a
+    shingle, count co-occurrences per pair, then
+    jaccard = |A∩B| / (|A|+|B| - |A∩B|).
+
+    Pairs sharing zero shingles never meet (the equi-join IS the candidate
+    filter), so cost is Σ_s df(s)² over shingle document-frequencies, not
+    n².  At 100 TB the guard rails are standard ssjoin tricks: drop
+    stop-shingles above a df cap and/or prefix filtering; the LSH pipeline
+    (:func:`near_duplicates`) is the probabilistic alternative with
+    per-row cost.  This operator is the exact oracle-friendly baseline —
+    unlike MinHash it has a byte-identical SQL twin."""
+    sh = _spread(documents).select(
+        F.col(id_col), string_shingles(text_col, k).alias("shs")
+    )
+    ex = sh.select(id_col, F.size("shs").alias("sz"), F.explode("shs").alias("s"))
+    l, r = ex.alias("l"), ex.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.s") == F.col("r.s"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"l.{id_col}").alias("doc_a"),
+            F.col(f"r.{id_col}").alias("doc_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first(F.col("l.sz")).alias("sz_a"),
+            F.first(F.col("r.sz")).alias("sz_b"),
+        )
+    )
+    jac = F.round(
+        F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+    )
+    return (
+        pairs.select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 # --------------------------------------------------------------- SimHash
 
 def simhash_table(

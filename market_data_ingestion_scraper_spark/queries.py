@@ -860,15 +860,67 @@ def q_minhash(spark: SparkSession, sf: str) -> DataFrame:
     return lsh_candidate_pairs(_t(spark, sf, "documents"))
 
 
+# Exact 3-gram Jaccard ≥ 0.7 over all pairs, computed with STRING shingles
+# (engine-portable — no xxhash64).  Shared by two queries below: the exact
+# inverted-index ssjoin matches it by construction; the MinHash-LSH
+# pipeline matches it because (a) hashed-shingle Jaccard equals
+# string-shingle Jaccard absent 31-bit collisions and (b) the seeded
+# 64-hash/16-band LSH attains full recall at j ≥ 0.7 on these corpora —
+# both facts deterministic for a fixed fixture+seed, so the equality is a
+# real differential test, not a tautology.
+_JACCARD_07_SQL = r"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS ts
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(ts) >= 3
+                  THEN list_distinct(list_transform(range(1, len(ts) - 1),
+                         i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))
+                  ELSE [] END AS shs
+      FROM tok
+    ),
+    ex AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS s FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter,
+             ANY_VALUE(a.sz) AS sz_a, ANY_VALUE(b.sz) AS sz_b
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(inter * 1.0 / (sz_a + sz_b - inter), 6) AS jaccard
+    FROM pairs
+    WHERE ROUND(inter * 1.0 / (sz_a + sz_b - inter), 6) >= 0.7
+"""
+
+
 @register(
     "ngram_jaccard_near_dups",
-    None,  # candidate generation depends on xxhash64 LSH → rows-only
-    doc="X2 LSH candidates verified with exact n-gram Jaccard ≥ 0.7.",
+    _JACCARD_07_SQL,
+    doc="X2 LSH candidates verified with exact n-gram Jaccard ≥ 0.7; "
+    "oracle is the full all-pairs exact Jaccard in DuckDB, so the gate "
+    "also proves the LSH stage misses no true pair on this corpus.",
 )
 def q_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.dedup import near_duplicates
 
     return near_duplicates(_t(spark, sf, "documents"))
+
+
+@register(
+    "jaccard_ssjoin_near_dups",
+    _JACCARD_07_SQL,
+    doc="X2 exact set-similarity join: inverted-index equi-join on shared "
+    "shingles, jaccard from co-occurrence counts — the deterministic "
+    "baseline the probabilistic LSH pipeline is measured against.",
+)
+def q_jaccard_ssjoin(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.dedup import jaccard_similarity_join
+
+    return jaccard_similarity_join(_t(spark, sf, "documents"))
 
 
 @register(

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from market_data_ingestion_scraper_spark.operators import dedup as D
 from market_data_ingestion_scraper_spark.operators import similarity as S
+from market_data_ingestion_scraper_spark.sources import load_table
 
 BASE = (
     "the quick brown fox jumps over the lazy dog while the cat watches "
@@ -61,6 +62,29 @@ def test_minhash_estimates_track_exact_jaccard(spark, corpus):
 def test_near_duplicates_end_to_end(spark, corpus):
     found = {(r["doc_a"], r["doc_b"]) for r in D.near_duplicates(corpus, 0.7).collect()}
     assert found == {(0, 1), (0, 2), (1, 2)}
+
+
+def test_ssjoin_matches_lsh_pipeline_on_planted_corpus(spark, sf_smoke):
+    """The exact inverted-index ssjoin and the MinHash-LSH pipeline must
+    agree pair-for-pair AND value-for-value on the planted-duplicate
+    fixture — i.e. LSH attains full recall at j ≥ 0.7 and hashed-shingle
+    Jaccard is collision-free here."""
+    docs = load_table(spark, sf_smoke, "documents")
+    exact = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in D.jaccard_similarity_join(docs, 0.7).collect()}
+    lsh = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in D.near_duplicates(docs, 0.7).collect()}
+    assert exact == lsh
+    assert len(exact) > 0
+
+
+def test_string_shingles_short_docs_are_empty(spark):
+    df = spark.createDataFrame(
+        [(0, "one two"), (1, ""), (2, "a b c d")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["n"] for r in df.select(
+        "doc_id", F.size(D.string_shingles("text", 3)).alias("n")).collect()}
+    assert out == {0: 0, 1: 0, 2: 2}
 
 
 def test_simhash_near_dups(spark, corpus):
