@@ -16,6 +16,7 @@ Determinism contract (why the SQL looks the way it does):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -816,6 +817,56 @@ def q_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.text import fingerprints
 
     return fingerprints(_t(spark, sf, "documents"))
+
+
+# ------------------------------------------- HTML-table source (S1 literal)
+
+@register(
+    "html_table_scan",
+    """
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+           CAST(n_regionkey AS BIGINT) AS n_regionkey
+    FROM nation
+    """,
+    doc="S1 at the reference's literal boundary: the nation table rendered "
+    "into <table class='alltable'> pages (reference markup, "
+    "table_scraper.py:9-38), scanned back distributed (binaryFile source + "
+    "per-file stdlib-HTML parse in mapInPandas), cells re-typed — the "
+    "oracle over the parquet source proves the parse is lossless.",
+)
+def q_html_table_scan(spark: SparkSession, sf: str) -> DataFrame:
+    import hashlib
+    import tempfile
+
+    from .sources.html_table import read_html_tables, render_alltable
+
+    headers = ["Nation Key", "Nation", "Region Key"]
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"msis_html_{hashlib.sha1(sf.encode()).hexdigest()[:10]}",
+    )
+    marker = os.path.join(d, "_RENDERED")
+    if not os.path.exists(marker):
+        # land the fixture pages once per corpus: 25-ish rows split across
+        # 3 pages, mirroring the reference's one-page-one-table unit
+        rows = [
+            [str(r["n_nationkey"]), str(r["n_name"]), str(r["n_regionkey"])]
+            for r in _t(spark, sf, "nation").orderBy("n_nationkey").collect()
+        ]
+        os.makedirs(d, exist_ok=True)
+        for i in range(3):
+            with open(os.path.join(d, f"page_{i}.html"), "w") as f:
+                f.write(render_alltable(headers, rows[i::3]))
+        with open(marker, "w") as f:
+            f.write("ok")
+    raw = read_html_tables(
+        spark, d, headers, columns=["nationkey", "name", "regionkey"]
+    )
+    return raw.select(
+        F.col("nationkey").cast("bigint").alias("n_nationkey"),
+        F.col("name").alias("n_name"),
+        F.col("regionkey").cast("bigint").alias("n_regionkey"),
+    )
 
 
 # ------------------------------------------------------- dedup (X1/X2)
