@@ -65,29 +65,6 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(da, db) / (l2_norm(da) * l2_norm(db))
 
 
-def _pandas_cosine(a: Column, b: Column) -> Column:
-    """Vectorized cosine for ANN candidate reranking: one numpy pass per
-    Arrow batch instead of three interpreted array-lambda folds per row.
-    Numerically this sums in SIMD/pairwise order, so it can differ from
-    the sequential fold in the last ulps — which is why the *exact*
-    baseline (:func:`brute_force_topk`, oracle-checked bit-exact) keeps
-    the built-in fold, and the ANN paths (candidates are approximate
-    anyway) take the fast path.  Built lazily: ``pandas_udf`` needs an
-    active session, so module import must not create it."""
-
-    @F.pandas_udf("double")
-    def pcos(xs: pd.Series, ys: pd.Series) -> pd.Series:
-        if not len(xs):
-            return pd.Series([], dtype="float64")
-        x = np.array(xs.tolist(), dtype=np.float64)
-        y = np.array(ys.tolist(), dtype=np.float64)
-        num = (x * y).sum(axis=1)
-        den = np.sqrt((x * x).sum(axis=1)) * np.sqrt((y * y).sum(axis=1))
-        return pd.Series(num / den)
-
-    return pcos(a, b)
-
-
 def embedding_norms(embeddings: DataFrame) -> DataFrame:
     """X5 vector profiling: L2 norm per embedding, rounded for parity."""
     return embeddings.select(
@@ -233,9 +210,7 @@ def lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(
-                _pandas_cosine(_dbl(F.col("q_vec")), _dbl(F.col("n_vec"))), 6
-            ).alias("cos_sim"),
+            F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -356,9 +331,7 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(
-                _pandas_cosine(_dbl(F.col("q_vec")), _dbl(F.col("n_vec"))), 6
-            ).alias("cos_sim"),
+            F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -407,9 +380,7 @@ def embedding_near_duplicates(
         .select(
             "vec_a",
             "vec_b",
-            F.round(
-                _pandas_cosine(_dbl(F.col("va")), _dbl(F.col("vb"))), 6
-            ).alias("cos_sim"),
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
