@@ -288,43 +288,65 @@ def ivf_topk(
     hyperplanes skew), and cost is exactly corpus·(n_probe/n_lists) per
     query.  Training is :func:`fit_ivf_centroids` — one sample-bounded
     KMeans job, reused across calls when ``centroids`` is passed in.
-    Centroids live on the driver (n_lists × dim floats — KBs) and are
-    folded into the plan as literals, so cell assignment is a built-in
-    expression, not an MLlib transform over the hot path."""
+
+    At 100 TB the corpus-side (id → cell) assignment below IS the IVF
+    index build: you compute it once, persist it partitioned by cell, and
+    amortize it over every query — only the query-side path (probe-cell
+    ranking for a handful of query vectors + the candidate join) is
+    per-query cost.  This function recomputes the assignment inline so it
+    stays self-contained on fixtures."""
     if centroids is None:
         centroids = fit_ivf_centroids(
             embeddings, n_lists=n_lists, seed=seed, vec_col=vec_col
         )
 
-    # Cell assignment is dense vector math — argmin over n_lists squared
-    # distances per row.  Built-in array lambdas run INTERPRETED (one fold
-    # per centroid per row); the Arrow-batched pandas UDF below does the
-    # same work as one numpy matmul per batch, ~20× faster here.  The
-    # centroid matrix rides into the closure by value (n_lists × dim
-    # floats — KBs broadcast with the task, not a join).
-    cmat = np.asarray(centroids, dtype=np.float64)
-    cnorm = (cmat * cmat).sum(axis=1)
+    # Cell assignment is relational, exactly like bucket_table: the
+    # centroids become a broadcast (cell, pos, w) table, vectors posexplode
+    # once, and -2·v·c + ‖c‖² per (row, cell) comes out of one codegen'd
+    # aggregation (the ‖v‖² term is constant per row, so it never affects
+    # the argmin and is dropped).  No Python in the distributed path, plan
+    # size constant in n_lists, shuffle rows are (id, cell, partial-score)
+    # with map-side combine.  An earlier Arrow/pandas-UDF formulation was
+    # faster per-batch in isolation but interacted badly with long
+    # many-query sessions (python-worker churn); the relational plan is
+    # uniformly stable.
+    crows = [
+        (cell, pos, float(w), float(sum(x * x for x in cvec)))
+        for cell, cvec in enumerate(centroids)
+        for pos, w in enumerate(cvec)
+    ]
+    spark = embeddings.sparkSession
+    cweights = spark.createDataFrame(crows, "cell int, pos int, w double, cn double")
 
-    @F.pandas_udf("array<int>")
-    def nearest_cells(v: pd.Series) -> pd.Series:
-        if not len(v):
-            return pd.Series([], dtype=object)
-        x = np.array(v.tolist(), dtype=np.float64)
-        d2 = (x * x).sum(axis=1, keepdims=True) - 2.0 * (x @ cmat.T) + cnorm
-        # stable argsort == array_sort over (dist, idx) structs: ties by idx
-        idx = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
-        return pd.Series([row.tolist() for row in idx.astype("int32")])
+    def cell_scores(df: DataFrame, out_id: str) -> DataFrame:
+        vals = df.select(
+            F.col(id_col).alias(out_id),
+            F.posexplode(_dbl(F.col(vec_col))).alias("pos", "val"),
+        )
+        return (
+            vals.join(F.broadcast(cweights), "pos")
+            .groupBy(out_id, "cell")
+            .agg((F.first("cn") - 2.0 * F.sum(F.col("val") * F.col("w"))).alias("score"))
+        )
 
+    c_cell = (
+        cell_scores(_spread(embeddings), "neighbor_id")
+        .groupBy("neighbor_id")
+        .agg(F.min_by("cell", F.struct("score", "cell")).alias("cell"))
+    )
+    qw = Window.partitionBy("query_id").orderBy("score", "cell")
+    q_cell = (
+        cell_scores(queries, "query_id")
+        .withColumn("cr", F.row_number().over(qw))
+        .filter(F.col("cr") <= n_probe)
+        .select("query_id", "cell")
+    )
     c = _spread(embeddings).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("n_vec"),
-        F.element_at(nearest_cells(_dbl(F.col(vec_col))), 1).alias("cell"),
-    )
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec")
+    ).join(c_cell, "neighbor_id")
     q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        F.explode(nearest_cells(_dbl(F.col(vec_col)))).alias("cell"),
-    )
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).join(q_cell, "query_id")
     scored = (
         c.join(F.broadcast(q), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
