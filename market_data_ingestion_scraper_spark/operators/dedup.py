@@ -289,6 +289,77 @@ def jaccard_similarity_join(
     )
 
 
+def near_duplicate_clusters(
+    documents: DataFrame,
+    threshold: float = 0.7,
+    k: int = 3,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over the near-duplicate graph — the step that
+    turns pairwise matches into dedup decisions (keep one representative
+    per cluster, drop the rest).
+
+    Pairs come from :func:`jaccard_similarity_join` (exact, so the result
+    is engine-reproducible); components via min-label propagation: every
+    vertex starts as its own label, then repeatedly takes the min label in
+    its neighborhood until a fixpoint.  Converges in O(component diameter)
+    iterations — near-dup clusters are shallow (pairs/chains of a few
+    docs), so a handful of rounds; ``max_iter`` bounds pathological chains.
+
+    Scale notes: each round is one join + one groupBy on the edge list
+    (edges ≪ corpus — only near-dup docs appear); labels persist per round
+    and the previous round unpersists, so lineage stays bounded (the
+    standard iterative-algorithm discipline; at extreme scale swap persist
+    for localCheckpoint).  Output: (doc_id, cluster_rep, cluster_size) for
+    every document that belongs to a near-dup cluster."""
+    pairs = jaccard_similarity_join(documents, threshold, k, id_col)
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.v == labels.id)
+            .groupBy("u")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.u, "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    # edges stays persisted: the returned plan still depends on it through
+    # the final labels' lineage if the cache evicts; the ContextCleaner
+    # reclaims both when the plan is garbage-collected.
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "label").select(
+        F.col("id").alias(id_col),
+        F.col("label").alias("cluster_rep"),
+        "cluster_size",
+    )
+
+
 # --------------------------------------------------------------- SimHash
 
 def simhash_table(

@@ -1,0 +1,63 @@
+"""Deterministic sampling operators for training-data curation
+(SURVEY.md §2.11 extension family): reproducible subsets at 100 TB.
+
+``df.sample()`` is partition-order-dependent — rerun the job with a
+different split plan and you get a different sample, which is poison for
+dataset versioning.  These operators rank on a content hash instead:
+the sample is a pure function of the DATA, reproducible on any cluster,
+any partitioning, any engine (md5 exists everywhere — the DuckDB oracle
+runs the identical expression).
+
+Scale: hash ranking is one window per stratum (shuffle on the stratum
+key, state = top-n per stratum via the rank filter); the uniform variant
+is a pure per-row filter with NO shuffle at all — the 100 TB default.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def uniform_hash_sample(
+    df: DataFrame,
+    rate_ppm: int,
+    key_col: str = "doc_id",
+    salt: str = "sample-v1",
+) -> DataFrame:
+    """Shuffle-free deterministic sample: keep rows whose md5(salt ∥ key)
+    falls below ``rate_ppm``/1e6 of the hash space.  Changing the salt
+    draws an independent sample; the same salt always reproduces the same
+    rows.  The threshold is a hex-PREFIX comparison (lexicographic on the
+    lowercase digest), so the identical expression runs in any engine —
+    no bigint hex parsing needed.  Pure projection+filter — scales with
+    scan bandwidth."""
+    threshold = format(rate_ppm * 16**6 // 1_000_000, "06x")
+    h6 = F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")).cast("binary")),
+        1,
+        6,
+    )
+    return df.filter(h6 < F.lit(threshold))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    n_per_stratum: int,
+    key_col: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """Top-n per stratum by content-hash rank: an exact per-group quota
+    (e.g. language-balanced training mixes) that is deterministic and
+    engine-portable.  Rank = md5(content) with the key as tie-break (exact
+    duplicates hash equal), so the selection is a function of the data
+    alone.  One window per stratum; the shuffle carries only rows, state
+    is the running rank."""
+    h = F.md5(F.col(content_col).cast("binary"))
+    w = Window.partitionBy(strata_col).orderBy(h, F.col(key_col))
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= n_per_stratum)
+        .select(key_col, strata_col, "sample_rank")
+    )

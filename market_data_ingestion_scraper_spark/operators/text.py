@@ -99,6 +99,55 @@ def quality_features(documents: DataFrame) -> DataFrame:
     )
 
 
+def repetition_scores(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Gopher-style intra-document repetition signal: the fraction of
+    word k-gram occurrences that are repeats of an earlier k-gram —
+    1 - distinct/total (0 for docs shorter than k tokens).  Boilerplate,
+    keyword stuffing, and template spam score high; clean prose scores
+    near 0.  Pure per-row projection, no shuffle."""
+    t = tokens("text")
+    n = F.size(t)
+    total = F.greatest(n - (k - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(t, i, k)),
+    )
+    n_distinct = F.when(n >= k, F.size(F.array_distinct(grams))).otherwise(F.lit(0))
+    rep = F.when(
+        total > 0, F.round(F.lit(1.0) - n_distinct / total, 6)
+    ).otherwise(F.lit(0.0))
+    return documents.select(
+        "doc_id",
+        total.alias("n_grams"),
+        n_distinct.alias("n_distinct_grams"),
+        rep.alias("repetition_ratio"),
+    )
+
+
+# PII patterns: email and international-ish phone numbers.  Character-class
+# only (no lookaround, no shorthand classes that differ between RE2/PCRE/
+# Java) so the identical pattern string runs in Spark AND the DuckDB oracle.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+PHONE_RE = "[+][0-9][0-9-]{7,14}[0-9]"
+
+
+def scrub_pii(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction pass: replace emails/phone numbers with typed tags and
+    count what was removed — the curation step every shared corpus runs
+    before training.  Per-row regexp projection, no shuffle; at 100 TB
+    this is scan-bandwidth-bound, exactly as it should be."""
+    c = F.col(text_col)
+    n_email = F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), F.lit(0)))
+    scrubbed_email = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    n_phone = F.size(F.regexp_extract_all(scrubbed_email, F.lit(PHONE_RE), F.lit(0)))
+    return documents.select(
+        "doc_id",
+        n_email.alias("n_emails"),
+        n_phone.alias("n_phones"),
+        F.regexp_replace(scrubbed_email, PHONE_RE, "<PHONE>").alias("scrubbed"),
+    )
+
+
 def language_id(documents: DataFrame) -> DataFrame:
     """Stopword-intersection language ID: score = |tokens ∩ stopwords(lang)|
     per language; argmax with deterministic alphabetical tie-break.

@@ -869,6 +869,130 @@ def q_html_table_scan(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ------------------------- curation: sampling / quality / PII (X4 ext)
+
+@register(
+    "stratified_sample_by_lang",
+    """
+    SELECT doc_id, lang, sample_rank FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY md5(text), doc_id
+             ) AS sample_rank
+      FROM documents
+    ) WHERE sample_rank <= 20
+    """,
+    doc="Deterministic stratified sampling: exact per-language quota ranked "
+    "by content hash — the sample is a function of the data, reproducible "
+    "on any cluster/partitioning/engine (dataset-versioning safe).",
+)
+def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.sampling import stratified_sample
+
+    return stratified_sample(
+        _t(spark, sf, "documents"), "lang", 20
+    )
+
+
+@register(
+    "uniform_hash_sample",
+    """
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substring(md5('sample-v1' || CAST(doc_id AS VARCHAR)), 1, 6)
+          < '199999'
+    """,
+    doc="Shuffle-free deterministic ~10% sample via salted-hash prefix "
+    "threshold: pure filter, scan-bandwidth-bound at 100 TB, same rows on "
+    "every rerun (unlike df.sample, which is partition-order-dependent).",
+)
+def q_uniform_sample(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.sampling import uniform_hash_sample
+
+    return uniform_hash_sample(_t(spark, sf, "documents"), 100_000).select(
+        "doc_id", "lang"
+    )
+
+
+@register(
+    "repetition_scores",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS ts
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(ts) >= 3 THEN len(ts) - 2 ELSE 0 END AS n_grams,
+             CASE WHEN len(ts) >= 3
+                  THEN len(list_distinct(list_transform(range(1, len(ts) - 1),
+                         i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])))
+                  ELSE 0 END AS n_distinct_grams
+      FROM g
+    )
+    SELECT doc_id, n_grams, n_distinct_grams,
+           CASE WHEN n_grams > 0
+                THEN ROUND(1.0 - CAST(n_distinct_grams AS DOUBLE) / n_grams, 6)
+                ELSE 0.0 END AS repetition_ratio
+    FROM sh
+    """,
+    doc="X4 Gopher-style repetition quality signal: fraction of 3-gram "
+    "occurrences that repeat within the document (boilerplate/keyword-spam "
+    "detector).  Per-row projection, no shuffle.",
+)
+def q_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.text import repetition_scores
+
+    return repetition_scores(_t(spark, sf, "documents"))
+
+
+@register(
+    "pii_scrub",
+    """
+    WITH seeded AS (
+      SELECT doc_id,
+             text || ' contact: user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +1555-01' || CAST(doc_id AS VARCHAR) AS t
+      FROM documents
+    ), pass1 AS (
+      SELECT doc_id,
+             len(regexp_extract_all(t,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+'))
+               AS n_emails,
+             regexp_replace(t,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+',
+                 '<EMAIL>', 'g') AS t1
+      FROM seeded
+    )
+    SELECT doc_id, n_emails,
+           len(regexp_extract_all(t1, '[+][0-9][0-9-]{7,14}[0-9]')) AS n_phones,
+           regexp_replace(t1, '[+][0-9][0-9-]{7,14}[0-9]', '<PHONE>', 'g')
+             AS scrubbed
+    FROM pass1
+    """,
+    doc="X4 PII redaction: emails/phones replaced with typed tags + removal "
+    "counts (fixture text carries no PII, so deterministic addresses are "
+    "seeded into the input first — the scrub path itself is what's "
+    "oracle-checked).  Engine-portable character-class-only regexes.",
+)
+def q_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.text import scrub_pii
+
+    d = _t(spark, sf, "documents")
+    seeded = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact: user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1555-01"),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return scrub_pii(seeded)
+
+
 # ------------------------------------------------------- dedup (X1/X2)
 
 @register(
@@ -959,6 +1083,60 @@ def q_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.dedup import near_duplicates
 
     return near_duplicates(_t(spark, sf, "documents"))
+
+
+@register(
+    "near_dup_clusters",
+    """
+    WITH RECURSIVE tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS ts
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(ts) >= 3
+                  THEN list_distinct(list_transform(range(1, len(ts) - 1),
+                         i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))
+                  ELSE [] END AS shs
+      FROM tok
+    ),
+    ex AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS s FROM sh),
+    prs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter,
+             ANY_VALUE(a.sz) AS sz_a, ANY_VALUE(b.sz) AS sz_b
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    near AS (
+      SELECT doc_a, doc_b FROM prs
+      WHERE ROUND(inter * 1.0 / (sz_a + sz_b - inter), 6) >= 0.7
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM near
+      UNION ALL SELECT doc_b, doc_a FROM near
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    )
+    SELECT u AS doc_id,
+           LEAST(u, MIN(v)) AS cluster_rep,
+           COUNT(DISTINCT v) + 1
+             - CASE WHEN BOOL_OR(v = u) THEN 1 ELSE 0 END AS cluster_size
+    FROM reach GROUP BY u
+    """,
+    doc="X1/X2 end-to-end dedup decision: connected components over the "
+    "exact near-dup graph via min-label propagation (iterative joins); "
+    "oracle is a recursive-CTE transitive closure in DuckDB — a strong "
+    "differential since the algorithms share nothing.",
+)
+def q_near_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.dedup import near_duplicate_clusters
+
+    return near_duplicate_clusters(_t(spark, sf, "documents"))
 
 
 @register(
@@ -1238,6 +1416,51 @@ def q_clicks_purchase(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ------------------------------------------- as-of / range joins (custom)
+
+@register(
+    "sliding_hourly_avg",
+    """
+    WITH expanded AS (
+      SELECT event_type, value,
+             make_timestamp((epoch_us(ts) // 900000000) * 900000000
+                            - k.k * 900000000) AS win_start
+      FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS k) k
+    )
+    SELECT win_start,
+           win_start + INTERVAL 1 HOUR AS win_end,
+           event_type,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_value,
+           COUNT(*) AS n
+    FROM expanded
+    GROUP BY 1, 2, 3
+    """,
+    doc="§2.10 sliding window (1h size / 15min slide) as a batch query — "
+    "same code path as the stream; the oracle reproduces Spark's "
+    "epoch-aligned window grid by exploding each event into its 4 "
+    "containing windows arithmetically.",
+)
+def q_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    from .streaming.pipeline import sliding_value_avg
+
+    return sliding_value_avg(_t(spark, sf, "events"))
+
+
+@register(
+    "video_frame_sample",
+    None,  # payload-derived frame digests have no SQL twin → rows-only
+    doc="X5 video frame sampling: one row per sampled frame (row-expanding "
+    "mapInPandas over binary payloads; frames digested to hex for the "
+    "gate's scalar canonicalizer).",
+)
+def q_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.multimodal import sample_frames, synthetic_media
+
+    frames = sample_frames(synthetic_media(spark, n=64, parts=4))
+    return frames.select(
+        "media_id", "frame_idx", "frame_ts_ms", F.hex("frame").alias("frame_digest")
+    )
+
 
 @register(
     "asof_last_purchase",

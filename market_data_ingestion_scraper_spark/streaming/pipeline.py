@@ -68,12 +68,26 @@ def tumbling_counts(
 def sliding_value_avg(
     events: DataFrame, size: str = "1 hour", slide: str = "15 minutes"
 ) -> DataFrame:
-    """Sliding-window moving average of event values."""
+    """Sliding-window moving average of event values.  The average is the
+    exact-decimal-sum / count pattern so batch results hash-match the
+    DuckDB oracle (each event lands in size/slide windows — the oracle
+    reproduces Spark's epoch-aligned window grid arithmetically)."""
+    exact = F.round(
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+        / F.count(F.lit(1)),
+        6,
+    )
     return (
         events.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", size, slide).alias("win"), "event_type")
-        .agg(F.avg("value").alias("avg_value"), F.count(F.lit(1)).alias("n"))
-        .select("win.start", "win.end", "event_type", "avg_value", "n")
+        .agg(exact.alias("avg_value"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type",
+            "avg_value",
+            "n",
+        )
     )
 
 
