@@ -1,0 +1,74 @@
+"""Context-window preparation for LLM training pipelines: document
+chunking (overlapping windows for retrieval/embedding) and sequence
+packing (the concat-then-slice plan pretraining uses to fill fixed-size
+contexts without padding waste).
+
+Both are pure relational transforms — chunking is a per-row explode (no
+shuffle), packing is one window cumsum per stratum — and both have exact
+SQL twins, so the driver's DuckDB gate checks them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def chunk_documents(
+    documents: DataFrame, chunk_chars: int = 500, overlap: int = 100
+) -> DataFrame:
+    """Overlapping character-window chunks: starts at 0, chunk−overlap,
+    2(chunk−overlap), … while start < length.  One output row per chunk
+    (row-expanding explode — the shape embedding/retrieval pipelines
+    feed).  Empty documents yield no chunks.  Per-row projection+explode,
+    no shuffle; at 100 TB this is scan-bandwidth-bound."""
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be smaller than chunk_chars")
+    step = chunk_chars - overlap
+    n = F.length("text")
+    starts = F.sequence(F.lit(0), n - 1, F.lit(step))
+    return (
+        documents.filter(n > 0)
+        .select("doc_id", "text", F.posexplode(starts).alias("chunk_idx", "start"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            "start",
+            F.substring("text", F.col("start") + 1, chunk_chars).alias("chunk"),
+        )
+    )
+
+
+def pack_sequences(
+    documents: DataFrame,
+    ctx_tokens: int = 512,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sequence-packing plan: concatenate documents in ``id_col`` order
+    within each stratum and slice the token stream into ``ctx_tokens``
+    windows — each doc gets (start_bin, start_offset) locating its first
+    token in the packed stream.  This is the standard pretraining layout
+    (documents straddle window boundaries; no padding).
+
+    One cumulative-sum window per stratum: the shuffle key is the stratum
+    and the state is a running integer.  At 100 TB you pack within
+    partition-sized strata (shard × language), never one global stream —
+    the stratum column IS that shard key."""
+    n_tok = F.size(tokens("text"))
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(n_tok).over(w)
+    cum_before = cum - n_tok
+    return documents.select(
+        id_col,
+        strata_col,
+        n_tok.alias("n_tokens"),
+        F.floor(cum_before / ctx_tokens).cast("long").alias("start_bin"),
+        (cum_before % ctx_tokens).cast("long").alias("start_offset"),
+    )

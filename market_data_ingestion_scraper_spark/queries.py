@@ -993,6 +993,58 @@ def q_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
     return scrub_pii(seeded)
 
 
+@register(
+    "doc_chunks",
+    """
+    SELECT doc_id,
+           k.i AS chunk_idx,
+           k.i * 400 AS start,
+           substring(text, k.i * 400 + 1, 500) AS chunk
+    FROM documents,
+         LATERAL (SELECT unnest(range(0, CAST(ceil(length(text) / 400.0) AS BIGINT))) AS i) k
+    WHERE length(text) > 0
+    """,
+    doc="LLM-pipeline chunking: overlapping 500-char windows with 100-char "
+    "overlap (step 400) — the retrieval/embedding feed shape.  Pure "
+    "explode, no shuffle.",
+)
+def q_doc_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.chunking import chunk_documents
+
+    return chunk_documents(_t(spark, sf, "documents"), 500, 100)
+
+
+@register(
+    "pack_plan",
+    """
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '')) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - n_tokens AS cum_before
+      FROM t
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST(cum_before // 512 AS BIGINT) AS start_bin,
+           CAST(cum_before % 512 AS BIGINT) AS start_offset
+    FROM c
+    """,
+    doc="LLM-pipeline sequence packing: concat-then-slice plan locating "
+    "each document's first token in 512-token context windows, packed "
+    "per language shard (one cumsum window per stratum).",
+)
+def q_pack_plan(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.chunking import pack_sequences
+
+    return pack_sequences(_t(spark, sf, "documents"), 512, "lang")
+
+
 # ------------------------------------------------------- dedup (X1/X2)
 
 @register(
