@@ -1,0 +1,107 @@
+"""Dataset-mixing operators for training pipelines: source composition
+reporting (the input to mixture reweighting), deterministic sharded
+training-order assignment, and a quality-filter funnel report.
+
+All three are exact relational transforms with byte-identical DuckDB
+twins — they are gate-checked bit-for-bit, not rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def source_mix(documents: DataFrame, source_col: str = "source") -> DataFrame:
+    """Per-source corpus composition: document and token counts plus each
+    source's share of the total — the table a mixture-reweighting step
+    (e.g. DoReMi-style or hand-tuned sampling ratios) consumes.
+
+    One grouped aggregate (shuffle on the source key, map-side combined),
+    then the single-row global total is broadcast back onto the per-source
+    rows — no second pass over the data and no global window."""
+    per_source = documents.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens("text"))).alias("n_tokens"),
+    )
+    totals = per_source.agg(
+        F.sum("n_docs").alias("tot_docs"), F.sum("n_tokens").alias("tot_tokens")
+    )
+    return (
+        per_source.join(F.broadcast(totals))
+        .select(
+            source_col,
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_docs") / F.col("tot_docs"), 6).alias("doc_share"),
+            F.round(F.col("n_tokens") / F.col("tot_tokens"), 6).alias("token_share"),
+        )
+    )
+
+
+def training_order(
+    documents: DataFrame,
+    n_shards: int = 8,
+    salt: str = "epoch-0",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global shuffle for training: assign each document a
+    (shard, position) so readers stream shards independently in a
+    reproducible pseudo-random order.  Changing ``salt`` (e.g. per epoch)
+    redraws the permutation; the same salt always reproduces it — the
+    order is a pure function of the data, like
+    :mod:`~..operators.sampling`.
+
+    Portability: shard and rank both derive from ``md5(salt || id)``;
+    shard uses ascii arithmetic on the first two hex chars (``ascii`` and
+    ``md5`` exist in every engine — no bigint hex parsing), rank is a
+    per-shard row_number over (digest, id).  One window per shard: the
+    shuffle key is the shard, state is a running counter — exactly
+    n_shards-way parallel at any corpus size."""
+    h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")).cast("binary"))
+    shard = F.pmod(
+        F.ascii(F.substring(h, 1, 1)) * 31 + F.ascii(F.substring(h, 2, 1)),
+        F.lit(n_shards),
+    )
+    d = documents.select(F.col(id_col), h.alias("h"), shard.alias("shard"))
+    w = Window.partitionBy("shard").orderBy("h", id_col)
+    return d.select(
+        id_col, "shard", F.row_number().over(w).alias("pos")
+    )
+
+
+def quality_funnel(
+    documents: DataFrame,
+    min_chars: int = 100,
+    langs: tuple[str, ...] = ("en", "de", "fr", "es"),
+    min_tokens: int = 20,
+) -> DataFrame:
+    """Filter-funnel report: how many documents survive each cumulative
+    curation stage (non-empty -> length floor -> language whitelist ->
+    token floor).  The observability table every production data pipeline
+    keeps next to its filters — per-stage attrition makes silent
+    over-filtering visible.
+
+    One aggregate pass over the corpus (conditional counts, map-side
+    combined into a single row), then an unpivot of that row into
+    (stage, n_in, n_survive) — no per-stage rescans."""
+    p1 = F.length("text") > 0
+    p2 = p1 & (F.col("n_chars") >= min_chars)
+    p3 = p2 & F.col("lang").isin(*langs)
+    p4 = p3 & (F.size(tokens("text")) >= min_tokens)
+    row = documents.agg(
+        F.count(F.lit(1)).alias("s0"),
+        F.count_if(p1).alias("s1"),
+        F.count_if(p2).alias("s2"),
+        F.count_if(p3).alias("s3"),
+        F.count_if(p4).alias("s4"),
+    )
+    stages = ["non_empty", "min_chars", "lang_whitelist", "min_tokens"]
+    stack_args = ", ".join(
+        f"{i + 1}, '{name}', s{i}, s{i + 1}" for i, name in enumerate(stages)
+    )
+    return row.selectExpr(
+        f"stack({len(stages)}, {stack_args}) AS (stage_idx, stage, n_in, n_survive)"
+    ).withColumn("n_dropped", F.col("n_in") - F.col("n_survive"))

@@ -1045,6 +1045,123 @@ def q_pack_plan(spark: SparkSession, sf: str) -> DataFrame:
     return pack_sequences(_t(spark, sf, "documents"), 512, "lang")
 
 
+@register(
+    "benchmark_decontam",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(ts) >= 5
+                  THEN list_distinct(list_transform(range(1, len(ts) - 3),
+                         i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                              || ' ' || ts[i+3] || ' ' || ts[i+4]))
+                  ELSE [] END AS shs
+      FROM tok
+    ),
+    corpus AS (SELECT doc_id, unnest(shs) AS g FROM sh WHERE doc_id % 29 <> 0),
+    bench AS (SELECT doc_id AS bench_id, unnest(shs) AS g FROM sh
+              WHERE doc_id % 29 = 0)
+    SELECT c.doc_id,
+           COUNT(DISTINCT c.g) AS n_hit_grams,
+           COUNT(DISTINCT b.bench_id) AS n_benchmarks_hit
+    FROM corpus c JOIN bench b ON c.g = b.g
+    GROUP BY 1
+    """,
+    doc="Benchmark decontamination: flag training docs sharing word "
+    "5-grams with a (broadcast) eval set — the standard n-gram-overlap "
+    "decontamination step; the held-out set here is the deterministic "
+    "doc_id%29 slice.",
+)
+def q_benchmark_decontam(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.decontam import decontaminate
+
+    docs = _t(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 29 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    corpus = docs.filter(F.col("doc_id") % 29 != 0)
+    return decontaminate(corpus, bench, k=5)
+
+
+@register(
+    "source_mix",
+    f"""
+    WITH per AS (
+      SELECT source, COUNT(*) AS n_docs, SUM(len({_TOKS})) AS n_tokens
+      FROM documents GROUP BY 1
+    )
+    SELECT source, n_docs, n_tokens,
+           round(n_docs * 1.0 / SUM(n_docs) OVER (), 6) AS doc_share,
+           round(n_tokens * 1.0 / SUM(n_tokens) OVER (), 6) AS token_share
+    FROM per
+    """,
+    doc="Dataset-mixing report: per-source doc/token counts and corpus "
+    "shares — the composition table a mixture-reweighting step consumes.",
+)
+def q_source_mix(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.mixing import source_mix
+
+    return source_mix(_t(spark, sf, "documents"))
+
+
+@register(
+    "training_order",
+    """
+    WITH h AS (
+      SELECT doc_id, md5('epoch-0' || CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ), s AS (
+      SELECT doc_id, h,
+             (ascii(substring(h, 1, 1)) * 31 + ascii(substring(h, 2, 1))) % 8
+               AS shard
+      FROM h
+    )
+    SELECT doc_id, shard,
+           ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos
+    FROM s
+    """,
+    doc="Deterministic training-order shuffle: (shard, position) from a "
+    "salted content hash — reproducible on any cluster/partitioning, "
+    "redrawn per epoch by changing the salt.",
+)
+def q_training_order(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.mixing import training_order
+
+    return training_order(_t(spark, sf, "documents"), n_shards=8, salt="epoch-0")
+
+
+@register(
+    "quality_funnel",
+    f"""
+    WITH agg AS (
+      SELECT COUNT(*) AS s0,
+             count_if(length(text) > 0) AS s1,
+             count_if(length(text) > 0 AND n_chars >= 100) AS s2,
+             count_if(length(text) > 0 AND n_chars >= 100
+                      AND lang IN ('en','de','fr','es')) AS s3,
+             count_if(length(text) > 0 AND n_chars >= 100
+                      AND lang IN ('en','de','fr','es')
+                      AND len({_TOKS}) >= 20) AS s4
+      FROM documents
+    )
+    SELECT * FROM (
+      SELECT 1 AS stage_idx, 'non_empty' AS stage,
+             s0 AS n_in, s1 AS n_survive, s0 - s1 AS n_dropped FROM agg
+      UNION ALL SELECT 2, 'min_chars', s1, s2, s1 - s2 FROM agg
+      UNION ALL SELECT 3, 'lang_whitelist', s2, s3, s2 - s3 FROM agg
+      UNION ALL SELECT 4, 'min_tokens', s3, s4, s3 - s4 FROM agg
+    )
+    """,
+    doc="Quality-filter funnel: per-stage survival counts for the "
+    "cumulative curation filters (one aggregate pass, unpivoted) — "
+    "pipeline observability against silent over-filtering.",
+)
+def q_quality_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.mixing import quality_funnel
+
+    return quality_funnel(_t(spark, sf, "documents"))
+
+
 # ------------------------------------------------------- dedup (X1/X2)
 
 @register(

@@ -1,0 +1,83 @@
+"""Mixing/decontamination operator tests: broadcast plan shape,
+determinism under repartitioning, salt redraw, funnel monotonicity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from market_data_ingestion_scraper_spark.operators.decontam import decontaminate
+from market_data_ingestion_scraper_spark.operators.mixing import (
+    quality_funnel,
+    source_mix,
+    training_order,
+)
+from market_data_ingestion_scraper_spark.sources import load_table
+
+
+def test_decontaminate_flags_overlap_only(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "totally different words nothing shared here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon completely new tail")],
+        "bench_id long, text string",
+    )
+    out = {r["doc_id"]: r["n_hit_grams"] for r in
+           decontaminate(docs, bench, k=5).collect()}
+    assert out == {1: 1}  # only the shared 5-gram prefix hits
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents")
+    bench = docs.filter(F.col("doc_id") % 29 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    corpus = docs.filter(F.col("doc_id") % 29 != 0)
+    plan = decontaminate(corpus, bench, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # corpus side must not shuffle for the join
+
+
+def test_training_order_is_partition_invariant(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents")
+    a = sorted(map(tuple, training_order(docs, 8, "epoch-0").collect()))
+    b = sorted(map(tuple, training_order(docs.repartition(13), 8, "epoch-0").collect()))
+    assert a == b
+
+
+def test_training_order_salt_redraws_and_covers(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents")
+    e0 = {r["doc_id"]: (r["shard"], r["pos"]) for r in
+          training_order(docs, 8, "epoch-0").collect()}
+    e1 = {r["doc_id"]: (r["shard"], r["pos"]) for r in
+          training_order(docs, 8, "epoch-1").collect()}
+    assert set(e0) == set(e1)  # every doc gets an order in both epochs
+    assert e0 != e1  # a new salt is a different permutation
+    # positions within each shard are 1..n contiguous
+    by_shard: dict[int, list[int]] = {}
+    for shard, pos in e0.values():
+        by_shard.setdefault(shard, []).append(pos)
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+
+
+def test_quality_funnel_is_monotone(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents")
+    rows = sorted(quality_funnel(docs).collect(), key=lambda r: r["stage_idx"])
+    assert [r["stage"] for r in rows] == [
+        "non_empty", "min_chars", "lang_whitelist", "min_tokens"
+    ]
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["n_in"] == prev["n_survive"]  # stages chain
+    for r in rows:
+        assert r["n_dropped"] == r["n_in"] - r["n_survive"] >= 0
+
+
+def test_source_mix_shares_sum_to_one(spark, sf_smoke):
+    rows = source_mix(load_table(spark, sf_smoke, "documents")).collect()
+    assert abs(sum(r["doc_share"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["token_share"] for r in rows) - 1.0) < 1e-4
+    assert all(r["n_docs"] > 0 and r["n_tokens"] > 0 for r in rows)
