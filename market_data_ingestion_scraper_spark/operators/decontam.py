@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import string_shingles
+from .dedup import _spread, string_shingles
 
 
 def decontaminate(
@@ -39,7 +39,7 @@ def decontaminate(
 
     Exact and engine-portable (string grams, no hashing), so the DuckDB
     oracle reproduces it byte-for-byte."""
-    corpus = documents.select(
+    corpus = _spread(documents).select(
         F.col(id_col), F.explode(string_shingles(text_col, k)).alias("g")
     )
     bench = benchmark.select(
