@@ -331,22 +331,20 @@ def near_duplicate_clusters(
             .groupBy("u")
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
+        # the old label rides along, so change detection is a filter on
+        # this same frame — no second join against the previous labels
+        stepped = (
             labels.join(neighbor_min, labels.id == neighbor_min.u, "left")
             .select(
                 "id",
+                F.col("label").alias("old_label"),
                 F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
             )
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        changed = stepped.filter(F.col("label") != F.col("old_label")).count()
         labels.unpersist()
-        labels = new_labels
+        labels = stepped.select("id", "label")
         if changed == 0:
             break
     # edges stays persisted: the returned plan still depends on it through
