@@ -1512,13 +1512,11 @@ def q_grouped_pandas(spark: SparkSession, sf: str) -> DataFrame:
             }
         )
 
-    # Pre-cluster by the group key into a bounded task count: the driver's
-    # vanilla session defaults to 200 shuffle partitions, which would fan
-    # ~25 brand groups across 200 near-empty Arrow tasks (python-worker
-    # churn dominates).  HashPartitioning(p_brand, 32) already satisfies
-    # applyInPandas's clustered-distribution requirement, so no second
-    # exchange is inserted.
-    return joined.repartition(32, "p_brand").groupBy("p_brand").applyInPandas(
+    # No explicit repartition before the grouped Arrow transform: AQE
+    # coalesces the ~25-brand shuffle to a handful of tasks (and python
+    # workers); an explicit repartition(n, key) would pin n full tasks
+    # and disable that coalescing.
+    return joined.groupBy("p_brand").applyInPandas(
         stats, "p_brand string, weighted_avg_price double, n_lines long"
     )
 
