@@ -821,26 +821,17 @@ def q_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
 
 # ------------------------------------------- HTML-table source (S1 literal)
 
-@register(
-    "html_table_scan",
-    """
-    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
-           CAST(n_regionkey AS BIGINT) AS n_regionkey
-    FROM nation
-    """,
-    doc="S1 at the reference's literal boundary: the nation table rendered "
-    "into <table class='alltable'> pages (reference markup, "
-    "table_scraper.py:9-38), scanned back distributed (binaryFile source + "
-    "per-file stdlib-HTML parse in mapInPandas), cells re-typed — the "
-    "oracle over the parquet source proves the parse is lossless.",
-)
-def q_html_table_scan(spark: SparkSession, sf: str) -> DataFrame:
+_HTML_HEADERS = ["Nation Key", "Nation", "Region Key"]
+
+
+def _land_nation_pages(spark: SparkSession, sf: str) -> str:
+    """Render the nation table into 3 reference-markup HTML pages (once
+    per corpus) and return the landing directory."""
     import hashlib
     import tempfile
 
-    from .sources.html_table import read_html_tables, render_alltable
+    from .sources.html_table import render_alltable
 
-    headers = ["Nation Key", "Nation", "Region Key"]
     d = os.path.join(
         tempfile.gettempdir(),
         f"msis_html_{hashlib.sha1(sf.encode()).hexdigest()[:10]}",
@@ -856,17 +847,70 @@ def q_html_table_scan(spark: SparkSession, sf: str) -> DataFrame:
         os.makedirs(d, exist_ok=True)
         for i in range(3):
             with open(os.path.join(d, f"page_{i}.html"), "w") as f:
-                f.write(render_alltable(headers, rows[i::3]))
+                f.write(render_alltable(_HTML_HEADERS, rows[i::3]))
         with open(marker, "w") as f:
             f.write("ok")
-    raw = read_html_tables(
-        spark, d, headers, columns=["nationkey", "name", "regionkey"]
-    )
+    return d
+
+
+def _retype_nation(raw: DataFrame) -> DataFrame:
     return raw.select(
         F.col("nationkey").cast("bigint").alias("n_nationkey"),
         F.col("name").alias("n_name"),
         F.col("regionkey").cast("bigint").alias("n_regionkey"),
     )
+
+
+@register(
+    "html_table_scan",
+    """
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+           CAST(n_regionkey AS BIGINT) AS n_regionkey
+    FROM nation
+    """,
+    doc="S1 at the reference's literal boundary: the nation table rendered "
+    "into <table class='alltable'> pages (reference markup, "
+    "table_scraper.py:9-38), scanned back distributed (binaryFile source + "
+    "per-file stdlib-HTML parse in mapInPandas), cells re-typed — the "
+    "oracle over the parquet source proves the parse is lossless.",
+)
+def q_html_table_scan(spark: SparkSession, sf: str) -> DataFrame:
+    from .sources.html_table import read_html_tables
+
+    d = _land_nation_pages(spark, sf)
+    raw = read_html_tables(
+        spark, d, _HTML_HEADERS, columns=["nationkey", "name", "regionkey"]
+    )
+    return _retype_nation(raw)
+
+
+@register(
+    "html_table_scan_datasource",
+    """
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+           CAST(n_regionkey AS BIGINT) AS n_regionkey
+    FROM nation
+    """,
+    doc="S1 through the Spark 4 Python Data Source API: the same landed "
+    "pages read via a registered format('htmltable') — one task per page, "
+    "same parser/guards as the mapInPandas path; three-way differential "
+    "(DataSource scan ≡ mapInPandas scan ≡ parquet oracle).",
+)
+def q_html_table_scan_datasource(spark: SparkSession, sf: str) -> DataFrame:
+    import json
+
+    from .sources.html_table import HtmlTableDataSource
+
+    d = _land_nation_pages(spark, sf)
+    spark.dataSource.register(HtmlTableDataSource)
+    raw = (
+        spark.read.format("htmltable")
+        .option("path", d)
+        .option("headers", json.dumps(_HTML_HEADERS))
+        .option("columns", json.dumps(["nationkey", "name", "regionkey"]))
+        .load()
+    )
+    return _retype_nation(raw)
 
 
 # ------------------------- curation: sampling / quality / PII (X4 ext)

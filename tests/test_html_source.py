@@ -73,3 +73,38 @@ def test_distributed_scan_skips_foreign_and_ragged(spark, tmp_path):
     rows = {(r["k"], r["v"]) for r in df.collect()}
     assert rows == {("1", "one"), ("2", "two"), ("3", "three")}
     assert df.columns == ["k", "v", "src_file", "row_idx"]
+
+
+def test_datasource_format_matches_mapinpandas_path(spark, tmp_path):
+    import json
+
+    from market_data_ingestion_scraper_spark.sources.html_table import (
+        HtmlTableDataSource,
+    )
+
+    (tmp_path / "good.html").write_text(
+        render_alltable(["K", "V"], [["1", "one"], ["2", "two"]])
+    )
+    (tmp_path / "foreign.html").write_text(render_alltable(["X"], [["zzz"]]))
+    (tmp_path / "ragged.html").write_text(
+        render_alltable(["K", "V"], [["3", "three"], ["4"]])
+    )
+    spark.dataSource.register(HtmlTableDataSource)
+    df = (
+        spark.read.format("htmltable")
+        .option("path", str(tmp_path))
+        .option("headers", json.dumps(["K", "V"]))
+        .option("columns", json.dumps(["k", "v"]))
+        .load()
+    )
+    assert df.columns == ["k", "v", "src_file", "row_idx"]
+    got = {tuple(r) for r in df.collect()}
+    want = {
+        tuple(r)
+        for r in read_html_tables(
+            spark, str(tmp_path), ["K", "V"], columns=["k", "v"]
+        ).collect()
+    }
+    assert got == want and len(got) == 3
+    # parallelism unit is the file: one input partition per landed page
+    assert df.rdd.getNumPartitions() == 3
