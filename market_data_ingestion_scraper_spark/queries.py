@@ -1566,6 +1566,44 @@ def q_grouped_pandas(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "per_doc_term_counts",
+    f"""
+    SELECT doc_id, term, COUNT(*) AS tf
+    FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+    GROUP BY 1, 2
+    """,
+    doc="UDTF surface (§2.11): a Spark 4 Python UDTF exploding each "
+    "document into (term, tf) rows via a LATERAL table-function join — "
+    "the one-row-to-many escape hatch for expansions built-ins can't "
+    "express.  Here they CAN (explode+groupBy is the production path, "
+    "see term_frequencies), which is exactly what makes this "
+    "oracle-checkable: the DuckDB twin is the relational form.",
+)
+def q_per_doc_term_counts(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    # Defined inside the query fn so cloudpickle ships the class by value
+    # (the driving process loads this repo by file path; executor workers
+    # cannot import the package — see operators/multimodal.py).
+    class TermCounts:
+        def eval(self, doc_id, text):
+            import re
+            from collections import Counter
+
+            toks = (t for t in re.split(r"[^a-z0-9]+", (text or "").lower()) if t)
+            for term, n in Counter(toks).items():
+                yield doc_id, term, n
+
+    tc = udtf(TermCounts, returnType="doc_id bigint, term string, tf bigint")
+    spark.udtf.register("term_counts_tvf", tc)
+    _t(spark, sf, "documents").createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT t.doc_id, t.term, t.tf FROM _udtf_docs d, "
+        "LATERAL term_counts_tvf(d.doc_id, d.text) t"
+    )
+
+
+@register(
     "validate_documents",
     """
     SELECT COUNT(*) AS n_rows,
