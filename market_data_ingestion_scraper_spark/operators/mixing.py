@@ -20,24 +20,26 @@ def source_mix(documents: DataFrame, source_col: str = "source") -> DataFrame:
     (e.g. DoReMi-style or hand-tuned sampling ratios) consumes.
 
     One grouped aggregate (shuffle on the source key, map-side combined),
-    then the single-row global total is broadcast back onto the per-source
-    rows — no second pass over the data and no global window."""
+    then grand totals via an unpartitioned window over the PER-SOURCE rows.
+    The global window is safe by construction: its input is post-aggregation
+    cardinality (one row per source — thousands at worst), the same bounded
+    pattern as ``analytics.indexed_dimension``.  The alternative (aggregate
+    to one row and join it back) would evaluate the per-source subtree
+    twice — two full corpus scans at 100 TB — because a broadcast side is
+    not a reused exchange."""
     per_source = documents.groupBy(source_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(tokens("text"))).alias("n_tokens"),
     )
-    totals = per_source.agg(
-        F.sum("n_docs").alias("tot_docs"), F.sum("n_tokens").alias("tot_tokens")
-    )
-    return (
-        per_source.join(F.broadcast(totals))
-        .select(
-            source_col,
-            "n_docs",
-            "n_tokens",
-            F.round(F.col("n_docs") / F.col("tot_docs"), 6).alias("doc_share"),
-            F.round(F.col("n_tokens") / F.col("tot_tokens"), 6).alias("token_share"),
-        )
+    w = Window.partitionBy()
+    return per_source.select(
+        source_col,
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6).alias("doc_share"),
+        F.round(F.col("n_tokens") / F.sum("n_tokens").over(w), 6).alias(
+            "token_share"
+        ),
     )
 
 

@@ -107,3 +107,44 @@ def test_spread_skips_repartition_when_already_parallel(spark):
     spread = _spread(narrow)
     assert spread is not narrow
     assert spread.rdd.getNumPartitions() == target
+
+
+def test_doc_chunks_is_shuffle_free(spark):
+    # chunking is projection+explode only: scan-bandwidth-bound at 100 TB
+    rep = plan_report(_plan(spark, "doc_chunks"))
+    assert rep.n_shuffles == 0, rep.summary()
+    assert rep.n_broadcast_joins == 0 and rep.n_sortmerge_joins == 0
+
+
+def test_pack_plan_shuffles_once_on_stratum(spark):
+    # one window pass per stratum: exactly one exchange (the stratum key)
+    txt = explain_str(_plan(spark, "pack_plan"), "simple")
+    assert txt.count("Exchange") == 1, txt
+
+
+def test_source_mix_single_scan_single_grouped_shuffle(spark):
+    # per-source agg then totals via a window over the post-agg rows: the
+    # corpus is scanned ONCE (the broadcast-total alternative evaluates the
+    # aggregate subtree twice), with map-side partial aggregation
+    txt = explain_str(_plan(spark, "source_mix"), "simple")
+    assert txt.count("FileScan parquet") == 1, txt
+    assert "Join" not in txt, txt
+    rep = plan_report(_plan(spark, "source_mix"))
+    assert rep.has_partial_agg, rep.summary()
+
+
+def test_decontam_corpus_never_shuffles_for_the_join(spark):
+    # the benchmark gram table broadcasts; the only exchange left is the
+    # final per-doc aggregation of matched rows
+    with aqe_disabled(spark):
+        rep = plan_report(_plan(spark, "benchmark_decontam"))
+    assert rep.n_broadcast_joins >= 1, rep.summary()
+    assert rep.n_sortmerge_joins == 0, rep.summary()
+
+
+def test_quality_funnel_single_pass(spark):
+    # the whole funnel is ONE scan + one aggregate row, then a local unpivot
+    txt = explain_str(_plan(spark, "quality_funnel"), "simple")
+    assert txt.count("FileScan parquet") == 1, txt
+    rep = plan_report(_plan(spark, "quality_funnel"))
+    assert rep.has_partial_agg, rep.summary()
