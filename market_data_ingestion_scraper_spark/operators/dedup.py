@@ -48,7 +48,27 @@ _rng = random.Random(42)
 _AB = [( _rng.randrange(1, HASH_P), _rng.randrange(0, HASH_P)) for _ in range(N_HASHES)]
 
 
-def shingles(text: Column | str = "text", k: int = 3) -> Column:
+def portable_token_hash(w: Column) -> Column:
+    """Token → 31-bit field element computable IDENTICALLY in any engine:
+    the first 8 hex chars of md5 parsed as an integer, mod HASH_P —
+    ``md5`` exists everywhere and hex parsing is one built-in on each side
+    (Spark ``conv(…,16,10)``, DuckDB ``('0x'||…)::BIGINT`` — the twin is
+    :data:`PORTABLE_HASH_SQL`).  Pipelines built on this hash are
+    oracle-checkable bit-for-bit; xxhash64 remains the throughput
+    default (md5 costs a few× more per token — scan-time CPU,
+    embarrassingly parallel)."""
+    m = F.substring(F.md5(w.cast("binary")), 1, 8)
+    return F.pmod(F.conv(m, 16, 10).cast("long"), F.lit(HASH_P))
+
+
+#: DuckDB expression template for :func:`portable_token_hash`; substitute
+#: ``{w}`` with the token expression.
+PORTABLE_HASH_SQL = "(('0x' || substring(md5({w}), 1, 8))::BIGINT % 2147483647)"
+
+
+def shingles(
+    text: Column | str = "text", k: int = 3, portable: bool = False
+) -> Column:
     """Word k-gram shingle set hashed into the 31-bit prime field.
 
     Hash each token once (O(n)), then combine k consecutive token hashes
@@ -56,8 +76,18 @@ def shingles(text: Column | str = "text", k: int = 3) -> Column:
     slice+concat formulation is O(n²) array copies + string building per
     document and measured 6.3 s single-threaded on 5 k docs — this shape is
     pure field arithmetic over ``F.get`` lookups, no allocations.  Docs
-    with < k tokens yield an empty shingle set (null grams filtered)."""
-    th = F.transform(tokens(text), lambda w: F.pmod(F.xxhash64(w), F.lit(HASH_P)))
+    with < k tokens yield an empty shingle set (null grams filtered).
+
+    ``portable=True`` swaps the xxhash64 token hash for
+    :func:`portable_token_hash`, making every downstream signature value
+    reproducible in the DuckDB oracle (used by the registered LSH query);
+    xxhash64 stays the throughput default."""
+    tok_hash = (
+        portable_token_hash
+        if portable
+        else (lambda w: F.pmod(F.xxhash64(w), F.lit(HASH_P)))
+    )
+    th = F.transform(tokens(text), tok_hash)
     n = F.size(th)
 
     def gram(i: Column) -> Column:
@@ -86,7 +116,11 @@ def minhash_signature(text: Column | str = "text", k: int = 3) -> Column:
 
 
 def minhash_table(
-    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """MinHash signatures as a (id, sig) table, computed scalably: explode
     the shingle set once → groupBy(id) with 64 flat MIN aggregates → pack
@@ -99,7 +133,7 @@ def minhash_table(
     sentinel signature via a left join."""
     documents = _spread(documents)
     hashed = documents.select(
-        F.col(id_col), F.explode(shingles(text_col, k)).alias("x")
+        F.col(id_col), F.explode(shingles(text_col, k, portable)).alias("x")
     )
     mins = hashed.groupBy(id_col).agg(
         *[
@@ -124,6 +158,7 @@ def lsh_candidate_pairs(
     n_bands: int = 16,
     id_col: str = "doc_id",
     text_col: str = "text",
+    portable: bool = False,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate candidates: docs sharing ≥1 signature band.
 
@@ -132,7 +167,7 @@ def lsh_candidate_pairs(
     doc_a < doc_b, est_jaccard = fraction of agreeing signature values.
     """
     r = N_HASHES // n_bands
-    sig = minhash_table(documents, id_col=id_col, text_col=text_col)
+    sig = minhash_table(documents, id_col=id_col, text_col=text_col, portable=portable)
     banded = sig.select(
         id_col,
         "sig",

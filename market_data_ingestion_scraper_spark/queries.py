@@ -1237,15 +1237,80 @@ def q_dedup_hash(spark: SparkSession, sf: str) -> DataFrame:
     return content_hash_dedup(_t(spark, sf, "documents"))
 
 
+def _minhash_oracle_sql() -> str:
+    """Generate the DuckDB twin of the ENTIRE MinHash-LSH pipeline with the
+    portable token hash: shingle-field arithmetic, the 64 (a·x+b) mod p MIN
+    aggregates, 16-band bucketing, candidate pairing and the agreement
+    fraction — every signature value bit-identical across engines.  (The
+    Spark side buckets on xxhash64 of the band slice — a join key only;
+    the oracle buckets on the slice itself, identical candidates absent a
+    64-bit collision.)"""
+    from .operators.dedup import _AB, HASH_P, N_HASHES, PORTABLE_HASH_SQL
+
+    tok_hash = PORTABLE_HASH_SQL.replace("{w}", "w")
+    mins = ",\n             ".join(
+        f"MIN(({a} * x + {b}) % {HASH_P}) AS m{i}" for i, (a, b) in enumerate(_AB)
+    )
+    sig_list = "[" + ", ".join(f"m{i}" for i in range(N_HASHES)) + "]"
+    sentinel = "[" + ", ".join([str(HASH_P)] * N_HASHES) + "]"
+    return f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+    th AS (
+      SELECT doc_id,
+             list_transform(ts, w -> {tok_hash}) AS hs
+      FROM tok
+    ),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(hs) >= 3
+                  THEN list_distinct(list_transform(range(1, len(hs) - 1),
+                         i -> ((hs[i] * 131 + hs[i+1]) % {HASH_P} * 131
+                               + hs[i+2]) % {HASH_P}))
+                  ELSE [] END AS shs
+      FROM th
+    ),
+    ex AS (SELECT doc_id, unnest(shs) AS x FROM sh),
+    mins AS (
+      SELECT doc_id,
+             {mins}
+      FROM ex GROUP BY doc_id
+    ),
+    sigs AS (
+      SELECT d.doc_id,
+             COALESCE(m.sig, {sentinel}) AS sig
+      FROM documents d
+      LEFT JOIN (SELECT doc_id, {sig_list} AS sig FROM mins) m USING (doc_id)
+    ),
+    banded AS (
+      SELECT doc_id, sig, b.range AS band,
+             (sig[b.range * 4 + 1 : b.range * 4 + 4])::VARCHAR AS key
+      FROM sigs, range(0, 16) b
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+             a.sig AS sig_a, c.sig AS sig_b
+      FROM banded a JOIN banded c
+        ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(len(list_filter(range(1, {N_HASHES + 1}),
+                     i -> sig_a[i] = sig_b[i])) / {N_HASHES}.0, 6) AS est_jaccard
+    FROM pairs
+    """
+
+
 @register(
     "minhash_lsh_candidates",
-    None,  # MinHash permutations + xxhash64 have no DuckDB twin → rows-only
-    doc="X2 MinHash-LSH near-dup candidate pairs with estimated Jaccard.",
+    _minhash_oracle_sql(),
+    doc="X2 MinHash-LSH near-dup candidate pairs with estimated Jaccard — "
+    "oracle-checked end to end: the portable md5-fold token hash makes "
+    "all 64 signature values engine-reproducible, so DuckDB rebuilds the "
+    "identical signatures, bands, candidates, and estimates.",
 )
 def q_minhash(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.dedup import lsh_candidate_pairs
 
-    return lsh_candidate_pairs(_t(spark, sf, "documents"))
+    return lsh_candidate_pairs(_t(spark, sf, "documents"), portable=True)
 
 
 # Exact 3-gram Jaccard ≥ 0.7 over all pairs, computed with STRING shingles
