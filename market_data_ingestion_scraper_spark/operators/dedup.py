@@ -395,8 +395,32 @@ def near_duplicate_clusters(
 
 # --------------------------------------------------------------- SimHash
 
+def portable_token_hash64(w: Column) -> Column:
+    """63-bit engine-portable token hash: md5 hex chars 1-8 (top 31 bits,
+    sign-masked) and 9-16 (low 32 bits) each parsed with one built-in and
+    combined arithmetically — always non-negative, so ``>>`` and ``&``
+    behave identically everywhere.  Bit 63 is always 0 (63 effective
+    SimHash bits).  DuckDB twin: :data:`PORTABLE_HASH64_SQL`."""
+    m = F.md5(w.cast("binary"))
+    hi = F.conv(F.substring(m, 1, 8), 16, 10).cast("long").bitwiseAND(
+        F.lit(0x7FFFFFFF)
+    )
+    lo = F.conv(F.substring(m, 9, 8), 16, 10).cast("long")
+    return hi * F.lit(4294967296) + lo
+
+
+#: DuckDB expression template for :func:`portable_token_hash64`.
+PORTABLE_HASH64_SQL = (
+    "((('0x' || substring(md5({w}), 1, 8))::BIGINT & 2147483647)"
+    " * 4294967296 + ('0x' || substring(md5({w}), 9, 8))::BIGINT)"
+)
+
+
 def simhash_table(
-    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    portable: bool = False,
 ) -> DataFrame:
     """64-bit SimHash per document: bit i of the result is 1 iff the count
     of tokens with bit i set exceeds half the token count.
@@ -404,10 +428,14 @@ def simhash_table(
     Shaped as explode → groupBy(doc) with 64 flat bit-count sums rather
     than 64 nested array-lambda passes: the expression tree stays trivially
     codegen-able and the only shuffle is the (doc_id) partial-aggregated
-    groupBy — at 100 TB the shuffle rows are (doc_id, 64 ints), not text."""
+    groupBy — at 100 TB the shuffle rows are (doc_id, 64 ints), not text.
+
+    ``portable=True`` uses :func:`portable_token_hash64` so the DuckDB
+    oracle reproduces every hash bit; xxhash64 is the throughput default."""
+    tok_hash = portable_token_hash64(F.col("w")) if portable else F.xxhash64("w")
     tok = _spread(documents).select(
         F.col(id_col), F.explode(tokens(text_col)).alias("w")
-    ).select(id_col, F.xxhash64("w").alias("h"))
+    ).select(id_col, tok_hash.alias("h"))
     aggs = [F.count(F.lit(1)).alias("n")] + [
         F.sum(F.shiftright("h", i).bitwiseAND(F.lit(1)).cast("int")).alias(f"c{i}")
         for i in range(64)
@@ -425,7 +453,10 @@ def simhash_table(
 
 
 def simhash_near_duplicates(
-    documents: DataFrame, max_hamming: int = 3, id_col: str = "doc_id"
+    documents: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    portable: bool = False,
 ) -> DataFrame:
     """SimHash near-dups via chunk banding: split the 64-bit hash into 4
     16-bit chunks; pairs within Hamming distance ≤3 must share ≥1 chunk
@@ -438,7 +469,7 @@ def simhash_near_duplicates(
     surviving pairs are deduped — on correlated corpora (shared vocabulary)
     chunk buckets are big, so filtering before the distinct is the
     difference between deduping thousands of rows and tens of millions."""
-    sh = simhash_table(documents, id_col=id_col)
+    sh = simhash_table(documents, id_col=id_col, portable=portable)
     distinct_sh = sh.select("sh").distinct()
     chunked = distinct_sh.select(
         "sh",

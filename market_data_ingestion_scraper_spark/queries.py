@@ -1430,15 +1430,66 @@ def q_jaccard_ssjoin(spark: SparkSession, sf: str) -> DataFrame:
     return jaccard_similarity_join(_t(spark, sf, "documents"))
 
 
+def _simhash_oracle_sql() -> str:
+    """DuckDB twin of the SimHash pipeline with the portable 63-bit token
+    hash: per-bit majority vote (64 flat conditional sums), 16-bit chunk
+    banding over DISTINCT hashes, Hamming verify via bit_count(xor), and
+    the expansion back to document pairs — all integer arithmetic, so
+    every bit matches across engines."""
+    from .operators.dedup import PORTABLE_HASH64_SQL
+
+    tok_hash = PORTABLE_HASH64_SQL.replace("{w}", "w")
+    bit_sums = ",\n             ".join(
+        f"SUM((h >> {i}) & 1) AS c{i}" for i in range(64)
+    )
+    # bit 63 is always 0 under the 63-bit hash: term omitted (2^63
+    # overflows BIGINT as a literal and the Spark side never sets it)
+    sh_terms = " + ".join(
+        f"(CASE WHEN c{i} * 2 > n THEN {1 << i} ELSE 0 END)" for i in range(63)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS w FROM documents
+    ),
+    th AS (SELECT doc_id, {tok_hash} AS h FROM tok),
+    counts AS (
+      SELECT doc_id, COUNT(*) AS n,
+             {bit_sums}
+      FROM th GROUP BY doc_id
+    ),
+    sh AS (SELECT doc_id, {sh_terms} AS sh FROM counts),
+    dsh AS (SELECT DISTINCT sh FROM sh),
+    chunked AS (
+      SELECT sh, c.range AS chunk, (sh >> (16 * c.range)) & 65535 AS val
+      FROM dsh, range(0, 4) c
+    ),
+    shp AS (
+      SELECT DISTINCT l.sh AS sh_a, r.sh AS sh_b,
+             bit_count(xor(l.sh, r.sh)) AS hamming
+      FROM chunked l JOIN chunked r
+        ON l.chunk = r.chunk AND l.val = r.val AND l.sh <= r.sh
+      WHERE bit_count(xor(l.sh, r.sh)) <= 3
+    )
+    SELECT da.doc_id AS doc_a, db.doc_id AS doc_b, p.hamming
+    FROM shp p
+    JOIN sh da ON da.sh = p.sh_a
+    JOIN sh db ON db.sh = p.sh_b
+    WHERE da.doc_id < db.doc_id
+    """
+
+
 @register(
     "simhash_near_dups",
-    None,  # xxhash64-based SimHash has no DuckDB twin → rows-only
-    doc="X2 SimHash near-dups via 16-bit chunk banding + Hamming verify.",
+    _simhash_oracle_sql(),
+    doc="X2 SimHash near-dups via 16-bit chunk banding + Hamming verify — "
+    "oracle-checked end to end: the portable 63-bit md5 token hash makes "
+    "every simhash bit engine-reproducible, so DuckDB rebuilds the "
+    "identical hashes, chunks, candidates, and Hamming distances.",
 )
 def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.dedup import simhash_near_duplicates
 
-    return simhash_near_duplicates(_t(spark, sf, "documents"))
+    return simhash_near_duplicates(_t(spark, sf, "documents"), portable=True)
 
 
 # -------------------------------------------- similarity search (X3/X5)
