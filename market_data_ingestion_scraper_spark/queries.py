@@ -1797,14 +1797,20 @@ def q_clicks_purchase(spark: SparkSession, sf: str) -> DataFrame:
                             - k.k * 900000000) AS win_start
       FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS k) k
     )
-    SELECT win_start,
-           win_start + INTERVAL 1 HOUR AS win_end,
-           event_type,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
-                 / COUNT(*), 6) AS avg_value,
-           COUNT(*) AS n
-    FROM expanded
-    GROUP BY 1, 2, 3
+    SELECT win_start, win_end, event_type,
+           CASE WHEN s >= 0 THEN (s * 200 + n) // (2 * n)
+                ELSE -(((-s) * 200 + n) // (2 * n)) END / 1000000.0
+             AS avg_value,
+           n
+    FROM (
+      SELECT win_start,
+             win_start + INTERVAL 1 HOUR AS win_end,
+             event_type,
+             CAST(SUM(CAST(value AS DECIMAL(18,4)) * 10000) AS BIGINT) AS s,
+             COUNT(*) AS n
+      FROM expanded
+      GROUP BY 1, 2, 3
+    )
     """,
     doc="§2.10 sliding window (1h size / 15min slide) as a batch query — "
     "same code path as the stream; the oracle reproduces Spark's "

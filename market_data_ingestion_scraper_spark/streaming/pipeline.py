@@ -71,16 +71,23 @@ def sliding_value_avg(
     """Sliding-window moving average of event values.  The average is the
     exact-decimal-sum / count pattern so batch results hash-match the
     DuckDB oracle (each event lands in size/slide windows — the oracle
-    reproduces Spark's epoch-aligned window grid arithmetically)."""
-    exact = F.round(
-        F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
-        / F.count(F.lit(1)),
-        6,
-    )
+    reproduces Spark's epoch-aligned window grid arithmetically).
+
+    Rounding is done in INTEGER arithmetic (micro-units, half-up via the
+    (2a+b) DIV 2b identity on the exact ratio): ``round(double, 6)`` of a
+    sum/count double sits one ulp apart across engines exactly at .5
+    boundaries — observed on one row at sf0.1.  The sign split keeps both
+    division operands non-negative, where trunc ≡ floor in every engine."""
+    s = F.sum((F.col("value").cast("decimal(18,4)") * 10000).cast("long"))
+    n = F.count(F.lit(1))
+    micro = F.when(
+        F.col("sum_scaled") >= 0, F.expr("(sum_scaled * 200 + n) DIV (2 * n)")
+    ).otherwise(-F.expr("((-sum_scaled) * 200 + n) DIV (2 * n)"))
     return (
         events.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", size, slide).alias("win"), "event_type")
-        .agg(exact.alias("avg_value"), F.count(F.lit(1)).alias("n"))
+        .agg(s.alias("sum_scaled"), n.alias("n"))
+        .withColumn("avg_value", micro / F.lit(1000000.0))
         .select(
             F.col("win.start").alias("win_start"),
             F.col("win.end").alias("win_end"),
