@@ -2,8 +2,13 @@
 reporting (the input to mixture reweighting), deterministic sharded
 training-order assignment, and a quality-filter funnel report.
 
-All three are exact relational transforms with byte-identical DuckDB
-twins — they are gate-checked bit-for-bit, not rows-only.
+All three are exact relational transforms with DuckDB oracle twins.
+Cross-engine hashing constraint (r02 gate finding): DuckDB ``SUM(int)``
+and ``count_if`` return HUGEINT, which pandas/Arrow-side canonicalization
+turns into float64/decimal128 while Spark emits int64 — so every integer
+aggregate in the oracle SQL must be ``CAST(... AS BIGINT)``, and shares
+are derived from exact integer micro-units (the ``(2a+b) DIV 2b`` half-up
+identity) rather than ``round()`` on a double.
 """
 
 from __future__ import annotations
@@ -26,20 +31,38 @@ def source_mix(documents: DataFrame, source_col: str = "source") -> DataFrame:
     pattern as ``analytics.indexed_dimension``.  The alternative (aggregate
     to one row and join it back) would evaluate the per-source subtree
     twice — two full corpus scans at 100 TB — because a broadcast side is
-    not a reused exchange."""
+    not a reused exchange.
+
+    Shares are computed in exact integer arithmetic: ppm via the
+    ``(2a+b) DIV 2b`` half-up identity (operands non-negative by
+    construction; the DECIMAL(38,0) widening keeps ``n_tokens * 2e6``
+    exact at any corpus size), then one final ``ppm / 1e6`` double
+    division — a single identical IEEE op on both engines."""
     per_source = documents.groupBy(source_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(tokens("text"))).alias("n_tokens"),
     )
     w = Window.partitionBy()
-    return per_source.select(
+    totals = per_source.select(
         source_col,
         "n_docs",
         "n_tokens",
-        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6).alias("doc_share"),
-        F.round(F.col("n_tokens") / F.sum("n_tokens").over(w), 6).alias(
-            "token_share"
-        ),
+        F.sum("n_docs").over(w).alias("tot_docs"),
+        F.sum("n_tokens").over(w).alias("tot_tokens"),
+    )
+    doc_ppm = F.expr(
+        "(CAST(n_docs AS DECIMAL(38,0)) * 2000000 + tot_docs) DIV (2 * tot_docs)"
+    )
+    tok_ppm = F.expr(
+        "(CAST(n_tokens AS DECIMAL(38,0)) * 2000000 + tot_tokens)"
+        " DIV (2 * tot_tokens)"
+    )
+    return totals.select(
+        source_col,
+        "n_docs",
+        "n_tokens",
+        (doc_ppm / F.lit(1000000.0)).alias("doc_share"),
+        (tok_ppm / F.lit(1000000.0)).alias("token_share"),
     )
 
 

@@ -1131,13 +1131,19 @@ def q_benchmark_decontam(spark: SparkSession, sf: str) -> DataFrame:
     "source_mix",
     f"""
     WITH per AS (
-      SELECT source, COUNT(*) AS n_docs, SUM(len({_TOKS})) AS n_tokens
+      SELECT source, COUNT(*) AS n_docs, CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
       FROM documents GROUP BY 1
+    ), t AS (
+      SELECT *, SUM(n_docs) OVER () AS tot_docs,
+             SUM(n_tokens) OVER () AS tot_tokens
+      FROM per
     )
     SELECT source, n_docs, n_tokens,
-           round(n_docs * 1.0 / SUM(n_docs) OVER (), 6) AS doc_share,
-           round(n_tokens * 1.0 / SUM(n_tokens) OVER (), 6) AS token_share
-    FROM per
+           CAST((CAST(n_docs AS HUGEINT) * 2000000 + tot_docs)
+                // (2 * tot_docs) AS BIGINT) / 1000000.0 AS doc_share,
+           CAST((CAST(n_tokens AS HUGEINT) * 2000000 + tot_tokens)
+                // (2 * tot_tokens) AS BIGINT) / 1000000.0 AS token_share
+    FROM t
     """,
     doc="Dataset-mixing report: per-source doc/token counts and corpus "
     "shares — the composition table a mixture-reweighting step consumes.",
@@ -1178,14 +1184,16 @@ def q_training_order(spark: SparkSession, sf: str) -> DataFrame:
     "quality_funnel",
     f"""
     WITH agg AS (
+      -- CAST: DuckDB count_if returns HUGEINT (float64/decimal128 through
+      -- pandas/Arrow) while Spark's count_if is int64 — see mixing.py.
       SELECT COUNT(*) AS s0,
-             count_if(length(text) > 0) AS s1,
-             count_if(length(text) > 0 AND n_chars >= 100) AS s2,
-             count_if(length(text) > 0 AND n_chars >= 100
-                      AND lang IN ('en','de','fr','es')) AS s3,
-             count_if(length(text) > 0 AND n_chars >= 100
+             CAST(count_if(length(text) > 0) AS BIGINT) AS s1,
+             CAST(count_if(length(text) > 0 AND n_chars >= 100) AS BIGINT) AS s2,
+             CAST(count_if(length(text) > 0 AND n_chars >= 100
+                      AND lang IN ('en','de','fr','es')) AS BIGINT) AS s3,
+             CAST(count_if(length(text) > 0 AND n_chars >= 100
                       AND lang IN ('en','de','fr','es')
-                      AND len({_TOKS}) >= 20) AS s4
+                      AND len({_TOKS}) >= 20) AS BIGINT) AS s4
       FROM documents
     )
     SELECT * FROM (

@@ -63,9 +63,15 @@ def compare_query(spark, sf_dir: str, fn, oracle: str) -> None:
 
     con = duckdb_connection(sf_dir)
     try:
-        res = con.execute(oracle)
-        o_cols = [d[0].lower() for d in res.description]
-        o_rows = res.fetchall()
+        # Fetch through Arrow, not fetchall(): the driver canonicalizes via
+        # pandas/Arrow, where DuckDB HUGEINT (SUM(int), count_if) surfaces as
+        # decimal128/float64 instead of the Python int fetchall() returns —
+        # the exact class of mismatch that made source_mix/quality_funnel
+        # hash-fail at the r02 gate while fetchall()-based replicas passed.
+        tbl = con.execute(oracle).fetch_arrow_table()
+        o_cols = [f.name.lower() for f in tbl.schema]
+        raw_cols = [f.name for f in tbl.schema]
+        o_rows = [tuple(row[c] for c in raw_cols) for row in tbl.to_pylist()]
     finally:
         con.close()
 
