@@ -53,7 +53,17 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
     }
-    print(json.dumps(out))
+    # The harness that records this output keeps only the LAST ~2000 chars
+    # of stdout and parses the final JSON line; r02's 4-decimal line of 71
+    # queries overflowed that window and parsed as null.  Emit the most
+    # precise compact line that fits, full precision stays on stderr above.
+    line = json.dumps(out, separators=(",", ":"))
+    for ndigits in (3, 2, 1):
+        if len(line) <= 1950:
+            break
+        out["queries"] = {k: round(v, ndigits) for k, v in timings.items()}
+        line = json.dumps(out, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":
