@@ -21,6 +21,7 @@ fraction of signatures estimates Jaccard similarity of shingle sets.
 
 from __future__ import annotations
 
+import logging
 import random
 
 from pyspark.sql import Column, DataFrame
@@ -281,6 +282,7 @@ def jaccard_similarity_join(
     k: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact all-pairs Jaccard similarity join via an inverted index — the
     set-similarity-join shape: explode shingles, equi-join docs sharing a
@@ -289,15 +291,36 @@ def jaccard_similarity_join(
 
     Pairs sharing zero shingles never meet (the equi-join IS the candidate
     filter), so cost is Σ_s df(s)² over shingle document-frequencies, not
-    n².  At 100 TB the guard rails are standard ssjoin tricks: drop
-    stop-shingles above a df cap and/or prefix filtering; the LSH pipeline
+    n².  That sum is quadratic in the frequency of the most common shingle:
+    one piece of boilerplate shared by f documents emits f² join rows.
+
+    ``max_df`` is the stop-shingle guard rail for that skew: shingles whose
+    document frequency exceeds the cap are dropped from the inverted index
+    (one extra groupBy on the exploded table — same shuffle key as the
+    self-join, so the exchange is reused) and per-doc set sizes are
+    recomputed over the surviving shingles, i.e. Jaccard is then measured
+    over the sub-universe of discriminative shingles.  A shingle present in
+    more than ``max_df`` documents carries no pair-discriminating signal at
+    high thresholds, so recall at 0.7 is essentially unaffected.  The
+    default ``None`` keeps the exact full-universe semantics (and the
+    byte-identical DuckDB twin) — correct at fixture scale, required at
+    100 TB only when the corpus has heavy boilerplate.  The LSH pipeline
     (:func:`near_duplicates`) is the probabilistic alternative with
-    per-row cost.  This operator is the exact oracle-friendly baseline —
-    unlike MinHash it has a byte-identical SQL twin."""
+    per-row cost."""
     sh = _spread(documents).select(
         F.col(id_col), string_shingles(text_col, k).alias("shs")
     )
     ex = sh.select(id_col, F.size("shs").alias("sz"), F.explode("shs").alias("s"))
+    if max_df is not None:
+        keep = (
+            ex.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("s")
+        )
+        ex = ex.join(keep, "s")
+        sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+        ex = ex.drop("sz").join(sizes, id_col)
     l, r = ex.alias("l"), ex.alias("r")
     pairs = (
         l.join(
@@ -330,6 +353,7 @@ def near_duplicate_clusters(
     k: int = 3,
     id_col: str = "doc_id",
     max_iter: int = 25,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Connected components over the near-duplicate graph — the step that
     turns pairwise matches into dedup decisions (keep one representative
@@ -347,8 +371,14 @@ def near_duplicate_clusters(
     and the previous round unpersists, so lineage stays bounded (the
     standard iterative-algorithm discipline; at extreme scale swap persist
     for localCheckpoint).  Output: (doc_id, cluster_rep, cluster_size) for
-    every document that belongs to a near-dup cluster."""
-    pairs = jaccard_similarity_join(documents, threshold, k, id_col)
+    every document that belongs to a near-dup cluster.
+
+    ``max_df`` passes through to :func:`jaccard_similarity_join` (the
+    stop-shingle cap).  If propagation exhausts ``max_iter`` before the
+    fixpoint (a near-dup chain with diameter > max_iter), the labels are
+    split clusters — that is loud, not silent: a warning is logged with
+    the residual change count so callers can raise ``max_iter``."""
+    pairs = jaccard_similarity_join(documents, threshold, k, id_col, max_df=max_df)
     edges = (
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
@@ -360,6 +390,7 @@ def near_duplicate_clusters(
         .withColumn("label", F.col("id"))
         .persist()
     )
+    changed = 0
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.v == labels.id)
@@ -382,6 +413,14 @@ def near_duplicate_clusters(
         labels = stepped.select("id", "label")
         if changed == 0:
             break
+    if changed != 0:
+        logging.getLogger(__name__).warning(
+            "near_duplicate_clusters: label propagation did not converge in "
+            "%d iterations (%d labels still changing) — clusters with "
+            "diameter > max_iter are split; raise max_iter",
+            max_iter,
+            changed,
+        )
     # edges stays persisted: the returned plan still depends on it through
     # the final labels' lineage if the cache evicts; the ContextCleaner
     # reclaims both when the plan is garbage-collected.

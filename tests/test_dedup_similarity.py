@@ -154,3 +154,46 @@ def test_embedding_near_dups_finds_planted_pair(spark, vectors):
     assert {(r["vec_a"], r["vec_b"]) for r in pairs} >= {(0, 100000)}
     found = [r for r in pairs if (r["vec_a"], r["vec_b"]) == (0, 100000)][0]
     assert found["cos_sim"] > 0.999
+
+
+def test_ssjoin_max_df_bounds_stop_shingle_blowup(spark):
+    """A boilerplate shingle shared by every document must not force the
+    inverted-index self-join to emit f² candidate rows when max_df is set,
+    and genuinely near-duplicate pairs must still be found."""
+    boiler = "all rights reserved worldwide"
+    rows = [(i, f"unique words number{i} alpha{i} beta{i} gamma{i} {boiler}")
+            for i in range(30)]
+    # one planted near-dup pair with high overlap beyond the boilerplate
+    rows.append((100, "shared sentence about spark catalyst optimizer plans "
+                      f"running at scale {boiler}"))
+    rows.append((101, "shared sentence about spark catalyst optimizer plans "
+                      f"running at scale {boiler} extra"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # candidate volume proxy: exploded inverted-index pair rows
+    def pair_rows(max_df):
+        sh = docs.select("doc_id", D.string_shingles("text", 3).alias("shs"))
+        ex = sh.select("doc_id", F.explode("shs").alias("s"))
+        if max_df is not None:
+            keep = (ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+                    .filter(F.col("df") <= max_df).select("s"))
+            ex = ex.join(keep, "s")
+        l, r = ex.alias("l"), ex.alias("r")
+        return l.join(
+            r, (F.col("l.s") == F.col("r.s"))
+            & (F.col("l.doc_id") < F.col("r.doc_id"))).count()
+
+    uncapped, capped = pair_rows(None), pair_rows(5)
+    # 32 docs × 2 boilerplate 3-grams ⇒ ≥ 2·C(32,2) uncapped pair rows
+    assert uncapped >= 2 * (32 * 31) // 2
+    assert capped < uncapped / 5
+
+    found = {(r.doc_a, r.doc_b)
+             for r in D.jaccard_similarity_join(docs, 0.5, max_df=5).collect()}
+    assert (100, 101) in found
+    # the boilerplate-only pairs must NOT survive the capped join
+    assert all(a == 100 for a, _ in found)
+
+    clusters = D.near_duplicate_clusters(docs, 0.5, max_df=5)
+    reps = {r.doc_id: r.cluster_rep for r in clusters.collect()}
+    assert reps == {100: 100, 101: 100}
