@@ -44,7 +44,7 @@ def chunk_documents(
 def pack_sequences(
     documents: DataFrame,
     ctx_tokens: int = 512,
-    strata_col: str = "lang",
+    strata_cols: str | list[str] = "lang",
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Sequence-packing plan: concatenate documents in ``id_col`` order
@@ -54,12 +54,15 @@ def pack_sequences(
     (documents straddle window boundaries; no padding).
 
     One cumulative-sum window per stratum: the shuffle key is the stratum
-    and the state is a running integer.  At 100 TB you pack within
-    partition-sized strata (shard × language), never one global stream —
-    the stratum column IS that shard key."""
+    and the state is a running integer.  Parallelism equals the stratum
+    count, so at 100 TB you pack within partition-sized strata — pass
+    ``["lang", "shard"]`` (a deterministic hash shard alongside language),
+    never one global stream; a 4-language corpus packed by ``lang`` alone
+    serializes through 4 tasks."""
+    cols = [strata_cols] if isinstance(strata_cols, str) else list(strata_cols)
     n_tok = F.size(tokens("text"))
     w = (
-        Window.partitionBy(strata_col)
+        Window.partitionBy(*cols)
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -67,7 +70,7 @@ def pack_sequences(
     cum_before = cum - n_tok
     return documents.select(
         id_col,
-        strata_col,
+        *cols,
         n_tok.alias("n_tokens"),
         F.floor(cum_before / ctx_tokens).cast("long").alias("start_bin"),
         (cum_before % ctx_tokens).cast("long").alias("start_offset"),

@@ -71,6 +71,7 @@ def training_order(
     n_shards: int = 8,
     salt: str = "epoch-0",
     id_col: str = "doc_id",
+    bucket_chars: int = 2,
 ) -> DataFrame:
     """Deterministic global shuffle for training: assign each document a
     (shard, position) so readers stream shards independently in a
@@ -81,19 +82,48 @@ def training_order(
 
     Portability: shard and rank both derive from ``md5(salt || id)``;
     shard uses ascii arithmetic on the first two hex chars (``ascii`` and
-    ``md5`` exist in every engine — no bigint hex parsing), rank is a
-    per-shard row_number over (digest, id).  One window per shard: the
-    shuffle key is the shard, state is a running counter — exactly
-    n_shards-way parallel at any corpus size."""
+    ``md5`` exist in every engine — no bigint hex parsing).
+
+    Ranking is two-level so parallelism is NOT bounded by ``n_shards``
+    (a single per-shard ``row_number`` would sort 1/n_shards of a 100 TB
+    corpus through one task): documents are ranked within hex-prefix
+    buckets (``16**bucket_chars``-way parallel window), then a per-shard
+    running sum of bucket sizes — at most ``16**bucket_chars`` rows,
+    computed on the reused bucket exchange and broadcast back — offsets
+    each bucket's local ranks into the exact global per-shard position.
+    Because the bucket is the leading prefix of the sort key ``(h, id)``
+    and (for ``bucket_chars >= 2``) determines the shard, the result is
+    bit-identical to the single-window rank at any ``bucket_chars``;
+    raise it to 3-4 at cluster scale for 4096/65536-way parallelism."""
+    if bucket_chars < 2:
+        raise ValueError("bucket_chars must be >= 2 (bucket must determine shard)")
     h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")).cast("binary"))
     shard = F.pmod(
         F.ascii(F.substring(h, 1, 1)) * 31 + F.ascii(F.substring(h, 2, 1)),
         F.lit(n_shards),
     )
-    d = documents.select(F.col(id_col), h.alias("h"), shard.alias("shard"))
-    w = Window.partitionBy("shard").orderBy("h", id_col)
-    return d.select(
-        id_col, "shard", F.row_number().over(w).alias("pos")
+    d = documents.select(
+        F.col(id_col),
+        h.alias("h"),
+        shard.alias("shard"),
+        F.substring(h, 1, bucket_chars).alias("bkt"),
+    )
+    wb = Window.partitionBy("bkt").orderBy("h", id_col)
+    ranked = d.withColumn("bkt_pos", F.row_number().over(wb))
+    # bucket sizes: grouping keys are a superset of the window's partition
+    # key, so this aggregates on the already-shuffled exchange (no second
+    # scan); the offsets table is <= 16**bucket_chars rows.
+    counts = ranked.groupBy("shard", "bkt").agg(F.count(F.lit(1)).alias("n"))
+    woff = (
+        Window.partitionBy("shard")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "bkt", F.coalesce(F.sum("n").over(woff), F.lit(0)).alias("off")
+    )
+    return ranked.join(F.broadcast(offsets), "bkt").select(
+        id_col, "shard", (F.col("off") + F.col("bkt_pos")).alias("pos")
     )
 
 

@@ -1063,30 +1063,42 @@ def q_doc_chunks(spark: SparkSession, sf: str) -> DataFrame:
     """
     WITH t AS (
       SELECT doc_id, lang,
+             (ascii(substring(md5('pack' || CAST(doc_id AS VARCHAR)), 1, 1)) * 31
+              + ascii(substring(md5('pack' || CAST(doc_id AS VARCHAR)), 2, 1))) % 8
+               AS shard,
              len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
                              x -> x <> '')) AS n_tokens
       FROM documents
     ), c AS (
-      SELECT doc_id, lang, n_tokens,
+      SELECT doc_id, lang, shard, n_tokens,
              SUM(n_tokens) OVER (
-               PARTITION BY lang ORDER BY doc_id
+               PARTITION BY lang, shard ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
              ) - n_tokens AS cum_before
       FROM t
     )
-    SELECT doc_id, lang, n_tokens,
+    SELECT doc_id, lang, shard, n_tokens,
            CAST(cum_before // 512 AS BIGINT) AS start_bin,
            CAST(cum_before % 512 AS BIGINT) AS start_offset
     FROM c
     """,
     doc="LLM-pipeline sequence packing: concat-then-slice plan locating "
     "each document's first token in 512-token context windows, packed "
-    "per language shard (one cumsum window per stratum).",
+    "per (lang, hash-shard) stratum — the stratum count, not the language "
+    "count, is the parallelism, so it scales with the cluster.",
 )
 def q_pack_plan(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.chunking import pack_sequences
 
-    return pack_sequences(_t(spark, sf, "documents"), 512, "lang")
+    docs = _t(spark, sf, "documents")
+    h = F.md5(F.concat(F.lit("pack"), F.col("doc_id").cast("string")).cast("binary"))
+    shard = F.pmod(
+        F.ascii(F.substring(h, 1, 1)) * 31 + F.ascii(F.substring(h, 2, 1)),
+        F.lit(8),
+    )
+    return pack_sequences(
+        docs.withColumn("shard", shard), 512, ["lang", "shard"]
+    )
 
 
 @register(

@@ -81,3 +81,70 @@ def test_source_mix_shares_sum_to_one(spark, sf_smoke):
     assert abs(sum(r["doc_share"] for r in rows) - 1.0) < 1e-4
     assert abs(sum(r["token_share"] for r in rows) - 1.0) < 1e-4
     assert all(r["n_docs"] > 0 and r["n_tokens"] > 0 for r in rows)
+
+
+def test_training_order_two_level_rank_is_bit_equal_to_single_window(
+    spark, sf_smoke
+):
+    """The bucketed two-level rank must reproduce the per-shard single
+    window row_number exactly, for any bucket width."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_smoke, "documents")
+    h = F.md5(F.concat(F.lit("epoch-0"), F.col("doc_id").cast("string")).cast("binary"))
+    shard = F.pmod(
+        F.ascii(F.substring(h, 1, 1)) * 31 + F.ascii(F.substring(h, 2, 1)), F.lit(8)
+    )
+    ref = (
+        docs.select(F.col("doc_id"), h.alias("h"), shard.alias("shard"))
+        .select(
+            "doc_id",
+            "shard",
+            F.row_number()
+            .over(Window.partitionBy("shard").orderBy("h", "doc_id"))
+            .cast("long")
+            .alias("pos"),
+        )
+    )
+    expected = {(r.doc_id, r.shard, r.pos) for r in ref.collect()}
+    for bucket_chars in (2, 3):
+        got = {
+            (r.doc_id, r.shard, r.pos)
+            for r in training_order(docs, 8, "epoch-0", bucket_chars=bucket_chars).collect()
+        }
+        assert got == expected, f"bucket_chars={bucket_chars}"
+
+
+def test_training_order_parallelism_exceeds_shard_count(spark, sf_smoke):
+    """Scale guard: the heavy rank window partitions on the hex-prefix
+    bucket (16^bucket_chars-way), not on the 8 shards, and the offset
+    table joins back as a broadcast."""
+    from market_data_ingestion_scraper_spark.plans import explain_str
+
+    docs = load_table(spark, sf_smoke, "documents")
+    df = training_order(docs, 8, "epoch-0", bucket_chars=3)
+    txt = explain_str(df)
+    win = [ln for ln in txt.splitlines() if "row_number()" in ln]
+    assert win and all("bkt" in ln for ln in win), "rank must partition by bkt"
+    assert "BroadcastHashJoin" in txt or "BroadcastExchange" in txt
+    n_buckets = df.select("pos").count()  # materialize
+    distinct_bkts = (
+        docs.select(
+            F.substring(
+                F.md5(F.concat(F.lit("epoch-0"), F.col("doc_id").cast("string")).cast("binary")),
+                1, 3,
+            ).alias("b")
+        ).distinct().count()
+    )
+    assert distinct_bkts > 8 * 8, distinct_bkts
+
+
+def test_pack_plan_strata_scale_with_shards(spark, sf_smoke):
+    """The registered pack plan strates by (lang, shard): stratum count —
+    the packing parallelism — must far exceed the language count."""
+    from market_data_ingestion_scraper_spark.queries import REGISTRY
+
+    df = REGISTRY["pack_plan"].fn(spark, sf_smoke)
+    strata = df.select("lang", "shard").distinct().count()
+    langs = df.select("lang").distinct().count()
+    assert strata > 3 * langs, (strata, langs)
