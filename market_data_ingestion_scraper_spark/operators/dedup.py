@@ -67,28 +67,11 @@ def portable_token_hash(w: Column) -> Column:
 PORTABLE_HASH_SQL = "(('0x' || substring(md5({w}), 1, 8))::BIGINT % 2147483647)"
 
 
-def shingles(
-    text: Column | str = "text", k: int = 3, portable: bool = False
-) -> Column:
-    """Word k-gram shingle set hashed into the 31-bit prime field.
-
-    Hash each token once (O(n)), then combine k consecutive token hashes
-    arithmetically per position (O(n·k) integer ops).  The naive
-    slice+concat formulation is O(n²) array copies + string building per
-    document and measured 6.3 s single-threaded on 5 k docs — this shape is
-    pure field arithmetic over ``F.get`` lookups, no allocations.  Docs
-    with < k tokens yield an empty shingle set (null grams filtered).
-
-    ``portable=True`` swaps the xxhash64 token hash for
-    :func:`portable_token_hash`, making every downstream signature value
-    reproducible in the DuckDB oracle (used by the registered LSH query);
-    xxhash64 stays the throughput default."""
-    tok_hash = (
-        portable_token_hash
-        if portable
-        else (lambda w: F.pmod(F.xxhash64(w), F.lit(HASH_P)))
-    )
-    th = F.transform(tokens(text), tok_hash)
+def _gram_array(th: Column, k: int) -> Column:
+    """Distinct k-gram field elements from an array of token hashes:
+    combine k consecutive hashes arithmetically per position (O(n·k)
+    integer ops, no allocations).  Arrays shorter than k yield an empty
+    set (out-of-bounds ``F.get`` is null under ANSI; null grams filtered)."""
     n = F.size(th)
 
     def gram(i: Column) -> Column:
@@ -99,6 +82,69 @@ def shingles(
 
     grams = F.transform(F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))), gram)
     return F.array_distinct(F.filter(grams, lambda g: g.isNotNull()))
+
+
+def shingles(
+    text: Column | str = "text", k: int = 3, portable: bool = False
+) -> Column:
+    """Word k-gram shingle set hashed into the 31-bit prime field.
+
+    Hash each token once (O(n)), then combine k consecutive token hashes
+    arithmetically per position.  The naive slice+concat formulation is
+    O(n²) array copies + string building per document and measured 6.3 s
+    single-threaded on 5 k docs — this shape is pure field arithmetic over
+    ``F.get`` lookups.  Docs with < k tokens yield an empty shingle set.
+
+    ``portable=True`` swaps the xxhash64 token hash for
+    :func:`portable_token_hash`, making every downstream signature value
+    reproducible in the DuckDB oracle; xxhash64 stays the throughput
+    default.  NOTE: this column form pays the token hash per OCCURRENCE —
+    for the md5-based portable hash prefer the dictionary-based table form
+    (:func:`hashed_shingle_table`), which hashes each distinct token once."""
+    tok_hash = (
+        portable_token_hash
+        if portable
+        else (lambda w: F.pmod(F.xxhash64(w), F.lit(HASH_P)))
+    )
+    return _gram_array(F.transform(tokens(text), tok_hash), k)
+
+
+def hashed_shingle_table(
+    documents: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exploded (id, shingle-hash) table with the PORTABLE token hash paid
+    once per DISTINCT token instead of once per occurrence.
+
+    md5+conv cost a large constant per call and Zipf makes occurrences ≫
+    vocabulary, so: posexplode tokens → distinct-token dictionary (md5
+    only here) → hash join back → rebuild each document's positional
+    hash array → compose k-grams.  Signature values are identical to
+    ``shingles(..., portable=True)`` — same field arithmetic, same oracle
+    SQL.  The dictionary is corpus-bounded (vocabulary, not occurrences);
+    at fixture scale it broadcasts, at 100 TB it is a shuffle join that
+    still beats hashing every occurrence on CPU."""
+    occ = documents.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "w")
+    )
+    vocab = occ.select("w").distinct().select(
+        "w", portable_token_hash(F.col("w")).alias("hw")
+    )
+    rebuilt = (
+        occ.join(vocab, "w")
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "hw"))),
+                lambda s: s.hw,
+            ).alias("hs")
+        )
+    )
+    return rebuilt.select(
+        F.col(id_col), F.explode(_gram_array(F.col("hs"), k)).alias("x")
+    )
 
 
 def minhash_signature(text: Column | str = "text", k: int = 3) -> Column:
@@ -131,11 +177,18 @@ def minhash_table(
     per document (the groupBy shuffle is a hard materialization barrier no
     CollapseProject can cross), and the shuffle carries (id, 64 longs) —
     not shingle sets, not text.  Docs with no shingles (empty text) get the
-    sentinel signature via a left join."""
+    sentinel signature via a left join.
+
+    The portable path goes through :func:`hashed_shingle_table` so the
+    md5 token hash is paid per distinct token, not per occurrence —
+    identical signature values, ~vocabulary/occurrences of the hash CPU."""
     documents = _spread(documents)
-    hashed = documents.select(
-        F.col(id_col), F.explode(shingles(text_col, k, portable)).alias("x")
-    )
+    if portable:
+        hashed = hashed_shingle_table(documents, k, id_col, text_col)
+    else:
+        hashed = documents.select(
+            F.col(id_col), F.explode(shingles(text_col, k, portable)).alias("x")
+        )
     mins = hashed.groupBy(id_col).agg(
         *[
             F.min((F.lit(a) * F.col("x") + F.lit(b)) % HASH_P).alias(f"m{i}")
