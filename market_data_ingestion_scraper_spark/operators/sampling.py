@@ -31,7 +31,18 @@ def uniform_hash_sample(
     rows.  The threshold is a hex-PREFIX comparison (lexicographic on the
     lowercase digest), so the identical expression runs in any engine —
     no bigint hex parsing needed.  Pure projection+filter — scales with
-    scan bandwidth."""
+    scan bandwidth.
+
+    The prefix comparison is only well-defined for thresholds below
+    16^6 (6 hex chars): at rate_ppm=1_000_000 the threshold would format
+    to the 7-char string '1000000' and the lexicographic compare would
+    keep only digests starting with '0'.  Rates >= 1e6 therefore
+    short-circuit to the full frame, and out-of-range rates are
+    rejected."""
+    if not 0 <= rate_ppm <= 1_000_000:
+        raise ValueError(f"rate_ppm must be in [0, 1_000_000], got {rate_ppm}")
+    if rate_ppm == 1_000_000:
+        return df
     threshold = format(rate_ppm * 16**6 // 1_000_000, "06x")
     h6 = F.substring(
         F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")).cast("binary")),

@@ -65,6 +65,20 @@ def test_sampling_is_partition_invariant(spark, sf_smoke):
     assert len(sa) == 5 * n_langs  # exact quota per stratum
 
 
+def test_uniform_sample_rate_bounds(spark, sf_smoke):
+    import pytest
+
+    docs = load_table(spark, sf_smoke, "documents")
+    n = docs.count()
+    # rate 1e6 == keep everything (the hex-prefix compare can't express it)
+    assert S.uniform_hash_sample(docs, 1_000_000).count() == n
+    assert S.uniform_hash_sample(docs, 0).count() == 0
+    with pytest.raises(ValueError):
+        S.uniform_hash_sample(docs, 1_000_001)
+    with pytest.raises(ValueError):
+        S.uniform_hash_sample(docs, -1)
+
+
 def test_repetition_scores_edges(spark):
     docs = spark.createDataFrame(
         [
