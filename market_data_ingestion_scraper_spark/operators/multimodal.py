@@ -157,17 +157,33 @@ def sample_frames(media: DataFrame, every_ms: int = 500) -> DataFrame:
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out: dict[str, list] = {"media_id": [], "frame_idx": [], "frame_ts_ms": [], "frame": []}
-            for _, row in pdf.iterrows():
-                duration = row["meta"]["duration_ms"] or 0
-                for j, ts in enumerate(range(0, duration, every_ms)):
-                    out["media_id"].append(row["media_id"])
-                    out["frame_idx"].append(j)
-                    out["frame_ts_ms"].append(ts)
-                    out["frame"].append(
-                        hashlib.sha256(bytes(row["payload"]) + j.to_bytes(4, "big")).digest()
-                    )
-            yield pd.DataFrame(out)
+            # Vectorized row expansion: per-row frame count → np.repeat
+            # builds the (media_id, payload) spine and a cumsum trick
+            # yields the within-row frame index, all in C.  Only the
+            # per-frame digest (the stand-in for real frame decode, which
+            # would dominate anyway) touches Python.
+            durations = np.array(
+                [(m["duration_ms"] or 0) for m in pdf["meta"]], dtype=np.int64
+            )
+            counts = (durations + every_ms - 1) // every_ms
+            media_id = np.repeat(pdf["media_id"].to_numpy(), counts)
+            payloads = np.repeat(pdf["payload"].to_numpy(), counts)
+            frame_idx = np.arange(counts.sum(), dtype=np.int64) - np.repeat(
+                np.cumsum(counts) - counts, counts
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": media_id,
+                    "frame_idx": frame_idx,
+                    "frame_ts_ms": frame_idx * every_ms,
+                    "frame": [
+                        hashlib.sha256(
+                            bytes(p) + int(j).to_bytes(4, "big")
+                        ).digest()
+                        for p, j in zip(payloads, frame_idx)
+                    ],
+                }
+            )
 
     return media.filter(F.col("kind") == "video").mapInPandas(op, out_schema)
 

@@ -36,14 +36,17 @@ def uniform_hash_sample(
     The prefix comparison is only well-defined for thresholds below
     16^6 (6 hex chars): at rate_ppm=1_000_000 the threshold would format
     to the 7-char string '1000000' and the lexicographic compare would
-    keep only digests starting with '0'.  Rates >= 1e6 therefore
-    short-circuit to the full frame, and out-of-range rates are
-    rejected."""
+    keep only digests starting with '0'.  That rate instead uses the
+    sentinel threshold 'g' — lexicographically above every hex digest —
+    so ALL rates share one code path and one semantics: a NULL key never
+    samples (null digest fails the comparison) at any rate, including
+    1e6.  Out-of-range rates are rejected."""
     if not 0 <= rate_ppm <= 1_000_000:
         raise ValueError(f"rate_ppm must be in [0, 1_000_000], got {rate_ppm}")
     if rate_ppm == 1_000_000:
-        return df
-    threshold = format(rate_ppm * 16**6 // 1_000_000, "06x")
+        threshold = "g"
+    else:
+        threshold = format(rate_ppm * 16**6 // 1_000_000, "06x")
     h6 = F.substring(
         F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")).cast("binary")),
         1,

@@ -1664,12 +1664,23 @@ def q_salted(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "grouped_pandas_price_stats",
-    None,  # UDAF via applyInPandas: float sum order inside pandas is not
-    # reproducible against SQL decimal sums → rows-only; equivalence to the
-    # built-in aggregation is asserted (with tolerance) in tests.
+    """
+    SELECT p_brand,
+           ROUND(CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+                 / SUM(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0,
+                 6) AS weighted_avg_price,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
     doc="UDAF surface (§2.11): per-brand weighted average price via "
     "applyInPandas one-row-per-group output — the Arrow-batched escape "
-    "hatch for aggregations built-ins can't express.",
+    "hatch for aggregations built-ins can't express.  Oracle-checkable "
+    "because the pandas group sums in int64 micro-units (prices and "
+    "quantities are 2-dp decimals), so the sum is order-independent and "
+    "the single final division matches DuckDB's BIGINT arithmetic "
+    "bit-for-bit.",
 )
 def q_grouped_pandas(spark: SparkSession, sf: str) -> DataFrame:
     import pandas as pd
@@ -1680,13 +1691,17 @@ def q_grouped_pandas(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     def stats(pdf: pd.DataFrame) -> pd.DataFrame:
-        w = pdf["l_quantity"].sum()
+        # Exact integer arithmetic: 2-dp values scaled to int64 cents, so
+        # the sum is the same in any accumulation order and the one float
+        # division at the end mirrors the oracle's BIGINT/BIGINT/100.0.
+        price_c = (pdf["l_extendedprice"] * 100).round().astype("int64")
+        qty_c = (pdf["l_quantity"] * 100).round().astype("int64")
+        w = int(qty_c.sum())
         return pd.DataFrame(
             {
                 "p_brand": [pdf["p_brand"].iloc[0]],
                 "weighted_avg_price": [
-                    float((pdf["l_extendedprice"] * pdf["l_quantity"]).sum() / w)
-                    if w else None
+                    float((price_c * qty_c).sum()) / w / 100.0 if w else None
                 ],
                 "n_lines": [len(pdf)],
             }
@@ -1696,8 +1711,16 @@ def q_grouped_pandas(spark: SparkSession, sf: str) -> DataFrame:
     # coalesces the ~25-brand shuffle to a handful of tasks (and python
     # workers); an explicit repartition(n, key) would pin n full tasks
     # and disable that coalescing.
-    return joined.groupBy("p_brand").applyInPandas(
+    out = joined.groupBy("p_brand").applyInPandas(
         stats, "p_brand string, weighted_avg_price double, n_lines long"
+    )
+    # Rounding stays JVM-side: F.round (HALF_UP) matches DuckDB ROUND,
+    # while Python's round() is banker's — rounding inside the pandas
+    # group would diverge on ties.
+    return out.select(
+        "p_brand",
+        F.round("weighted_avg_price", 6).alias("weighted_avg_price"),
+        "n_lines",
     )
 
 
@@ -1922,33 +1945,17 @@ def q_range_join(spark: SparkSession, sf: str) -> DataFrame:
 # queries, and finally entries whose evidence already exists elsewhere
 # (rows-only demos pinned by pytest, long-stable double-green rows).
 GATE_PRIORITY: tuple[str, ...] = (
-    # never had a gate row in any round (registered past the window)
-    "minhash_lsh_candidates",
-    "ngram_jaccard_near_dups",
-    "near_dup_clusters",
-    "jaccard_ssjoin_near_dups",
-    "simhash_near_dups",
-    "per_doc_term_counts",
-    "sliding_hourly_avg",
-    "clicks_recent_purchase",
-    "asof_last_purchase",
-    "range_join_value_bands",
-    # green in r01 only — rotated back in for a fresh row
-    "embedding_norms",
-    "cosine_topk_bruteforce",
-    "salted_qty_by_flag",
-    "validate_documents",
-    # red in r02 (HUGEINT oracle dtype, fixed) — must re-check
-    "source_mix",
-    "quality_funnel",
-    # rows-only ops that have never produced a non-err gate row
-    "multimodal_features",
-    "video_frame_sample",
-)
-
-# Long-stable double-green (r01+r02) rows and rows-only demos whose
-# behavior is pytest-pinned; parked past the snapshot window this round.
-GATE_DEFERRED: tuple[str, ...] = (
+    # r4 rotation: everything parked in r03 comes back in (nothing may go
+    # >2 rounds without a fresh gate row).  approx_profile first — it has
+    # NEVER produced a gate row of any kind (r03 verdict, X6).
+    "approx_profile",
+    # rows-only demos that were parked in r03
+    "lsh_topk_ann",
+    "ivf_topk_ann",
+    "embedding_near_dups",
+    # first-ever oracle this round (int micro-unit UDAF) — must be gated
+    "grouped_pandas_price_stats",
+    # oracle-green r01/r02, last verified 2 rounds ago
     "rollup_revenue",
     "pivot_status_qty",
     "cube_revenue",
@@ -1965,11 +1972,32 @@ GATE_DEFERRED: tuple[str, ...] = (
     "commodity_lookup",
     "scalar_date_scan",
     "brands_never_shipped_1998",
-    "lsh_topk_ann",
-    "ivf_topk_ann",
-    "embedding_near_dups",
-    "grouped_pandas_price_stats",
-    "approx_profile",
+)
+
+# Fresh r03-green rows (CORRECTNESS_r03: 48 oracle-green + 2 rows-only
+# non-err) parked past the snapshot window this round; rotate back by r06.
+GATE_DEFERRED: tuple[str, ...] = (
+    "minhash_lsh_candidates",
+    "ngram_jaccard_near_dups",
+    "near_dup_clusters",
+    "jaccard_ssjoin_near_dups",
+    "simhash_near_dups",
+    "per_doc_term_counts",
+    "sliding_hourly_avg",
+    "clicks_recent_purchase",
+    "asof_last_purchase",
+    "range_join_value_bands",
+    "embedding_norms",
+    "cosine_topk_bruteforce",
+    "salted_qty_by_flag",
+    "validate_documents",
+    "source_mix",
+    "quality_funnel",
+    "multimodal_features",
+    "video_frame_sample",
+    "dedup_exact_groups",
+    "dedup_content_hash",
+    "term_frequencies",
 )
 
 

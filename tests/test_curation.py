@@ -70,13 +70,24 @@ def test_uniform_sample_rate_bounds(spark, sf_smoke):
 
     docs = load_table(spark, sf_smoke, "documents")
     n = docs.count()
-    # rate 1e6 == keep everything (the hex-prefix compare can't express it)
+    # rate 1e6 keeps every non-null key (sentinel threshold 'g')
     assert S.uniform_hash_sample(docs, 1_000_000).count() == n
     assert S.uniform_hash_sample(docs, 0).count() == 0
     with pytest.raises(ValueError):
         S.uniform_hash_sample(docs, 1_000_001)
     with pytest.raises(ValueError):
         S.uniform_hash_sample(docs, -1)
+    # NULL keys never sample — at ANY rate, including 1e6 (one code path;
+    # previously the 1e6 short-circuit returned null-key rows that every
+    # lower rate dropped)
+    withnull = spark.createDataFrame(
+        [(1,), (2,), (None,)], "doc_id bigint"
+    )
+    assert S.uniform_hash_sample(withnull, 1_000_000).count() == 2
+    kept_ids = {
+        r["doc_id"] for r in S.uniform_hash_sample(withnull, 1_000_000).collect()
+    }
+    assert kept_ids == {1, 2}
 
 
 def test_repetition_scores_edges(spark):
