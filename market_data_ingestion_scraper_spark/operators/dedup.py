@@ -27,21 +27,8 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .spread import spread_scan as _spread  # noqa: F401  (re-exported: decontam)
 from .text import HASH_P, tokens
-
-
-def _spread(df: DataFrame) -> DataFrame:
-    """Spread a small-file scan across the cluster before heavy per-row
-    compute.  Fixture tables arrive as one parquet file → one partition →
-    single-threaded signature computation; at 100 TB the scan is naturally
-    split into thousands of partitions, so the repartition is SKIPPED there
-    (an unconditional ``repartition`` would be a full shuffle of the corpus
-    for nothing).  Correctness is partition-independent everywhere in this
-    module by construction."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
-        return df
-    return df.repartition(target)
 
 # Deterministic MinHash permutation parameters (seeded — reproducible runs).
 N_HASHES = 64

@@ -38,15 +38,7 @@ def _dbl(v: Column) -> Column:
     return F.transform(v, lambda x: x.cast("double"))
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Spread a single-file corpus scan across cores before per-row vector
-    math (see operators.dedup._spread — same rationale).  Conditional: a
-    scan that already has enough partitions (the 100 TB case) passes
-    through untouched — no shuffle."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
-        return df
-    return df.repartition(target)
+from .spread import spread_scan as _spread
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -176,6 +168,7 @@ def lsh_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    corpus_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """ANN top-k via multi-table hyperplane LSH: L independent hash tables
     of b sign-bits each; a corpus vector is a candidate if it collides with
@@ -188,9 +181,20 @@ def lsh_topk(
     corpus per query; raise b (and L) as the target similarity rises —
     near-dup search (cos≥0.9) sustains b=12+ at a tiny fraction of the
     corpus.  Tables add candidates, so cost is tunable, recall measured
-    against brute force in tests."""
+    against brute force in tests.
+
+    ``corpus_buckets`` mirrors ``ivf_topk(centroids=)``: the corpus-side
+    bucket assignment IS the LSH index build — at 100 TB you compute it
+    once (``bucket_table(corpus, ..., seed_base=1000)``), persist it
+    partitioned by (t, bucket), and amortize it over every query; only the
+    query-side signatures + the candidate join are per-query cost.  When
+    omitted the index is built inline (self-contained on fixtures)."""
     corpus = _spread(embeddings)
-    c_b = bucket_table(corpus, id_col, vec_col, n_planes, n_tables, dim, 1000).select(
+    if corpus_buckets is None:
+        corpus_buckets = bucket_table(
+            corpus, id_col, vec_col, n_planes, n_tables, dim, 1000
+        )
+    c_b = corpus_buckets.select(
         F.col(id_col).alias("neighbor_id"), "t", "bucket"
     )
     q_b = bucket_table(queries, id_col, vec_col, n_planes, n_tables, dim, 1000).select(
@@ -372,14 +376,27 @@ def embedding_near_duplicates(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    corpus_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """X2 embedding-cosine near-dup: self-join within multi-table LSH
     buckets only, keep pairs with cosine ≥ threshold.  At cos 0.95 a pair
     matches an 8-bit table with ≈0.43 probability; over 6 tables recall
     ≈0.96, while each table's buckets hold ~n/256 of the corpus — no
-    crossJoin anywhere."""
+    crossJoin anywhere.
+
+    ``corpus_buckets`` accepts a precomputed index (see :func:`lsh_topk`,
+    seed_base=7000 here).  The inline build persists the bucket table
+    before the self-join — without that marker both join sides recompute
+    the full signature pipeline (the table is rows × n_tables of fixed
+    longs, so the cache is tiny even at corpus scale; a production run
+    would write it out partitioned by (t, bucket) instead)."""
     corpus = _spread(embeddings)
-    banded = bucket_table(corpus, id_col, vec_col, n_planes, n_tables, dim, 7000)
+    if corpus_buckets is not None:
+        banded = corpus_buckets
+    else:
+        banded = bucket_table(
+            corpus, id_col, vec_col, n_planes, n_tables, dim, 7000
+        ).persist()
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
         l.join(

@@ -131,11 +131,11 @@ def repetition_scores(documents: DataFrame, k: int = 3) -> DataFrame:
     rep = F.when(
         total > 0, F.round(F.lit(1.0) - n_distinct / total, 6)
     ).otherwise(F.lit(0.0))
-    # conditional local spread (see operators.dedup._spread): the fixture
-    # scan is one partition; at scale this is a no-op pass-through
-    target = documents.sparkSession.sparkContext.defaultParallelism
-    if documents.rdd.getNumPartitions() < target:
-        documents = documents.repartition(target)
+    # conditional local spread (see operators.spread): the fixture scan is
+    # one partition; at scale this is a no-op pass-through
+    from .spread import spread_scan
+
+    documents = spread_scan(documents)
     return documents.select(
         "doc_id",
         total.alias("n_grams"),

@@ -93,18 +93,22 @@ def test_asof_join_is_single_window_pass(spark):
     assert rep.n_broadcast_joins == 0 and rep.n_sortmerge_joins == 0, rep.summary()
 
 
-def test_spread_skips_repartition_when_already_parallel(spark):
-    # _spread must be a pass-through (no Exchange) once the scan is already
-    # split across >= defaultParallelism partitions — at 100 TB every scan
-    # is, and an unconditional repartition would shuffle the whole corpus.
-    from market_data_ingestion_scraper_spark.operators.dedup import _spread
+def test_spread_skips_repartition_when_already_parallel(spark, tmp_path):
+    # spread_scan must be a pass-through (no Exchange) once the scan reads
+    # >= defaultParallelism files — at 100 TB every scan does, and an
+    # unconditional repartition would shuffle the whole corpus.  The probe
+    # reads file counts from the analyzed plan, never via .rdd (which costs
+    # an extra analysis pass per query on the driver).
+    from market_data_ingestion_scraper_spark.operators.spread import spread_scan
 
     target = spark.sparkContext.defaultParallelism
-    wide = spark.range(0, 10_000, numPartitions=target * 2)
-    assert _spread(wide) is wide  # no new plan node at all
+    p = str(tmp_path / "wide.parquet")
+    spark.range(0, 10_000).repartition(target * 2).write.parquet(p)
+    wide = spark.read.parquet(p)
+    assert spread_scan(wide) is wide  # no new plan node at all
 
-    narrow = spark.range(0, 10_000, numPartitions=1)
-    spread = _spread(narrow)
+    narrow = spark.range(0, 10_000, numPartitions=1)  # no input files
+    spread = spread_scan(narrow)
     assert spread is not narrow
     assert spread.rdd.getNumPartitions() == target
 
@@ -148,3 +152,65 @@ def test_quality_funnel_single_pass(spark):
     assert txt.count("FileScan parquet") == 1, txt
     rep = plan_report(_plan(spark, "quality_funnel"))
     assert rep.has_partial_agg, rep.summary()
+
+
+# ---- pinned shapes for the bench-expensive queries (r03 verdict item 4):
+# a plan regression here must fail CI, not surface as a mystery bench delta.
+
+
+def _shuffle_count(spark, name):
+    with aqe_disabled(spark):
+        txt = explain_str(_plan(spark, name), "simple")
+    return (
+        txt.count("Exchange") - txt.count("BroadcastExchange"),
+        txt.count("BroadcastExchange"),
+        txt,
+    )
+
+
+def test_repetition_scores_is_projection_only(spark):
+    # pure per-row projection: the ONLY exchange is the fixture-width
+    # spread (RoundRobin — a pass-through on a many-file scan at scale);
+    # no join, no aggregation shuffle.
+    n_shuffle, n_bcast, txt = _shuffle_count(spark, "repetition_scores")
+    assert n_shuffle == 1 and "RoundRobinPartitioning" in txt, txt
+    assert n_bcast == 0 and "Join" not in txt, txt
+
+
+def test_decontam_broadcasts_grams_corpus_never_shuffles(spark):
+    # benchmark grams broadcast (corpus side never hash-partitions for the
+    # join); remaining exchanges are the spread + the bench-side distinct +
+    # the final per-doc aggregation — all bounded, none corpus-wide.
+    n_shuffle, n_bcast, txt = _shuffle_count(spark, "benchmark_decontam")
+    assert n_bcast >= 1, txt
+    assert "SortMergeJoin" not in txt and "CartesianProduct" not in txt, txt
+    assert n_shuffle <= 4, txt
+
+
+def test_lsh_topk_all_joins_hash_or_broadcast(spark):
+    # multi-table LSH: every join is an equi-join (bucket/pos/id); the
+    # query side always broadcasts; corpus-side work never sorts or
+    # nest-loops.
+    n_shuffle, n_bcast, txt = _shuffle_count(spark, "lsh_topk_ann")
+    assert n_bcast >= 2, txt
+    assert "SortMergeJoin" not in txt, txt
+    assert "CartesianProduct" not in txt and "BroadcastNestedLoopJoin" not in txt, txt
+    assert n_shuffle <= 10, txt
+
+
+def test_near_dup_clusters_no_cartesian_anywhere(spark):
+    # iterative min-label propagation: the final lineage stacks one join
+    # pair per round, but every single one must stay an equi-join — a
+    # cartesian in ANY round is the scale-killer this pins against.
+    with aqe_disabled(spark):
+        txt = explain_str(_plan(spark, "near_dup_clusters"), "simple")
+    assert "CartesianProduct" not in txt, txt
+    assert "BroadcastNestedLoopJoin" not in txt, txt
+
+
+def test_grouped_pandas_broadcasts_dim_single_group_shuffle(spark):
+    # UDAF path: part dimension broadcasts into the fact scan; exactly one
+    # hash exchange (the group key) feeds FlatMapGroupsInPandas.
+    n_shuffle, n_bcast, txt = _shuffle_count(spark, "grouped_pandas_price_stats")
+    assert n_bcast == 1 and "SortMergeJoin" not in txt, txt
+    assert n_shuffle == 1 and "FlatMapGroupsInPandas" in txt, txt
