@@ -24,7 +24,10 @@ This module re-expresses that contract over *landed HTML files*:
 Divergences from the reference, both guards it lacks: rows whose cell
 count does not match the header count are dropped (bs4 + pandas would
 throw mid-scrape), and files whose headers differ from the expected set
-are skipped rather than mis-aligned by position.
+are skipped rather than mis-aligned by position (``mode="strict"``), or
+matched by header name under the caller's superset schema with missing
+values null (``mode="union"`` — the reference's pages carry per-commodity
+header variants, ``scraper/table_scraper.py:16``).
 """
 
 from __future__ import annotations
@@ -136,19 +139,58 @@ def parse_alltable(html: str) -> tuple[list[str], list[list[str]]] | None:
     return p.headers, p.rows
 
 
+def _project_rows(
+    hdrs: list[str],
+    rows: list[list[str]],
+    expected: list[str],
+    mode: str,
+) -> list[tuple[int, list[str | None]]] | None:
+    """Map one parsed page onto the ``expected`` header schema.
+
+    ``strict``: headers must equal ``expected`` exactly (order included) —
+    anything else skips the file, the original guard.  ``union``: the
+    reference scrapes whatever headers a commodity page has
+    (``scraper/table_scraper.py:16`` — per-page variants), so rows are
+    matched to expected columns BY NAME: missing headers yield null,
+    reordered headers land correctly, headers outside ``expected`` are
+    dropped (the caller's list is the declared superset — a static Spark
+    schema cannot widen mid-scan).  SURVEY §1.3's
+    ``unionByName(allowMissingColumns=True)`` decision, applied at the
+    parse boundary.
+
+    Returns (row_idx, cells) pairs — row_idx is the ORIGINAL body-row
+    index, so dropped malformed rows leave visible gaps in the lineage."""
+    if mode == "strict":
+        if hdrs != expected:
+            return None
+        return [(i, list(r)) for i, r in enumerate(rows) if len(r) == len(expected)]
+    pos = {h: i for i, h in enumerate(hdrs)}
+    return [
+        (i, [r[pos[h]] if h in pos else None for h in expected])
+        for i, r in enumerate(rows)
+        if len(r) == len(hdrs)
+    ]
+
+
 def read_html_tables(
     spark: SparkSession,
     path: str,
     headers: list[str],
     columns: list[str] | None = None,
+    mode: str = "strict",
 ) -> DataFrame:
     """Scan a directory/glob of landed HTML files into string rows.
 
-    ``headers`` is the expected ``th.header`` text list (the schema rule);
-    files whose extracted headers differ are skipped.  Output columns are
-    ``columns`` (default: the headers), all strings, plus ``src_file`` and
-    ``row_idx`` lineage — feed the result to ``operators.ingest.normalize``
-    for typing, exactly as the parquet raw layer."""
+    ``headers`` is the expected ``th.header`` text list (the schema rule).
+    ``mode="strict"`` (default) skips files whose extracted headers differ;
+    ``mode="union"`` accepts header variants, matching columns by name
+    under the ``headers`` superset with missing values null (see
+    :func:`_project_rows`).  Output columns are ``columns`` (default: the
+    headers), all strings, plus ``src_file`` and ``row_idx`` lineage —
+    feed the result to ``operators.ingest.normalize`` for typing, exactly
+    as the parquet raw layer."""
+    if mode not in ("strict", "union"):
+        raise ValueError(f"mode must be 'strict' or 'union', got {mode!r}")
     cols = list(columns or headers)
     if len(cols) != len(headers):
         raise ValueError("columns must match headers length")
@@ -167,12 +209,12 @@ def read_html_tables(
                 if parsed is None:
                     continue
                 hdrs, rows = parsed
-                if hdrs != expected:
+                projected = _project_rows(hdrs, rows, expected, mode)
+                if projected is None:
                     continue
                 fname = os.path.basename(str(path_))
-                for i, r in enumerate(rows):
-                    if len(r) == len(expected):
-                        recs.append((*r, fname, i))
+                for i, r in projected:
+                    recs.append((*r, fname, i))
             yield pd.DataFrame(recs, columns=names)
 
     files = (
@@ -229,6 +271,9 @@ class HtmlTableReader(DataSourceReader):
         self.path = options["path"]
         self.headers = _json.loads(options["headers"])
         self.columns = _json.loads(options.get("columns") or "null") or self.headers
+        self.mode = options.get("mode", "strict")
+        if self.mode not in ("strict", "union"):
+            raise ValueError(f"mode must be 'strict' or 'union', got {self.mode!r}")
 
     def partitions(self):  # one task per landed page
         pattern = os.path.join(self.path, "*.html")
@@ -240,22 +285,23 @@ class HtmlTableReader(DataSourceReader):
         if parsed is None:
             return
         hdrs, rows = parsed
-        if hdrs != self.headers:
+        projected = _project_rows(hdrs, rows, self.headers, self.mode)
+        if projected is None:
             return
         fname = os.path.basename(partition.path)
-        for i, r in enumerate(rows):
-            if len(r) == len(self.headers):
-                yield (*r, fname, i)
+        for i, r in projected:
+            yield (*r, fname, i)
 
 
 class HtmlTableDataSource(DataSource):
     """``format("htmltable")``: scan a directory of landed HTML pages into
     string rows under the reference's table contract (S1 —
     ``table_scraper.py:9-38``).  Options: ``path`` (directory), ``headers``
-    (JSON list of expected ``th.header`` texts — the schema rule), and
-    optional ``columns`` (JSON list of output names).  Output schema is all
-    strings plus ``src_file``/``row_idx`` lineage, exactly like
-    :func:`read_html_tables`."""
+    (JSON list of expected ``th.header`` texts — the schema rule), optional
+    ``columns`` (JSON list of output names), and optional ``mode``
+    (``strict`` default / ``union`` for by-name header-drift tolerance).
+    Output schema is all strings plus ``src_file``/``row_idx`` lineage,
+    exactly like :func:`read_html_tables`."""
 
     @classmethod
     def name(cls) -> str:

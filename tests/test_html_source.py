@@ -75,6 +75,67 @@ def test_distributed_scan_skips_foreign_and_ragged(spark, tmp_path):
     assert df.columns == ["k", "v", "src_file", "row_idx"]
 
 
+def test_union_mode_accepts_header_variants(spark, tmp_path):
+    # the reference scrapes whatever headers a commodity page carries
+    # (table_scraper.py:16); mode='union' lands variant pages by header
+    # NAME under the caller's superset schema instead of skipping them
+    (tmp_path / "full.html").write_text(
+        render_alltable(["K", "V", "W"], [["1", "one", "uno"]])
+    )
+    (tmp_path / "missing_col.html").write_text(  # no W header → null
+        render_alltable(["K", "V"], [["2", "two"]])
+    )
+    (tmp_path / "reordered.html").write_text(  # order differs → by-name map
+        render_alltable(["V", "K", "W"], [["three", "3", "tres"]])
+    )
+    (tmp_path / "extra_col.html").write_text(  # header outside superset dropped
+        render_alltable(["K", "V", "W", "Z"], [["4", "four", "cuatro", "zz"]])
+    )
+    superset = ["K", "V", "W"]
+    union = read_html_tables(spark, str(tmp_path), superset, mode="union")
+    got = {(r["K"], r["V"], r["W"]) for r in union.collect()}
+    assert got == {
+        ("1", "one", "uno"),
+        ("2", "two", None),
+        ("3", "three", "tres"),
+        ("4", "four", "cuatro"),
+    }
+    # strict mode is unchanged: only the exact-header page lands
+    strict = read_html_tables(spark, str(tmp_path), superset)
+    assert {(r["K"], r["V"], r["W"]) for r in strict.collect()} == {
+        ("1", "one", "uno")
+    }
+
+
+def test_union_mode_datasource_matches_helper(spark, tmp_path):
+    import json
+
+    from market_data_ingestion_scraper_spark.sources.html_table import (
+        HtmlTableDataSource,
+    )
+
+    (tmp_path / "full.html").write_text(
+        render_alltable(["K", "V"], [["1", "one"]])
+    )
+    (tmp_path / "variant.html").write_text(render_alltable(["V"], [["solo"]]))
+    spark.dataSource.register(HtmlTableDataSource)
+    df = (
+        spark.read.format("htmltable")
+        .option("path", str(tmp_path))
+        .option("headers", json.dumps(["K", "V"]))
+        .option("mode", "union")
+        .load()
+    )
+    got = {tuple(r) for r in df.select("K", "V").collect()}
+    want = {
+        tuple(r)
+        for r in read_html_tables(
+            spark, str(tmp_path), ["K", "V"], mode="union"
+        ).select("K", "V").collect()
+    }
+    assert got == want == {("1", "one"), (None, "solo")}
+
+
 def test_datasource_format_matches_mapinpandas_path(spark, tmp_path):
     import json
 
