@@ -67,34 +67,52 @@ def term_frequencies(documents: DataFrame) -> DataFrame:
 def quality_features(documents: DataFrame) -> DataFrame:
     """Per-document quality signals: char/token counts, average token
     length, punctuation ratio, stopword ratio, and a composite score.
-    All ratios rounded for cross-engine reproducibility."""
+    All ratios rounded for cross-engine reproducibility.
+
+    Staged through aliased columns so the tokenizer and each ratio run
+    once per row — a single Project would inline the token array into
+    every downstream reference (see :func:`repetition_scores`)."""
     t = tokens("text")
-    n_tok = F.size(t)
-    n_chars = F.length("text")
-    n_punct = n_chars - F.length(F.regexp_replace("text", r"[^\w\s]", ""))
     en = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
-    n_stop = F.size(F.filter(t, lambda w: F.array_contains(en, w)))
-    avg_tok = F.round(
-        F.aggregate(t, F.lit(0), lambda a, w: a + F.length(w))
-        / F.greatest(n_tok, F.lit(1)),
-        6,
+    raw = documents.select(
+        "doc_id",
+        F.length("text").alias("_n_chars"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", r"[^\w\s]", ""))
+        ).alias("_n_punct"),
+        F.size(t).alias("_n_tok"),
+        F.aggregate(t, F.lit(0), lambda a, w: a + F.length(w)).alias("_tok_len"),
+        F.size(F.filter(t, lambda w: F.array_contains(en, w))).alias("_n_stop"),
     )
-    stop_ratio = F.round(n_stop / F.greatest(n_tok, F.lit(1)), 6)
-    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6)
+    ratios = raw.select(
+        "doc_id",
+        "_n_chars",
+        "_n_tok",
+        F.round(
+            F.col("_tok_len") / F.greatest(F.col("_n_tok"), F.lit(1)), 6
+        ).alias("_avg_tok"),
+        F.round(
+            F.col("_n_punct") / F.greatest(F.col("_n_chars"), F.lit(1)), 6
+        ).alias("_punct_ratio"),
+        F.round(
+            F.col("_n_stop") / F.greatest(F.col("_n_tok"), F.lit(1)), 6
+        ).alias("_stop_ratio"),
+    )
     # Composite: long-enough, low-punctuation, some stopwords → "clean text".
     score = F.round(
-        F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.5
-        + (F.lit(1.0) - punct_ratio) * 0.3
-        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.2,
+        F.least(F.col("_n_tok") / F.lit(100.0), F.lit(1.0)) * 0.5
+        + (F.lit(1.0) - F.col("_punct_ratio")) * 0.3
+        + F.least(F.col("_stop_ratio") * 5.0, F.lit(1.0)) * 0.2,
         6,
     )
-    return documents.select(
+    return ratios.select(
         "doc_id",
-        n_chars.alias("n_chars_obs"),
-        n_tok.alias("n_tokens"),
-        avg_tok.alias("avg_token_len"),
-        punct_ratio.alias("punct_ratio"),
-        stop_ratio.alias("stopword_ratio"),
+        F.col("_n_chars").alias("n_chars_obs"),
+        F.col("_n_tok").alias("n_tokens"),
+        F.col("_avg_tok").alias("avg_token_len"),
+        F.col("_punct_ratio").alias("punct_ratio"),
+        F.col("_stop_ratio").alias("stopword_ratio"),
         score.alias("quality_score"),
     )
 
@@ -111,16 +129,35 @@ def repetition_scores(documents: DataFrame, k: int = 3) -> DataFrame:
     slice+concat string building, which is O(n²) array copies per doc and
     measured ~10 s single-threaded on the 5k-doc fixture.  The distinct
     count equals the string-gram distinct count absent 31-bit collisions
-    — the same (oracle-verified) identity the Jaccard family rests on."""
-    t = tokens("text")
-    th = F.transform(t, lambda w: F.pmod(F.xxhash64(w), F.lit(HASH_P)))
-    n = F.size(t)
+    — the same (oracle-verified) identity the Jaccard family rests on.
+
+    The computation is staged through aliased columns on purpose: a
+    single Project would inline the token-hash array into every ``F.get``
+    inside the gram lambda, and lambda bodies re-evaluate their subtrees
+    PER ELEMENT — tokenizing the document once per gram position turned
+    the projection O(n²) (this was the dominant cost in the r03 plan).
+    Catalyst's CollapseProject keeps the stages separate because each
+    intermediate alias is non-cheap and referenced more than once, so the
+    hash array materializes exactly once per row."""
+    # conditional local spread (see operators.spread): the fixture scan is
+    # one partition; at scale this is a no-op pass-through
+    from .spread import spread_scan
+
+    documents = spread_scan(documents)
+
+    th = F.transform(
+        tokens("text"), lambda w: F.pmod(F.xxhash64(w), F.lit(HASH_P))
+    )
+    hashed = documents.select("doc_id", th.alias("_th"))
+
+    ta = F.col("_th")
+    n = F.size(ta)
     total = F.greatest(n - (k - 1), F.lit(0))
 
     def gram(i):  # 0-based start; null past the end (ANSI-safe F.get)
-        acc = F.get(th, i)
+        acc = F.get(ta, i)
         for j in range(1, k):
-            acc = (acc * 131 + F.get(th, i + j)) % HASH_P
+            acc = (acc * 131 + F.get(ta, i + j)) % HASH_P
         return acc
 
     grams = F.transform(F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))), gram)
@@ -128,19 +165,17 @@ def repetition_scores(documents: DataFrame, k: int = 3) -> DataFrame:
         n >= k,
         F.size(F.array_distinct(F.filter(grams, lambda g: g.isNotNull()))),
     ).otherwise(F.lit(0))
-    rep = F.when(
-        total > 0, F.round(F.lit(1.0) - n_distinct / total, 6)
-    ).otherwise(F.lit(0.0))
-    # conditional local spread (see operators.spread): the fixture scan is
-    # one partition; at scale this is a no-op pass-through
-    from .spread import spread_scan
-
-    documents = spread_scan(documents)
-    return documents.select(
+    counted = hashed.select(
         "doc_id",
         total.alias("n_grams"),
         n_distinct.alias("n_distinct_grams"),
-        rep.alias("repetition_ratio"),
+    )
+    rep = F.when(
+        F.col("n_grams") > 0,
+        F.round(F.lit(1.0) - F.col("n_distinct_grams") / F.col("n_grams"), 6),
+    ).otherwise(F.lit(0.0))
+    return counted.select(
+        "doc_id", "n_grams", "n_distinct_grams", rep.alias("repetition_ratio")
     )
 
 
@@ -171,23 +206,37 @@ def scrub_pii(documents: DataFrame, text_col: str = "text") -> DataFrame:
 def language_id(documents: DataFrame) -> DataFrame:
     """Stopword-intersection language ID: score = |tokens ∩ stopwords(lang)|
     per language; argmax with deterministic alphabetical tie-break.
-    A per-row projection — no shuffle, scales linearly."""
-    t = tokens("text")
+    A per-row projection — no shuffle, scales linearly.
+
+    Staged: tokens once, then one score column per language, then the
+    argmax over plain column references.  A single Project would inline
+    the tokenizer into every score AND every score into both ``greatest``
+    and each branch of the tie-break chain — tens of tokenizer runs per
+    row (see :func:`repetition_scores`)."""
+    toks = documents.select(
+        "doc_id", "lang", tokens("text").alias("_toks")
+    )
+    langs = sorted(LANG_STOPWORDS)  # alphabetical order = tie-break order
 
     def _score(words: tuple[str, ...]) -> Column:
         arr = F.array(*[F.lit(x) for x in words])
-        return F.size(F.filter(t, lambda w: F.array_contains(arr, w)))
+        return F.size(F.filter(F.col("_toks"), lambda w: F.array_contains(arr, w)))
 
-    scores = {lang: _score(words) for lang, words in LANG_STOPWORDS.items()}
-    langs = sorted(scores)  # alphabetical order = tie-break order
-    best = F.greatest(*[scores[lang] for lang in langs])
+    scored = toks.select(
+        "doc_id",
+        "lang",
+        *[_score(LANG_STOPWORDS[lang]).alias(f"_s_{lang}") for lang in langs],
+    )
+    best = F.greatest(*[F.col(f"_s_{lang}") for lang in langs])
+    with_best = scored.select("doc_id", "lang", *[f"_s_{lang}" for lang in langs],
+                              best.alias("_best"))
     pred = None
     for lang in reversed(langs):
-        cond = scores[lang] == best
+        cond = F.col(f"_s_{lang}") == F.col("_best")
         pred = F.when(cond, lang) if pred is None else F.when(cond, lang).otherwise(pred)
     # reversed + overwrite-on-match makes the FIRST alphabetical max win
-    return documents.select(
-        "doc_id", "lang", pred.alias("pred_lang"), best.alias("best_score")
+    return with_best.select(
+        "doc_id", "lang", pred.alias("pred_lang"), F.col("_best").alias("best_score")
     )
 
 
