@@ -54,21 +54,38 @@ def portable_token_hash(w: Column) -> Column:
 PORTABLE_HASH_SQL = "(('0x' || substring(md5({w}), 1, 8))::BIGINT % 2147483647)"
 
 
+def _let(value: Column, body) -> Column:
+    """Bind ``value`` once per row, evaluate ``body`` on the bound variable
+    — ``transform`` over a single-element array.  Catalyst inlines repeated
+    expression references textually, and higher-order lambda bodies
+    re-evaluate their subtrees PER ELEMENT — so an expensive array
+    expression referenced inside a per-element lambda (``F.get(th, i)`` in
+    a gram builder) is otherwise recomputed for every element: O(n²) per
+    row.  A lambda variable reference is a bound-value lookup, O(1)."""
+    return F.get(F.transform(F.array(value), body), 0)
+
+
 def _gram_array(th: Column, k: int) -> Column:
     """Distinct k-gram field elements from an array of token hashes:
     combine k consecutive hashes arithmetically per position (O(n·k)
     integer ops, no allocations).  Arrays shorter than k yield an empty
-    set (out-of-bounds ``F.get`` is null under ANSI; null grams filtered)."""
-    n = F.size(th)
+    set (out-of-bounds ``F.get`` is null under ANSI; null grams filtered).
+    ``th`` is let-bound so it evaluates once per row even when callers
+    pass a full tokenize+hash expression."""
 
-    def gram(i: Column) -> Column:
-        acc = F.get(th, i)  # 0-based, null out-of-bounds (ANSI-safe)
-        for j in range(1, k):
-            acc = (acc * 131 + F.get(th, i + j)) % HASH_P
-        return acc
+    def build(tha: Column) -> Column:
+        n = F.size(tha)
 
-    grams = F.transform(F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))), gram)
-    return F.array_distinct(F.filter(grams, lambda g: g.isNotNull()))
+        def gram(i: Column) -> Column:
+            acc = F.get(tha, i)  # 0-based, null out-of-bounds (ANSI-safe)
+            for j in range(1, k):
+                acc = (acc * 131 + F.get(tha, i + j)) % HASH_P
+            return acc
+
+        grams = F.transform(F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))), gram)
+        return F.array_distinct(F.filter(grams, lambda g: g.isNotNull()))
+
+    return _let(th, build)
 
 
 def shingles(
@@ -140,13 +157,19 @@ def minhash_signature(text: Column | str = "text", k: int = 3) -> Column:
     Column form — fine for single use, but NOTE: Catalyst's CollapseProject
     will inline this whole expression into every downstream reference
     (e.g. 16 LSH band keys → 16 recomputations).  Pipelines use
-    ``minhash_table`` instead, whose groupBy is a materialization barrier."""
-    sh = shingles(text, k)
+    ``minhash_table`` instead, whose groupBy is a materialization barrier.
+    Internally the shingle set is let-bound so the 64 permutations share
+    one shingling pass per row."""
 
-    def _minhash(a: int, b: int) -> Column:
-        return F.array_min(F.transform(sh, lambda x: (F.lit(a) * x + F.lit(b)) % HASH_P))
+    def build(sha: Column) -> Column:
+        def _minhash(a: int, b: int) -> Column:
+            return F.array_min(
+                F.transform(sha, lambda x: (F.lit(a) * x + F.lit(b)) % HASH_P)
+            )
 
-    return F.array(*[F.coalesce(_minhash(a, b), F.lit(HASH_P)) for a, b in _AB])
+        return F.array(*[F.coalesce(_minhash(a, b), F.lit(HASH_P)) for a, b in _AB])
+
+    return _let(shingles(text, k), build)
 
 
 def minhash_table(
@@ -223,6 +246,10 @@ def lsh_candidate_pairs(
         ).alias("bk"),
     ).select(id_col, "sig", "bk.band", "bk.key")
 
+    # One MinHash pass, not two: the banded table feeds both sides of the
+    # self-join; without the cache marker each side re-runs the whole
+    # shingle+signature pipeline.  rows × n_bands of (id, sig, key) longs.
+    banded = banded.persist()
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -268,7 +295,11 @@ def exact_jaccard_pairs(
         .distinct()
     )
     docs = documents.join(cand_ids, id_col, "left_semi")
-    sh = _spread(docs).select(F.col(id_col), shingles("text", k).alias("sh"))
+    # Shingle each candidate document once — the pair join references this
+    # table twice (sh_a and sh_b sides).
+    sh = _spread(docs).select(
+        F.col(id_col), shingles("text", k).alias("sh")
+    ).persist()
     out = (
         candidates.join(sh.withColumnsRenamed({id_col: "doc_a", "sh": "sh_a"}), "doc_a")
         .join(sh.withColumnsRenamed({id_col: "doc_b", "sh": "sh_b"}), "doc_b")
@@ -305,15 +336,20 @@ def string_shingles(text: Column | str = "text", k: int = 3) -> Column:
     twin can build byte-identical shingles); the hashed form
     (:func:`shingles`) is the scale path — same semantics modulo 31-bit
     collisions, but the explode/shuffle carries 8-byte longs instead of
-    strings.  Docs with < k tokens yield an empty set."""
-    t = tokens(text)
-    n = F.size(t)
-    grams = F.transform(
-        F.sequence(F.lit(1), n - (k - 1)),
-        lambda i: F.concat_ws(" ", F.slice(t, i, k)),
-    )
-    # sequence(1, n-k+1) counts DOWN when n < k — guard to an empty slice
-    return F.when(n >= k, F.array_distinct(grams)).otherwise(F.slice(t, 1, 0))
+    strings.  Docs with < k tokens yield an empty set.  Tokens are
+    let-bound: the slice inside the gram lambda would otherwise re-run
+    the tokenizer per gram position (O(n²) per row)."""
+
+    def build(t: Column) -> Column:
+        n = F.size(t)
+        grams = F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(t, i, k)),
+        )
+        # sequence(1, n-k+1) counts DOWN when n < k — guard to an empty slice
+        return F.when(n >= k, F.array_distinct(grams)).otherwise(F.slice(t, 1, 0))
+
+    return _let(tokens(text), build)
 
 
 def jaccard_similarity_join(
@@ -361,6 +397,10 @@ def jaccard_similarity_join(
         ex = ex.join(keep, "s")
         sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
         ex = ex.drop("sz").join(sizes, id_col)
+    # Materialize the inverted index once: both self-join sides (and the
+    # max_df df-count) otherwise recompute the full shingling pipeline.
+    # A production 100 TB run writes this table out instead of caching.
+    ex = ex.persist()
     l, r = ex.alias("l"), ex.alias("r")
     pairs = (
         l.join(
@@ -548,7 +588,9 @@ def simhash_near_duplicates(
     surviving pairs are deduped — on correlated corpora (shared vocabulary)
     chunk buckets are big, so filtering before the distinct is the
     difference between deduping thousands of rows and tens of millions."""
-    sh = simhash_table(documents, id_col=id_col, portable=portable)
+    # One SimHash pass, not three: distinct_sh and both expansion sides
+    # reference this table — one long per document, tiny to cache.
+    sh = simhash_table(documents, id_col=id_col, portable=portable).persist()
     distinct_sh = sh.select("sh").distinct()
     chunked = distinct_sh.select(
         "sh",

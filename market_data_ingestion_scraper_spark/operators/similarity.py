@@ -57,6 +57,31 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(da, db) / (l2_norm(da) * l2_norm(db))
 
 
+def _scoring_side(
+    df: DataFrame, id_col: str, vec_col: str, out_id: str, suffix: str
+) -> DataFrame:
+    """Per-row projection of one join side for cosine scoring: the casted
+    double vector plus its L2 norm.  Norms depend on one row only, so they
+    are computed ONCE per row here instead of once per candidate pair
+    inside the scoring join (the inline ``cosine(q, n)`` form evaluated
+    two casts and two norms per pair — pure per-pair overhead)."""
+    d = _dbl(F.col(vec_col))
+    return df.select(
+        F.col(id_col).alias(out_id),
+        d.alias(f"_v{suffix}"),
+        l2_norm(d).alias(f"_n{suffix}"),
+    )
+
+
+def _pair_cosine() -> Column:
+    """cos over :func:`_scoring_side` columns — identical arithmetic to
+    ``cosine`` (dot / (norm_a * norm_b)), with the per-side factors read
+    from columns."""
+    return F.round(
+        dot(F.col("_vq"), F.col("_vn")) / (F.col("_nq") * F.col("_nn")), 6
+    ).alias("cos_sim")
+
+
 def embedding_norms(embeddings: DataFrame) -> DataFrame:
     """X5 vector profiling: L2 norm per embedding, rounded for parity."""
     return embeddings.select(
@@ -74,20 +99,12 @@ def brute_force_topk(
     """Exact cosine top-k: broadcast the query set against the corpus,
     rank per query.  Ties broken by neighbor id; cosine rounded to 6dp
     *before* ranking so ordering is reproducible across engines."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    )
-    c = _spread(embeddings).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec")
-    )
+    q = _scoring_side(queries, id_col, vec_col, "query_id", "q")
+    c = _scoring_side(_spread(embeddings), id_col, vec_col, "neighbor_id", "n")
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6).alias("cos_sim"),
-        )
+        .select("query_id", "neighbor_id", _pair_cosine())
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
@@ -206,16 +223,12 @@ def lsh_topk(
         .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    c_vec = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec"))
-    q_vec = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    c_vec = _scoring_side(corpus, id_col, vec_col, "neighbor_id", "n")
+    q_vec = _scoring_side(queries, id_col, vec_col, "query_id", "q")
     scored = (
         cand.join(c_vec, "neighbor_id")
         .join(F.broadcast(q_vec), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6).alias("cos_sim"),
-        )
+        .select("query_id", "neighbor_id", _pair_cosine())
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -345,20 +358,16 @@ def ivf_topk(
         .filter(F.col("cr") <= n_probe)
         .select("query_id", "cell")
     )
-    c = _spread(embeddings).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec")
-    ).join(c_cell, "neighbor_id")
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    ).join(q_cell, "query_id")
+    c = _scoring_side(_spread(embeddings), id_col, vec_col, "neighbor_id", "n").join(
+        c_cell, "neighbor_id"
+    )
+    q = _scoring_side(queries, id_col, vec_col, "query_id", "q").join(
+        q_cell, "query_id"
+    )
     scored = (
         c.join(F.broadcast(q), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6).alias("cos_sim"),
-        )
+        .select("query_id", "neighbor_id", _pair_cosine())
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -411,15 +420,11 @@ def embedding_near_duplicates(
         )
         .dropDuplicates(["vec_a", "vec_b"])
     )
-    va = corpus.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
-    vb = corpus.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
+    va = _scoring_side(corpus, id_col, vec_col, "vec_a", "q")
+    vb = _scoring_side(corpus, id_col, vec_col, "vec_b", "n")
     return (
         cand.join(va, "vec_a")
         .join(vb, "vec_b")
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
-        )
+        .select("vec_a", "vec_b", _pair_cosine())
         .filter(F.col("cos_sim") >= threshold)
     )
