@@ -428,3 +428,63 @@ def embedding_near_duplicates(
         .select("vec_a", "vec_b", _pair_cosine())
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def label_centroid_elements(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label element-wise mean embedding, long form: one row per
+    (label, dim position) with the centroid value — class prototypes for
+    clustering-based curation / nearest-centroid labeling.
+
+    Exactness: each float is promoted to double, scaled to integer
+    micro-units, and SUMmed as int64 — summation-order-independent, so
+    Spark at any parallelism and a SQL oracle agree bit-for-bit (the same
+    trick every exact-sum aggregate in this repo uses).  The mean divides
+    once at the end in double and rounds to 6 dp.
+
+    Scale: posexplode → groupBy(label, pos) is one shuffle carrying
+    (label, dim, partial-sum) after map-side combine — bounded by
+    |labels| x dims per partition, not corpus size."""
+    ex = embeddings.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("pos", "_val"),
+    )
+    micro = ex.select(
+        "label",
+        "pos",
+        F.round(F.col("_val").cast("double") * 1e6).cast("long").alias("_m"),
+    )
+    per = micro.groupBy("label", "pos").agg(
+        F.sum("_m").alias("_s"), F.count(F.lit(1)).alias("n_vecs")
+    )
+    return per.select(
+        "label",
+        "pos",
+        "n_vecs",
+        F.round(F.col("_s").cast("double") / 1e6 / F.col("n_vecs"), 6).alias(
+            "centroid_val"
+        ),
+    )
+
+
+def label_centroids(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Array-form wrapper over :func:`label_centroid_elements`: one row per
+    label with the centroid as ``array<double>`` (ordered by dim) — the
+    shape downstream ANN/IVF components consume.  collect_list is made
+    order-deterministic by sorting (pos, val) structs."""
+    el = label_centroid_elements(embeddings, label_col, vec_col)
+    assembled = el.groupBy("label").agg(
+        F.max("n_vecs").alias("n_vecs"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "centroid_val"))),
+            lambda s: s["centroid_val"],
+        ).alias("centroid"),
+    )
+    return assembled

@@ -179,6 +179,101 @@ def repetition_scores(documents: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+# Gopher-rule stopword probe (Rae et al. 2021, §A1.1): a document must
+# contain at least two of these common English words to pass the rule.
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_rules(documents: DataFrame) -> DataFrame:
+    """Gopher-style quality-filter rule flags (Rae et al. 2021 §A1.1),
+    the published heuristic gate most LLM data pipelines run before
+    training: per document, compute the rule features and an integer
+    flag per rule plus the composite ``keep``.
+
+    Rules implemented (the subset meaningful for plain text bodies):
+    word count in [50, 100 000]; mean word length in [3, 10]; >= 80 % of
+    words contain an alphabetic character; >= 2 hits from an 8-word
+    common-English stopword probe.
+
+    Pure per-row projection (no shuffle; scan-bandwidth-bound at 100 TB).
+    Staged through aliased columns so the tokenizer runs once per row
+    (see :func:`repetition_scores` for the re-evaluation rule)."""
+    t = tokens("text")
+    stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    raw = documents.select(
+        "doc_id",
+        F.size(t).alias("n_words"),
+        F.aggregate(t, F.lit(0), lambda a, w: a + F.length(w)).alias("_len_sum"),
+        F.size(F.filter(t, lambda w: w.rlike("[a-z]"))).alias("_n_alpha"),
+        F.size(F.filter(t, lambda w: F.array_contains(stop_arr, w))).alias(
+            "n_stop_hits"
+        ),
+    )
+    feats = raw.select(
+        "doc_id",
+        "n_words",
+        "n_stop_hits",
+        F.round(
+            F.col("_len_sum") / F.greatest(F.col("n_words"), F.lit(1)), 6
+        ).alias("mean_word_len"),
+        F.round(
+            F.col("_n_alpha") / F.greatest(F.col("n_words"), F.lit(1)), 6
+        ).alias("frac_alpha_words"),
+    )
+    ok_count = F.col("n_words").between(50, 100_000)
+    ok_len = F.col("mean_word_len").between(3.0, 10.0)
+    ok_alpha = F.col("frac_alpha_words") >= 0.8
+    ok_stops = F.col("n_stop_hits") >= 2
+    flagged = feats.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "frac_alpha_words",
+        "n_stop_hits",
+        ok_count.cast("int").alias("ok_word_count"),
+        ok_len.cast("int").alias("ok_mean_len"),
+        ok_alpha.cast("int").alias("ok_alpha"),
+        ok_stops.cast("int").alias("ok_stops"),
+    )
+    keep = (
+        F.col("ok_word_count")
+        * F.col("ok_mean_len")
+        * F.col("ok_alpha")
+        * F.col("ok_stops")
+    )
+    return flagged.withColumn("keep", keep.cast("int"))
+
+
+def boilerplate_grams(
+    documents: DataFrame, k: int = 5, min_docs: int = 2
+) -> DataFrame:
+    """Boilerplate detection: word ``k``-grams occurring in >= ``min_docs``
+    DISTINCT documents, with their document frequency — the discovery
+    stage of repeated-span removal (the line-dedup analog for corpora
+    whose duplication unit is a phrase, not a line).
+
+    Dataflow: per-doc DISTINCT shingles (``string_shingles`` — so a plain
+    COUNT(*) after the explode IS the document frequency; no expensive
+    count-distinct agg) → explode → groupBy(gram) with map-side combine.
+    The shuffle carries (gram, partial_count) pairs bounded by the
+    distinct-gram vocabulary per partition, not corpus size; at 100 TB
+    the gram strings would shuffle as 8-byte ``xxhash64`` keys instead
+    (the :func:`~.dedup.shingles` hashed path), with the string kept only
+    for the surviving boilerplate rows."""
+    from .dedup import string_shingles
+
+    grams = documents.select(
+        "doc_id", F.explode(string_shingles("text", k)).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_docs)
+    )
+
+
 # PII patterns: email and international-ish phone numbers.  Character-class
 # only (no lookaround, no shorthand classes that differ between RE2/PCRE/
 # Java) so the identical pattern string runs in Spark AND the DuckDB oracle.

@@ -1952,6 +1952,105 @@ def q_range_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------ r4 curation additions
+
+@register(
+    "gopher_quality_rules",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+    feat AS (
+      SELECT doc_id,
+             len(ts) AS n_words,
+             len(list_filter(ts, t -> list_contains(
+                 ['the','be','to','of','and','that','have','with'], t)))
+               AS n_stop_hits,
+             ROUND(CAST(COALESCE(list_sum(list_transform(ts, t -> length(t))), 0)
+                        AS DOUBLE) / greatest(len(ts), 1), 6) AS mean_word_len,
+             ROUND(CAST(len(list_filter(ts, t -> regexp_matches(t, '[a-z]')))
+                        AS DOUBLE) / greatest(len(ts), 1), 6) AS frac_alpha_words
+      FROM tok
+    )
+    SELECT doc_id, n_words, mean_word_len, frac_alpha_words, n_stop_hits,
+           CAST(n_words BETWEEN 50 AND 100000 AS INT) AS ok_word_count,
+           CAST(mean_word_len BETWEEN 3.0 AND 10.0 AS INT) AS ok_mean_len,
+           CAST(frac_alpha_words >= 0.8 AS INT) AS ok_alpha,
+           CAST(n_stop_hits >= 2 AS INT) AS ok_stops,
+           CAST(n_words BETWEEN 50 AND 100000 AS INT)
+             * CAST(mean_word_len BETWEEN 3.0 AND 10.0 AS INT)
+             * CAST(frac_alpha_words >= 0.8 AS INT)
+             * CAST(n_stop_hits >= 2 AS INT) AS keep
+    FROM feat
+    """,
+    doc="Gopher-rule quality gate (Rae et al. 2021 §A1.1 subset): word "
+    "count / mean word length / alpha fraction / stopword probe, one int "
+    "flag per rule plus composite keep.  Per-row projection, no shuffle.",
+)
+def q_gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.text import gopher_rules
+
+    return gopher_rules(_t(spark, sf, "documents"))
+
+
+@register(
+    "boilerplate_grams",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(ts) >= 5
+                  THEN list_distinct(list_transform(range(1, len(ts) - 3),
+                         i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                              || ' ' || ts[i+3] || ' ' || ts[i+4]))
+                  ELSE [] END AS shs
+      FROM tok
+    )
+    SELECT gram, COUNT(*) AS df
+    FROM (SELECT doc_id, unnest(shs) AS gram FROM sh)
+    GROUP BY gram HAVING COUNT(*) >= 2
+    """,
+    doc="Boilerplate span discovery: word 5-grams present in >= 2 distinct "
+    "documents with their document frequency (per-doc shingles are "
+    "DISTINCT, so COUNT(*) is the doc frequency — no count-distinct agg).",
+)
+def q_boilerplate_grams(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.text import boilerplate_grams
+
+    return boilerplate_grams(_t(spark, sf, "documents"), k=5, min_docs=2)
+
+
+@register(
+    "label_centroids",
+    """
+    WITH ex AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) - 1 AS pos,
+             unnest(embedding) AS val
+      FROM embeddings
+    ),
+    micro AS (
+      SELECT label, pos,
+             CAST(ROUND(CAST(val AS DOUBLE) * 1000000) AS BIGINT) AS m
+      FROM ex
+    ),
+    per AS (
+      SELECT label, pos,
+             CAST(SUM(m) AS BIGINT) AS s, COUNT(*) AS n_vecs
+      FROM micro GROUP BY label, pos
+    )
+    SELECT label, pos, n_vecs,
+           ROUND(CAST(s AS DOUBLE) / 1000000.0 / n_vecs, 6) AS centroid_val
+    FROM per
+    """,
+    doc="Per-label mean embedding (class prototypes), long form — exact "
+    "int64 micro-unit sums so any parallelism and the oracle agree "
+    "bit-for-bit; shuffle bounded by |labels| x dims after map-side combine.",
+)
+def q_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.similarity import label_centroid_elements
+
+    return label_centroid_elements(_t(spark, sf, "embeddings"))
+
+
 # The external correctness gate snapshots the FIRST 50 entries of the
 # queries() dict (observed r01/r02: entries past position 50 get no
 # correctness row at all).  Registration order in this file is topical, so
@@ -1964,6 +2063,10 @@ GATE_PRIORITY: tuple[str, ...] = (
     # >2 rounds without a fresh gate row).  approx_profile first — it has
     # NEVER produced a gate row of any kind (r03 verdict, X6).
     "approx_profile",
+    # new in r4 — need a first gate row
+    "gopher_quality_rules",
+    "boilerplate_grams",
+    "label_centroids",
     # rows-only demos that were parked in r03
     "lsh_topk_ann",
     "ivf_topk_ann",
@@ -1992,6 +2095,10 @@ GATE_PRIORITY: tuple[str, ...] = (
 # Fresh r03-green rows (CORRECTNESS_r03: 48 oracle-green + 2 rows-only
 # non-err) parked past the snapshot window this round; rotate back by r06.
 GATE_DEFERRED: tuple[str, ...] = (
+    # r03-green, parked to make window room for the three r4 additions
+    "pii_scrub",
+    "doc_fingerprints",
+    "uniform_hash_sample",
     "minhash_lsh_candidates",
     "ngram_jaccard_near_dups",
     "near_dup_clusters",

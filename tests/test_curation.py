@@ -114,3 +114,59 @@ def test_scrub_pii_redacts_and_counts(spark):
     assert row["n_emails"] == 1 and row["n_phones"] == 1
     assert "<EMAIL>" in row["scrubbed"] and "<PHONE>" in row["scrubbed"]
     assert "jane" not in row["scrubbed"] and "0100" not in row["scrubbed"]
+
+
+def test_gopher_rules_flags(spark):
+    good = " ".join(
+        ["the quick brown fox jumps over that lazy dog with great energy"] * 5
+    )  # 55 words, stopword hits, alpha
+    short = "the tiny doc with that"
+    no_stop = " ".join(["alpha beta gamma delta epsilon zeta eta theta"] * 7)
+    digits = " ".join(["12345 67890 11111 22222 33333 44444 55555 66666"] * 7)
+    docs = spark.createDataFrame(
+        [(0, good), (1, short), (2, no_stop), (3, digits)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in T.gopher_rules(docs).collect()}
+    assert out[0]["keep"] == 1 and out[0]["ok_word_count"] == 1
+    assert out[1]["keep"] == 0 and out[1]["ok_word_count"] == 0
+    assert out[1]["ok_stops"] == 1  # 'the'+'with'+'that'
+    assert out[2]["keep"] == 0 and out[2]["ok_stops"] == 0
+    assert out[2]["ok_alpha"] == 1
+    assert out[3]["ok_alpha"] == 0  # all-digit tokens
+    assert out[3]["ok_mean_len"] == 1  # 5-char words
+
+
+def test_boilerplate_grams_planted(spark):
+    shared = "subscribe to our newsletter for daily updates"
+    docs = spark.createDataFrame(
+        [
+            (0, f"first article body text {shared} more unique words here"),
+            (1, f"{shared} totally different second article content follows"),
+            # repeats the phrase twice IN ONE doc: must still count df=1
+            (2, f"unrelated {shared} padding {shared} trailing words"),
+            (3, "no overlap with anything else at all in this document"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["gram"]: r["df"] for r in T.boilerplate_grams(docs, k=5, min_docs=3).collect()}
+    assert out["subscribe to our newsletter for"] == 3  # docs 0,1,2 — not 4
+    assert all(df >= 3 for df in out.values())
+
+
+def test_label_centroids_array_form(spark):
+    from market_data_ingestion_scraper_spark.operators.similarity import (
+        label_centroids,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 2.0, 3.0], 7),
+            (1, [3.0, 0.0, 1.0], 7),
+            (2, [10.0, 20.0, 30.0], 8),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {r["label"]: r for r in label_centroids(emb).collect()}
+    assert out[7]["n_vecs"] == 2 and out[7]["centroid"] == [2.0, 1.0, 2.0]
+    assert out[8]["n_vecs"] == 1 and out[8]["centroid"] == [10.0, 20.0, 30.0]

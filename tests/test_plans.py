@@ -214,3 +214,31 @@ def test_grouped_pandas_broadcasts_dim_single_group_shuffle(spark):
     n_shuffle, n_bcast, txt = _shuffle_count(spark, "grouped_pandas_price_stats")
     assert n_bcast == 1 and "SortMergeJoin" not in txt, txt
     assert n_shuffle == 1 and "FlatMapGroupsInPandas" in txt, txt
+
+
+def test_gopher_rules_is_projection_only(spark):
+    # per-row rule flags: no exchange, no join — scan-bandwidth-bound
+    rep = plan_report(_plan(spark, "gopher_quality_rules"))
+    assert rep.n_shuffles == 0, rep.summary()
+    assert rep.n_broadcast_joins == 0 and rep.n_sortmerge_joins == 0
+
+
+def test_boilerplate_grams_single_agg_shuffle(spark):
+    # explode -> groupBy(gram): exactly one exchange, map-side combined,
+    # and a plain COUNT(*) (per-doc shingles are already distinct — a
+    # count-distinct agg here would be a second shuffle)
+    txt = explain_str(_plan(spark, "boilerplate_grams"), "simple")
+    assert txt.count("Exchange") == 1, txt
+    assert "Join" not in txt, txt
+    rep = plan_report(_plan(spark, "boilerplate_grams"))
+    assert rep.has_partial_agg, rep.summary()
+
+
+def test_label_centroids_single_agg_shuffle(spark):
+    # posexplode -> groupBy(label, pos): one exchange bounded by
+    # |labels| x dims after partial agg; no join
+    txt = explain_str(_plan(spark, "label_centroids"), "simple")
+    assert txt.count("Exchange") == 1, txt
+    assert "Join" not in txt, txt
+    rep = plan_report(_plan(spark, "label_centroids"))
+    assert rep.has_partial_agg, rep.summary()
