@@ -2059,43 +2059,8 @@ def q_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
 # queries, and finally entries whose evidence already exists elsewhere
 # (rows-only demos pinned by pytest, long-stable double-green rows).
 GATE_PRIORITY: tuple[str, ...] = (
-    # r4 rotation: everything parked in r03 comes back in (nothing may go
-    # >2 rounds without a fresh gate row).  approx_profile first — it has
-    # NEVER produced a gate row of any kind (r03 verdict, X6).
-    "approx_profile",
-    # new in r4 — need a first gate row
-    "gopher_quality_rules",
-    "boilerplate_grams",
-    "label_centroids",
-    # rows-only demos that were parked in r03
-    "lsh_topk_ann",
-    "ivf_topk_ann",
-    "embedding_near_dups",
-    # first-ever oracle this round (int micro-unit UDAF) — must be gated
-    "grouped_pandas_price_stats",
-    # oracle-green r01/r02, last verified 2 rounds ago
-    "rollup_revenue",
-    "pivot_status_qty",
-    "cube_revenue",
-    "quantity_percentiles",
-    "top_part_per_brand_maxby",
-    "shipping_lead_time",
-    "top3_parts_per_brand",
-    "revenue_rank_tiers",
-    "cumulative_monthly_volume",
-    "daily_price_delta",
-    "indexed_commodity_groups",
-    "union_day_slices",
-    "link_text_filter",
-    "commodity_lookup",
-    "scalar_date_scan",
-    "brands_never_shipped_1998",
-)
-
-# Fresh r03-green rows (CORRECTNESS_r03: 48 oracle-green + 2 rows-only
-# non-err) parked past the snapshot window this round; rotate back by r06.
-GATE_DEFERRED: tuple[str, ...] = (
-    # r03-green, parked to make window room for the three r4 additions
+    # r5 rotation: everything parked in r04 (last verified r03) comes back
+    # in — nothing may go >2 rounds without a fresh gate row.
     "pii_scrub",
     "doc_fingerprints",
     "uniform_hash_sample",
@@ -2120,6 +2085,69 @@ GATE_DEFERRED: tuple[str, ...] = (
     "dedup_exact_groups",
     "dedup_content_hash",
     "term_frequencies",
+    # new in r5 — need a first gate row
+    "token_counts",
+    "unigram_logprob_quality",
+    "paragraph_dup_stats",
+    "dup_paragraph_docs",
+)
+
+# Fresh r04-green rows (CORRECTNESS_r04: 45 oracle-green + 3 rows-only
+# non-err) parked past the snapshot window this round; rotate back by r07.
+# The front of this list still lands inside the 50-entry snapshot (50
+# minus len(GATE_PRIORITY) slots spill over), so order it oldest-evidence
+# first: the r01/r02-origin rollup/window family re-verifies again.
+GATE_DEFERRED: tuple[str, ...] = (
+    "rollup_revenue",
+    "pivot_status_qty",
+    "cube_revenue",
+    "quantity_percentiles",
+    "top_part_per_brand_maxby",
+    "shipping_lead_time",
+    "top3_parts_per_brand",
+    "revenue_rank_tiers",
+    "cumulative_monthly_volume",
+    "daily_price_delta",
+    "indexed_commodity_groups",
+    "union_day_slices",
+    "link_text_filter",
+    "commodity_lookup",
+    "scalar_date_scan",
+    "brands_never_shipped_1998",
+    "grouped_pandas_price_stats",
+    "approx_profile",
+    "lsh_topk_ann",
+    "ivf_topk_ann",
+    "embedding_near_dups",
+    "gopher_quality_rules",
+    "boilerplate_grams",
+    "label_centroids",
+    "top5_commodities",
+    "revenue_by_region",
+    "customers_without_orders",
+    "pricing_summary",
+    "priority_counts",
+    "count_data_rows",
+    "container_classification",
+    "completed_link_types",
+    "fully_covered_orders",
+    "sanitize_commodity_names",
+    "lineage_projection",
+    "parts_above_brand_avg",
+    "events_json_extract",
+    "events_daily_by_type",
+    "user_sessionization",
+    "tfidf_top_terms",
+    "text_quality",
+    "language_id",
+    "html_table_scan",
+    "html_table_scan_datasource",
+    "stratified_sample_by_lang",
+    "repetition_scores",
+    "doc_chunks",
+    "pack_plan",
+    "benchmark_decontam",
+    "training_order",
 )
 
 
