@@ -656,3 +656,77 @@ def content_hash_dedup(documents: DataFrame, text_col: str = "text") -> DataFram
         .groupBy("content_hash")
         .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
     )
+
+
+# ------------------------------------------------ paragraph-level dedup
+
+def paragraph_table(
+    documents: DataFrame, k: int = 10, id_col: str = "doc_id"
+) -> DataFrame:
+    """Explode each document into "paragraphs" keyed by md5 hash.
+
+    The fixture corpus carries no newlines (TESTDATA.md), so the paragraph
+    boundary here is positional: non-overlapping ``k``-token windows.  On a
+    real corpus the splitter is one line — ``split(text, '\\n\\n')`` — and
+    everything downstream is unchanged; the *mechanism* (explode + 16-byte
+    hash keys, never paragraph text, on the shuffle) is what scales.
+
+    Explode-only: no shuffle happens in this function."""
+    staged = documents.select(id_col, tokens("text").alias("_toks"))
+    npar = F.ceil(F.size("_toks") / F.lit(k)).cast("int")
+    idx = F.when(npar > 0, F.sequence(F.lit(0), npar - F.lit(1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    paras = F.transform(
+        idx, lambda i: F.array_join(F.slice("_toks", i * k + 1, k), " ")
+    )
+    return staged.select(
+        id_col, F.posexplode(paras).alias("para_idx", "para")
+    ).select(id_col, "para_idx", F.md5(F.col("para").cast("binary")).alias("para_hash"))
+
+
+def paragraph_dup_stats(documents: DataFrame, k: int = 10) -> DataFrame:
+    """Corpus-level paragraph duplication profile (the MassiveText /
+    RefinedWeb pre-dedup diagnostic): how many paragraph instances exist,
+    how many are distinct, how many instances belong to a repeated
+    paragraph, and the duplicate ratio.
+
+    Shape at 100 TB: explode → groupBy on the 16-byte hash (map-side
+    combined, shuffle bounded by distinct paragraphs) → single summary
+    row.  Exact integer counts; the only double is the final ratio."""
+    per_hash = paragraph_table(documents, k).groupBy("para_hash").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    dup_instances = F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(F.lit(0)))
+    return per_hash.agg(
+        F.sum("cnt").alias("n_paragraphs"),
+        F.count(F.lit(1)).alias("n_distinct_paragraphs"),
+        dup_instances.alias("n_dup_instances"),
+        F.round(dup_instances / F.sum("cnt"), 6).alias("dup_ratio"),
+    )
+
+
+def dup_paragraph_docs(documents: DataFrame, k: int = 10) -> DataFrame:
+    """Per-document duplicated-paragraph ratio: a paragraph is "duplicated"
+    when its hash appears in more than one distinct document (cross-doc
+    boilerplate — self-repetition within one doc is repetition_scores'
+    job).  Returns only documents that share at least one paragraph.
+
+    Two bounded shuffles: hash → distinct-doc count (map-side combined),
+    then the hash-keyed join back and a per-doc aggregation.  Paragraph
+    text never shuffles — only (id, idx, hash) triples."""
+    pt = paragraph_table(documents, k)
+    cross_doc = pt.groupBy("para_hash").agg(
+        F.count_distinct("doc_id").alias("ndocs")
+    )
+    dup_flag = F.sum(F.when(F.col("ndocs") > 1, F.lit(1)).otherwise(F.lit(0)))
+    return (
+        pt.join(cross_doc, "para_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            dup_flag.cast("long").alias("n_dup_paras"),
+            F.round(dup_flag / F.count(F.lit(1)), 6).alias("dup_ratio"),
+        )
+        .filter(F.col("n_dup_paras") > 0)
+    )

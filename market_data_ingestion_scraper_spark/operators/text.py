@@ -397,3 +397,56 @@ def fingerprints(documents: DataFrame) -> DataFrame:
         bow_fingerprint("text").alias("bow_fp"),
         rolling_fingerprint("text").alias("rolling_fp"),
     )
+
+
+def token_counts(documents: DataFrame) -> DataFrame:
+    """Per-document token counts: whitespace/punct word count plus the
+    BPE-rate proxy (:func:`bpe_ish_token_count` semantics).  Staged so the
+    tokenizer runs once per row; pure per-row projection, no shuffle."""
+    staged = documents.select("doc_id", tokens("text").alias("_toks"))
+    bpe = F.aggregate(
+        F.col("_toks"),
+        F.lit(0),
+        lambda acc, w: acc + F.greatest(F.lit(1), F.ceil(F.length(w) / 4).cast("int")),
+    )
+    return staged.select(
+        "doc_id",
+        F.size("_toks").cast("long").alias("n_words"),
+        bpe.cast("long").alias("n_bpe_tokens"),
+    )
+
+
+def unigram_logprob(documents: DataFrame) -> DataFrame:
+    """CCNet-style perplexity proxy: per-document mean log-probability of
+    its tokens under the corpus unigram distribution.  Low (very negative)
+    means rare/garbage vocabulary; high means common fluent text.
+
+    Per-term log-probs are snapped to int64 micro-units before the per-doc
+    sum so the result is independent of partitioning / addition order (the
+    house exact-aggregation pattern); only the two ``ROUND(·, 6)``-stable
+    ``ln`` calls touch floating point.
+
+    Dataflow at 100 TB: one corpus-sized explode → vocabulary-bounded term
+    counts (map-side combined) → tiny 1-row total broadcast back onto the
+    term table → term-table join back to the token stream.  The language
+    model side is vocabulary-sized, never corpus-sized; in production the
+    tf table would be computed once and reused across scoring runs."""
+    toks = documents.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    total = tf.agg(F.sum("n").alias("total"))
+    lp = tf.crossJoin(F.broadcast(total)).select(
+        "term",
+        F.round(F.log(F.col("n") / F.col("total")) * 1e6)
+        .cast("long")
+        .alias("lp_micro"),
+    )
+    return (
+        toks.join(lp, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("lp_micro") / F.count(F.lit(1)) / 1e6, 6).alias(
+                "avg_logprob"
+            ),
+        )
+    )

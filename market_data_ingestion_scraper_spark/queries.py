@@ -2051,6 +2051,126 @@ def q_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
     return label_centroid_elements(_t(spark, sf, "embeddings"))
 
 
+# ------------------------------------------------ r6 curation additions
+
+@register(
+    "token_counts",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS ts FROM documents)
+    SELECT doc_id,
+           CAST(len(ts) AS BIGINT) AS n_words,
+           CAST(COALESCE(list_sum(list_transform(ts, w ->
+                greatest(1, CAST(ceil(length(w) / 4.0) AS INT)))), 0) AS BIGINT)
+             AS n_bpe_tokens
+    FROM tok
+    """,
+    doc="Per-document token counting: whitespace/punct word count plus a "
+    "BPE-rate proxy (1 token per word + 1 per 4 chars of long words). "
+    "Per-row projection, no shuffle.",
+)
+def q_token_counts(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.text import token_counts
+
+    return token_counts(_t(spark, sf, "documents"))
+
+
+@register(
+    "unigram_logprob_quality",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    tf AS (SELECT term, COUNT(*) AS n FROM toks GROUP BY term),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM tf),
+    lp AS (
+      SELECT term,
+             CAST(ROUND(LN(CAST(n AS DOUBLE) / total) * 1000000) AS BIGINT)
+               AS lp_micro
+      FROM tf, tot
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           ROUND(CAST(SUM(lp_micro) AS BIGINT) / COUNT(*) / 1000000.0, 6)
+             AS avg_logprob
+    FROM toks JOIN lp USING (term)
+    GROUP BY doc_id
+    """,
+    doc="CCNet-style unigram-LM quality score: per-doc mean token "
+    "log-probability under the corpus unigram distribution.  Per-term "
+    "log-probs snap to int64 micro-units before the per-doc sum, so the "
+    "result is partitioning-independent.",
+)
+def q_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.text import unigram_logprob
+
+    return unigram_logprob(_t(spark, sf, "documents"))
+
+
+# DuckDB twin of operators/dedup.py::paragraph_table (k=10): positional
+# 10-token windows joined back to text, hashed.  list_slice is 1-based
+# inclusive [begin, end]; Spark's slice(arr, start, length) clamps the
+# same way at the array end.
+_PARAS = f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+    par AS (
+      SELECT doc_id, md5(p) AS para_hash
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(0, CAST(ceil(len(ts) / 10.0) AS INT)),
+                 i -> array_to_string(list_slice(ts, i*10 + 1, i*10 + 10), ' ')
+               )) AS p
+        FROM tok
+      )
+    )
+"""
+
+
+@register(
+    "paragraph_dup_stats",
+    _PARAS + """
+    , ph AS (SELECT para_hash, COUNT(*) AS cnt FROM par GROUP BY para_hash)
+    SELECT CAST(SUM(cnt) AS BIGINT) AS n_paragraphs,
+           COUNT(*) AS n_distinct_paragraphs,
+           CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)
+             AS n_dup_instances,
+           ROUND(CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS DOUBLE)
+                 / SUM(cnt), 6) AS dup_ratio
+    FROM ph
+    """,
+    doc="Corpus paragraph-duplication profile (MassiveText/RefinedWeb "
+    "pre-dedup diagnostic) over synthetic positional paragraphs — "
+    "explode, hash-keyed groupBy, one summary row.",
+)
+def q_paragraph_dup_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.dedup import paragraph_dup_stats
+
+    return paragraph_dup_stats(_t(spark, sf, "documents"), k=10)
+
+
+@register(
+    "dup_paragraph_docs",
+    _PARAS + """
+    , pd AS (SELECT para_hash, COUNT(DISTINCT doc_id) AS ndocs
+             FROM par GROUP BY para_hash)
+    SELECT doc_id,
+           COUNT(*) AS n_paras,
+           CAST(SUM(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_paras,
+           ROUND(CAST(SUM(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS dup_ratio
+    FROM par JOIN pd USING (para_hash)
+    GROUP BY doc_id
+    HAVING SUM(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) > 0
+    """,
+    doc="Per-document cross-doc duplicated-paragraph ratio: paragraphs "
+    "whose hash appears in more than one distinct document (boilerplate "
+    "detection).  Only (id, idx, hash) triples ever shuffle.",
+)
+def q_dup_paragraph_docs(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.dedup import dup_paragraph_docs
+
+    return dup_paragraph_docs(_t(spark, sf, "documents"), k=10)
+
+
 # The external correctness gate snapshots the FIRST 50 entries of the
 # queries() dict (observed r01/r02: entries past position 50 get no
 # correctness row at all).  Registration order in this file is topical, so
@@ -2152,15 +2272,16 @@ GATE_DEFERRED: tuple[str, ...] = (
 
 
 def _gate_order() -> list[str]:
+    # Fail loudly on typos / not-yet-implemented names: a silently dropped
+    # gate entry never gets its correctness row (this bit round 5).
+    unknown = (set(GATE_PRIORITY) | set(GATE_DEFERRED)) - set(REGISTRY)
+    if unknown:
+        raise KeyError(f"gate window names missing from REGISTRY: {sorted(unknown)}")
     middle = [
         n for n in REGISTRY
         if n not in GATE_PRIORITY and n not in GATE_DEFERRED
     ]
-    return (
-        [n for n in GATE_PRIORITY if n in REGISTRY]
-        + middle
-        + [n for n in GATE_DEFERRED if n in REGISTRY]
-    )
+    return list(GATE_PRIORITY) + middle + list(GATE_DEFERRED)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

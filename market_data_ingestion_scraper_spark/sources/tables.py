@@ -38,14 +38,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events feed carries nanosecond parquet timestamps, which Spark's
-    vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]).  Read ``ts`` as raw
-    int64 ns (legacy nanosAsLong) and truncate to microseconds with integer
-    ``div`` — floating-point division would lose precision on int64 ns and
-    DuckDB's reader truncates ns→µs the same way, so oracles stay exact."""
+    """The events feed has shipped with two physical ``ts`` encodings across
+    testdata generations: nanosecond parquet timestamps (which Spark's
+    vectorized reader rejects, [PARQUET_TYPE_ILLEGAL]) and native
+    microsecond timestamps.  Adapt to whichever is on disk: a timestamp
+    column passes through unchanged; int64 ns (read via legacy nanosAsLong)
+    is truncated to microseconds with integer ``div`` — floating-point
+    division would lose precision on int64 ns and DuckDB's reader truncates
+    ns→µs the same way, so oracles stay exact either way."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = df.schema["ts"].dataType.typeName()
+    if ts_type in ("long", "integer"):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # Normalize NTZ to the session-zone timestamp type the operators
+        # (window(), unix_micros comparisons) were written against; the
+        # session zone is pinned to UTC so wall-clock values are unchanged.
+        df = df.withColumn("ts", F.to_timestamp(F.col("ts")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
