@@ -673,16 +673,21 @@ def paragraph_table(
 
     Explode-only: no shuffle happens in this function."""
     staged = documents.select(id_col, tokens("text").alias("_toks"))
-    npar = F.ceil(F.size("_toks") / F.lit(k)).cast("int")
+    return staged.select(
+        id_col, F.posexplode(_para_array("_toks", k)).alias("para_idx", "para")
+    ).select(id_col, "para_idx", F.md5(F.col("para").cast("binary")).alias("para_hash"))
+
+
+def _para_array(toks_col: str, k: int) -> Column:
+    """Positional-paragraph array over a staged token-array column:
+    non-overlapping ``k``-token windows rejoined to strings."""
+    npar = F.ceil(F.size(toks_col) / F.lit(k)).cast("int")
     idx = F.when(npar > 0, F.sequence(F.lit(0), npar - F.lit(1))).otherwise(
         F.array().cast("array<int>")
     )
-    paras = F.transform(
-        idx, lambda i: F.array_join(F.slice("_toks", i * k + 1, k), " ")
+    return F.transform(
+        idx, lambda i: F.array_join(F.slice(toks_col, i * k + 1, k), " ")
     )
-    return staged.select(
-        id_col, F.posexplode(paras).alias("para_idx", "para")
-    ).select(id_col, "para_idx", F.md5(F.col("para").cast("binary")).alias("para_hash"))
 
 
 def paragraph_dup_stats(documents: DataFrame, k: int = 10) -> DataFrame:
@@ -729,4 +734,32 @@ def dup_paragraph_docs(documents: DataFrame, k: int = 10) -> DataFrame:
             F.round(dup_flag / F.count(F.lit(1)), 6).alias("dup_ratio"),
         )
         .filter(F.col("n_dup_paras") > 0)
+    )
+
+
+def collapse_repeated_paragraphs(documents: DataFrame, k: int = 10) -> DataFrame:
+    """Intra-document repetition removal (the RefinedWeb "remove duplicated
+    spans" pass): drop every paragraph that already occurred earlier in the
+    SAME document, preserving first-occurrence order, and emit the cleaned
+    text's identity hash.
+
+    Pure per-row projection — zero shuffle at any scale.  The
+    order-preserving distinct is an indexed array filter (keep paragraph i
+    iff it is absent from the prefix), O(paras²) per document but paras is
+    text-length/k, and it all runs inside whole-stage codegen."""
+    staged = documents.select(
+        "doc_id", tokens("text").alias("_toks")
+    ).select("doc_id", _para_array("_toks", k).alias("_paras"))
+    kept = F.filter(
+        F.col("_paras"),
+        lambda p, i: ~F.array_contains(F.slice(F.col("_paras"), 1, i), p),
+    )
+    deduped = staged.select(
+        "doc_id", F.size("_paras").cast("long").alias("n_paras"), kept.alias("_kept")
+    )
+    return deduped.select(
+        "doc_id",
+        "n_paras",
+        F.size("_kept").cast("long").alias("n_kept"),
+        F.md5(F.concat_ws("\n", F.col("_kept")).cast("binary")).alias("clean_hash"),
     )

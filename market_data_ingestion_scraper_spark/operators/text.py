@@ -416,6 +416,45 @@ def token_counts(documents: DataFrame) -> DataFrame:
     )
 
 
+def bigram_merge_candidates(
+    documents: DataFrame, k: int = 20, min_count: int = 2
+) -> DataFrame:
+    """BPE-style merge discovery: the top-k most frequent adjacent token
+    pairs across the corpus (what one byte-pair-encoding training round
+    would merge), ranked by count with lexicographic tie-break.
+
+    Scale shape: per-row pair explode → groupBy(pair) with map-side
+    combine (shuffle bounded by distinct-pair vocabulary), then the
+    ``min_count`` filter shrinks the table BEFORE the single-partition
+    ranking window touches it — production BPE loops would swap the exact
+    global rank for per-partition top-k + merge, the mechanics upstream
+    are identical."""
+    staged = documents.select(tokens("text").alias("_toks"))
+    n = F.size("_toks")
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - F.lit(1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    pairs = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("_toks"), i),
+            F.element_at(F.col("_toks"), i + F.lit(1)),
+        ),
+    )
+    counted = (
+        staged.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("pair"))
+    return (
+        counted.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
 def unigram_logprob(documents: DataFrame) -> DataFrame:
     """CCNet-style perplexity proxy: per-document mean log-probability of
     its tokens under the corpus unigram distribution.  Low (very negative)
