@@ -170,3 +170,90 @@ def test_label_centroids_array_form(spark):
     out = {r["label"]: r for r in label_centroids(emb).collect()}
     assert out[7]["n_vecs"] == 2 and out[7]["centroid"] == [2.0, 1.0, 2.0]
     assert out[8]["n_vecs"] == 1 and out[8]["centroid"] == [10.0, 20.0, 30.0]
+
+
+def test_collapse_repeated_paragraphs_keeps_first_occurrence(spark):
+    # doc 1: paragraphs [A, B, A] (k=2 tokens each) -> A B kept, second A
+    # dropped; doc 2: no repeats -> untouched.  Hash must equal the hash
+    # of the first-occurrence-order rejoin, not a sorted/set order.
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb cc dd aa bb"),
+            (2, "aa bb cc dd ee ff"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in D.collapse_repeated_paragraphs(docs, k=2).collect()}
+    assert out[1]["n_paras"] == 3 and out[1]["n_kept"] == 2
+    assert out[2]["n_paras"] == 3 and out[2]["n_kept"] == 3
+    import hashlib
+
+    assert out[1]["clean_hash"] == hashlib.md5(b"aa bb\ncc dd").hexdigest()
+
+
+def test_paragraph_dup_stats_counts_planted_dup(spark):
+    # two identical docs of 2 paragraphs + one unique doc: 6 instances,
+    # 4 distinct, 4 instances belong to repeated paragraphs
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d"), (3, "x y z w")],
+        "doc_id long, text string",
+    )
+    row = D.paragraph_dup_stats(docs, k=2).collect()[0]
+    assert row["n_paragraphs"] == 6
+    assert row["n_distinct_paragraphs"] == 4
+    assert row["n_dup_instances"] == 4
+    assert abs(row["dup_ratio"] - round(4 / 6, 6)) < 1e-9
+
+
+def test_dup_paragraph_docs_cross_doc_only(spark):
+    # doc 3 repeats a paragraph INTERNALLY but shares nothing across docs
+    # -> excluded; docs 1 and 2 share one paragraph -> included
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b e f"), (3, "q r q r")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in D.dup_paragraph_docs(docs, k=2).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["n_dup_paras"] == 1 and out[1]["n_paras"] == 2
+
+
+def test_bigram_merges_rank_and_tiebreak(spark):
+    docs = spark.createDataFrame(
+        [(1, "x y x y"), (2, "x y a b"), (3, "a b a b")],
+        "doc_id long, text string",
+    )
+    # pair counts: "x y"=3, "a b"=3, "y x"=1, "b a"=1, "y a"=1
+    rows = T.bigram_merge_candidates(docs, k=5, min_count=2).collect()
+    assert [(r["pair"], r["n"], r["rnk"]) for r in rows] == [
+        ("a b", 3, 1),
+        ("x y", 3, 2),
+    ]
+
+
+def test_centroid_assign_recovers_planted_labels(spark):
+    # two well-separated clusters: members must be assigned their own label
+    from market_data_ingestion_scraper_spark.operators.similarity import (
+        centroid_assign,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.1], 0),
+        (2, [0.9, 0.1, 0.0], 0),
+        (3, [0.0, 1.0, 0.1], 1),
+        (4, [0.1, 0.9, 0.0], 1),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {r["vec_id"]: r["pred_label"] for r in centroid_assign(emb).collect()}
+    assert out == {1: 0, 2: 0, 3: 1, 4: 1}
+
+
+def test_token_counts_bpe_proxy(spark):
+    # "internationalization" = 20 chars -> ceil(20/4) = 5 BPE-ish tokens
+    docs = spark.createDataFrame(
+        [(1, "internationalization is fun")], "doc_id long, text string"
+    )
+    row = T.token_counts(docs).collect()[0]
+    assert row["n_words"] == 3
+    assert row["n_bpe_tokens"] == 5 + 1 + 1

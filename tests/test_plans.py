@@ -242,3 +242,63 @@ def test_label_centroids_single_agg_shuffle(spark):
     assert "Join" not in txt, txt
     rep = plan_report(_plan(spark, "label_centroids"))
     assert rep.has_partial_agg, rep.summary()
+
+
+def test_token_counts_is_projection_only(spark):
+    # word + BPE-proxy counts: per-row projection, no exchange, no join
+    rep = plan_report(_plan(spark, "token_counts"))
+    assert rep.n_shuffles == 0, rep.summary()
+    assert rep.n_broadcast_joins == 0 and rep.n_sortmerge_joins == 0
+
+
+def test_collapse_paras_is_projection_only(spark):
+    # intra-doc paragraph dedup: indexed array filter per row, no exchange
+    rep = plan_report(_plan(spark, "collapse_repeated_paras"))
+    assert rep.n_shuffles == 0, rep.summary()
+    assert rep.n_broadcast_joins == 0 and rep.n_sortmerge_joins == 0
+
+
+def test_paragraph_dup_stats_two_bounded_exchanges(spark):
+    # explode -> groupBy(para_hash) (map-side combined, bounded by distinct
+    # paragraphs) -> single-row global agg; no join anywhere
+    n_shuffle, n_bcast, txt = _shuffle_count(spark, "paragraph_dup_stats")
+    assert "Join" not in txt, txt
+    assert n_shuffle <= 2 and n_bcast == 0, txt
+    assert plan_report(_plan(spark, "paragraph_dup_stats")).has_partial_agg
+
+
+def test_dup_paragraph_docs_hash_joins_only(spark):
+    # paragraph table joined to its per-hash doc counts: every join must
+    # stay an equi-join on the 16-byte hash; paragraph text never shuffles
+    n_shuffle, n_bcast, txt = _shuffle_count(spark, "dup_paragraph_docs")
+    assert "CartesianProduct" not in txt, txt
+    assert "BroadcastNestedLoopJoin" not in txt, txt
+    assert n_shuffle <= 5, txt
+
+
+def test_unigram_logprob_no_cartesian_corpus(spark):
+    # unigram LM scoring: the only nested-loop is the deliberate 1-row
+    # grand-total broadcast; the term join and aggregations are hash-based
+    n_shuffle, n_bcast, txt = _shuffle_count(spark, "unigram_logprob_quality")
+    assert "CartesianProduct" not in txt, txt
+    assert txt.count("BroadcastNestedLoopJoin") <= 1, txt
+    assert n_shuffle <= 6, txt
+
+
+def test_centroid_assign_broadcasts_prototypes(spark):
+    # the |labels| x dims prototype table broadcasts; the corpus explode
+    # never sort-merges, and per-(vec,label) partial agg runs map-side
+    n_shuffle, n_bcast, txt = _shuffle_count(spark, "centroid_assign")
+    assert n_bcast >= 1, txt
+    assert "SortMergeJoin" not in txt and "CartesianProduct" not in txt, txt
+    rep = plan_report(_plan(spark, "centroid_assign"))
+    assert rep.has_partial_agg, rep.summary()
+
+
+def test_bigram_merges_filter_before_rank_window(spark):
+    # pair explode -> vocabulary-bounded groupBy -> min-count filter ->
+    # single-partition rank window; the filter must sit between the agg
+    # and the window exchange so the global sort sees the shrunken table
+    n_shuffle, n_bcast, txt = _shuffle_count(spark, "bigram_merge_candidates")
+    assert "Join" not in txt, txt
+    assert n_shuffle <= 2, txt
