@@ -302,3 +302,16 @@ def test_bigram_merges_filter_before_rank_window(spark):
     n_shuffle, n_bcast, txt = _shuffle_count(spark, "bigram_merge_candidates")
     assert "Join" not in txt, txt
     assert n_shuffle <= 2, txt
+
+
+def test_simhash_table_is_projection_only(spark):
+    # per-row SimHash: token hashes staged once, 64 bit counts folded in
+    # the same Project — no explode, no exchange beyond the scan spread
+    from market_data_ingestion_scraper_spark.operators.dedup import simhash_table
+    from market_data_ingestion_scraper_spark.sources import load_table
+
+    df = simhash_table(load_table(spark, SF, "documents"), portable=True)
+    with aqe_disabled(spark):
+        txt = explain_str(df, "simple")
+    assert "Join" not in txt, txt
+    assert txt.count("Exchange") - txt.count("BroadcastExchange") <= 1, txt  # spread only
