@@ -48,6 +48,11 @@ def main() -> None:
             continue
         runs: list[float] = []
         for _ in range(n_runs):
+            # Isolate queries from each other: operators that persist()
+            # intermediates (simhash, clustering) would otherwise leave
+            # cached blocks behind and tax every later query's memory —
+            # per-query numbers must measure the plan, not the neighbors.
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             spec.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             runs.append(round(time.perf_counter() - t0, 4))
