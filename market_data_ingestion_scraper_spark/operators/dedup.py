@@ -765,3 +765,25 @@ def collapse_repeated_paragraphs(documents: DataFrame, k: int = 10) -> DataFrame
         F.size("_kept").cast("long").alias("n_kept"),
         F.md5(F.concat_ws("\n", F.col("_kept")).cast("binary")).alias("clean_hash"),
     )
+
+
+def dedup_survivors(
+    documents: DataFrame,
+    threshold: float = 0.7,
+    k: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply the greedy near-dup removal policy and return the surviving
+    corpus ids: a document is dropped iff it has at least one
+    near-duplicate with a smaller id (the keep-lowest-id convention most
+    production dedup passes use — one anti-join, no iteration).  Greedy ≠
+    connected-component dedup: in a chain a~b~c without a~c, b drops for
+    a, and c still drops for b even though its surviving neighbor a is not
+    near — :func:`near_duplicate_clusters` is the transitive variant.
+
+    Scale shape: the pair join is the bounded inverted-index ssjoin; the
+    drop list is pair-count-sized; the final anti-join broadcasts it when
+    small and hash-joins otherwise.  The corpus never shuffles text."""
+    pairs = jaccard_similarity_join(documents, threshold, k, id_col)
+    drop = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    return documents.join(drop, id_col, "left_anti").select(id_col)

@@ -160,3 +160,27 @@ def quality_funnel(
     return row.selectExpr(
         f"stack({len(stages)}, {stack_args}) AS (stage_idx, stage, n_in, n_survive)"
     ).withColumn("n_dropped", F.col("n_in") - F.col("n_survive"))
+
+
+def curation_pipeline(documents: DataFrame) -> DataFrame:
+    """The end-to-end curation path a training-data run executes, composed
+    from this repo's operators in their production order: Gopher-rule
+    quality gate → greedy near-dup removal (≥0.7 Jaccard, keep lowest id)
+    → per-source corpus report of what survives.
+
+    One declarative plan: Catalyst sees the whole funnel, so the quality
+    filter prunes the corpus BEFORE the expensive pair join (predicate
+    order is the plan, not luck), the drop list anti-joins, and the final
+    report is a single grouped aggregate.  Every stage bounded exactly as
+    its standalone operator documents."""
+    from .dedup import dedup_survivors
+    from .text import gopher_rules
+
+    kept = gopher_rules(documents).filter(F.col("keep") == 1).select("doc_id")
+    gated = documents.join(kept, "doc_id")
+    surviving = dedup_survivors(gated)
+    final = gated.join(surviving, "doc_id")
+    return final.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens("text"))).alias("n_tokens"),
+    )

@@ -1384,6 +1384,26 @@ def q_near_dups(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "dedup_survivors",
+    f"""
+    WITH dropped AS (
+      SELECT DISTINCT doc_b FROM ({_JACCARD_07_SQL})
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT doc_b FROM dropped)
+    """,
+    doc="Greedy near-dup removal applied: surviving doc ids after dropping "
+    "every document with a ≥0.7-Jaccard near-duplicate of smaller id "
+    "(keep-lowest-id policy; one anti-join over the ssjoin pair list, "
+    "no iteration).",
+)
+def q_dedup_survivors(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.dedup import dedup_survivors
+
+    return dedup_survivors(_t(spark, sf, "documents"))
+
+
+@register(
     "near_dup_clusters",
     """
     WITH RECURSIVE tok AS (
@@ -2278,6 +2298,61 @@ def q_collapse_paras(spark: SparkSession, sf: str) -> DataFrame:
     return collapse_repeated_paragraphs(_t(spark, sf, "documents"), k=10)
 
 
+@register(
+    "curation_pipeline",
+    f"""
+    WITH tok0 AS (SELECT doc_id, source, {_TOKS} AS ts FROM documents),
+    feat AS (
+      SELECT doc_id, len(ts) AS n_words,
+             len(list_filter(ts, t -> list_contains(
+                 ['the','be','to','of','and','that','have','with'], t)))
+               AS n_stop,
+             ROUND(CAST(COALESCE(list_sum(list_transform(ts, t -> length(t))), 0)
+                        AS DOUBLE) / greatest(len(ts), 1), 6) AS mwl,
+             ROUND(CAST(len(list_filter(ts, t -> regexp_matches(t, '[a-z]')))
+                        AS DOUBLE) / greatest(len(ts), 1), 6) AS fa
+      FROM tok0
+    ),
+    kept AS (
+      SELECT doc_id FROM feat
+      WHERE n_words BETWEEN 50 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+        AND fa >= 0.8 AND n_stop >= 2
+    ),
+    sh AS (
+      SELECT t.doc_id,
+             CASE WHEN len(ts) >= 3
+                  THEN list_distinct(list_transform(range(1, len(ts) - 1),
+                         i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))
+                  ELSE [] END AS shs
+      FROM tok0 t JOIN kept USING (doc_id)
+    ),
+    ex AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS s FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter,
+             ANY_VALUE(a.sz) AS sz_a, ANY_VALUE(b.sz) AS sz_b
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    dropped AS (
+      SELECT DISTINCT doc_b FROM pairs
+      WHERE ROUND(inter * 1.0 / (sz_a + sz_b - inter), 6) >= 0.7
+    ),
+    final AS (
+      SELECT doc_id FROM kept WHERE doc_id NOT IN (SELECT doc_b FROM dropped)
+    )
+    SELECT source, COUNT(*) AS n_docs, CAST(SUM(len(ts)) AS BIGINT) AS n_tokens
+    FROM tok0 JOIN final USING (doc_id) GROUP BY source
+    """,
+    doc="Flagship curation composition: Gopher quality gate → greedy "
+    "near-dup removal → per-source survivor report, one declarative plan "
+    "so the quality filter prunes the corpus before the pair join.",
+)
+def q_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.mixing import curation_pipeline
+
+    return curation_pipeline(_t(spark, sf, "documents"))
+
+
 # The external correctness gate snapshots the FIRST 50 entries of the
 # queries() dict (observed r01/r02: entries past position 50 get no
 # correctness row at all).  Registration order in this file is topical, so
@@ -2297,6 +2372,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     "centroid_assign",
     "bigram_merge_candidates",
     "collapse_repeated_paras",
+    "dedup_survivors",
+    "curation_pipeline",
     "sliding_hourly_avg",
     "clicks_recent_purchase",
     "asof_last_purchase",

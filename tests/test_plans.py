@@ -310,8 +310,23 @@ def test_simhash_table_is_projection_only(spark):
     from market_data_ingestion_scraper_spark.operators.dedup import simhash_table
     from market_data_ingestion_scraper_spark.sources import load_table
 
+    # a prior test may have persist()ed this exact subtree (the near-dup
+    # pipeline caches its signature table); a cache hit would swap the
+    # plan for an InMemoryTableScan whose stringified form double-counts
+    # the original exchanges
+    spark.catalog.clearCache()
     df = simhash_table(load_table(spark, SF, "documents"), portable=True)
     with aqe_disabled(spark):
         txt = explain_str(df, "simple")
     assert "Join" not in txt, txt
     assert txt.count("Exchange") - txt.count("BroadcastExchange") <= 1, txt  # spread only
+
+
+def test_curation_pipeline_no_cartesian_bounded_exchanges(spark):
+    # full funnel (quality gate -> ssjoin near-dup drop -> grouped report):
+    # every join equi- or broadcast-based; the pair join runs on the gated
+    # subset by construction (the quality semi-join feeds it)
+    n_shuffle, n_bcast, txt = _shuffle_count(spark, "curation_pipeline")
+    assert "CartesianProduct" not in txt, txt
+    assert "BroadcastNestedLoopJoin" not in txt, txt
+    assert n_shuffle <= 10, txt
