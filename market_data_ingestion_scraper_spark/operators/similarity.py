@@ -150,23 +150,37 @@ def bucket_table(
     The expression-based formulation builds n_tables × n_planes higher-order
     dot products with dim literals each — analysis/codegen cost grows with
     the configuration and dominated cold runs.  Here the hyperplane weights
-    are DATA: posexplode the vectors, broadcast-join the (t, plane, pos, w)
+    are DATA: posexplode the vectors, broadcast-join the (t, plane, pos, wm)
     weight table, and two codegen'd aggregations produce dots → sign-bit
     buckets.  Plan size is constant; the work is a dim-×-weights join that
-    scales linearly and shuffles only (id, t, plane, partial-dot) rows."""
+    scales linearly and shuffles only (id, t, plane, partial-dot) rows.
+
+    Dot products run in int64 micro-units (vector values and weights both
+    snapped to 1e-6): integer sums are summation-order-independent, so
+    bucket assignment is identical at any parallelism AND in the DuckDB
+    oracle (:func:`lsh_weights_sql` emits the same integer weights).  The
+    sign of a dot only differs from the float computation within ~1e-5 of
+    zero — a measure-zero region of a random projection, irrelevant to
+    bucket quality.  Overflow bound: |v|·1e6 × |w|·1e6 × dim ≪ 2^63 for
+    unit-scale vectors at any realistic dim."""
     rows = []
     for t in range(n_tables):
         for p, plane in enumerate(hyperplanes(dim, n_planes, seed=seed_base + t)):
-            rows.extend((t, p, pos, float(w)) for pos, w in enumerate(plane))
+            rows.extend(
+                (t, p, pos, int(round(w * 1e6))) for pos, w in enumerate(plane)
+            )
     spark = df.sparkSession
-    weights = spark.createDataFrame(rows, "t int, plane int, pos int, w double")
+    weights = spark.createDataFrame(rows, "t int, plane int, pos int, wm long")
     vals = df.select(
-        F.col(id_col), F.posexplode(_dbl(F.col(vec_col))).alias("pos", "val")
+        F.col(id_col),
+        F.posexplode(_dbl(F.col(vec_col))).alias("pos", "_val"),
+    ).select(
+        id_col, "pos", F.round(F.col("_val") * 1e6).cast("long").alias("vm")
     )
     dots = (
         vals.join(F.broadcast(weights), "pos")
         .groupBy(id_col, "t", "plane")
-        .agg(F.sum(F.col("val") * F.col("w")).alias("dot"))
+        .agg(F.sum(F.col("vm") * F.col("wm")).alias("dot"))
     )
     # NB: python F.shiftleft needs a literal shift; SQL shiftleft takes columns
     bit = F.expr(
@@ -174,6 +188,20 @@ def bucket_table(
         "ELSE CAST(0 AS BIGINT) END"
     )
     return dots.groupBy(id_col, "t").agg(F.sum(bit).alias("bucket"))
+
+
+def lsh_weights_sql(
+    n_planes: int, n_tables: int, dim: int, seed_base: int
+) -> str:
+    """DuckDB ``VALUES`` literal of the EXACT integer micro-unit weights
+    :func:`bucket_table` uses — one row per (table, plane) with the
+    64-int weight list — so an oracle reproduces every bucket bit."""
+    rows = []
+    for t in range(n_tables):
+        for p, plane in enumerate(hyperplanes(dim, n_planes, seed=seed_base + t)):
+            wm = ",".join(str(int(round(w * 1e6))) for w in plane)
+            rows.append(f"({t},{p},[{wm}])")
+    return ",\n      ".join(rows)
 
 
 def lsh_topk(

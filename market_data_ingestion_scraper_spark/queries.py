@@ -1583,11 +1583,108 @@ def q_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     return brute_force_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
 
 
+def _lsh_bucket_cte(n_planes: int, n_tables: int, seed_base: int) -> str:
+    """Shared DuckDB CTE text: planes VALUES literal + per-(vec, table)
+    bucket assignment with order-independent int64 micro-unit dot signs —
+    the exact twin of operators/similarity.py::bucket_table."""
+    from .operators.similarity import lsh_weights_sql
+
+    weights = lsh_weights_sql(
+        n_planes=n_planes, n_tables=n_tables, dim=64, seed_base=seed_base
+    )
+    return f"""
+    WITH planes(t, plane, wm) AS (VALUES
+      {weights}),
+    b AS (
+      SELECT e.vec_id, p.t,
+             CAST(SUM(CASE WHEN
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(1, 65),
+                   i -> CAST(ROUND(CAST(e.embedding[i] AS DOUBLE) * 1000000)
+                             AS BIGINT) * p.wm[i])),
+                 (a, x) -> a + x) >= 0
+               THEN (CAST(1 AS BIGINT) << p.plane) ELSE 0 END) AS BIGINT)
+               AS bucket
+      FROM embeddings e, planes p
+      GROUP BY e.vec_id, p.t
+    )"""
+
+
+# Sequential-fold cosine over qv/nv double arrays — identical arithmetic
+# order to operators/similarity.py::_pair_cosine.
+_FOLD_COSINE = """
+             round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list_transform(range(1, len(qv) + 1), i -> qv[i] * nv[i])),
+                     (a, x) -> a + x)
+                   / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                        list_transform(qv, x -> x * x)), (a, x) -> a + x))
+                    * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                        list_transform(nv, x -> x * x)), (a, x) -> a + x))), 6)
+"""
+
+
+def _lsh_pair_oracle(
+    n_planes: int, n_tables: int, seed_base: int, threshold: float
+) -> str:
+    """DuckDB twin of embedding_near_duplicates: bucket-collision self-join
+    (vec_a < vec_b, any table), fold cosine, threshold filter."""
+    return (
+        _lsh_bucket_cte(n_planes, n_tables, seed_base)
+        + f""",
+    cand AS (
+      SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b
+      FROM b l JOIN b r
+        ON l.t = r.t AND l.bucket = r.bucket AND l.vec_id < r.vec_id
+    ),
+    vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+      SELECT vec_a, vec_b, {_FOLD_COSINE} AS cos_sim
+      FROM (SELECT c.vec_a, c.vec_b, q.v AS qv, n.v AS nv
+            FROM cand c
+            JOIN vecs q ON q.vec_id = c.vec_a
+            JOIN vecs n ON n.vec_id = c.vec_b)
+    )
+    SELECT vec_a, vec_b, cos_sim FROM scored WHERE cos_sim >= {threshold}
+    """
+    )
+
+
+def _lsh_topk_oracle() -> str:
+    """Bit-exact DuckDB twin of q_lsh_topk: the same integer micro-unit
+    hyperplane weights (one VALUES row per hash table × plane), the same
+    order-independent int64 dot signs for bucket assignment, the same
+    candidate equi-join and sequential-fold cosine rank."""
+    return (
+        _lsh_bucket_cte(n_planes=4, n_tables=8, seed_base=1000)
+        + f""",
+    cand AS (
+      SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+      FROM b cb JOIN b qb ON cb.t = qb.t AND cb.bucket = qb.bucket
+      WHERE qb.vec_id < 8 AND cb.vec_id <> qb.vec_id
+    ),
+    vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id, {_FOLD_COSINE} AS cos_sim
+      FROM (SELECT c.query_id, c.neighbor_id, q.v AS qv, n.v AS nv
+            FROM cand c
+            JOIN vecs q ON q.vec_id = c.query_id
+            JOIN vecs n ON n.vec_id = c.neighbor_id)
+    )
+    SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    """
+    )
+
+
 @register(
     "lsh_topk_ann",
-    None,  # hyperplane literals impractical to mirror in SQL → rows-only;
-    # recall vs brute force is asserted in tests/test_similarity.py
-    doc="X3 ANN top-k via random-hyperplane LSH bucket equi-join.",
+    _lsh_topk_oracle(),
+    doc="X3 ANN top-k via random-hyperplane LSH bucket equi-join; oracle "
+    "reproduces every bucket bit from the shared integer micro-unit "
+    "weights, then ranks candidates with the same fold cosine.",
 )
 def q_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.similarity import bucket_table, lsh_topk
@@ -1637,11 +1734,13 @@ def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "embedding_near_dups",
-    None,  # LSH bucketing (seeded hyperplanes) → rows-only
+    _lsh_pair_oracle(n_planes=8, n_tables=6, seed_base=7000, threshold=0.45),
     doc="X2 embedding-cosine near-duplicate pairs within LSH buckets.  The "
     "fixtures are random vectors with no true near-dups, so the registered "
     "demo runs at cos ≥ 0.45 to exercise the path end-to-end; production "
-    "default is 0.95 (see tests for a planted-pair recall check).",
+    "default is 0.95 (see tests for a planted-pair recall check).  Oracle "
+    "reproduces every bucket bit from the shared integer micro-unit "
+    "weights (same construction as lsh_topk_ann).",
 )
 def q_embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.similarity import embedding_near_duplicates
@@ -2374,6 +2473,10 @@ GATE_PRIORITY: tuple[str, ...] = (
     "collapse_repeated_paras",
     "dedup_survivors",
     "curation_pipeline",
+    # first-ever ORACLE rows for the ANN family (rows-only until r5; the
+    # integer micro-unit bucket oracle landed in r6)
+    "lsh_topk_ann",
+    "embedding_near_dups",
     "sliding_hourly_avg",
     "clicks_recent_purchase",
     "asof_last_purchase",
@@ -2429,9 +2532,7 @@ GATE_DEFERRED: tuple[str, ...] = (
     "brands_never_shipped_1998",
     "grouped_pandas_price_stats",
     "approx_profile",
-    "lsh_topk_ann",
     "ivf_topk_ann",
-    "embedding_near_dups",
     "gopher_quality_rules",
     "boilerplate_grams",
     "label_centroids",
