@@ -434,6 +434,7 @@ def near_duplicate_clusters(
     id_col: str = "doc_id",
     max_iter: int = 25,
     max_df: int | None = None,
+    pointer_jump: bool = False,
 ) -> DataFrame:
     """Connected components over the near-duplicate graph — the step that
     turns pairwise matches into dedup decisions (keep one representative
@@ -446,12 +447,19 @@ def near_duplicate_clusters(
     iterations — near-dup clusters are shallow (pairs/chains of a few
     docs), so a handful of rounds; ``max_iter`` bounds pathological chains.
 
+    ``pointer_jump=True`` adds a label-compression step per round
+    (label := label(label), one extra equi-join on the label table):
+    chains halve each round, so convergence drops to O(log diameter) —
+    worth it on corpora with deep near-dup chains (mirror farms), pure
+    per-round overhead on shallow fixtures, hence opt-in.
+
     Scale notes: each round is one join + one groupBy on the edge list
-    (edges ≪ corpus — only near-dup docs appear); labels persist per round
-    and the previous round unpersists, so lineage stays bounded (the
-    standard iterative-algorithm discipline; at extreme scale swap persist
-    for localCheckpoint).  Output: (doc_id, cluster_rep, cluster_size) for
-    every document that belongs to a near-dup cluster.
+    (edges ≪ corpus — only near-dup docs appear); labels localCheckpoint
+    per round, which BOTH caches the round's result and truncates plan
+    lineage — persist alone caches data but leaves each round's plan
+    nested inside the next, and the plan itself OOMs the driver once
+    rounds grow (observed at diameter 7).  Output: (doc_id, cluster_rep,
+    cluster_size) for every document that belongs to a near-dup cluster.
 
     ``max_df`` passes through to :func:`jaccard_similarity_join` (the
     stop-shingle cap).  If propagation exhausts ``max_iter`` before the
@@ -468,7 +476,7 @@ def near_duplicate_clusters(
         edges.select(F.col("u").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     changed = 0
     for _ in range(max_iter):
@@ -479,17 +487,35 @@ def near_duplicate_clusters(
         )
         # the old label rides along, so change detection is a filter on
         # this same frame — no second join against the previous labels
-        stepped = (
-            labels.join(neighbor_min, labels.id == neighbor_min.u, "left")
-            .select(
-                "id",
-                F.col("label").alias("old_label"),
-                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
-            )
-            .persist()
+        stepped = labels.join(
+            neighbor_min, labels.id == neighbor_min.u, "left"
+        ).select(
+            "id",
+            F.col("label").alias("old_label"),
+            F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
         )
+        if pointer_jump:
+            # label := label(label): labels always point to equal-or-smaller
+            # ids, so the jump is monotone and chains halve per round
+            parents = stepped.select(
+                F.col("id").alias("pid"), F.col("label").alias("plabel")
+            )
+            stepped = stepped.join(
+                parents, stepped.label == parents.pid, "left"
+            ).select(
+                "id",
+                "old_label",
+                F.least(F.col("label"), F.coalesce("plabel", "label")).alias(
+                    "label"
+                ),
+            )
+        # localCheckpoint (not persist): persist caches DATA but the logical
+        # plan still nests one round inside the next — at high round counts
+        # the plan itself OOMs the driver.  Checkpointing truncates lineage,
+        # so plan size stays O(1) per round; blocks are reclaimed by the
+        # ContextCleaner when prior rounds are garbage-collected.
+        stepped = stepped.localCheckpoint(eager=True)
         changed = stepped.filter(F.col("label") != F.col("old_label")).count()
-        labels.unpersist()
         labels = stepped.select("id", "label")
         if changed == 0:
             break

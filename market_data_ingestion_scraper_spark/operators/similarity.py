@@ -324,15 +324,26 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
+    centroid_elements: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: partition the corpus into ``n_lists``
-    KMeans cells; each query scores only its ``n_probe`` nearest cells.
+    cells; each query scores only its ``n_probe`` nearest cells.
 
     The IVF scale story vs hyperplane LSH: cells adapt to the data
     distribution (clustered corpora get balanced cells where fixed
     hyperplanes skew), and cost is exactly corpus·(n_probe/n_lists) per
-    query.  Training is :func:`fit_ivf_centroids` — one sample-bounded
-    KMeans job, reused across calls when ``centroids`` is passed in.
+    query.  The coarse quantizer comes from either ``centroids`` (plain
+    floats — :func:`fit_ivf_centroids`' sample-bounded KMeans, the
+    unsupervised default) or ``centroid_elements`` (a relational
+    (label, pos, centroid_val) table, e.g.
+    :func:`label_centroid_elements` — faiss's "externally trained
+    quantizer" pattern, and the fully SQL-reproducible one).
+
+    Cell assignment arithmetic runs in int64 micro-units (vectors and
+    centroid weights snapped to 1e-6, scores are exact integers): argmin
+    and probe ranking are summation-order-independent, so the assignment
+    is identical at any parallelism and in a DuckDB oracle — same
+    discipline as :func:`bucket_table`.
 
     At 100 TB the corpus-side (id → cell) assignment below IS the IVF
     index build: you compute it once, persist it partitioned by cell, and
@@ -340,38 +351,54 @@ def ivf_topk(
     ranking for a handful of query vectors + the candidate join) is
     per-query cost.  This function recomputes the assignment inline so it
     stays self-contained on fixtures."""
-    if centroids is None:
-        centroids = fit_ivf_centroids(
-            embeddings, n_lists=n_lists, seed=seed, vec_col=vec_col
+    spark = embeddings.sparkSession
+    if centroid_elements is not None:
+        cw = centroid_elements.select(
+            F.col("label").alias("cell"),
+            "pos",
+            F.round(F.col("centroid_val") * 1e6).cast("long").alias("wm"),
         )
+    else:
+        if centroids is None:
+            centroids = fit_ivf_centroids(
+                embeddings, n_lists=n_lists, seed=seed, vec_col=vec_col
+            )
+        crows = [
+            (cell, pos, int(round(w * 1e6)))
+            for cell, cvec in enumerate(centroids)
+            for pos, w in enumerate(cvec)
+        ]
+        cw = spark.createDataFrame(crows, "cell int, pos int, wm long")
+    # ‖c‖² in micro²-units per cell rides along each weight row so one
+    # broadcast table serves the whole -2·v·c + ‖c‖² score (the ‖v‖² term
+    # is constant per row and never affects the argmin, so it is dropped).
+    cn = cw.groupBy("cell").agg(F.sum(F.col("wm") * F.col("wm")).alias("cn_m"))
+    cweights = cw.join(cn, "cell")
 
     # Cell assignment is relational, exactly like bucket_table: the
-    # centroids become a broadcast (cell, pos, w) table, vectors posexplode
-    # once, and -2·v·c + ‖c‖² per (row, cell) comes out of one codegen'd
-    # aggregation (the ‖v‖² term is constant per row, so it never affects
-    # the argmin and is dropped).  No Python in the distributed path, plan
-    # size constant in n_lists, shuffle rows are (id, cell, partial-score)
-    # with map-side combine.  An earlier Arrow/pandas-UDF formulation was
+    # centroids become a broadcast (cell, pos, wm) table, vectors
+    # posexplode once, and the per-(row, cell) score comes out of one
+    # codegen'd aggregation.  No Python in the distributed path, plan size
+    # constant in n_lists, shuffle rows are (id, cell, partial-score) with
+    # map-side combine.  An earlier Arrow/pandas-UDF formulation was
     # faster per-batch in isolation but interacted badly with long
     # many-query sessions (python-worker churn); the relational plan is
     # uniformly stable.
-    crows = [
-        (cell, pos, float(w), float(sum(x * x for x in cvec)))
-        for cell, cvec in enumerate(centroids)
-        for pos, w in enumerate(cvec)
-    ]
-    spark = embeddings.sparkSession
-    cweights = spark.createDataFrame(crows, "cell int, pos int, w double, cn double")
-
     def cell_scores(df: DataFrame, out_id: str) -> DataFrame:
         vals = df.select(
             F.col(id_col).alias(out_id),
-            F.posexplode(_dbl(F.col(vec_col))).alias("pos", "val"),
+            F.posexplode(_dbl(F.col(vec_col))).alias("pos", "_val"),
+        ).select(
+            out_id, "pos", F.round(F.col("_val") * 1e6).cast("long").alias("vm")
         )
         return (
             vals.join(F.broadcast(cweights), "pos")
             .groupBy(out_id, "cell")
-            .agg((F.first("cn") - 2.0 * F.sum(F.col("val") * F.col("w"))).alias("score"))
+            .agg(
+                (F.first("cn_m") - 2 * F.sum(F.col("vm") * F.col("wm"))).alias(
+                    "score"
+                )
+            )
         )
 
     c_cell = (

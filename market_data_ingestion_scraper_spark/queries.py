@@ -498,6 +498,41 @@ def q_union_days(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "repeat_vs_lapsed_custs",
+    """
+    WITH h1 AS (SELECT o_custkey FROM orders
+                WHERE o_orderdate BETWEEN DATE '1994-01-01' AND DATE '1994-06-30'),
+         h2 AS (SELECT o_custkey FROM orders
+                WHERE o_orderdate BETWEEN DATE '1994-07-01' AND DATE '1994-12-31'),
+         rep AS (SELECT o_custkey FROM h1 INTERSECT SELECT o_custkey FROM h2),
+         lap AS (SELECT o_custkey FROM h1 EXCEPT SELECT o_custkey FROM h2)
+    SELECT 'repeat' AS cohort, COUNT(*) AS n_custs FROM rep
+    UNION ALL
+    SELECT 'lapsed' AS cohort, COUNT(*) AS n_custs FROM lap
+    """,
+    doc="U2/U3 set-operator coverage: INTERSECT (customers ordering in "
+    "both 1994 halves) and EXCEPT (first half only) as native Spark "
+    "df.intersect/exceptAll-distinct ops — both compile to aggregate + "
+    "hash-join plans, no driver-side sets.",
+)
+def q_repeat_vs_lapsed(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    h1 = o.filter(
+        F.col("o_orderdate").between("1994-01-01", "1994-06-30")
+    ).select("o_custkey")
+    h2 = o.filter(
+        F.col("o_orderdate").between("1994-07-01", "1994-12-31")
+    ).select("o_custkey")
+    rep = h1.intersect(h2).agg(
+        F.lit("repeat").alias("cohort"), F.count(F.lit(1)).alias("n_custs")
+    )
+    lap = h1.distinct().exceptAll(h2.distinct()).agg(
+        F.lit("lapsed").alias("cohort"), F.count(F.lit(1)).alias("n_custs")
+    )
+    return rep.unionAll(lap)
+
+
+@register(
     "link_text_filter",
     """
     SELECT source, COUNT(*) AS n_matching FROM documents
@@ -1707,28 +1742,86 @@ def q_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_IVF_CENTROIDS: dict[str, list[list[float]]] = {}
 _LSH_INDEX: dict[tuple[str, str], DataFrame] = {}
+
+
+def _ivf_topk_oracle() -> str:
+    """DuckDB twin of q_ivf_topk: label-prototype coarse quantizer (exact
+    micro-unit means, the label_centroids construction), integer cell
+    scores -2·v·c + ‖c‖², argmin corpus assignment, top-4 probe cells per
+    query, fold-cosine rank within probed cells."""
+    return f"""
+    WITH exv AS (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT)
+               AS vm
+      FROM embeddings
+    ),
+    per AS (
+      SELECT label, pos, CAST(SUM(vm) AS BIGINT) AS s, COUNT(*) AS n_vecs
+      FROM exv GROUP BY label, pos
+    ),
+    cw AS (
+      SELECT label AS cell, pos,
+             CAST(ROUND(ROUND(CAST(s AS DOUBLE) / 1000000.0 / n_vecs, 6)
+                        * 1000000) AS BIGINT) AS wm
+      FROM per
+    ),
+    cn AS (SELECT cell, CAST(SUM(wm * wm) AS BIGINT) AS cn_m FROM cw GROUP BY cell),
+    scores AS (
+      SELECT e.vec_id, c.cell,
+             CAST(ANY_VALUE(n.cn_m) - 2 * SUM(e.vm * c.wm) AS BIGINT) AS score
+      FROM exv e JOIN cw c USING (pos) JOIN cn n ON n.cell = c.cell
+      GROUP BY e.vec_id, c.cell
+    ),
+    ranked AS (
+      SELECT vec_id, cell,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, cell) AS rn
+      FROM scores
+    ),
+    c_cell AS (SELECT vec_id AS neighbor_id, cell FROM ranked WHERE rn = 1),
+    q_cell AS (SELECT vec_id AS query_id, cell FROM ranked
+               WHERE vec_id < 8 AND rn <= 4),
+    cand AS (
+      SELECT q.query_id, c.neighbor_id
+      FROM c_cell c JOIN q_cell q USING (cell)
+      WHERE c.neighbor_id <> q.query_id
+    ),
+    vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id, {_FOLD_COSINE} AS cos_sim
+      FROM (SELECT cd.query_id, cd.neighbor_id, q.v AS qv, n.v AS nv
+            FROM cand cd
+            JOIN vecs q ON q.vec_id = cd.query_id
+            JOIN vecs n ON n.vec_id = cd.neighbor_id)
+    )
+    SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    """
 
 
 @register(
     "ivf_topk_ann",
-    None,  # KMeans cell assignment has no SQL twin → rows-only; recall
-    # vs brute force asserted in tests/test_dedup_similarity.py
-    doc="X3 ANN top-k via IVF: KMeans cells + n_probe nearest-cell search; "
-    "the data-adaptive alternative to hyperplane LSH.",
+    _ivf_topk_oracle(),
+    doc="X3 ANN top-k via IVF with an externally-trained coarse quantizer "
+    "(label prototypes in exact micro-units — the faiss pattern; the "
+    "unsupervised sample-bounded KMeans fit remains available and is "
+    "recall-tested in tests/test_dedup_similarity.py).  Integer cell "
+    "scores make assignment parallelism-independent and SQL-reproducible.",
 )
 def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.similarity import fit_ivf_centroids, ivf_topk
+    from .operators.similarity import ivf_topk, label_centroid_elements
 
     emb = _t(spark, sf, "embeddings")
-    # One sample-bounded KMeans fit per corpus; repeated calls (bench warm
-    # runs, interactive sessions) reuse the centroids — the production
-    # pattern is the same: train once, persist, serve many queries.
-    if sf not in _IVF_CENTROIDS:
-        _IVF_CENTROIDS[sf] = fit_ivf_centroids(emb)
     return ivf_topk(
-        emb, emb.filter(F.col("vec_id") < 8), k=5, centroids=_IVF_CENTROIDS[sf]
+        emb,
+        emb.filter(F.col("vec_id") < 8),
+        k=5,
+        n_probe=4,
+        centroid_elements=label_centroid_elements(emb),
     )
 
 
@@ -2477,6 +2570,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     # integer micro-unit bucket oracle landed in r6)
     "lsh_topk_ann",
     "embedding_near_dups",
+    "ivf_topk_ann",
+    "repeat_vs_lapsed_custs",
     "sliding_hourly_avg",
     "clicks_recent_purchase",
     "asof_last_purchase",
@@ -2532,7 +2627,6 @@ GATE_DEFERRED: tuple[str, ...] = (
     "brands_never_shipped_1998",
     "grouped_pandas_price_stats",
     "approx_profile",
-    "ivf_topk_ann",
     "gopher_quality_rules",
     "boilerplate_grams",
     "label_centroids",

@@ -257,3 +257,28 @@ def test_token_counts_bpe_proxy(spark):
     row = T.token_counts(docs).collect()[0]
     assert row["n_words"] == 3
     assert row["n_bpe_tokens"] == 5 + 1 + 1
+
+
+def test_near_dup_clusters_pointer_jump_matches_plain(spark):
+    # deep-chain corpus: doc i is a 13-token sliding window over one long
+    # token stream, so adjacent docs share 10/12 trigrams (J=0.833) and
+    # docs two apart only 9/13 (J=0.69) — at threshold 0.8 the near-dup
+    # graph is a pure chain of diameter 7.  Pointer jumping must produce
+    # the identical component labeling the plain propagation does.
+    stream = [f"t{j}" for j in range(24)]
+    docs = spark.createDataFrame(
+        [(i, " ".join(stream[i : i + 13])) for i in range(8)],
+        "doc_id long, text string",
+    )
+    plain = {
+        (r["doc_id"], r["cluster_rep"], r["cluster_size"])
+        for r in D.near_duplicate_clusters(docs, threshold=0.8).collect()
+    }
+    jumped = {
+        (r["doc_id"], r["cluster_rep"], r["cluster_size"])
+        for r in D.near_duplicate_clusters(
+            docs, threshold=0.8, pointer_jump=True
+        ).collect()
+    }
+    assert plain == jumped
+    assert plain == {(i, 0, 8) for i in range(8)}
