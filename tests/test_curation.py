@@ -282,3 +282,31 @@ def test_near_dup_clusters_pointer_jump_matches_plain(spark):
     }
     assert plain == jumped
     assert plain == {(i, 0, 8) for i in range(8)}
+
+
+def test_approx_profile_within_sketch_error_bounds(spark):
+    # the rows-only sketch query gets hard local evidence: HLL++ distinct
+    # counts within its published ~2.3% default rsd (allow 4 sigma), and
+    # approx percentiles bracketed by nearby exact percentiles
+    from market_data_ingestion_scraper_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    row = REGISTRY["approx_profile"].fn(spark, sf).collect()[0]
+    li = load_table(spark, sf, "lineitem")
+    exact_parts = li.select("l_partkey").distinct().count()
+    exact_orders = li.select("l_orderkey").distinct().count()
+    assert abs(row["approx_parts"] - exact_parts) <= 0.1 * exact_parts
+    assert abs(row["approx_orders"] - exact_orders) <= 0.1 * exact_orders
+    lo, hi = [
+        r[0]
+        for r in li.selectExpr(
+            "percentile(l_extendedprice, 0.40)"
+        ).collect()
+    ], [
+        r[0]
+        for r in li.selectExpr(
+            "percentile(l_extendedprice, 0.60)"
+        ).collect()
+    ]
+    assert lo[0] <= row["price_p50"] <= hi[0]
+    assert row["price_p50"] <= row["price_p95"] <= row["price_p99"]
