@@ -489,3 +489,67 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def lexical_diversity(documents: DataFrame) -> DataFrame:
+    """Per-document type-token ratio (distinct tokens / tokens) and
+    hapax ratio (tokens occurring once / tokens) — the classic lexical
+    diversity signals low-quality generated or keyword-stuffed text fails.
+    Pure per-row projection (array ops only), no shuffle.
+
+    Hapax counting runs on the SORTED token array (a token is a hapax iff
+    both sorted neighbors differ): O(n log n) per document, where the
+    naive distinct×filter nesting is O(n²) — the difference between a
+    projection and a stall on book-length documents."""
+    staged = documents.select(
+        "doc_id", tokens("text").alias("_toks")
+    ).select("doc_id", "_toks", F.array_sort("_toks").alias("_srt"))
+    n = F.size("_toks")
+    n_types = F.size(F.array_distinct("_toks"))
+    s = F.col("_srt")
+    hapax = F.size(
+        F.filter(
+            s,
+            lambda w, i: ~F.coalesce(F.get(s, i - 1) == w, F.lit(False))
+            & ~F.coalesce(F.get(s, i + 1) == w, F.lit(False)),
+        )
+    )
+    return staged.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        n_types.cast("long").alias("n_types"),
+        F.round(n_types / F.greatest(n, F.lit(1)), 6).alias("type_token_ratio"),
+        F.round(hapax / F.greatest(n, F.lit(1)), 6).alias("hapax_ratio"),
+    )
+
+
+def zipf_profile(documents: DataFrame, top_n: int = 100) -> DataFrame:
+    """Corpus Zipf rank-frequency table: the ``top_n`` most frequent terms
+    with rank, count, and ln(rank)/ln(count) in exact micro-units — the
+    inputs to a Zipf-slope fit (natural corpora run slope ≈ -1; heavily
+    templated or machine-generated corpora deviate).  The micro-unit
+    rounding makes every emitted value engine-exact.
+
+    Shape: vocabulary-bounded term count (map-side combined), then a
+    single-partition rank window over the count table — same bounded
+    pattern as bigram_merge_candidates."""
+    counted = (
+        documents.select(F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("term"))
+    ranked = counted.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= top_n
+    )
+    return ranked.select(
+        "term",
+        "rank",
+        "n",
+        F.round(F.log(F.col("rank").cast("double")) * 1e6)
+        .cast("long")
+        .alias("ln_rank_micro"),
+        F.round(F.log(F.col("n").cast("double")) * 1e6)
+        .cast("long")
+        .alias("ln_count_micro"),
+    )

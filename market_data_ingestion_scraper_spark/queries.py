@@ -2545,6 +2545,61 @@ def q_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     return curation_pipeline(_t(spark, sf, "documents"))
 
 
+@register(
+    "lexical_diversity",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS ts FROM documents)
+    SELECT doc_id,
+           CAST(len(ts) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(ts)) AS BIGINT) AS n_types,
+           ROUND(CAST(len(list_distinct(ts)) AS DOUBLE)
+                 / greatest(len(ts), 1), 6) AS type_token_ratio,
+           ROUND(CAST(len(list_filter(list_distinct(ts),
+                 w -> len(list_filter(ts, t -> t = w)) = 1)) AS DOUBLE)
+                 / greatest(len(ts), 1), 6) AS hapax_ratio
+    FROM tok
+    """,
+    doc="Per-document lexical diversity: type-token ratio + hapax ratio "
+    "(the quality signals template spam fails).  Per-row projection, "
+    "no shuffle.",
+)
+def q_lexical_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.text import lexical_diversity
+
+    return lexical_diversity(_t(spark, sf, "documents"))
+
+
+@register(
+    "zipf_profile",
+    f"""
+    WITH counted AS (
+      SELECT term, COUNT(*) AS n
+      FROM (SELECT unnest({_TOKS}) AS term FROM documents) GROUP BY term
+    ),
+    ranked AS (
+      SELECT term,
+             CAST(ROW_NUMBER() OVER (ORDER BY n DESC, term) AS BIGINT) AS rank,
+             n
+      FROM counted
+    )
+    SELECT term, rank, n,
+           CAST(ROUND(LN(CAST(rank AS DOUBLE)) * 1000000) AS BIGINT)
+             AS ln_rank_micro,
+           CAST(ROUND(LN(CAST(n AS DOUBLE)) * 1000000) AS BIGINT)
+             AS ln_count_micro
+    FROM ranked WHERE rank <= 100
+    """,
+    doc="Corpus Zipf rank-frequency profile (top 100 terms with exact "
+    "micro-unit log coordinates — the Zipf-slope fit inputs; natural "
+    "corpora run slope ≈ -1).  Vocabulary-bounded count then a rank "
+    "window over the count table only.",
+)
+def q_zipf_profile(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.text import zipf_profile
+
+    return zipf_profile(_t(spark, sf, "documents"), top_n=100)
+
+
 # The external correctness gate snapshots the FIRST 50 entries of the
 # queries() dict (observed r01/r02: entries past position 50 get no
 # correctness row at all).  Registration order in this file is topical, so
@@ -2572,6 +2627,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     "embedding_near_dups",
     "ivf_topk_ann",
     "repeat_vs_lapsed_custs",
+    "lexical_diversity",
+    "zipf_profile",
     "sliding_hourly_avg",
     "clicks_recent_purchase",
     "asof_last_purchase",
