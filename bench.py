@@ -10,6 +10,7 @@ per-query numbers measure the plans, not session startup.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -49,10 +50,15 @@ def main() -> None:
         runs: list[float] = []
         for _ in range(n_runs):
             # Isolate queries from each other: operators that persist()
-            # intermediates (simhash, clustering) would otherwise leave
+            # intermediates (simhash, the LSH index) would otherwise leave
             # cached blocks behind and tax every later query's memory —
             # per-query numbers must measure the plan, not the neighbors.
+            # (localCheckpoint blocks — the clustering loop — are NOT
+            # covered by clearCache; those are freed by the ContextCleaner
+            # once the loop's frames are garbage-collected, which the
+            # gc.collect() below forces between runs.)
             spark.catalog.clearCache()
+            gc.collect()
             t0 = time.perf_counter()
             spec.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             runs.append(round(time.perf_counter() - t0, 4))

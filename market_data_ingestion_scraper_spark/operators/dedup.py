@@ -494,6 +494,15 @@ def near_duplicate_clusters(
             F.col("label").alias("old_label"),
             F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
         )
+        # localCheckpoint (not persist): persist caches DATA but the logical
+        # plan still nests one round inside the next — at high round counts
+        # the plan itself OOMs the driver.  Checkpointing truncates lineage,
+        # so plan size stays O(1) per round; blocks are reclaimed by the
+        # ContextCleaner when prior rounds are garbage-collected.  It also
+        # has to happen BEFORE the pointer jump: the jump self-joins this
+        # frame, and both sides of an un-checkpointed self-join recompute
+        # the whole neighbor-min subtree.
+        stepped = stepped.localCheckpoint(eager=True)
         if pointer_jump:
             # label := label(label): labels always point to equal-or-smaller
             # ids, so the jump is monotone and chains halve per round
@@ -509,12 +518,6 @@ def near_duplicate_clusters(
                     "label"
                 ),
             )
-        # localCheckpoint (not persist): persist caches DATA but the logical
-        # plan still nests one round inside the next — at high round counts
-        # the plan itself OOMs the driver.  Checkpointing truncates lineage,
-        # so plan size stays O(1) per round; blocks are reclaimed by the
-        # ContextCleaner when prior rounds are garbage-collected.
-        stepped = stepped.localCheckpoint(eager=True)
         changed = stepped.filter(F.col("label") != F.col("old_label")).count()
         labels = stepped.select("id", "label")
         if changed == 0:
@@ -585,6 +588,11 @@ def simhash_table(
     staged = _spread(documents).select(
         F.col(id_col), F.transform(tokens(text_col), tok_hash).alias("_hs")
     )
+    # Token-less docs (null text / no alphanumerics) have no signature:
+    # emitting sh=0 for them would make every such doc a mutual hamming-0
+    # "near-duplicate" of the others, and the explode-based oracle drops
+    # them by construction.
+    staged = staged.filter(F.size("_hs") > 0)
     n = F.size("_hs")
     sh = F.lit(0).cast("long")
     for i in range(64):

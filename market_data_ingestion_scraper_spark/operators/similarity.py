@@ -163,14 +163,11 @@ def bucket_table(
     zero — a measure-zero region of a random projection, irrelevant to
     bucket quality.  Overflow bound: |v|·1e6 × |w|·1e6 × dim ≪ 2^63 for
     unit-scale vectors at any realistic dim."""
-    rows = []
-    for t in range(n_tables):
-        for p, plane in enumerate(hyperplanes(dim, n_planes, seed=seed_base + t)):
-            rows.extend(
-                (t, p, pos, int(round(w * 1e6))) for pos, w in enumerate(plane)
-            )
     spark = df.sparkSession
-    weights = spark.createDataFrame(rows, "t int, plane int, pos int, wm long")
+    weights = spark.createDataFrame(
+        _micro_weights(n_planes, n_tables, dim, seed_base),
+        "t int, plane int, pos int, wm long",
+    )
     vals = df.select(
         F.col(id_col),
         F.posexplode(_dbl(F.col(vec_col))).alias("pos", "_val"),
@@ -190,18 +187,33 @@ def bucket_table(
     return dots.groupBy(id_col, "t").agg(F.sum(bit).alias("bucket"))
 
 
+def _micro_weights(
+    n_planes: int, n_tables: int, dim: int, seed_base: int
+) -> list[tuple[int, int, int, int]]:
+    """(table, plane, pos, micro-int weight) rows — THE single source of
+    the hyperplane weights.  Both the Spark bucket table and the DuckDB
+    oracle literal derive from this list, so the bit-exact bucket contract
+    cannot drift by editing one side."""
+    return [
+        (t, p, pos, int(round(w * 1e6)))
+        for t in range(n_tables)
+        for p, plane in enumerate(hyperplanes(dim, n_planes, seed=seed_base + t))
+        for pos, w in enumerate(plane)
+    ]
+
+
 def lsh_weights_sql(
     n_planes: int, n_tables: int, dim: int, seed_base: int
 ) -> str:
     """DuckDB ``VALUES`` literal of the EXACT integer micro-unit weights
     :func:`bucket_table` uses — one row per (table, plane) with the
     64-int weight list — so an oracle reproduces every bucket bit."""
-    rows = []
-    for t in range(n_tables):
-        for p, plane in enumerate(hyperplanes(dim, n_planes, seed=seed_base + t)):
-            wm = ",".join(str(int(round(w * 1e6))) for w in plane)
-            rows.append(f"({t},{p},[{wm}])")
-    return ",\n      ".join(rows)
+    by_plane: dict[tuple[int, int], list[str]] = {}
+    for t, p, _pos, wm in _micro_weights(n_planes, n_tables, dim, seed_base):
+        by_plane.setdefault((t, p), []).append(str(wm))
+    return ",\n      ".join(
+        f"({t},{p},[{','.join(ws)}])" for (t, p), ws in sorted(by_plane.items())
+    )
 
 
 def lsh_topk(
@@ -541,9 +553,11 @@ def centroid_assign(
     would divide by class size, trading exactness for a double compare).
     All arithmetic is int64 micro-units — vectors and prototype sums snap
     to 1e-6, products are summed exactly — so any partitioning and the
-    SQL oracle agree bit-for-bit.  Overflow bound: |val| ≤ ~10 and class
-    size ≤ ~1e4 keeps Σ vm·sm under 2^63 at 64 dims; bigger classes
-    would drop to 1e-3 scaling.
+    SQL oracle agree bit-for-bit.  Overflow bound: Σ|vm·sm| over dims must
+    stay under 2^63 ≈ 9.2e18 — with unit-scale vectors (|val| ≤ 1, so
+    vm ≤ 1e6) and 64 dims that holds up to class sizes of ~1e5
+    (64 · 1e6 · 1e5·1e6 = 6.4e18); larger classes or unnormalized
+    vectors need a coarser 1e-3 scale.
 
     Dataflow at 100 TB: the prototype table is |labels| × dims (tiny,
     broadcast); the corpus explodes to (id, pos, val) and fans out by

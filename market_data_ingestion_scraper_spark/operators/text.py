@@ -42,11 +42,15 @@ def tokens(text: Column | str = "text") -> Column:
     return F.filter(F.split(F.lower(c), r"[^a-z0-9]+"), lambda t: t != "")
 
 
-def bpe_ish_token_count(text: Column | str = "text") -> Column:
+def bpe_ish_token_count(
+    text: Column | str = "text", *, token_array: Column | None = None
+) -> Column:
     """Sub-word-ish token count: word tokens plus an extra token per 4 chars
     of long words (a cheap BPE-rate proxy — long words split into pieces).
-    Deterministic, built-in only."""
-    t = tokens(text)
+    Deterministic, built-in only.  Pass ``token_array`` (e.g. a staged
+    ``_toks`` column) to count pre-tokenized input — the proxy formula
+    lives only here, so callers and their oracles cannot drift."""
+    t = tokens(text) if token_array is None else token_array
     return F.aggregate(
         t,
         F.lit(0),
@@ -404,11 +408,7 @@ def token_counts(documents: DataFrame) -> DataFrame:
     BPE-rate proxy (:func:`bpe_ish_token_count` semantics).  Staged so the
     tokenizer runs once per row; pure per-row projection, no shuffle."""
     staged = documents.select("doc_id", tokens("text").alias("_toks"))
-    bpe = F.aggregate(
-        F.col("_toks"),
-        F.lit(0),
-        lambda acc, w: acc + F.greatest(F.lit(1), F.ceil(F.length(w) / 4).cast("int")),
-    )
+    bpe = bpe_ish_token_count(token_array=F.col("_toks"))
     return staged.select(
         "doc_id",
         F.size("_toks").cast("long").alias("n_words"),
@@ -465,11 +465,14 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
     house exact-aggregation pattern); only the two ``ROUND(·, 6)``-stable
     ``ln`` calls touch floating point.
 
-    Dataflow at 100 TB: one corpus-sized explode → vocabulary-bounded term
-    counts (map-side combined) → tiny 1-row total broadcast back onto the
-    term table → term-table join back to the token stream.  The language
-    model side is vocabulary-sized, never corpus-sized; in production the
-    tf table would be computed once and reused across scoring runs."""
+    Dataflow at 100 TB: TWO corpus passes — one explode to build the
+    vocabulary-bounded term counts (map-side combined, then a tiny 1-row
+    total broadcast onto the term table), and a second explode for the
+    scoring join, because Spark does not reuse the exchange between the
+    aggregate and the join.  That is inherent to scoring with a model
+    derived from the same corpus in one plan; a production pipeline
+    computes the tf table ONCE, persists it, and amortizes it across
+    every scoring run, making scoring single-pass."""
     toks = documents.select("doc_id", F.explode(tokens("text")).alias("term"))
     tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
     total = tf.agg(F.sum("n").alias("total"))

@@ -197,3 +197,21 @@ def test_ssjoin_max_df_bounds_stop_shingle_blowup(spark):
     clusters = D.near_duplicate_clusters(docs, 0.5, max_df=5)
     reps = {r.doc_id: r.cluster_rep for r in clusters.collect()}
     assert reps == {100: 100, 101: 100}
+
+
+def test_simhash_drops_tokenless_docs(spark):
+    # docs with no [a-z0-9] content have no signature: emitting sh=0 would
+    # make '!!!' and '???' mutual hamming-0 "near-duplicates" and diverge
+    # from the explode-based oracle, which drops them by construction
+    from market_data_ingestion_scraper_spark.operators.dedup import (
+        simhash_near_duplicates,
+        simhash_table,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "!!!"), (1, "???"), (2, None), (3, "real words here")],
+        "doc_id long, text string",
+    )
+    sh = simhash_table(docs, portable=True).collect()
+    assert {r["doc_id"] for r in sh} == {3}
+    assert simhash_near_duplicates(docs, portable=True).count() == 0
