@@ -72,3 +72,74 @@ def test_minhash_exact_duplicates_estimate_one(spark):
     pairs = {(r["doc_a"], r["doc_b"]): r["est_jaccard"]
              for r in lsh_candidate_pairs(df).collect()}
     assert pairs[(1, 2)] == 1.0
+
+
+word = st.text(alphabet="abcdef", min_size=1, max_size=4)
+doc_text = st.lists(word, min_size=0, max_size=40).map(" ".join)
+
+
+@_slow
+@given(texts=st.lists(doc_text, min_size=1, max_size=12))
+def test_paragraph_stats_invariants(spark, texts):
+    # for ANY corpus: instance/distinct/dup accounting must be consistent
+    from market_data_ingestion_scraper_spark.operators.dedup import (
+        paragraph_dup_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    row = paragraph_dup_stats(docs, k=3).collect()[0]
+    n, d, dup = row["n_paragraphs"], row["n_distinct_paragraphs"], row["n_dup_instances"]
+    if n is None:  # all-empty corpus aggregates to null counts
+        return
+    assert d <= n and 0 <= dup <= n
+    # every dup instance belongs to a hash with >= 2 copies, so dup counts
+    # are either 0 or at least 2, and non-dup instances are exactly the
+    # singleton hashes: n - dup == number of hashes with exactly 1 copy <= d
+    assert dup != 1 and n - dup <= d
+
+
+@_slow
+@given(texts=st.lists(doc_text.filter(lambda t: len(t) > 0), min_size=1, max_size=10))
+def test_dedup_survivors_partition_of_corpus(spark, texts):
+    # survivors + dropped partition the doc ids, and the smallest id of
+    # any near-dup pair always survives its own pair (greedy keeps lows)
+    from market_data_ingestion_scraper_spark.operators.dedup import (
+        dedup_survivors,
+        jaccard_similarity_join,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    surv = {r["doc_id"] for r in dedup_survivors(docs, threshold=0.6).collect()}
+    pairs = jaccard_similarity_join(docs, threshold=0.6).collect()
+    dropped = {r["doc_b"] for r in pairs}
+    assert surv == set(range(len(texts))) - dropped
+    assert 0 not in dropped  # doc 0 can never have a smaller near-dup
+
+
+@_slow
+@given(texts=st.lists(doc_text, min_size=1, max_size=12))
+def test_collapse_never_grows_and_counts_match(spark, texts):
+    from market_data_ingestion_scraper_spark.operators.dedup import (
+        collapse_repeated_paragraphs,
+        paragraph_table,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = collapse_repeated_paragraphs(docs, k=3).collect()
+    per_doc_distinct = {
+        r["doc_id"]: r["cnt"]
+        for r in paragraph_table(docs, k=3)
+        .groupBy("doc_id")
+        .agg(F.countDistinct("para_hash").alias("cnt"))
+        .collect()
+    }
+    for r in rows:
+        assert 0 <= r["n_kept"] <= r["n_paras"]
+        # first-occurrence collapse keeps exactly one copy per distinct para
+        assert r["n_kept"] == per_doc_distinct.get(r["doc_id"], 0)
