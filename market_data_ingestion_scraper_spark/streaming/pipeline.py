@@ -146,11 +146,31 @@ def clicks_with_recent_purchase(
     )
 
 
-def run_to_memory(df: DataFrame, name: str, spark: SparkSession) -> DataFrame:
+def enrich_with_static(
+    events: DataFrame, dim: DataFrame, key: str = "user_id"
+) -> DataFrame:
+    """Stream-static enrichment join (§2.10): each micro-batch of the
+    stream joins the static dimension — Spark re-plans the static side
+    per batch, so a broadcast-sized dim costs one broadcast per trigger
+    and no streaming state at all (unlike stream-stream joins there is
+    nothing to watermark).  The classic use: tag events with slowly
+    changing reference data (user tier, geo, experiment arm).  Identical
+    code runs in batch, which is how the test cross-checks it."""
+    return events.join(F.broadcast(dim), key, "left").select(
+        "event_id", "ts", key, "event_type", "value", *[
+            c for c in dim.columns if c != key
+        ]
+    )
+
+
+def run_to_memory(
+    df: DataFrame, name: str, spark: SparkSession, mode: str = "complete"
+) -> DataFrame:
     """Drive a streaming query to completion synchronously against the
-    in-memory sink (test/driver harness; complete mode for aggregations)."""
+    in-memory sink (test/driver harness).  ``complete`` for aggregations;
+    stateless projections/joins need ``append``."""
     q = (
-        df.writeStream.outputMode("complete")
+        df.writeStream.outputMode(mode)
         .format("memory")
         .queryName(name)
         .start()

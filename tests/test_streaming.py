@@ -122,3 +122,26 @@ def test_foreach_batch_sink_replay_does_not_duplicate(spark, sf_smoke, tmp_path)
     silver = spark.read.parquet(f"{root}/events_silver")
     assert silver.count() == ev.count()  # replay overwrote, no duplicates
     assert silver.select("event_id").distinct().count() == ev.count()
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_smoke, events_dir):
+    # static user-tier dim joined into each micro-batch; no streaming
+    # state, broadcast per trigger; batch run of the same code agrees
+    ev_batch = load_table(spark, sf_smoke, "events")
+    dim = (
+        ev_batch.select("user_id")
+        .distinct()
+        .withColumn("tier", (F.col("user_id") % 3).cast("int"))
+    )
+    stream_out = P.run_to_memory(
+        P.enrich_with_static(P.stream_events(spark, events_dir), dim),
+        "t_enrich",
+        spark,
+        mode="append",
+    )
+    s = {(r["event_id"], r["tier"]) for r in stream_out.collect()}
+    b = {
+        (r["event_id"], r["tier"])
+        for r in P.enrich_with_static(ev_batch, dim).collect()
+    }
+    assert s == b and len(s) == ev_batch.count()
