@@ -2653,71 +2653,10 @@ def q_split_leakage(spark: SparkSession, sf: str) -> DataFrame:
 # queries, and finally entries whose evidence already exists elsewhere
 # (rows-only demos pinned by pytest, long-stable double-green rows).
 GATE_PRIORITY: tuple[str, ...] = (
-    # r6 rotation.  First: queries that have never produced a gate row —
-    # the four r5-named curation queries (implemented this round) and the
-    # five events queries whose r5 rows were errs (regenerated testdata
-    # broke the loader; fixed in sources/tables.py).
-    "token_counts",
-    "unigram_logprob_quality",
-    "paragraph_dup_stats",
-    "dup_paragraph_docs",
-    "centroid_assign",
-    "bigram_merge_candidates",
-    "collapse_repeated_paras",
-    "dedup_survivors",
-    "curation_pipeline",
-    # first-ever ORACLE rows for the ANN family (rows-only until r5; the
-    # integer micro-unit bucket oracle landed in r6)
-    "lsh_topk_ann",
-    "embedding_near_dups",
-    "ivf_topk_ann",
-    "repeat_vs_lapsed_custs",
-    "lexical_diversity",
-    "zipf_profile",
-    "split_leakage",
-    "sliding_hourly_avg",
-    "clicks_recent_purchase",
-    "asof_last_purchase",
-    "range_join_value_bands",
-    "scalar_date_scan",
-    # Then: everything parked in r05 (last verified r04) comes back in —
-    # nothing may go >2 rounds without a fresh gate row.
-    "customers_without_orders",
-    "pricing_summary",
-    "priority_counts",
-    "count_data_rows",
-    "container_classification",
-    "completed_link_types",
-    "fully_covered_orders",
-    "sanitize_commodity_names",
-    "lineage_projection",
-    "parts_above_brand_avg",
-    "events_json_extract",
-    "events_daily_by_type",
-    "user_sessionization",
-    "tfidf_top_terms",
-    "text_quality",
-    "language_id",
-    "html_table_scan",
-    "html_table_scan_datasource",
-    "stratified_sample_by_lang",
-    "repetition_scores",
-    "doc_chunks",
-    "pack_plan",
-    "benchmark_decontam",
-    "training_order",
-)
-
-# Fresh r05-green rows (CORRECTNESS_r05) parked past the snapshot window
-# this round; rotate back by r07.  The front of this list still lands
-# inside the 50-entry snapshot (50 minus len(GATE_PRIORITY) slots spill
-# over), so order it oldest-evidence first.
-GATE_DEFERRED: tuple[str, ...] = (
-    "rollup_revenue",
-    "pivot_status_qty",
-    "cube_revenue",
-    "quantity_percentiles",
-    "top_part_per_brand_maxby",
+    # r7 rotation: the 37 queries whose latest gate row is r05 (parked
+    # outside the r6 window) come back in — nothing may go >2 rounds
+    # without a fresh row.  The 3 rows-only demos (approx_profile,
+    # multimodal_features, video_frame_sample) are among them.
     "shipping_lead_time",
     "top3_parts_per_brand",
     "revenue_rank_tiers",
@@ -2755,20 +2694,90 @@ GATE_DEFERRED: tuple[str, ...] = (
     "dedup_exact_groups",
     "dedup_content_hash",
     "term_frequencies",
+    # New queries this round (never checked) fill the remaining window
+    # slots — appended here as they land.
+)
+
+# The 50 queries green in CORRECTNESS_r06 park outside the snapshot
+# window this round; rotate back by r09.  The front of this list still
+# lands inside the 50-entry snapshot (50 minus len(GATE_PRIORITY) slots
+# spill over), so keep it oldest-evidence first.
+GATE_DEFERRED: tuple[str, ...] = (
+    "token_counts",
+    "unigram_logprob_quality",
+    "paragraph_dup_stats",
+    "dup_paragraph_docs",
+    "centroid_assign",
+    "bigram_merge_candidates",
+    "collapse_repeated_paras",
+    "dedup_survivors",
+    "curation_pipeline",
+    "lsh_topk_ann",
+    "embedding_near_dups",
+    "ivf_topk_ann",
+    "repeat_vs_lapsed_custs",
+    "lexical_diversity",
+    "zipf_profile",
+    "split_leakage",
+    "sliding_hourly_avg",
+    "clicks_recent_purchase",
+    "asof_last_purchase",
+    "range_join_value_bands",
+    "scalar_date_scan",
+    "customers_without_orders",
+    "pricing_summary",
+    "priority_counts",
+    "count_data_rows",
+    "container_classification",
+    "completed_link_types",
+    "fully_covered_orders",
+    "sanitize_commodity_names",
+    "lineage_projection",
+    "parts_above_brand_avg",
+    "events_json_extract",
+    "events_daily_by_type",
+    "user_sessionization",
+    "tfidf_top_terms",
+    "text_quality",
+    "language_id",
+    "html_table_scan",
+    "html_table_scan_datasource",
+    "stratified_sample_by_lang",
+    "repetition_scores",
+    "doc_chunks",
+    "pack_plan",
+    "benchmark_decontam",
+    "training_order",
+    "rollup_revenue",
+    "pivot_status_qty",
+    "cube_revenue",
+    "quantity_percentiles",
+    "top_part_per_brand_maxby",
 )
 
 
-def _gate_order() -> list[str]:
-    # Fail loudly on typos / not-yet-implemented names: a silently dropped
-    # gate entry never gets its correctness row (this bit round 5).
-    unknown = (set(GATE_PRIORITY) | set(GATE_DEFERRED)) - set(REGISTRY)
+def _check_gate_lists() -> None:
+    """Import-time structural guard (r6 review): the gate lists must
+    PARTITION the registry exactly.  A typo'd or forgotten name would
+    otherwise silently drop a query from the export order and it would
+    never get a correctness row (this bit round 5)."""
+    prio, deferred, reg = set(GATE_PRIORITY), set(GATE_DEFERRED), set(REGISTRY)
+    overlap = prio & deferred
+    if overlap:
+        raise KeyError(f"queries in both gate lists: {sorted(overlap)}")
+    unknown = (prio | deferred) - reg
     if unknown:
         raise KeyError(f"gate window names missing from REGISTRY: {sorted(unknown)}")
-    middle = [
-        n for n in REGISTRY
-        if n not in GATE_PRIORITY and n not in GATE_DEFERRED
-    ]
-    return list(GATE_PRIORITY) + middle + list(GATE_DEFERRED)
+    unlisted = reg - prio - deferred
+    if unlisted:
+        raise KeyError(
+            f"registered queries missing from the gate lists: {sorted(unlisted)}"
+        )
+
+
+def _gate_order() -> list[str]:
+    _check_gate_lists()
+    return list(GATE_PRIORITY) + list(GATE_DEFERRED)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2781,3 +2790,8 @@ def oracle_sql() -> dict[str, str]:
         for name in _gate_order()
         if REGISTRY[name].oracle
     }
+
+
+# Run the structural guard at import time so a bad edit fails the very
+# first `import queries`, not the first gate export.
+_check_gate_lists()

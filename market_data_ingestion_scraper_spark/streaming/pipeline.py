@@ -155,11 +155,13 @@ def enrich_with_static(
     and no streaming state at all (unlike stream-stream joins there is
     nothing to watermark).  The classic use: tag events with slowly
     changing reference data (user tier, geo, experiment arm).  Identical
-    code runs in batch, which is how the test cross-checks it."""
+    code runs in batch, which is how the test cross-checks it.
+
+    Generic over the stream schema: every stream column passes through
+    unchanged (in stream order), followed by the dim's non-key columns —
+    no hardcoded event column list to silently drop or mismatch."""
     return events.join(F.broadcast(dim), key, "left").select(
-        "event_id", "ts", key, "event_type", "value", *[
-            c for c in dim.columns if c != key
-        ]
+        *events.columns, *[c for c in dim.columns if c != key]
     )
 
 

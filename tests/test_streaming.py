@@ -145,3 +145,20 @@ def test_stream_static_enrichment_matches_batch(spark, sf_smoke, events_dir):
         for r in P.enrich_with_static(ev_batch, dim).collect()
     }
     assert s == b and len(s) == ev_batch.count()
+
+
+def test_enrichment_passes_through_arbitrary_stream_columns(spark, sf_smoke):
+    # the operator is generic over the stream schema: extra columns
+    # survive, nothing is hardcoded (r6 advice)
+    ev = load_table(spark, sf_smoke, "events").withColumn(
+        "extra_payload", F.concat(F.lit("p"), F.col("event_id"))
+    )
+    dim = (
+        ev.select("user_id")
+        .distinct()
+        .withColumn("tier", (F.col("user_id") % 3).cast("int"))
+    )
+    out = P.enrich_with_static(ev, dim)
+    assert out.columns == ev.columns + ["tier"]
+    row = out.filter(F.col("extra_payload").isNotNull()).first()
+    assert row["extra_payload"].startswith("p")
