@@ -1849,12 +1849,13 @@ def q_embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "multimodal_features",
-    None,  # binary payload decode (stubbed) has no SQL twin → rows-only
-    doc="Multimodal plumbing: binary media columns → mapInPandas feature "
-    "extraction (deterministic fake decode; real decoder is a marked stub). "
-    "The array<double> feature column is projected to scalar digests here — "
-    "the driver's canonicalizer needs sortable scalars; the raw array shape "
-    "is covered by tests/test_multimodal.py.",
+    None,  # DuckDB cannot decode image/audio payloads → rows-only
+    doc="Multimodal feature extraction: binary media columns → mapInPandas "
+    "pure-numpy decode of REAL encoded payloads (BMP 24-bit, PPM P6, WAV "
+    "PCM-16, RVID raw video) into pixel/sample statistics.  The "
+    "array<double> feature column is projected to scalar digests here — "
+    "the driver's canonicalizer needs sortable scalars; exact feature "
+    "values are pinned in tests/test_multimodal.py.",
 )
 def q_multimodal(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.multimodal import extract_features, synthetic_media
@@ -2101,15 +2102,17 @@ def q_sliding(spark: SparkSession, sf: str) -> DataFrame:
     "video_frame_sample",
     None,  # payload-derived frame digests have no SQL twin → rows-only
     doc="X5 video frame sampling: one row per sampled frame (row-expanding "
-    "mapInPandas over binary payloads; frames digested to hex for the "
-    "gate's scalar canonicalizer).",
+    "mapInPandas over binary payloads).  Frames are REAL pixel data — "
+    "decoded from the RVID raw container and re-encoded as PPM P6 by the "
+    "pure-numpy codec — digested to md5 hex for the gate's scalar "
+    "canonicalizer (exact pixel values pinned in tests/test_multimodal.py).",
 )
 def q_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.multimodal import sample_frames, synthetic_media
 
     frames = sample_frames(synthetic_media(spark, n=64, parts=4))
     return frames.select(
-        "media_id", "frame_idx", "frame_ts_ms", F.hex("frame").alias("frame_digest")
+        "media_id", "frame_idx", "frame_ts_ms", F.md5("frame").alias("frame_digest")
     )
 
 

@@ -1,9 +1,11 @@
-"""Multimodal plumbing tests: typed binary columns, Arrow-batched
-mapInPandas operators, row-expanding frame sampling, determinism, and the
-stub boundary for real decoders."""
+"""Multimodal tests: pure-numpy codecs (BMP/PPM/WAV/RVID round-trips),
+Arrow-batched mapInPandas operators over REAL encoded payloads, exact
+pinned feature values, real nearest-neighbor resize, and real frame
+extraction."""
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -15,46 +17,120 @@ def media(spark):
     return M.synthetic_media(spark, n=30, parts=3)
 
 
+# ------------------------------------------------------------- codecs
+
+
+def test_bmp_round_trip_odd_width():
+    # odd width exercises the 4-byte row padding
+    px = M._synth_image(3, 7, 5)
+    out = M.decode_bmp(M.encode_bmp(px))
+    assert out.shape == (5, 7, 3)
+    assert np.array_equal(out, px)
+
+
+def test_ppm_round_trip():
+    px = M._synth_image(11, 9, 4)
+    assert np.array_equal(M.decode_ppm(M.encode_ppm(px)), px)
+
+
+def test_wav_round_trip():
+    samples = (np.sin(np.arange(800) / 10.0) * 20000).astype(np.int16)
+    got, rate = M.decode_wav(M.encode_wav(samples, 8000))
+    assert rate == 8000
+    assert np.array_equal(got, samples)
+
+
+def test_rvid_round_trip():
+    frames = np.stack([M._synth_image(i, 8, 8) for i in range(4)])
+    assert np.array_equal(M.decode_rvid(M.encode_rvid(frames)), frames)
+
+
+def test_decode_dispatch_and_fallback():
+    # image features carry real dimensions at indices 0..2
+    px = M._synth_image(0, 10, 6)
+    feats = M._decode_bytes(M.encode_bmp(px))
+    assert feats[0] == 10 and feats[1] == 6 and feats[2] == 3
+    assert feats[3] == pytest.approx(px.astype(np.float64).mean())
+    # unknown payloads fall back to the digest vector, flagged by zeros
+    fb = M._decode_bytes(b"not-a-media-file")
+    assert fb[0] == fb[1] == fb[2] == 0.0
+    assert len(fb) == M.FEATURE_DIM
+
+
+def test_real_decoder_override():
+    out = M._decode_bytes(b"xyz", real_decoder=lambda b: np.arange(16.0))
+    assert out.tolist() == list(range(16))
+
+
+# ---------------------------------------------------------- operators
+
+
 def test_schema_and_kinds(media):
     assert media.schema == M.MEDIA_SCHEMA
     kinds = {r["kind"] for r in media.select("kind").distinct().collect()}
     assert kinds == {"image", "audio", "video"}
 
 
-def test_extract_features_shape_and_determinism(spark, media):
+def test_extract_features_real_values_and_determinism(spark, media):
     out = M.extract_features(media)
-    rows = out.collect()
+    rows = {r["media_id"]: r for r in out.collect()}
     assert len(rows) == 30
-    for r in rows:
-        assert len(r["features"]) == M.FEATURE_DIM
-        assert all(0.0 <= x < 1.0 for x in r["features"])
-    # deterministic across runs (stable fake decode)
+    # exact pinned values: media 0 is a BMP image of size 64x48
+    f0 = rows[0]["features"]
+    px0 = M._synth_image(0, 64, 48).astype(np.float64)
+    assert f0[0] == 64 and f0[1] == 48 and f0[2] == 3
+    assert f0[3] == pytest.approx(px0.mean(), abs=1e-12)
+    assert f0[5] == px0.min() and f0[6] == px0.max()
+    # media 1 is WAV audio: length/rate/channels then sample stats
+    f1 = rows[1]["features"]
+    assert f1[0] == 16000 * 2 and f1[1] == 16000 and f1[2] == 1
+    assert abs(f1[3]) < 50  # sine wave ≈ zero mean
+    # media 2 is RVID video: frame count and frame dims
+    f2 = rows[2]["features"]
+    assert f2[0] == 3000 // 250 and f2[1] == 8 and f2[2] == 8
+    # deterministic across runs (real decode of identical payloads)
     again = {r["media_id"]: r["features"] for r in M.extract_features(media).collect()}
-    assert all(again[r["media_id"]] == r["features"] for r in rows)
+    assert all(again[k] == v["features"] for k, v in rows.items())
 
 
-def test_resize_images_only_images(spark, media):
-    out = M.resize_images(media, 32, 32)
+def test_resize_images_real_pixels(spark, media):
+    out = M.resize_images(media, 16, 12)
     n_images = media.filter(F.col("kind") == "image").count()
     rows = out.collect()
     assert len(rows) == n_images
-    assert all(r["width"] == 32 and len(r["payload"]) == 32 for r in rows)
+    for r in rows:
+        payload = bytes(r["payload"])
+        px = (
+            M.decode_bmp(payload) if payload[:2] == b"BM" else M.decode_ppm(payload)
+        )
+        assert px.shape == (12, 16, 3)
+    # pinned: resizing media 0 (64x48 BMP) matches direct numpy indexing
+    src = M._synth_image(0, 64, 48)
+    ys = ((np.arange(12) + 0.5) * 48 / 12).astype(np.int64)
+    xs = ((np.arange(16) + 0.5) * 64 / 16).astype(np.int64)
+    expected = src[ys][:, xs]
+    got = next(r for r in rows if r["media_id"] == 0)
+    assert np.array_equal(M.decode_bmp(bytes(got["payload"])), expected)
 
 
-def test_sample_frames_expands_rows(spark, media):
+def test_sample_frames_real_frames(spark, media):
     out = M.sample_frames(media, every_ms=500)
     videos = media.filter(F.col("kind") == "video").select(
         "media_id", "meta.duration_ms"
     ).collect()
     expected = sum((v["duration_ms"] + 499) // 500 for v in videos)
     assert out.count() == expected
-    one = out.filter(F.col("media_id") == videos[0]["media_id"]).orderBy("frame_idx").collect()
+    one = (
+        out.filter(F.col("media_id") == 2).orderBy("frame_idx").collect()
+    )
     assert [r["frame_idx"] for r in one] == list(range(len(one)))
-
-
-def test_real_decoder_is_explicit_stub():
-    with pytest.raises(NotImplementedError, match="real media decoding"):
-        M._decode_bytes(b"x", real_decoder=lambda b: b)
+    # each emitted frame is a decodable PPM holding the true source frame
+    vid = M.decode_rvid(bytes(M._synth_media_row(2)[2]))
+    dur = 3000
+    for r in one:
+        frame = M.decode_ppm(bytes(r["frame"]))
+        src = min(vid.shape[0] - 1, r["frame_ts_ms"] * vid.shape[0] // dur)
+        assert np.array_equal(frame, vid[src])
 
 
 def test_media_feature_join_runs(spark, media):
