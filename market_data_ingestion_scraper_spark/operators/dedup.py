@@ -427,6 +427,107 @@ def jaccard_similarity_join(
     )
 
 
+def _release_checkpoint(df: DataFrame) -> None:
+    """Deterministically free a ``localCheckpoint``-ed frame's storage
+    blocks (r6 advice): reach the LogicalRDD through the analyzed plan
+    and unpersist it, instead of relying on driver GC + ContextCleaner
+    timing — a long-lived session running many clustering calls would
+    otherwise accumulate checkpoint blocks between GC cycles."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # non-LogicalRDD root or API drift — GC reclaims
+        pass
+
+
+def _star_components(
+    pairs: DataFrame, max_iter: int, stats: dict | None = None
+) -> DataFrame:
+    """Alternating large-star/small-star connected components — the
+    published MapReduce CC algorithm (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014).  Input: near-dup
+    pairs (doc_a, doc_b); output: (id, label) with label = component min.
+
+    Each round, per node u with closed-neighborhood min m(u):
+    **large-star** re-hooks every LARGER neighbor v > u to m(u);
+    **small-star** re-hooks every smaller neighbor (and u itself) to
+    m(u).  Components contract to stars in O(log² n) rounds worst-case;
+    on chains the diameter halves per round (~log₂ d rounds vs one hop
+    per round for plain min-label propagation), so long mirror-farm
+    chains converge in a handful of rounds instead of O(diameter).
+
+    Scale notes: every step is an equi-join + groupBy on the EDGE list
+    (≪ corpus — only near-dup members appear); each round's edge set is
+    localCheckpoint-ed (plan stays O(1) deep) and the previous round's
+    blocks are released explicitly."""
+    edges = (
+        pairs.select(
+            F.greatest("doc_a", "doc_b").alias("u"),
+            F.least("doc_a", "doc_b").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = edges.count()
+    rounds = 0
+    converged = False
+    for _ in range(max_iter):
+        rounds += 1
+        sym = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        # m(u) = min over N(u) ∪ {u}
+        m = sym.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
+        large = (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        sym1 = large.union(
+            large.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m1 = sym1.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
+        small = (
+            sym1.join(m1, "u")
+            .filter(F.col("v") < F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(m1.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        _release_checkpoint(large)
+        n_new = small.count()
+        # equal-size distinct sets are equal iff the one-way difference
+        # is empty — one subtract job, no symmetric difference needed
+        changed = n_new != n_edges or small.subtract(edges).count() > 0
+        _release_checkpoint(edges)
+        edges, n_edges = small, n_new
+        if not changed:
+            converged = True
+            break
+    if stats is not None:
+        stats.update(rounds=rounds, converged=converged, method="star")
+    if not converged:
+        logging.getLogger(__name__).warning(
+            "star components did not converge in %d rounds — components "
+            "wider than the round budget are split; raise max_iter",
+            max_iter,
+        )
+    # At the fixpoint every component is a star (child → root edges);
+    # label children by their root and roots by themselves.  min() guards
+    # the not-converged case, where a node may still carry two parents.
+    return (
+        edges.select(F.col("u").alias("id"), F.col("v").alias("label"))
+        .union(edges.select(F.col("v").alias("id"), F.col("v").alias("label")))
+        .groupBy("id")
+        .agg(F.min("label").alias("label"))
+    )
+
+
 def near_duplicate_clusters(
     documents: DataFrame,
     threshold: float = 0.7,
@@ -435,6 +536,8 @@ def near_duplicate_clusters(
     max_iter: int = 25,
     max_df: int | None = None,
     pointer_jump: bool = False,
+    method: str = "star",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over the near-duplicate graph — the step that
     turns pairwise matches into dedup decisions (keep one representative
@@ -465,8 +568,27 @@ def near_duplicate_clusters(
     stop-shingle cap).  If propagation exhausts ``max_iter`` before the
     fixpoint (a near-dup chain with diameter > max_iter), the labels are
     split clusters — that is loud, not silent: a warning is logged with
-    the residual change count so callers can raise ``max_iter``."""
+    the residual change count so callers can raise ``max_iter``.
+
+    ``method`` selects the components algorithm: ``"star"`` (default —
+    alternating large-star/small-star, O(log² n) rounds, see
+    :func:`_star_components`) or ``"propagate"`` (min-label propagation
+    as described above; ``pointer_jump`` applies to this method only).
+    Both produce identical labels (component min); ``stats`` (optional
+    dict) receives rounds/convergence for observability and tests."""
     pairs = jaccard_similarity_join(documents, threshold, k, id_col, max_df=max_df)
+    if method == "star":
+        labels = _star_components(pairs, max_iter, stats)
+        sizes = labels.groupBy("label").agg(
+            F.count(F.lit(1)).alias("cluster_size")
+        )
+        return labels.join(sizes, "label").select(
+            F.col("id").alias(id_col),
+            F.col("label").alias("cluster_rep"),
+            "cluster_size",
+        )
+    if method != "propagate":
+        raise ValueError(f"unknown components method: {method!r}")
     edges = (
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
@@ -479,7 +601,10 @@ def near_duplicate_clusters(
         .localCheckpoint(eager=True)
     )
     changed = 0
+    rounds = 0
+    prev_ckpt = labels  # the checkpointed frame whose blocks round N+1 frees
     for _ in range(max_iter):
+        rounds += 1
         neighbor_min = (
             edges.join(labels, edges.v == labels.id)
             .groupBy("u")
@@ -503,6 +628,7 @@ def near_duplicate_clusters(
         # frame, and both sides of an un-checkpointed self-join recompute
         # the whole neighbor-min subtree.
         stepped = stepped.localCheckpoint(eager=True)
+        this_ckpt = stepped
         if pointer_jump:
             # label := label(label): labels always point to equal-or-smaller
             # ids, so the jump is monotone and chains halve per round
@@ -519,9 +645,18 @@ def near_duplicate_clusters(
                 ),
             )
         changed = stepped.filter(F.col("label") != F.col("old_label")).count()
+        # the prior round's checkpoint blocks are no longer reachable
+        # (this round is materialized) — free them now instead of waiting
+        # for GC + ContextCleaner (r6 advice).  NOTE: release the actual
+        # checkpointed frame, not a projection of it.
+        if prev_ckpt is not this_ckpt:
+            _release_checkpoint(prev_ckpt)
+        prev_ckpt = this_ckpt
         labels = stepped.select("id", "label")
         if changed == 0:
             break
+    if stats is not None:
+        stats.update(rounds=rounds, converged=changed == 0, method="propagate")
     if changed != 0:
         logging.getLogger(__name__).warning(
             "near_duplicate_clusters: label propagation did not converge in "

@@ -259,29 +259,62 @@ def test_token_counts_bpe_proxy(spark):
     assert row["n_bpe_tokens"] == 5 + 1 + 1
 
 
-def test_near_dup_clusters_pointer_jump_matches_plain(spark):
+def test_near_dup_clusters_methods_agree(spark):
     # deep-chain corpus: doc i is a 13-token sliding window over one long
     # token stream, so adjacent docs share 10/12 trigrams (J=0.833) and
     # docs two apart only 9/13 (J=0.69) — at threshold 0.8 the near-dup
-    # graph is a pure chain of diameter 7.  Pointer jumping must produce
-    # the identical component labeling the plain propagation does.
+    # graph is a pure chain of diameter 7.  All three component
+    # algorithms (alternating star — the default, plain min-label
+    # propagation, propagation + pointer jump) must produce the identical
+    # labeling.
     stream = [f"t{j}" for j in range(24)]
     docs = spark.createDataFrame(
         [(i, " ".join(stream[i : i + 13])) for i in range(8)],
         "doc_id long, text string",
     )
+    expected = {(i, 0, 8) for i in range(8)}
+    star_stats, prop_stats = {}, {}
+    star = {
+        (r["doc_id"], r["cluster_rep"], r["cluster_size"])
+        for r in D.near_duplicate_clusters(
+            docs, threshold=0.8, stats=star_stats
+        ).collect()
+    }
     plain = {
         (r["doc_id"], r["cluster_rep"], r["cluster_size"])
-        for r in D.near_duplicate_clusters(docs, threshold=0.8).collect()
+        for r in D.near_duplicate_clusters(
+            docs, threshold=0.8, method="propagate", stats=prop_stats
+        ).collect()
     }
     jumped = {
         (r["doc_id"], r["cluster_rep"], r["cluster_size"])
         for r in D.near_duplicate_clusters(
-            docs, threshold=0.8, pointer_jump=True
+            docs, threshold=0.8, method="propagate", pointer_jump=True
         ).collect()
     }
-    assert plain == jumped
-    assert plain == {(i, 0, 8) for i in range(8)}
+    assert star == plain == jumped == expected
+    assert star_stats["converged"] and prop_stats["converged"]
+    # star contracts the diameter-7 chain in fewer rounds than one-hop
+    # propagation
+    assert star_stats["rounds"] < prop_stats["rounds"]
+
+
+def test_star_components_planted_64_link_chain(spark):
+    # planted chain: 65 nodes, 64 edges, diameter 64.  Plain propagation
+    # needs ~64 rounds (one hop per round); alternating star halves the
+    # chain per round — ~log2(64) contraction rounds plus one stability
+    # check — with identical labels.
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "doc_a long, doc_b long"
+    )
+    stats = {}
+    labels = {
+        (r["id"], r["label"])
+        for r in D._star_components(pairs, max_iter=25, stats=stats).collect()
+    }
+    assert labels == {(i, 0) for i in range(65)}
+    assert stats["converged"]
+    assert stats["rounds"] <= 8, stats
 
 
 def test_approx_profile_within_sketch_error_bounds(spark):
