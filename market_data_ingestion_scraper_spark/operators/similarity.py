@@ -613,3 +613,55 @@ def label_centroids(
         ).alias("centroid"),
     )
     return assembled
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Semantic deduplication (the SemDeDup recipe, Abbas et al. 2023,
+    arXiv:2303.09540 — public paper): cluster the embedding space, then
+    drop near-duplicate members WITHIN each cluster, keeping the
+    lowest-id representative of every duplicate neighborhood.
+
+    Pipeline: nearest-prototype cluster assignment
+    (:func:`centroid_assign` — exact int64 micro-unit dots, broadcast
+    prototypes) → within-cluster pair join with exact fold-cosine →
+    drop any vector that has a lower-id neighbor at cos ≥ threshold.
+    Output: (vec_id, pred_label, kept) for the whole corpus.
+
+    Scale notes: the pair join is keyed on the cluster id, so pair cost
+    is Σ|cluster|² — the SemDeDup design point: with k ≈ √n clusters the
+    quadratic term is bounded at n·√n ≪ n², and clusters are processed
+    independently (perfectly parallel).  The corpus never crossJoins; for
+    very tight thresholds at extreme scale the LSH-bucketed
+    :func:`embedding_near_duplicates` is the alternative candidate
+    generator.  Demo threshold on the random-vector fixtures is lower
+    than the paper's 0.95+ production setting (fixtures have no true
+    semantic dups; tests plant them)."""
+    corpus = _spread(embeddings)
+    asg = centroid_assign(corpus, label_col, vec_col, id_col).select(
+        F.col("vec_id"), F.col("pred_label")
+    )
+    a = asg.select(F.col("vec_id").alias("vec_a"), "pred_label")
+    b = asg.select(F.col("vec_id").alias("vec_b"), "pred_label")
+    cand = a.join(b, "pred_label").filter(F.col("vec_a") < F.col("vec_b"))
+    va = _scoring_side(corpus, id_col, vec_col, "vec_a", "q")
+    vb = _scoring_side(corpus, id_col, vec_col, "vec_b", "n")
+    dropped = (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select("vec_a", "vec_b", _pair_cosine())
+        .filter(F.col("cos_sim") >= threshold)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return asg.join(dropped, "vec_id", "left").select(
+        "vec_id",
+        "pred_label",
+        F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"),
+    )

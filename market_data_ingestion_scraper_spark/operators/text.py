@@ -556,3 +556,55 @@ def zipf_profile(documents: DataFrame, top_n: int = 100) -> DataFrame:
         .cast("long")
         .alias("ln_count_micro"),
     )
+
+
+def length_histogram(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus length profile: documents bucketed by floor(log2(chars)) —
+    the curation view that exposes truncation spikes, boilerplate stubs,
+    and runaway concatenations before training.
+
+    The bucket is computed with INTEGER arithmetic (length of the binary
+    representation, minus one) rather than float log2, so any engine
+    agrees bit-for-bit at power-of-two boundaries.  One groupBy whose
+    shuffle carries ≤ ~40 bucket rows after map-side combine; the share
+    denominator is a window over those bucket rows, not a second scan.
+    """
+    n = F.greatest(F.length(F.col(text_col)), F.lit(1))
+    bucket = (F.length(F.conv(n.cast("string"), 10, 2)) - 1).cast("int")
+    grouped = documents.groupBy(bucket.alias("len_bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min(F.length(text_col)).alias("min_chars"),
+        F.max(F.length(text_col)).alias("max_chars"),
+    )
+    total = Window.partitionBy()
+    return grouped.select(
+        "len_bucket",
+        "n_docs",
+        "min_chars",
+        "max_chars",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(total), 6).alias("share"),
+    )
+
+
+def source_language_mix(documents: DataFrame) -> DataFrame:
+    """Source × predicted-language composition: how much of each source is
+    (predicted) which language — the contamination/mix view a multilingual
+    curation run keys sampling decisions off.
+
+    Reuses :func:`language_id` (per-row projection, no shuffle), joins the
+    source column back by doc_id, then one groupBy; the per-source share
+    is a window over the grouped rows (|sources| × |langs| — tiny)."""
+    pred = language_id(documents).select("doc_id", "pred_lang")
+    tagged = documents.select("doc_id", "source").join(pred, "doc_id")
+    grouped = tagged.groupBy("source", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    per_source = Window.partitionBy("source")
+    return grouped.select(
+        "source",
+        "pred_lang",
+        "n_docs",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(per_source), 6).alias(
+            "source_share"
+        ),
+    )

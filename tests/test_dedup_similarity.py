@@ -215,3 +215,29 @@ def test_simhash_drops_tokenless_docs(spark):
     sh = simhash_table(docs, portable=True).collect()
     assert {r["doc_id"] for r in sh} == {3}
     assert simhash_near_duplicates(docs, portable=True).count() == 0
+
+
+def test_semantic_dedup_drops_planted_cluster_dups(spark):
+    # two orthogonal clusters; vectors 1/2 are near-identical (cos ~ 1)
+    # inside cluster A, vector 10 is A-ish but not a dup, 20/21 are
+    # near-identical in cluster B.  Keep-min policy: 1 and 20 survive
+    # their dup neighborhoods, 2 and 21 drop; singletons always keep.
+    from market_data_ingestion_scraper_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0], 0),
+        (2, [0.999, 0.01, 0.0, 0.0], 0),
+        (10, [0.7, 0.5, 0.0, 0.2], 0),  # cos to 1/2 ≈ 0.79 — not a dup
+        (20, [0.0, 0.0, 1.0, 0.0], 1),
+        (21, [0.0, 0.0, 0.998, 0.02], 1),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {r["vec_id"]: (r["pred_label"], r["kept"])
+           for r in semantic_dedup(emb, threshold=0.95).collect()}
+    assert out[1] == (0, True) and out[2] == (0, False)
+    assert out[10] == (0, True)
+    assert out[20] == (1, True) and out[21] == (1, False)
