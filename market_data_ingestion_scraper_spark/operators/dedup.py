@@ -956,3 +956,97 @@ def dedup_survivors(
     pairs = jaccard_similarity_join(documents, threshold, k, id_col)
     drop = pairs.select(F.col("doc_b").alias(id_col)).distinct()
     return documents.join(drop, id_col, "left_anti").select(id_col)
+
+
+# ------------------------------------- exact-substring overlap / calibration
+
+def shared_gram_pairs(
+    documents: DataFrame,
+    n: int = 8,
+    min_shared: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Cross-document exact n-gram overlap — the exact-substring dedup
+    signal (Lee et al. 2021, "Deduplicating Training Data Makes Language
+    Models Better", arXiv:2107.06499 §4.1: verbatim spans repeated across
+    documents).  Two docs sharing ≥ ``min_shared`` distinct n-token grams
+    contain near-verbatim shared spans even when whole-document Jaccard
+    is low — the long-quotation / partial-mirror case MinHash misses.
+
+    Same inverted-index shape as :func:`jaccard_similarity_join`: docs
+    sharing zero n-grams never meet, cost is Σ_g df(g)² over gram doc
+    frequencies; at n=8 grams are near-unique (df ≈ 1-2) so the join is
+    close to linear.  ``max_df`` caps boilerplate grams exactly like the
+    ssjoin's stop-shingle guard."""
+    ex = documents.select(
+        F.col(id_col), F.explode(string_shingles(text_col, n)).alias("gram")
+    )
+    if max_df is not None:
+        keep = (
+            ex.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("gram")
+        )
+        ex = ex.join(keep, "gram")
+    l, r = ex.alias("l"), ex.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.gram") == F.col("r.gram"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"l.{id_col}").alias("doc_a"),
+            F.col(f"r.{id_col}").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+        .filter(F.col("n_shared_grams") >= min_shared)
+    )
+
+
+def minhash_estimate_calibration(
+    documents: DataFrame,
+    n_bands: int = 16,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Estimator calibration: for every MinHash-LSH candidate pair, the
+    signature-agreement estimate next to the EXACT string-shingle Jaccard
+    and the absolute error — the view that justifies trusting the sketch
+    at scale (and catches a broken hash family immediately: errors
+    concentrate near E|err| ≈ sqrt(j(1-j)/64) ≈ 0.06, so a mean error
+    drifting past ~0.1 is a red flag, not noise).
+
+    Exact Jaccard is computed only for candidate pairs (semi-join
+    bounded, like :func:`exact_jaccard_pairs`) but over STRING shingles
+    so an engine-portable oracle can replay every value bit-exact."""
+    cand = lsh_candidate_pairs(
+        documents, n_bands, id_col=id_col, text_col=text_col, portable=True
+    )
+    ids = (
+        cand.select(F.col("doc_a").alias(id_col))
+        .union(cand.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    sh = (
+        documents.join(ids, id_col, "left_semi")
+        .select(F.col(id_col), string_shingles(text_col, k).alias("sh"))
+        .persist()
+    )
+    joined = cand.join(
+        sh.withColumnsRenamed({id_col: "doc_a", "sh": "sh_a"}), "doc_a"
+    ).join(sh.withColumnsRenamed({id_col: "doc_b", "sh": "sh_b"}), "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    exact = F.round(inter / F.greatest(union, F.lit(1)), 6)
+    return joined.select(
+        "doc_a",
+        "doc_b",
+        "est_jaccard",
+        exact.alias("exact_jaccard"),
+        F.round(F.abs(F.col("est_jaccard") - exact), 6).alias("abs_err"),
+    )

@@ -665,3 +665,46 @@ def semantic_dedup(
         "pred_label",
         F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"),
     )
+
+
+def ann_recall(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    corpus_buckets: DataFrame | None = None,
+) -> DataFrame:
+    """Recall@k of the LSH ANN against exact brute-force ground truth —
+    the eval harness every ANN deployment runs before trusting the index
+    (tune n_planes/n_tables until measured recall meets the target, then
+    ship).  Output: (query_id, n_hits, recall_at_k) per query.
+
+    Both sides use identical fold-cosine arithmetic and (cos desc, id)
+    tie-breaks, so the comparison measures BUCKETING loss only, never
+    float drift.  Cost: the exact side is the brute-force scan — run it
+    on a sampled query set (queries ≪ corpus, broadcast), which is how
+    recall is estimated at 100 TB; the ANN side reuses the persisted
+    bucket index."""
+    approx = lsh_topk(
+        embeddings, queries, k, id_col=id_col, vec_col=vec_col,
+        corpus_buckets=corpus_buckets,
+    ).select("query_id", F.col("neighbor_id").alias("a_neighbor"))
+    exact = brute_force_topk(embeddings, queries, k, id_col, vec_col)
+    hits = exact.join(
+        approx,
+        (exact.query_id == approx.query_id)
+        & (exact.neighbor_id == approx.a_neighbor),
+        "left",
+    ).select(exact.query_id, approx.a_neighbor)
+    return (
+        hits.groupBy("query_id")
+        .agg(F.count("a_neighbor").alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            F.round(F.col("n_hits") / F.lit(float(k)), 6).alias(
+                f"recall_at_{k}"
+            ),
+        )
+    )
