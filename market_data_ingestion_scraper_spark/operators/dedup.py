@@ -1050,3 +1050,45 @@ def minhash_estimate_calibration(
         exact.alias("exact_jaccard"),
         F.round(F.abs(F.col("est_jaccard") - exact), 6).alias("abs_err"),
     )
+
+
+def dedup_rate_by_source(
+    documents: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source duplication report: corpus-wide content-hash dedup
+    (same normalization as :func:`content_hash_dedup`), then for each
+    source the count of documents that are non-representative copies of
+    some hash group (min-id keeps) and the duplication rate — the
+    curation dashboard number that decides which sources get aggressive
+    dedup budgets.
+
+    Two shuffles, both on small keys: the 32-byte hash groupBy (map-side
+    combined) and the |sources|-row final aggregate."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    h = documents.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col),
+        F.sha2(norm, 256).alias("content_hash"),
+    )
+    rep = h.groupBy("content_hash").agg(F.min(id_col).alias("_keep"))
+    flagged = h.join(rep, "content_hash").select(
+        "source", (F.col(id_col) != F.col("_keep")).alias("_is_dup")
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_if(F.col("_is_dup")).alias("n_dup_copies"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dup_copies",
+            F.round(F.col("n_dup_copies") / F.col("n_docs"), 6).alias(
+                "dup_rate"
+            ),
+        )
+    )

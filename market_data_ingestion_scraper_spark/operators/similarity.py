@@ -689,14 +689,21 @@ def ann_recall(
     approx = lsh_topk(
         embeddings, queries, k, id_col=id_col, vec_col=vec_col,
         corpus_buckets=corpus_buckets,
-    ).select("query_id", F.col("neighbor_id").alias("a_neighbor"))
+    )
     exact = brute_force_topk(embeddings, queries, k, id_col, vec_col)
+    return recall_vs_exact(approx, exact, k)
+
+
+def recall_vs_exact(approx: DataFrame, exact: DataFrame, k: int) -> DataFrame:
+    """Per-query recall@k of any (query_id, neighbor_id) result set
+    against the exact ground truth — the shared scoring join behind
+    :func:`ann_recall` and the IVF variant."""
+    a = approx.select("query_id", F.col("neighbor_id").alias("a_neighbor"))
     hits = exact.join(
-        approx,
-        (exact.query_id == approx.query_id)
-        & (exact.neighbor_id == approx.a_neighbor),
+        a,
+        (exact.query_id == a.query_id) & (exact.neighbor_id == a.a_neighbor),
         "left",
-    ).select(exact.query_id, approx.a_neighbor)
+    ).select(exact.query_id, a.a_neighbor)
     return (
         hits.groupBy("query_id")
         .agg(F.count("a_neighbor").alias("n_hits"))

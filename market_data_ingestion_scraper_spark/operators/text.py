@@ -608,3 +608,25 @@ def source_language_mix(documents: DataFrame) -> DataFrame:
             "source_share"
         ),
     )
+
+
+def token_count_histogram(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token-count profile: documents bucketed by floor(log2(tokens)) —
+    the sequence-length view batch/packing decisions key off (char
+    length ≠ token length under heavy punctuation or CJK romanization).
+    Same integer binary-length bucket trick as :func:`length_histogram`."""
+    n = F.greatest(F.size(tokens(text_col)), F.lit(1))
+    bucket = (F.length(F.conv(n.cast("string"), 10, 2)) - 1).cast("int")
+    grouped = documents.groupBy(bucket.alias("tok_bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min(F.size(tokens(text_col))).alias("min_tokens"),
+        F.max(F.size(tokens(text_col))).alias("max_tokens"),
+    )
+    total = Window.partitionBy()
+    return grouped.select(
+        "tok_bucket",
+        "n_docs",
+        "min_tokens",
+        "max_tokens",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(total), 6).alias("share"),
+    )

@@ -1874,6 +1874,45 @@ def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _ivf_recall_oracle() -> str:
+    """DuckDB twin of the IVF recall eval: the full IVF pipeline and the
+    exact brute force nested as CTEs, recall@5 per query."""
+    return f"""
+    WITH ivf AS ({_ivf_topk_oracle()}),
+         exact AS ({_BRUTE_TOPK_SQL})
+    SELECT e.query_id AS query_id,
+           COUNT(i.neighbor_id) AS n_hits,
+           ROUND(COUNT(i.neighbor_id) / 5.0, 6) AS recall_at_5
+    FROM exact e LEFT JOIN ivf i
+      ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """
+
+
+@register(
+    "ivf_recall_eval",
+    _ivf_recall_oracle(),
+    doc="IVF eval harness: recall@5 of n_probe=4/16-cell IVF against "
+    "exact brute force per query — the probe-budget tuning view "
+    "(symmetric with ann_recall_eval for the LSH family).",
+)
+def q_ivf_recall(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        label_centroid_elements,
+        recall_vs_exact,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    approx = ivf_topk(
+        emb, queries_df, k=5, n_probe=4,
+        centroid_elements=label_centroid_elements(emb),
+    )
+    return recall_vs_exact(approx, brute_force_topk(emb, queries_df, k=5), 5)
+
+
 @register(
     "embedding_near_dups",
     _lsh_pair_oracle(n_planes=8, n_tables=6, seed_base=7000, threshold=0.45),
@@ -2694,6 +2733,59 @@ def q_split_leakage(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "dedup_rate_by_source",
+    r"""
+    WITH h AS (
+      SELECT source, doc_id,
+             sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS ch
+      FROM documents
+    ),
+    rep AS (SELECT ch, MIN(doc_id) AS keep FROM h GROUP BY ch)
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(count_if(doc_id <> keep) AS BIGINT) AS n_dup_copies,
+           ROUND(CAST(count_if(doc_id <> keep) AS DOUBLE) / COUNT(*), 6)
+             AS dup_rate
+    FROM h JOIN rep USING (ch)
+    GROUP BY source
+    """,
+    doc="Per-source duplication report: corpus-wide content-hash groups, "
+    "min-id representative kept, per-source copy counts and rate — the "
+    "dashboard number that sets per-source dedup budgets.",
+)
+def q_dedup_rate_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.dedup import dedup_rate_by_source
+
+    return dedup_rate_by_source(_t(spark, sf, "documents"))
+
+
+@register(
+    "token_count_histogram",
+    f"""
+    WITH b AS (
+      SELECT CAST(length(bin(greatest(len({_TOKS}), 1))) - 1 AS INT)
+               AS tok_bucket,
+             len({_TOKS}) AS n
+      FROM documents
+    ), g AS (
+      SELECT tok_bucket, COUNT(*) AS n_docs,
+             MIN(n) AS min_tokens, MAX(n) AS max_tokens
+      FROM b GROUP BY tok_bucket
+    )
+    SELECT tok_bucket, n_docs, min_tokens, max_tokens,
+           ROUND(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (), 6) AS share
+    FROM g
+    """,
+    doc="Token-count profile: floor(log2(tokens)) buckets via integer "
+    "binary-length arithmetic — the sequence-length view packing and "
+    "batching key off.",
+)
+def q_token_count_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.text import token_count_histogram
+
+    return token_count_histogram(_t(spark, sf, "documents"))
+
+
+@register(
     "cross_doc_gram_overlap",
     f"""
     WITH tok AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
@@ -2952,6 +3044,9 @@ GATE_PRIORITY: tuple[str, ...] = (
     "cross_doc_gram_overlap",
     "minhash_est_calibration",
     "ann_recall_eval",
+    "ivf_recall_eval",
+    "dedup_rate_by_source",
+    "token_count_histogram",
 )
 
 # The 50 queries green in CORRECTNESS_r06 park outside the snapshot
