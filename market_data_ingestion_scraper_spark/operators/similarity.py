@@ -643,8 +643,14 @@ def semantic_dedup(
     than the paper's 0.95+ production setting (fixtures have no true
     semantic dups; tests plant them)."""
     corpus = _spread(embeddings)
-    asg = centroid_assign(corpus, label_col, vec_col, id_col).select(
-        F.col("vec_id"), F.col("pred_label")
+    # Persist the assignment: both pair-join sides reference it, and an
+    # unpersisted frame would re-run the whole prototype pipeline per
+    # side (2 id+label columns per corpus row — tiny to cache; the same
+    # inline-index precedent as embedding_near_duplicates' bucket table).
+    asg = (
+        centroid_assign(corpus, label_col, vec_col, id_col)
+        .select(F.col("vec_id"), F.col("pred_label"))
+        .persist()
     )
     a = asg.select(F.col("vec_id").alias("vec_a"), "pred_label")
     b = asg.select(F.col("vec_id").alias("vec_b"), "pred_label")

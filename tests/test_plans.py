@@ -330,3 +330,35 @@ def test_curation_pipeline_no_cartesian_bounded_exchanges(spark):
     assert "CartesianProduct" not in txt, txt
     assert "BroadcastNestedLoopJoin" not in txt, txt
     assert n_shuffle <= 10, txt
+
+
+def test_semdedup_no_cartesian_cluster_keyed_pairs(spark):
+    # SemDeDup: the within-cluster pair join must stay keyed on the
+    # cluster id (an equi-join) — a cartesian over the corpus is the
+    # scale-killer the clustering exists to prevent.
+    with aqe_disabled(spark):
+        txt = explain_str(_plan(spark, "semdedup_drop"), "simple")
+    assert "CartesianProduct" not in txt, txt
+    assert "BroadcastNestedLoopJoin" not in txt, txt
+
+
+def test_gram_overlap_inverted_index_equi_join(spark):
+    # exact-substring overlap: docs meet ONLY through the shared-gram
+    # equi-join (inverted index); no cartesian, grouped pair counts
+    # partial-aggregate before the shuffle.
+    with aqe_disabled(spark):
+        rep = plan_report(_plan(spark, "cross_doc_gram_overlap"))
+    assert rep.n_broadcast_joins + rep.n_sortmerge_joins >= 1, rep.summary()
+    txt = explain_str(_plan(spark, "cross_doc_gram_overlap"), "simple")
+    assert "CartesianProduct" not in txt and "BroadcastNestedLoopJoin" not in txt
+
+def test_histograms_single_agg_shuffle(spark):
+    # log2-bucket histograms: one partial-agged groupBy shuffle plus the
+    # single-partition window for the share — bounded by bucket count.
+    for name in ("doc_length_histogram", "token_count_histogram"):
+        with aqe_disabled(spark):
+            rep = plan_report(_plan(spark, name))
+        assert rep.has_partial_agg, (name, rep.summary())
+        # bucket groupBy + single-partition share window (+ plan-internal
+        # reuse) — all carrying <= ~40 bucket rows after partial agg
+        assert rep.n_shuffles <= 4, (name, rep.summary())
