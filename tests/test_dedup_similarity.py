@@ -241,3 +241,45 @@ def test_semantic_dedup_drops_planted_cluster_dups(spark):
     assert out[1] == (0, True) and out[2] == (0, False)
     assert out[10] == (0, True)
     assert out[20] == (1, True) and out[21] == (1, False)
+
+
+def test_shared_gram_pairs_finds_verbatim_span(spark):
+    # doc 1 and 2 share one verbatim 12-token span (5 distinct 8-grams);
+    # doc 3 is unrelated.  min_shared=3 keeps the pair, min_shared=6
+    # drops it; max_df=1 kills grams present in >1 doc... (df of shared
+    # grams is 2, so max_df=1 must yield no pairs).
+    span = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro one two three {span} outro aaa bbb"),
+            (2, f"different lead in {span} and a different tail xxx"),
+            (3, "totally unrelated content with its own words here now ok"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r["doc_a"], r["doc_b"]): r["n_shared_grams"]
+             for r in D.shared_gram_pairs(docs, n=8, min_shared=3).collect()}
+    assert set(pairs) == {(1, 2)}
+    assert pairs[(1, 2)] == 5  # 12-token span -> 5 distinct 8-grams
+    assert D.shared_gram_pairs(docs, n=8, min_shared=6).count() == 0
+    assert D.shared_gram_pairs(docs, n=8, min_shared=1, max_df=1).count() == 0
+
+
+def test_dedup_rate_by_source_planted_copies(spark):
+    # srcA: 2 of 4 docs are copies (one group of 3 with the min-id keep
+    # in srcB).  Normalization folds case/whitespace before hashing.
+    docs = spark.createDataFrame(
+        [
+            (1, "Same   Content", "srcB"),
+            (2, "same content", "srcA"),
+            (3, "SAME CONTENT  ", "srcA"),
+            (4, "unique a", "srcA"),
+            (5, "unique b", "srcA"),
+            (6, "unique c", "srcB"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: (r["n_docs"], r["n_dup_copies"], r["dup_rate"])
+           for r in D.dedup_rate_by_source(docs).collect()}
+    assert out["srcA"] == (4, 2, 0.5)   # docs 2,3 are copies of doc 1
+    assert out["srcB"] == (2, 0, 0.0)   # doc 1 is the kept representative
