@@ -75,3 +75,36 @@ def pack_sequences(
         F.floor(cum_before / ctx_tokens).cast("long").alias("start_bin"),
         (cum_before % ctx_tokens).cast("long").alias("start_offset"),
     )
+
+
+def pack_efficiency(
+    documents: DataFrame,
+    ctx_tokens: int = 512,
+    strata_cols: str | list[str] = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Packing utilization per stratum: total tokens, documents, context
+    windows consumed (ceil(total/ctx)) and fill rate — the batch-economics
+    view of :func:`pack_sequences` (a fill rate well under 1.0 means the
+    last window of each stratum wastes compute; more/smaller strata trade
+    parallelism against tail waste).
+
+    One grouped aggregate over per-row token counts — the shuffle carries
+    |strata| rows after map-side combine."""
+    cols = [strata_cols] if isinstance(strata_cols, str) else list(strata_cols)
+    n_tok = F.size(tokens("text"))
+    g = documents.groupBy(*cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tok).alias("total_tokens"),
+    )
+    n_bins = F.ceil(F.col("total_tokens") / F.lit(ctx_tokens)).cast("long")
+    return g.select(
+        *cols,
+        "n_docs",
+        "total_tokens",
+        n_bins.alias("n_bins"),
+        F.round(
+            F.col("total_tokens") / (n_bins * F.lit(ctx_tokens)).cast("double"),
+            6,
+        ).alias("fill_rate"),
+    )

@@ -721,3 +721,50 @@ def recall_vs_exact(approx: DataFrame, exact: DataFrame, k: int) -> DataFrame:
             ),
         )
     )
+
+
+def norm_outliers(embeddings: DataFrame, z_thresh: float = 2.0) -> DataFrame:
+    """Embedding QA: per-vector shape statistics z-scored against the
+    corpus.  The scored statistic is the L1/L2 ratio — a unit-free
+    spread measure (≈1 for one-hot-spiky vectors, ≈√d for evenly spread
+    mass), so it stays informative on L2-normalized corpora where the
+    raw norm is constant by construction; vectors whose mass
+    concentration is |z| > threshold away from the corpus profile are
+    flagged before they poison ANN buckets or cosine thresholds.  The
+    raw L2 norm rides along (unnormalized batches show up there).
+
+    Exactness: ratios round to 6 dp, scale to int64 micro-units, and
+    SUM exactly (order-independent — any partitioning and the SQL
+    oracle agree); mean/std/z are single double expressions over those
+    exact sums.  A zero-variance corpus yields z = 0 / no outliers
+    (guarded, not a divide-by-zero).
+
+    Dataflow: one projection, one 1-row global aggregate broadcast back
+    over the corpus (the text.py unigram-total pattern) — no corpus
+    shuffle at all."""
+    d = _dbl(F.col("embedding"))
+    l1 = F.aggregate(
+        F.transform(d, lambda x: F.abs(x)), F.lit(0.0), lambda a, x: a + x
+    )
+    base = embeddings.select(
+        "vec_id",
+        F.round(l2_norm(d), 6).alias("l2_norm"),
+        F.round(l1 / l2_norm(d), 6).alias("l1_ratio"),
+    )
+    rm = F.round(F.col("l1_ratio") * 1e6).cast("long")
+    stats = base.select(rm.alias("_rm")).agg(
+        F.sum("_rm").alias("_s1"),
+        F.sum(F.col("_rm") * F.col("_rm")).alias("_s2"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    mean = F.col("_s1").cast("double") / F.col("_n") / 1e6
+    var = F.col("_s2").cast("double") / F.col("_n") / 1e12 - mean * mean
+    sd = F.sqrt(var)
+    z = F.when(sd > 0, (F.col("l1_ratio") - mean) / sd).otherwise(F.lit(0.0))
+    return base.crossJoin(F.broadcast(stats)).select(
+        "vec_id",
+        "l2_norm",
+        "l1_ratio",
+        F.round(z, 6).alias("z_score"),
+        (F.abs(z) > F.lit(z_thresh)).alias("is_outlier"),
+    )

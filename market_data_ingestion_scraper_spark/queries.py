@@ -2733,6 +2733,92 @@ def q_split_leakage(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "embedding_norm_outliers",
+    """
+    WITH n AS (
+      SELECT vec_id,
+             round(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(embedding::DOUBLE[], x -> x * x)),
+                   (a, x) -> a + x)), 6) AS l2_norm,
+             round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(embedding::DOUBLE[], x -> abs(x))),
+                   (a, x) -> a + x)
+                   / sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list_transform(embedding::DOUBLE[], x -> x * x)),
+                     (a, x) -> a + x)), 6) AS l1_ratio
+      FROM embeddings
+    ),
+    m AS (SELECT vec_id, l2_norm, l1_ratio,
+                 CAST(ROUND(l1_ratio * 1000000) AS BIGINT) AS rm
+          FROM n),
+    s AS (SELECT CAST(SUM(rm) AS BIGINT) AS s1,
+                 CAST(SUM(rm * rm) AS BIGINT) AS s2,
+                 COUNT(*) AS cnt
+          FROM m)
+    SELECT vec_id, l2_norm, l1_ratio,
+           CASE WHEN sd > 0 THEN ROUND((l1_ratio - mean) / sd, 6)
+                ELSE 0.0 END AS z_score,
+           CASE WHEN sd > 0 THEN (abs((l1_ratio - mean) / sd) > 2.0)
+                ELSE FALSE END AS is_outlier
+    FROM (
+      SELECT vec_id, l2_norm, l1_ratio,
+             CAST(s1 AS DOUBLE) / cnt / 1000000.0 AS mean,
+             sqrt(CAST(s2 AS DOUBLE) / cnt / 1000000000000.0
+                  - (CAST(s1 AS DOUBLE) / cnt / 1000000.0)
+                    * (CAST(s1 AS DOUBLE) / cnt / 1000000.0)) AS sd
+      FROM m, s
+    )
+    """,
+    doc="Embedding QA: per-vector L1/L2 spread ratio z-scored against the "
+    "corpus (informative even on L2-normalized corpora where the raw "
+    "norm is constant; the norm rides along).  Exact int64 micro-unit "
+    "sums feed the moments; zero-variance guard.  One 1-row broadcast, "
+    "no corpus shuffle.",
+)
+def q_norm_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.similarity import norm_outliers
+
+    return norm_outliers(_t(spark, sf, "embeddings"))
+
+
+@register(
+    "pack_efficiency",
+    f"""
+    WITH t AS (
+      SELECT lang,
+             (ascii(substring(md5('pack' || CAST(doc_id AS VARCHAR)), 1, 1)) * 31
+              + ascii(substring(md5('pack' || CAST(doc_id AS VARCHAR)), 2, 1))) % 8
+               AS shard,
+             len({_TOKS}) AS n_tokens
+      FROM documents
+    )
+    SELECT lang, shard, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(CEIL(CAST(SUM(n_tokens) AS DOUBLE) / 512) AS BIGINT) AS n_bins,
+           ROUND(CAST(SUM(n_tokens) AS DOUBLE)
+                 / (CAST(CEIL(CAST(SUM(n_tokens) AS DOUBLE) / 512) AS BIGINT)
+                    * 512), 6) AS fill_rate
+    FROM t GROUP BY lang, shard
+    """,
+    doc="Packing utilization per (lang, shard) stratum: windows consumed "
+    "and fill rate — the batch-economics companion of pack_plan (tail "
+    "waste vs parallelism trade).  One map-side-combined aggregate.",
+)
+def q_pack_efficiency(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.chunking import pack_efficiency
+
+    docs = _t(spark, sf, "documents")
+    h = F.md5(F.concat(F.lit("pack"), F.col("doc_id").cast("string")).cast("binary"))
+    shard = F.pmod(
+        F.ascii(F.substring(h, 1, 1)) * 31 + F.ascii(F.substring(h, 2, 1)),
+        F.lit(8),
+    )
+    return pack_efficiency(
+        docs.withColumn("shard", shard), 512, ["lang", "shard"]
+    )
+
+
+@register(
     "dedup_rate_by_source",
     r"""
     WITH h AS (
@@ -3047,6 +3133,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     "ivf_recall_eval",
     "dedup_rate_by_source",
     "token_count_histogram",
+    "embedding_norm_outliers",
+    "pack_efficiency",
 )
 
 # The 50 queries green in CORRECTNESS_r06 park outside the snapshot
