@@ -420,3 +420,93 @@ def media_feature_join(media: DataFrame, k: int = 3) -> DataFrame:
     )
     img = feats.filter(F.col("kind") == "image").drop("kind")
     return brute_force_topk(img, img.limit(4), k=k)
+
+
+def image_average_hash(media: DataFrame, hash_size: int = 8) -> DataFrame:
+    """64-bit perceptual average-hash per image — the public aHash recipe:
+    decode → integer luma grayscale → ``hash_size``² nearest-grid
+    downsample → bit_i = (pixel_i · n > Σpixels), packed into an int64.
+    All-integer arithmetic (luma = (299R+587G+114B)//1000, mean compare
+    cross-multiplied), so the hash is bit-reproducible everywhere.
+
+    Output (media_id, ahash) — one long per image; the corpus of hashes
+    is what shuffles downstream, never pixels."""
+
+    def _ahash(payload: bytes) -> int:
+        px = (
+            decode_bmp(payload) if payload[:2] == b"BM" else decode_ppm(payload)
+        ).astype(np.int64)
+        h, w, _ = px.shape
+        luma = (px[:, :, 0] * 299 + px[:, :, 1] * 587 + px[:, :, 2] * 114) // 1000
+        ys = ((np.arange(hash_size) + 0.5) * h / hash_size).astype(np.int64)
+        xs = ((np.arange(hash_size) + 0.5) * w / hash_size).astype(np.int64)
+        cells = luma[ys][:, xs].ravel()
+        n = cells.size
+        total = int(cells.sum())
+        bits = (cells * n > total).astype(np.uint64)
+        # pack into 63 bits (drop the last cell) so the value fits a
+        # SIGNED long on every engine, like the SimHash signature
+        return int(np.bitwise_or.reduce(bits[: n - 1] << np.arange(n - 1, dtype=np.uint64)))
+
+    out_schema = "media_id long, ahash long"
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "ahash": pdf["payload"].map(lambda p: _ahash(bytes(p))),
+                }
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(op, out_schema)
+
+
+def image_near_duplicates(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Perceptual image dedup: pairs of images whose average-hashes are
+    within ``max_hamming`` bits — re-encodes, resizes, and mild edits
+    hash nearby, so this catches visual duplicates exact byte-hashing
+    misses.
+
+    Same scale shape as SimHash text dedup: the 63-bit hash splits into
+    4 ~16-bit chunks; two hashes within Hamming ≤ 3 must share at least
+    one identical chunk (pigeonhole), so candidates come from a chunk
+    equi-join over the (media_id, ahash) table — one long per image, no
+    pixel ever shuffles, no crossJoin — then bit_count(a XOR b) verifies.
+    """
+    ah = image_average_hash(media).persist()
+    chunks = ah.select(
+        "media_id",
+        "ahash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        F.shiftrightunsigned(F.col("ahash"), i * 16)
+                        .bitwiseAND(F.lit((1 << 16) - 1))
+                        .alias("cv"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("media_id", "ahash", F.col("c.ci"), F.col("c.cv"))
+    l, r = chunks.alias("l"), chunks.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.ci") == F.col("r.ci"))
+            & (F.col("l.cv") == F.col("r.cv"))
+            & (F.col("l.media_id") < F.col("r.media_id")),
+        )
+        .select(
+            F.col("l.media_id").alias("media_a"),
+            F.col("r.media_id").alias("media_b"),
+            F.bit_count(
+                F.col("l.ahash").bitwiseXOR(F.col("r.ahash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["media_a", "media_b"])
+    )

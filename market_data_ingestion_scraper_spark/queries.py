@@ -2201,6 +2201,21 @@ def q_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "image_near_dups",
+    None,  # DuckDB cannot decode image payloads → rows-only
+    doc="X5 perceptual image dedup: 63-bit average-hash over REAL decoded "
+    "pixels (integer luma, nearest-grid downsample, mean compare — the "
+    "public aHash recipe), then SimHash-style 16-bit chunk banding + "
+    "bit_count verify.  Pixels never shuffle; one long per image does. "
+    "Planted-duplicate detection pinned in tests/test_multimodal.py.",
+)
+def q_image_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.multimodal import image_near_duplicates, synthetic_media
+
+    return image_near_duplicates(synthetic_media(spark, n=64, parts=4))
+
+
+@register(
     "asof_last_purchase",
     """
     SELECT c.event_id, c.user_id, c.ts, p.value AS asof_value
@@ -3135,6 +3150,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "token_count_histogram",
     "embedding_norm_outliers",
     "pack_efficiency",
+    "image_near_dups",
 )
 
 # The 50 queries green in CORRECTNESS_r06 park outside the snapshot

@@ -137,3 +137,31 @@ def test_media_feature_join_runs(spark, media):
     out = M.media_feature_join(media, k=2).collect()
     assert len(out) > 0
     assert all(r["rnk"] <= 2 for r in out)
+
+
+def test_image_average_hash_deterministic_and_distinct(spark, media):
+    out = {r["media_id"]: r["ahash"] for r in M.image_average_hash(media).collect()}
+    n_images = media.filter(F.col("kind") == "image").count()
+    assert len(out) == n_images
+    again = {r["media_id"]: r["ahash"] for r in M.image_average_hash(media).collect()}
+    assert out == again
+
+
+def test_image_near_duplicates_planted_pair(spark):
+    # plant: image 1 is image 0 with a single pixel nudged (aHash equal or
+    # 1 bit off); image 2 is an unrelated pattern.  The detector must pair
+    # (0, 1) and not (0, 2)/(1, 2).
+    base = M._synth_image(0, 64, 48)
+    tweaked = base.copy()
+    tweaked[10, 10] = (tweaked[10, 10] + 3) % 256
+    other = M._synth_image(9, 64, 48)[:, ::-1]  # mirrored different pattern
+    rows = [
+        (0, "image", M.encode_bmp(base), ("image/bmp", 64, 48, None, None)),
+        (1, "image", M.encode_ppm(tweaked), ("image/x-portable-pixmap", 64, 48, None, None)),
+        (2, "image", M.encode_bmp(other), ("image/bmp", 64, 48, None, None)),
+    ]
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    pairs = {(r["media_a"], r["media_b"]): r["hamming"]
+             for r in M.image_near_duplicates(media, max_hamming=3).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] <= 1
+    assert (0, 2) not in pairs and (1, 2) not in pairs
