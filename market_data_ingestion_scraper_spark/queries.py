@@ -3154,9 +3154,11 @@ GATE_PRIORITY: tuple[str, ...] = (
 )
 
 # The 50 queries green in CORRECTNESS_r06 park outside the snapshot
-# window this round; rotate back by r09.  The front of this list still
-# lands inside the 50-entry snapshot (50 minus len(GATE_PRIORITY) slots
-# spill over), so keep it oldest-evidence first.
+# window this round; they hit the 2-round staleness limit at r08, so the
+# r8 rotation MUST move this entire list into GATE_PRIORITY (and park the
+# r7-green window here).  The front of this list still lands inside the
+# 50-entry snapshot when GATE_PRIORITY has spare slots, so keep it
+# oldest-evidence first.
 GATE_DEFERRED: tuple[str, ...] = (
     "token_counts",
     "unigram_logprob_quality",
