@@ -1007,6 +1007,99 @@ def shared_gram_pairs(
     )
 
 
+def duplicated_span_stats(
+    documents: DataFrame,
+    n: int = 8,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Positional exact-substring duplication report — per document, the
+    maximal verbatim spans it shares with OTHER documents (Lee et al.
+    2021, arXiv:2107.06499 §3: remove substrings duplicated across the
+    corpus, not whole near-dup documents).  :func:`shared_gram_pairs`
+    answers *which pairs* overlap; this answers *where and how much* —
+    the view a span-removal pass keys off.
+
+    Semantics: every n-token gram START position whose gram occurs in
+    ≥ ``min_df`` distinct documents is "duplicated"; each such position
+    covers tokens [pos, pos+n-1]; overlapping/adjacent covered intervals
+    merge into maximal spans (two start positions join one span iff their
+    gap ≤ n-1 — same-length intervals sorted by start need no general
+    interval merge).  Output per doc with ≥1 duplicated gram: token
+    count, duplicated-gram count, span count, longest span in tokens,
+    and the exact fraction of tokens covered by duplicated spans.
+
+    Scale shape (this is the suffix-array-free approximation): the gram
+    table is one posexplode — ~tokens/doc rows of (32-hex md5, id, pos);
+    the ≥min_df filter is a map-side-combined groupBy on the gram hash
+    plus an equi-join back (output rows = duplicated occurrences, no
+    quadratic pair blowup — unlike the pairwise view, hot boilerplate
+    grams cost df rows here, not df²); span merging is one per-doc
+    window over only the duplicated positions.  The corpus text itself
+    never shuffles."""
+    from pyspark.sql.window import Window
+
+    staged = documents.select(
+        F.col(id_col), tokens(text_col).alias("_toks")
+    ).select(id_col, "_toks", F.size("_toks").alias("_nt"))
+    grams = staged.filter(F.col("_nt") >= n).select(
+        F.col(id_col),
+        F.col("_nt").cast("long").alias("n_tokens"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("_nt") - (n - 1)),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice("_toks", i, n)).cast("binary")
+                ),
+            )
+        ).alias("pos", "gram"),
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct(F.col(id_col)).alias("_df"))
+        .filter(F.col("_df") >= min_df)
+        .select("gram")
+    )
+    dpos = grams.join(dup, "gram").select(id_col, "n_tokens", "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(w) <= n - 1, F.lit(0)
+    ).otherwise(F.lit(1))
+    islanded = dpos.select(
+        id_col, "n_tokens", "pos", brk.alias("_brk")
+    ).select(
+        id_col,
+        "n_tokens",
+        "pos",
+        F.sum("_brk")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("_grp"),
+    )
+    spans = islanded.groupBy(id_col, "n_tokens", "_grp").agg(
+        F.count(F.lit(1)).alias("_span_grams"),
+        F.min("pos").alias("_s"),
+        F.max("pos").alias("_e"),
+    )
+    covered = F.col("_e") - F.col("_s") + n
+    per_doc = spans.groupBy(id_col, "n_tokens").agg(
+        F.sum("_span_grams").cast("long").alias("n_dup_grams"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.max(covered).cast("long").alias("max_span_tokens"),
+        F.sum(covered).cast("long").alias("_covered"),
+    )
+    return per_doc.select(
+        F.col(id_col),
+        "n_tokens",
+        "n_dup_grams",
+        "n_spans",
+        "max_span_tokens",
+        F.round(F.col("_covered") / F.col("n_tokens"), 6).alias(
+            "dup_token_fraction"
+        ),
+    )
+
+
 def minhash_estimate_calibration(
     documents: DataFrame,
     n_bands: int = 16,

@@ -2918,6 +2918,50 @@ def q_gram_overlap(spark: SparkSession, sf: str) -> DataFrame:
     return shared_gram_pairs(_t(spark, sf, "documents"))
 
 
+@register(
+    "duplicated_span_stats",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+    g AS (
+      SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens, i - 1 AS pos,
+             md5(array_to_string(list_slice(ts, i, i + 7), ' ')) AS gram
+      FROM tok, unnest(range(1, len(ts) - 6)) AS u(i)
+      WHERE len(ts) >= 8
+    ),
+    d AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+    p AS (SELECT g.doc_id, g.n_tokens, g.pos FROM g JOIN d USING (gram)),
+    m AS (SELECT doc_id, n_tokens, pos,
+            CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 7
+                 THEN 0 ELSE 1 END AS brk
+          FROM p),
+    i2 AS (SELECT doc_id, n_tokens, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS grp
+           FROM m),
+    s AS (SELECT doc_id, n_tokens, COUNT(*) AS span_grams,
+                 MIN(pos) AS ps, MAX(pos) AS pe
+          FROM i2 GROUP BY doc_id, n_tokens, grp)
+    SELECT doc_id, n_tokens,
+           CAST(SUM(span_grams) AS BIGINT) AS n_dup_grams,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(MAX(pe - ps + 8) AS BIGINT) AS max_span_tokens,
+           ROUND(CAST(SUM(pe - ps + 8) AS DOUBLE) / n_tokens, 6)
+             AS dup_token_fraction
+    FROM s GROUP BY doc_id, n_tokens
+    """,
+    doc="Positional exact-substring dedup (Lee et al. 2021 §3): per doc, "
+    "maximal cross-document verbatim spans — duplicated 8-gram start "
+    "positions merged into intervals (gap <= 7 joins), with covered-token "
+    "fraction.  The suffix-array-free span-removal signal; cost is linear "
+    "in duplicated occurrences, never pairwise.",
+)
+def q_duplicated_span_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.dedup import duplicated_span_stats
+
+    return duplicated_span_stats(_t(spark, sf, "documents"))
+
+
 def _calibration_oracle() -> str:
     """DuckDB twin of minhash_estimate_calibration: the full MinHash-LSH
     candidate pipeline (nested from the minhash oracle) joined with exact
@@ -3151,6 +3195,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "embedding_norm_outliers",
     "pack_efficiency",
     "image_near_dups",
+    "duplicated_span_stats",
 )
 
 # The 50 queries green in CORRECTNESS_r06 park outside the snapshot

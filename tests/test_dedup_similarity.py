@@ -283,3 +283,83 @@ def test_dedup_rate_by_source_planted_copies(spark):
            for r in D.dedup_rate_by_source(docs).collect()}
     assert out["srcA"] == (4, 2, 0.5)   # docs 2,3 are copies of doc 1
     assert out["srcB"] == (2, 0, 0.0)   # doc 1 is the kept representative
+
+
+def test_duplicated_span_stats_planted_span(spark):
+    # Docs 1 and 2 share one verbatim 10-token span -> 3 duplicated
+    # 8-gram starts each, merging into ONE span of 10 covered tokens.
+    # Doc 3 is unrelated and must not appear.
+    span = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two three {span} tail1 tail2"),          # 15 tokens
+            (2, f"{span} completely different ending here"),   # 14 tokens
+            (3, "totally unrelated content with its own words here now"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in
+           D.duplicated_span_stats(docs, n=8).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["n_tokens"] == 15 and out[2]["n_tokens"] == 14
+    for d in (1, 2):
+        assert out[d]["n_dup_grams"] == 3     # 10-token span -> 3 starts
+        assert out[d]["n_spans"] == 1
+        assert out[d]["max_span_tokens"] == 10
+    assert out[1]["dup_token_fraction"] == round(10 / 15, 6)
+    assert out[2]["dup_token_fraction"] == round(10 / 14, 6)
+
+
+def test_duplicated_span_stats_overlapping_coverage_merges(spark):
+    # Two duplicated gram starts at gap 5 (< n=8): their covered
+    # intervals [0,7] and [5,12] overlap -> ONE merged span of 13
+    # tokens, never 16 (the double-count a naive sum would produce).
+    # w5..w7 differ between the docs so positions 1-4 are not duplicated.
+    a = "c1 c2 c3 c4 c5 c6 c7 c8 xA yA zA d1 d2 d3 d4 d5 d6 d7 d8"
+    b = "c1 c2 c3 c4 c5 c6 c7 c8 xB yB zB d1 d2 d3 d4 d5 d6 d7 d8"
+    # Shared grams: positions 0 (c1..c8) and 11 (d1..d8) -> gap 11 > 7:
+    # two DISJOINT spans of 8 tokens each.
+    docs = spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r.asDict() for r in
+           D.duplicated_span_stats(docs, n=8).collect()}
+    for d in (1, 2):
+        assert out[d]["n_spans"] == 2
+        assert out[d]["max_span_tokens"] == 8
+        assert out[d]["dup_token_fraction"] == round(16 / 19, 6)
+
+    # Now force the overlap case: shared starts at 0 and 5 only.
+    # 19-token docs sharing tokens 0..12 except... simplest: share a
+    # 13-token run -> starts 0..5 all duplicated (consecutive) -> one
+    # span of 13.  Gap-based merge must report 13 covered, not 6*8.
+    run = "r1 r2 r3 r4 r5 r6 r7 r8 r9 r10 r11 r12 r13"
+    docs2 = spark.createDataFrame(
+        [(1, f"{run} endA1 endA2"), (2, f"{run} endB1 endB2")],
+        "doc_id long, text string",
+    )
+    out2 = {r["doc_id"]: r.asDict() for r in
+            D.duplicated_span_stats(docs2, n=8).collect()}
+    for d in (1, 2):
+        assert out2[d]["n_dup_grams"] == 6
+        assert out2[d]["n_spans"] == 1
+        assert out2[d]["max_span_tokens"] == 13
+        assert out2[d]["dup_token_fraction"] == round(13 / 15, 6)
+
+
+def test_duplicated_span_stats_short_and_intra_doc(spark):
+    # Docs shorter than n produce no grams; a gram repeated twice WITHIN
+    # one doc but present in no other doc is NOT cross-doc duplicated.
+    rep = "p1 p2 p3 p4 p5 p6 p7 p8"
+    docs = spark.createDataFrame(
+        [
+            (1, "too short for any gram"),
+            (2, f"{rep} filler {rep}"),   # intra-doc repeat only
+        ],
+        "doc_id long, text string",
+    )
+    assert D.duplicated_span_stats(docs, n=8).count() == 0
+    # min_df=1 counts intra-doc repeats as duplicated
+    out = {r["doc_id"]: r.asDict() for r in
+           D.duplicated_span_stats(docs, n=8, min_df=1).collect()}
+    assert 2 in out and out[2]["n_dup_grams"] >= 2
