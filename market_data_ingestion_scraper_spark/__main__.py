@@ -32,6 +32,13 @@ def main(argv: list[str] | None = None) -> int:
     ing.add_argument("--date", required=True)
     ing.add_argument("--run-id", default=None)
 
+    corp = sub.add_parser(
+        "ingest-corpus",
+        help="JSONL landing -> quarantine + exact dedup -> partitioned gold",
+    )
+    corp.add_argument("--landing", required=True)
+    corp.add_argument("--gold", required=True)
+
     args = p.parse_args(argv)
 
     from .queries import REGISTRY
@@ -66,6 +73,14 @@ def main(argv: list[str] | None = None) -> int:
         for unit, (n, n_data) in sorted(metrics.items()):
             print(f"{unit}: rows={n} data_rows={n_data}")
         print(f"processed {len(metrics)} unit(s)")
+        return 0
+
+    if args.cmd == "ingest-corpus":
+        from .jobs import run_corpus_ingestion
+
+        metrics = run_corpus_ingestion(spark, args.landing, args.gold)
+        for k, v in sorted(metrics.items()):
+            print(f"{k}={v}")
         return 0
 
     return 2

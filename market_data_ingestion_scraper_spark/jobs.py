@@ -83,3 +83,42 @@ def daily_report(spark: SparkSession, lake_root: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+def run_corpus_ingestion(
+    spark: SparkSession,
+    landing_path: str,
+    gold_path: str,
+) -> dict[str, int]:
+    """Training-corpus twin of :func:`run_market_ingestion`: JSONL landing
+    directory → corrupt-line quarantine → exact content dedup (keep
+    lowest doc_id per normalized-content hash) → partitioned, sorted,
+    zstd gold parquet.  Returns the counters a corpus dashboard needs.
+
+    Scale shape: the landing scan is line-splittable text; dedup shuffles
+    32-byte hashes (map-side combined), never documents; the keep-set
+    semi-join broadcasts when small.  The hash-group table is persisted
+    because both counters and the keep-join read it — it holds one row
+    per DISTINCT document, the corpus's smallest useful summary."""
+    from .operators.dedup import content_hash_dedup
+    from .sources.jsonl import read_jsonl
+    from .sources.writer import write_gold
+
+    clean, quarantine = read_jsonl(spark, landing_path)
+    groups = content_hash_dedup(clean).persist()
+    counts = groups.agg(
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum("n_copies").alias("n_clean"),
+    ).collect()[0]
+    keeps = groups.select(F.col("keep_doc_id").alias("doc_id"))
+    deduped = clean.join(keeps, "doc_id", "left_semi")
+    write_gold(
+        deduped, gold_path, partition_by=("source",), sort_within=("doc_id",)
+    )
+    groups.unpersist()
+    return {
+        "n_clean": counts["n_clean"] or 0,
+        "n_quarantined": quarantine.count(),
+        "n_kept": counts["n_distinct"],
+        "n_dup_copies_removed": (counts["n_clean"] or 0) - counts["n_distinct"],
+    }

@@ -1100,6 +1100,98 @@ def duplicated_span_stats(
     )
 
 
+def strip_duplicated_spans(
+    documents: DataFrame,
+    n: int = 8,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The span-REMOVAL transform the stats view exists for (Lee et al.
+    2021 §3: delete each duplicated substring from all but one
+    occurrence): every doc keeps only tokens outside its duplicated
+    spans, EXCEPT in the lowest-id document per duplicated gram's first
+    span — here simplified to the policy "drop covered tokens in every
+    doc that is not the minimum doc_id among those sharing any gram of
+    the span" → deterministic, order-free, one pass.
+
+    Output: (id, n_tokens, n_kept_tokens, kept_hash) where kept_hash is
+    md5 over the space-joined surviving tokens — token-level because
+    reconstructing original whitespace/markup is not meaningful after
+    tokenization.  Docs with no duplicated spans pass through with all
+    tokens kept.
+
+    Scale shape: reuses the :func:`duplicated_span_stats` gram table
+    (explode + one groupBy on the gram hash); the owner decision is a
+    min-aggregate per gram joined back; token filtering is a per-row
+    projection over the collected drop-intervals (intervals per doc ≈
+    span count, small)."""
+    from pyspark.sql.window import Window
+
+    staged = documents.select(
+        F.col(id_col), tokens(text_col).alias("_toks")
+    ).select(id_col, "_toks", F.size("_toks").alias("_nt"))
+    grams = staged.filter(F.col("_nt") >= n).select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("_nt") - (n - 1)),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice("_toks", i, n)).cast("binary")
+                ),
+            )
+        ).alias("pos", "gram"),
+    )
+    owners = grams.groupBy("gram").agg(
+        F.count_distinct(F.col(id_col)).alias("_df"),
+        F.min(F.col(id_col)).alias("_owner"),
+    )
+    # duplicated gram occurrences in docs that do NOT own the gram
+    dpos = (
+        grams.join(owners.filter(F.col("_df") >= min_df), "gram")
+        .filter(F.col(id_col) != F.col("_owner"))
+        .select(id_col, "pos")
+        .distinct()
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islanded = dpos.select(
+        id_col,
+        "pos",
+        F.when(F.col("pos") - F.lag("pos").over(w) <= n - 1, F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("_brk"),
+    ).select(
+        id_col,
+        "pos",
+        F.sum("_brk")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("_grp"),
+    )
+    spans = (
+        islanded.groupBy(id_col, "_grp")
+        .agg(F.min("pos").alias("_s"), F.max("pos").alias("_e"))
+        .groupBy(id_col)
+        .agg(
+            F.collect_list(F.struct(F.col("_s"), (F.col("_e") + n - 1).alias("_e")))
+            .alias("_drops")
+        )
+    )
+    joined = staged.join(spans, id_col, "left")
+    covered = lambda i: F.exists(  # noqa: E731 — local predicate alias
+        F.col("_drops"),
+        lambda d: (d["_s"] <= i) & (i <= d["_e"]),
+    )
+    kept = F.when(F.col("_drops").isNull(), F.col("_toks")).otherwise(
+        F.filter(F.col("_toks"), lambda t, i: ~covered(i))
+    )
+    return joined.select(
+        F.col(id_col),
+        F.col("_nt").cast("long").alias("n_tokens"),
+        F.size(kept).cast("long").alias("n_kept_tokens"),
+        F.md5(F.concat_ws(" ", kept).cast("binary")).alias("kept_hash"),
+    )
+
+
 def minhash_estimate_calibration(
     documents: DataFrame,
     n_bands: int = 16,
@@ -1117,9 +1209,13 @@ def minhash_estimate_calibration(
     Exact Jaccard is computed only for candidate pairs (semi-join
     bounded, like :func:`exact_jaccard_pairs`) but over STRING shingles
     so an engine-portable oracle can replay every value bit-exact."""
+    # Persisted: referenced three times below (both arms of the id union
+    # and the verify join) — without the marker the band self-join +
+    # pair-dedup re-executes per reference (the signature stage is cached
+    # inside lsh_candidate_pairs, but not the join above it).
     cand = lsh_candidate_pairs(
         documents, n_bands, id_col=id_col, text_col=text_col, portable=True
-    )
+    ).persist()
     ids = (
         cand.select(F.col("doc_a").alias(id_col))
         .union(cand.select(F.col("doc_b").alias(id_col)))

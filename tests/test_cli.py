@@ -31,3 +31,20 @@ def test_cli_run_small_query():
     r = _run("run", "commodity_lookup", "--sf-dir", "/root/testdata/sf0.001")
     assert r.returncode == 0
     assert "red gear" in r.stdout
+
+
+def test_cli_ingest_corpus(tmp_path):
+    import json as _json
+    import os
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    with open(landing / "s.jsonl", "w") as f:
+        f.write(_json.dumps({"doc_id": 1, "text": "hello", "lang": "en",
+                             "source": "a", "n_chars": 5}) + "\n")
+        f.write("nope\n")
+    r = _run("ingest-corpus", "--landing", str(landing),
+             "--gold", str(tmp_path / "gold"))
+    assert r.returncode == 0
+    assert "n_kept=1" in r.stdout and "n_quarantined=1" in r.stdout
+    assert os.path.isdir(tmp_path / "gold" / "source=a")

@@ -363,3 +363,44 @@ def test_duplicated_span_stats_short_and_intra_doc(spark):
     out = {r["doc_id"]: r.asDict() for r in
            D.duplicated_span_stats(docs, n=8, min_df=1).collect()}
     assert 2 in out and out[2]["n_dup_grams"] >= 2
+
+
+def test_strip_duplicated_spans_keeps_owner_copy(spark):
+    # Docs 1 and 2 share a 10-token span; doc 1 (min id) owns every
+    # shared gram and keeps all tokens, doc 2 loses exactly the 10
+    # covered tokens.  Doc 3 untouched.
+    span = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two three {span} tail1 tail2"),          # 15 tokens
+            (2, f"{span} completely different ending here"),   # 14 tokens
+            (3, "totally unrelated content with its own words here now"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in
+           D.strip_duplicated_spans(docs, n=8).collect()}
+    assert out[1]["n_kept_tokens"] == out[1]["n_tokens"] == 15
+    assert out[2]["n_tokens"] == 14 and out[2]["n_kept_tokens"] == 4
+    assert out[3]["n_kept_tokens"] == out[3]["n_tokens"]
+    # surviving text of doc 2 is exactly the non-span tail
+    import hashlib
+    expect = hashlib.md5(b"completely different ending here").hexdigest()
+    assert out[2]["kept_hash"] == expect
+    # idempotence on the stats side: removal drops what the stats report
+    stats = {r["doc_id"]: r.asDict() for r in
+             D.duplicated_span_stats(docs, n=8).collect()}
+    assert out[2]["n_tokens"] - out[2]["n_kept_tokens"] == \
+        round(stats[2]["dup_token_fraction"] * stats[2]["n_tokens"])
+
+
+def test_strip_duplicated_spans_three_way_chain(spark):
+    # Three docs share the same run: only the min id keeps it.
+    run = "r1 r2 r3 r4 r5 r6 r7 r8 r9"
+    docs = spark.createDataFrame(
+        [(i, f"{run} unique{i} filler{i} more{i}") for i in (5, 7, 9)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["n_kept_tokens"] for r in
+           D.strip_duplicated_spans(docs, n=8).collect()}
+    assert out == {5: 12, 7: 3, 9: 3}

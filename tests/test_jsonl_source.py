@@ -1,0 +1,126 @@
+"""JSONL source/sink: schema-enforced read, corrupt-line quarantine,
+shard-controlled write round-trip, and streaming-vs-batch parity."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from market_data_ingestion_scraper_spark.sources import (
+    DOCUMENTS_SCHEMA,
+    load_table,
+    read_jsonl,
+    stream_jsonl,
+    write_jsonl,
+)
+
+GOOD = [
+    {"doc_id": 1, "text": "hello world", "lang": "en", "source": "web", "n_chars": 11},
+    {"doc_id": 2, "text": "bonjour", "lang": "fr", "source": "web", "n_chars": 7},
+    {"doc_id": 3, "text": "guten tag", "lang": "de", "source": "books", "n_chars": 9},
+]
+BAD = ['{"doc_id": 4, "text": "truncated', "not json at all"]
+
+
+def _write_landing(dirpath: str) -> None:
+    os.makedirs(dirpath, exist_ok=True)
+    with open(os.path.join(dirpath, "shard-000.jsonl"), "w") as f:
+        for r in GOOD[:2]:
+            f.write(json.dumps(r) + "\n")
+        f.write(BAD[0] + "\n")
+    with open(os.path.join(dirpath, "shard-001.jsonl"), "w") as f:
+        f.write(json.dumps(GOOD[2]) + "\n")
+        f.write(BAD[1] + "\n")
+
+
+def test_read_jsonl_splits_clean_and_quarantine(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    _write_landing(landing)
+    clean, quarantine = read_jsonl(spark, landing)
+    assert clean.columns == [f.name for f in DOCUMENTS_SCHEMA.fields]
+    got = {r["doc_id"]: r["text"] for r in clean.collect()}
+    assert got == {1: "hello world", 2: "bonjour", 3: "guten tag"}
+    bad = sorted(r["raw_line"] for r in quarantine.collect())
+    assert bad == sorted(BAD)
+
+
+def test_jsonl_roundtrip_preserves_documents(spark, sf_smoke, tmp_path):
+    docs = load_table(spark, sf_smoke, "documents")
+    out = str(tmp_path / "out")
+    write_jsonl(docs, out, shards=3, compression="none")
+    clean, quarantine = read_jsonl(spark, out)
+    assert quarantine.count() == 0
+    a = sorted(map(tuple, docs.select(*clean.columns).collect()))
+    b = sorted(map(tuple, clean.collect()))
+    assert a == b
+    assert len(glob.glob(os.path.join(out, "part-*"))) == 3
+    # partitioned layout: filter keys become directories (the text-scan
+    # reader does not recover the partition column -- structured readers
+    # do -- so the layout itself is the assertion here)
+    pout = str(tmp_path / "pout")
+    write_jsonl(docs, pout, partition_by=("source",), shards=2, compression="none")
+    dirs = glob.glob(os.path.join(pout, "source=*"))
+    assert len(dirs) == docs.select("source").distinct().count()
+    # repartition(2, source) bounds files per source dir at 2 (each
+    # source's rows live in <= 2 tasks; typically 1 -- key-hashed)
+    for d in dirs:
+        assert 1 <= len(glob.glob(os.path.join(d, "part-*"))) <= 2
+
+
+def test_stream_jsonl_matches_batch_read(spark, tmp_path):
+    from market_data_ingestion_scraper_spark.streaming.pipeline import run_to_memory
+
+    landing = str(tmp_path / "landing")
+    _write_landing(landing)
+    stream = stream_jsonl(spark, landing)
+    assert stream.isStreaming
+    result = run_to_memory(stream, "jsonl_parity", spark, mode="append")
+    batch, _ = read_jsonl(spark, landing)
+    a = sorted(map(tuple, batch.collect()))
+    b = sorted(map(tuple, result.select(*batch.columns).collect()))
+    assert a == b
+
+
+def test_read_jsonl_missing_fields_are_null_not_corrupt(spark, tmp_path):
+    # Schema enforcement: an object with a SUBSET of fields is clean
+    # (missing -> NULL); only unparseable lines quarantine.
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    with open(os.path.join(landing, "s.jsonl"), "w") as f:
+        f.write(json.dumps({"doc_id": 9, "text": "no lang"}) + "\n")
+    clean, quarantine = read_jsonl(spark, landing)
+    assert quarantine.count() == 0
+    row = clean.collect()[0]
+    assert row["doc_id"] == 9 and row["lang"] is None
+
+
+def test_run_corpus_ingestion_end_to_end(spark, tmp_path):
+    from market_data_ingestion_scraper_spark.jobs import run_corpus_ingestion
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    rows = [
+        {"doc_id": 1, "text": "unique one", "lang": "en", "source": "a", "n_chars": 10},
+        {"doc_id": 2, "text": "Unique  ONE", "lang": "en", "source": "b", "n_chars": 11},
+        {"doc_id": 3, "text": "other text", "lang": "en", "source": "a", "n_chars": 10},
+    ]
+    with open(os.path.join(landing, "s0.jsonl"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+        f.write("broken {\n")
+    gold = str(tmp_path / "gold")
+    m = run_corpus_ingestion(spark, landing, gold)
+    # doc 2 is a normalized-content copy of doc 1 -> removed
+    assert m == {"n_clean": 3, "n_quarantined": 1, "n_kept": 2,
+                 "n_dup_copies_removed": 1}
+    back = spark.read.parquet(gold)
+    assert sorted(r["doc_id"] for r in back.collect()) == [1, 3]
+    assert sorted(glob.glob(os.path.join(gold, "source=*"))) \
+        == [os.path.join(gold, "source=a")]
+    # idempotent re-run: same landing, same gold result
+    m2 = run_corpus_ingestion(spark, landing, gold)
+    assert m2 == m
+    assert sorted(r["doc_id"] for r in spark.read.parquet(gold).collect()) == [1, 3]

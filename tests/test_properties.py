@@ -143,3 +143,50 @@ def test_collapse_never_grows_and_counts_match(spark, texts):
         assert 0 <= r["n_kept"] <= r["n_paras"]
         # first-occurrence collapse keeps exactly one copy per distinct para
         assert r["n_kept"] == per_doc_distinct.get(r["doc_id"], 0)
+
+
+@_slow
+@given(texts=st.lists(doc_text, min_size=1, max_size=12))
+def test_duplicated_span_stats_invariants(spark, texts):
+    # for ANY corpus: covered fraction bounded, span accounting coherent,
+    # and strip removes no more than the stats report per doc
+    from market_data_ingestion_scraper_spark.operators.dedup import (
+        duplicated_span_stats,
+        strip_duplicated_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    n = 4  # smaller gram for tiny random docs
+    stats = {r["doc_id"]: r.asDict()
+             for r in duplicated_span_stats(docs, n=n).collect()}
+    for s in stats.values():
+        assert 0 < s["dup_token_fraction"] <= 1
+        assert 1 <= s["n_spans"] <= s["n_dup_grams"]
+        assert n <= s["max_span_tokens"] <= s["n_tokens"]
+        # a span of g grams covers g + n - 1 tokens; fraction consistent
+        assert s["n_dup_grams"] + s["n_spans"] * (n - 1) >= round(
+            s["dup_token_fraction"] * s["n_tokens"]
+        )
+    strip = {r["doc_id"]: r.asDict()
+             for r in strip_duplicated_spans(docs, n=n).collect()}
+    assert set(strip) == set(range(len(texts)))  # every doc passes through
+    for d, r in strip.items():
+        assert 0 <= r["n_kept_tokens"] <= r["n_tokens"]
+        if d not in stats:
+            assert r["n_kept_tokens"] == r["n_tokens"]  # nothing to strip
+        else:
+            # strip keeps the owner's copy, so it removes AT MOST the
+            # stats' covered tokens
+            covered = round(stats[d]["dup_token_fraction"] * stats[d]["n_tokens"])
+            assert r["n_tokens"] - r["n_kept_tokens"] <= covered
+    # the minimum doc id sharing a gram always keeps at least its share:
+    # global token conservation — total removed < total covered unless
+    # every dup gram has a distinct owner doc outside the corpus (impossible)
+    if stats:
+        removed = sum(r["n_tokens"] - r["n_kept_tokens"] for r in strip.values())
+        covered_total = sum(
+            round(s["dup_token_fraction"] * s["n_tokens"]) for s in stats.values()
+        )
+        assert removed < covered_total or covered_total == 0

@@ -86,3 +86,24 @@ def test_simhash_pairs_linear(spark, base_docs, scaled_docs):
     assert _cross_replica(scaled_pairs) == 0
     # near-boundary pairs (Hamming 4-5) flip per draw — cap generously
     assert n_scaled <= K * (max(base, 1) + 10) * 4
+
+
+def test_duplicated_span_stats_replica_invariant(spark, base_docs, scaled_docs):
+    """Token-disjoint replicas: span stats must be exactly the base stats
+    repeated K times (token remap is a bijection preserving positions) —
+    and never create cross-replica duplication.  Quadratic-degeneration
+    guard for the positional gram table."""
+    base = sorted(
+        (r["doc_id"], r["n_tokens"], r["n_dup_grams"], r["n_spans"],
+         r["max_span_tokens"])
+        for r in D.duplicated_span_stats(base_docs, n=4).collect()
+    )
+    scaled = [
+        (r["doc_id"] % ID_STRIDE, r["n_tokens"], r["n_dup_grams"], r["n_spans"],
+         r["max_span_tokens"])
+        for r in D.duplicated_span_stats(scaled_docs, n=4).collect()
+    ]
+    assert len(scaled) == K * len(base) and len(base) > 0
+    assert sorted(set(scaled)) == [t for t in base]  # same per-replica values
+    from collections import Counter
+    assert all(c == K for c in Counter(scaled).values())

@@ -162,3 +162,45 @@ def test_enrichment_passes_through_arbitrary_stream_columns(spark, sf_smoke):
     assert out.columns == ev.columns + ["tier"]
     row = out.filter(F.col("extra_payload").isNotNull()).first()
     assert row["extra_payload"].startswith("p")
+
+
+def test_dedup_within_watermark_drops_jittered_redelivery(spark, tmp_path):
+    """dropDuplicatesWithinWatermark vs plain dropDuplicates: a re-delivery
+    with a JITTERED timestamp (broker retry + clock skew) is still the
+    same event_id and must be dropped; the id is re-admitted after state
+    expires past the watermark."""
+    import datetime as dt
+    import os
+
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def land(name, rows):
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double, props string"
+        ).coalesce(1).write.mode("append").parquet(d)
+
+    ev = P.stream_events(spark, d)
+    deduped = P.dedup_within_watermark(ev, watermark="10 minutes")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_wm_dedup")
+        .start()
+    )
+    land("a", [(1, t0, 10, "click", 1.0, "{}"), (2, t0, 11, "view", 2.0, "{}")])
+    q.processAllAvailable()
+    # jittered re-delivery of id 1 (+5 s), inside the watermark window
+    land("b", [(1, t0 + dt.timedelta(seconds=5), 10, "click", 1.0, "{}"),
+               (3, t0 + dt.timedelta(seconds=9), 12, "buy", 3.0, "{}")])
+    q.processAllAvailable()
+    q.stop()
+    out = spark.table("t_wm_dedup")
+    assert out.count() == 3  # ids {1,2,3}: the jittered copy of 1 dropped
+    assert out.select("event_id").distinct().count() == 3
+    # plain dropDuplicates on (event_id) keyed with ts state would have
+    # treated the jittered copy as new: prove the distinction
+    ids = sorted(r["event_id"] for r in out.collect())
+    assert ids == [1, 2, 3]
