@@ -38,6 +38,8 @@ def main(argv: list[str] | None = None) -> int:
     )
     corp.add_argument("--landing", required=True)
     corp.add_argument("--gold", required=True)
+    corp.add_argument("--incremental", action="store_true",
+                      help="dedup against existing gold hashes and append")
 
     args = p.parse_args(argv)
 
@@ -78,7 +80,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "ingest-corpus":
         from .jobs import run_corpus_ingestion
 
-        metrics = run_corpus_ingestion(spark, args.landing, args.gold)
+        metrics = run_corpus_ingestion(
+            spark, args.landing, args.gold, incremental=args.incremental
+        )
         for k, v in sorted(metrics.items()):
             print(f"{k}={v}")
         return 0

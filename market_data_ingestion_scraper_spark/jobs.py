@@ -85,40 +85,81 @@ def daily_report(spark: SparkSession, lake_root: str) -> DataFrame:
     )
 
 
+def _content_hash(text_col: str = "text"):
+    """Normalized-content hash shared by the ingest job and
+    operators.dedup.content_hash_dedup (same normalization, same digest —
+    a doc hashed at ingest time matches one hashed at query time)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return F.sha2(norm, 256)
+
+
 def run_corpus_ingestion(
     spark: SparkSession,
     landing_path: str,
     gold_path: str,
+    incremental: bool = False,
 ) -> dict[str, int]:
     """Training-corpus twin of :func:`run_market_ingestion`: JSONL landing
     directory → corrupt-line quarantine → exact content dedup (keep
     lowest doc_id per normalized-content hash) → partitioned, sorted,
-    zstd gold parquet.  Returns the counters a corpus dashboard needs.
+    zstd gold parquet carrying a ``content_hash`` column.  Returns the
+    counters a corpus dashboard needs.
+
+    ``incremental=True`` is the continuous-crawl mode: the batch is ALSO
+    deduplicated against every document already in gold (anti-join on
+    the persisted ``content_hash`` column — parquet column pruning means
+    the history scan reads 32-byte hashes, never text) and the survivors
+    are APPENDED.  Re-landing the same shards appends nothing (their
+    hashes all exist), so re-runs are idempotent at the corpus level; at
+    real scale the append belongs in a transactional table format so a
+    mid-write failure can't leave a partial batch visible.
 
     Scale shape: the landing scan is line-splittable text; dedup shuffles
     32-byte hashes (map-side combined), never documents; the keep-set
     semi-join broadcasts when small.  The hash-group table is persisted
     because both counters and the keep-join read it — it holds one row
     per DISTINCT document, the corpus's smallest useful summary."""
+    import os
+
     from .operators.dedup import content_hash_dedup
     from .sources.jsonl import read_jsonl
     from .sources.writer import write_gold
 
     clean, quarantine = read_jsonl(spark, landing_path)
+    clean = clean.withColumn("content_hash", _content_hash())
     groups = content_hash_dedup(clean).persist()
+    keeps = groups.select(F.col("keep_doc_id").alias("doc_id"))
+    deduped = clean.join(keeps, "doc_id", "left_semi")
+
+    n_seen_before = 0
+    mode = "overwrite"
+    if incremental and os.path.isdir(gold_path):
+        mode = "append"
+        history = spark.read.parquet(gold_path).select("content_hash").distinct()
+        fresh = deduped.join(history, "content_hash", "left_anti").persist()
+        n_new, n_batch = (
+            fresh.count(),
+            groups.agg(F.count(F.lit(1))).collect()[0][0],
+        )
+        n_seen_before = n_batch - n_new
+        deduped = fresh
+
     counts = groups.agg(
         F.count(F.lit(1)).alias("n_distinct"),
         F.sum("n_copies").alias("n_clean"),
     ).collect()[0]
-    keeps = groups.select(F.col("keep_doc_id").alias("doc_id"))
-    deduped = clean.join(keeps, "doc_id", "left_semi")
     write_gold(
-        deduped, gold_path, partition_by=("source",), sort_within=("doc_id",)
+        deduped,
+        gold_path,
+        partition_by=("source",),
+        sort_within=("doc_id",),
+        mode=mode,
     )
     groups.unpersist()
     return {
         "n_clean": counts["n_clean"] or 0,
         "n_quarantined": quarantine.count(),
-        "n_kept": counts["n_distinct"],
+        "n_kept": counts["n_distinct"] - n_seen_before,
         "n_dup_copies_removed": (counts["n_clean"] or 0) - counts["n_distinct"],
+        "n_seen_before": n_seen_before,
     }

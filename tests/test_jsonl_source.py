@@ -115,7 +115,7 @@ def test_run_corpus_ingestion_end_to_end(spark, tmp_path):
     m = run_corpus_ingestion(spark, landing, gold)
     # doc 2 is a normalized-content copy of doc 1 -> removed
     assert m == {"n_clean": 3, "n_quarantined": 1, "n_kept": 2,
-                 "n_dup_copies_removed": 1}
+                 "n_dup_copies_removed": 1, "n_seen_before": 0}
     back = spark.read.parquet(gold)
     assert sorted(r["doc_id"] for r in back.collect()) == [1, 3]
     assert sorted(glob.glob(os.path.join(gold, "source=*"))) \
@@ -124,3 +124,39 @@ def test_run_corpus_ingestion_end_to_end(spark, tmp_path):
     m2 = run_corpus_ingestion(spark, landing, gold)
     assert m2 == m
     assert sorted(r["doc_id"] for r in spark.read.parquet(gold).collect()) == [1, 3]
+
+
+def test_run_corpus_ingestion_incremental_appends_only_new(spark, tmp_path):
+    from market_data_ingestion_scraper_spark.jobs import run_corpus_ingestion
+
+    def land(dirname, rows):
+        d = tmp_path / dirname
+        d.mkdir()
+        with open(d / "s.jsonl", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        return str(d)
+
+    gold = str(tmp_path / "gold")
+    l1 = land("b1", [
+        {"doc_id": 1, "text": "first doc", "lang": "en", "source": "a", "n_chars": 9},
+        {"doc_id": 2, "text": "second doc", "lang": "en", "source": "a", "n_chars": 10},
+    ])
+    m1 = run_corpus_ingestion(spark, l1, gold, incremental=True)
+    assert m1["n_kept"] == 2 and m1["n_seen_before"] == 0
+
+    # batch 2: one cross-run dup (normalized match of doc 1), one new
+    l2 = land("b2", [
+        {"doc_id": 10, "text": "FIRST   Doc", "lang": "en", "source": "b", "n_chars": 11},
+        {"doc_id": 11, "text": "brand new", "lang": "en", "source": "b", "n_chars": 9},
+    ])
+    m2 = run_corpus_ingestion(spark, l2, gold, incremental=True)
+    assert m2 == {"n_clean": 2, "n_quarantined": 0, "n_kept": 1,
+                  "n_dup_copies_removed": 0, "n_seen_before": 1}
+    back = spark.read.parquet(gold)
+    assert sorted(r["doc_id"] for r in back.collect()) == [1, 2, 11]
+
+    # re-landing batch 2 is a corpus-level no-op
+    m3 = run_corpus_ingestion(spark, l2, gold, incremental=True)
+    assert m3["n_kept"] == 0 and m3["n_seen_before"] == 2
+    assert spark.read.parquet(gold).count() == 3

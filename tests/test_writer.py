@@ -50,3 +50,60 @@ def test_write_gold_unpartitioned_coalesce(spark, sf_smoke, tmp_path):
     files = glob.glob(f"{out}/*.parquet")
     assert len(files) == 2
     assert spark.read.parquet(out).count() == part.count()
+
+
+def test_zorder_key_matches_python_morton(spark):
+    """Bit-exactness of the interleave against a reference Morton encode
+    on an integer grid where normalization is the identity."""
+    from market_data_ingestion_scraper_spark.sources.writer import zorder_key
+
+    bits = 4
+    grid = (1 << bits) - 1
+    rows = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    out = df.withColumn(
+        "z", zorder_key({"x": (0, grid), "y": (0, grid)}, bits=bits)
+    ).collect()
+
+    def morton(x, y):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    for r in out:
+        assert r["z"] == morton(r["x"], r["y"]), (r["x"], r["y"])
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    """Z-ordered files must bound BOTH dimensions: with 4 range-files
+    over a 32x32 grid, a point-filter on either x or y alone touches a
+    strict subset of files (per-file min/max spans < full range), which
+    is exactly what parquet stats pruning keys off.  A y-sorted layout
+    would leave x unbounded in every file."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from market_data_ingestion_scraper_spark.sources.writer import (
+        write_gold_zordered,
+    )
+
+    rows = [(x, y, x * 32 + y) for x, y in itertools.product(range(32), range(32))]
+    df = spark.createDataFrame(rows, "x long, y long, payload long")
+    path = str(tmp_path / "z")
+    write_gold_zordered(df, path, zorder_by=("x", "y"), bits=5, n_files=4)
+    back = (
+        spark.read.parquet(path)
+        .withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(F.min("x").alias("x0"), F.max("x").alias("x1"),
+             F.min("y").alias("y0"), F.max("y").alias("y1"),
+             F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert len(back) == 4 and sum(r["n"] for r in back) == 1024
+    # every file's bounding box is a proper sub-range in BOTH dims:
+    # z-clustering with 4 files splits the grid into quadrant-ish blocks
+    for r in back:
+        assert (r["x1"] - r["x0"] + 1) * (r["y1"] - r["y0"] + 1) <= 1024 // 2
