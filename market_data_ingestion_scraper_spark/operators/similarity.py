@@ -444,6 +444,204 @@ def ivf_topk(
     )
 
 
+def fit_pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    max_train_rows: int = 100_000,
+    n_iter: int = 10,
+) -> list[list[list[float]]]:
+    """Fit product-quantization codebooks (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): split the dimension into
+    ``m`` subspaces and run an independent k-means per subspace — same
+    sample-bounded driver-fit pattern as :func:`fit_ivf_centroids` (one
+    distributed pass to sample, seeded numpy Lloyd's; the codebooks are
+    m·k·(dim/m) floats — KBs — persist and reuse).
+
+    PQ is the memory-bound ANN path the IVF/LSH family lacks: a 64-dim
+    float vector (256 B) compresses to ``m`` 4-bit/8-bit codes (4-8 B),
+    so a 100 TB embedding corpus's index fits in cluster RAM and
+    candidate scoring never touches the raw vectors."""
+    n = embeddings.count()
+    frac = min(1.0, max_train_rows / max(n, 1))
+    train_src = embeddings if frac >= 1.0 else embeddings.sample(
+        fraction=frac, seed=seed
+    )
+    x = np.array(
+        train_src.select(_dbl(F.col(vec_col)).alias("v"))
+        .limit(max_train_rows)
+        .toPandas()["v"]
+        .tolist(),
+        dtype=np.float64,
+    )
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        xs = x[:, j * dsub : (j + 1) * dsub]
+        cents = xs[rng.choice(len(xs), size=min(k, len(xs)), replace=False)]
+        for _ in range(n_iter):
+            d2 = (
+                (xs * xs).sum(axis=1, keepdims=True)
+                - 2.0 * (xs @ cents.T)
+                + (cents * cents).sum(axis=1)
+            )
+            assign = d2.argmin(axis=1)
+            for c in range(len(cents)):
+                members = xs[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books.append([list(map(float, c)) for c in cents])
+    return books
+
+
+def _pq_codebook_table(spark, codebooks):
+    """(sub, code, pos, wm, cn_m): micro-unit codebook weights with the
+    per-entry ‖c‖² riding along — one broadcastable table serves encode
+    and ADC alike."""
+    rows = [
+        (j, c, p, int(round(w * 1e6)))
+        for j, book in enumerate(codebooks)
+        for c, cvec in enumerate(book)
+        for p, w in enumerate(cvec)
+    ]
+    cw = spark.createDataFrame(rows, "sub int, code int, pos int, wm long")
+    cn = cw.groupBy("sub", "code").agg(
+        F.sum(F.col("wm") * F.col("wm")).alias("cn_m")
+    )
+    return cw.join(cn, ["sub", "code"])
+
+
+def _pq_subvals(df: DataFrame, id_col: str, vec_col: str, out_id: str, dsub: int):
+    """(id, sub, pos, vm): one posexplode splits each vector into its
+    subspace components in micro-units; ``pos`` is the within-subspace
+    position codebook rows join on."""
+    return df.select(
+        F.col(id_col).alias(out_id),
+        F.posexplode(_dbl(F.col(vec_col))).alias("_p", "_val"),
+    ).select(
+        out_id,
+        (F.col("_p") / dsub).cast("int").alias("sub"),
+        (F.col("_p") % dsub).alias("pos"),
+        F.round(F.col("_val") * 1e6).cast("long").alias("vm"),
+    )
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode the corpus: per subspace, the nearest codebook entry in
+    exact int64 micro-units (ties break to the lower code — deterministic
+    at any parallelism).  Output (id, codes array<int> length m) — THIS
+    is the PQ index: at scale it is written out partitioned and the raw
+    vectors are never read again for scoring.
+
+    Fully relational, same shape as IVF cell assignment: broadcast
+    codebook join on (sub, pos), one codegen'd aggregate per
+    (row, sub, code), min_by argmin, then an ordered array pack."""
+    spark = embeddings.sparkSession
+    dsub = len(codebooks[0][0])
+    cw = _pq_codebook_table(spark, codebooks)
+    vals = _pq_subvals(_spread(embeddings), id_col, vec_col, "_id", dsub)
+    scores = (
+        vals.join(F.broadcast(cw), ["sub", "pos"])
+        .groupBy("_id", "sub", "code")
+        .agg((F.first("cn_m") - 2 * F.sum(F.col("vm") * F.col("wm"))).alias("score"))
+    )
+    best = scores.groupBy("_id", "sub").agg(
+        F.min_by("code", F.struct("score", "code")).alias("code")
+    )
+    return (
+        best.groupBy("_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "code"))),
+                lambda s: s["code"],
+            ).alias("codes")
+        )
+        .select(F.col("_id").alias(id_col), "codes")
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: list[list[list[float]]] | None = None,
+    encoded: DataFrame | None = None,
+) -> DataFrame:
+    """PQ top-k via asymmetric distance computation (ADC): each query
+    precomputes its distance to every codebook entry (an m×``n_codes``
+    lookup table, exact int64 micro²-units), and a corpus vector's
+    approximate squared L2 distance is the sum of m table lookups on its
+    codes — the raw corpus vectors are never touched.
+
+    Scale shape: the per-query tables are |Q|·m·``n_codes`` rows —
+    broadcast; the corpus side is the (id, sub, code) explode of the
+    ENCODED index (m small ints per vector, the whole point of PQ), so
+    the scoring shuffle carries code-sums, not vectors.  Exhaustive ADC
+    scans every encoded row per query — the production composition is
+    IVF-PQ (probe cells first, ADC within), which this function's
+    ``encoded=`` parameter makes a straightforward join-reduction.
+    Returns squared-L2 distances (on unit vectors, d² = 2 - 2·cos)."""
+    spark = embeddings.sparkSession
+    if codebooks is None:
+        codebooks = fit_pq_codebooks(
+            embeddings, m=m, k=n_codes, seed=seed, vec_col=vec_col
+        )
+    dsub = len(codebooks[0][0])
+    if encoded is None:
+        encoded = pq_encode(embeddings, codebooks, id_col=id_col, vec_col=vec_col)
+    cw = _pq_codebook_table(spark, codebooks)
+    qvals = _pq_subvals(queries, id_col, vec_col, "query_id", dsub)
+    # ‖q_sub - c‖² = Σq² - 2Σq·c + ‖c‖² per (query, sub, code), exact
+    qtab = (
+        qvals.join(F.broadcast(cw), ["sub", "pos"])
+        .groupBy("query_id", "sub", "code")
+        .agg(
+            (
+                F.sum(F.col("vm") * F.col("vm"))
+                - 2 * F.sum(F.col("vm") * F.col("wm"))
+                + F.first("cn_m")
+            ).alias("qd_m")
+        )
+    )
+    corpus_codes = encoded.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode("codes").alias("sub", "code"),
+    )
+    scored = (
+        corpus_codes.join(F.broadcast(qtab), ["sub", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("qd_m").alias("d_m"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("d_m"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("d_m") / 1e12, 6).alias("approx_dist2"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
 def embedding_near_duplicates(
     embeddings: DataFrame,
     threshold: float = 0.95,
