@@ -362,3 +362,33 @@ def test_histograms_single_agg_shuffle(spark):
         # bucket groupBy + single-partition share window (+ plan-internal
         # reuse) — all carrying <= ~40 bucket rows after partial agg
         assert rep.n_shuffles <= 4, (name, rep.summary())
+
+
+def test_duplicated_span_stats_plan_shape(spark):
+    """Span dedup must stay non-pairwise: equi-joins only (gram hash),
+    no cartesian/BNL, and the gram-side aggregation combines map-side
+    before its shuffle."""
+    df = _plan(spark, "duplicated_span_stats")
+    txt = explain_str(df)
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+    rep = plan_report(df)
+    assert rep.has_partial_agg, rep.summary()
+
+
+def test_pq_encode_is_broadcast_join_only(spark):
+    """PQ encoding must never shuffle the corpus against the codebook:
+    the codebook join is a broadcast, argmin is an aggregate — no
+    cartesian, no sort-merge join of the corpus side."""
+    from market_data_ingestion_scraper_spark.operators.similarity import (
+        fit_pq_codebooks,
+        pq_encode,
+    )
+    from market_data_ingestion_scraper_spark.sources import load_table
+
+    vecs = load_table(spark, SF, "embeddings")
+    books = fit_pq_codebooks(vecs, m=8, k=16)
+    txt = explain_str(pq_encode(vecs, books))
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+    assert "BroadcastHashJoin" in txt
