@@ -1,0 +1,88 @@
+"""Mergeable-sketch corpus profiling: per-shard sketches must merge into
+global estimates that track exact answers within each family's error
+bound — computed WITHOUT rescanning data."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from market_data_ingestion_scraper_spark.operators.sketches import (
+    cms_term_counts,
+    merge_corpus_profile,
+    shard_token_sketches,
+    shared_distinct_tokens,
+)
+from market_data_ingestion_scraper_spark.operators.text import tokens
+from market_data_ingestion_scraper_spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_smoke):
+    return load_table(spark, sf_smoke, "documents")
+
+
+@pytest.fixture(scope="module")
+def sketches(docs):
+    return shard_token_sketches(docs).persist()
+
+
+def test_merged_profile_tracks_exact(docs, sketches):
+    prof = merge_corpus_profile(sketches)
+    tok = docs.select(F.explode(tokens("text")).alias("t"))
+    exact_instances = tok.count()
+    exact_distinct = tok.distinct().count()
+    assert prof["n_token_instances"] == exact_instances  # counters are exact
+    for est in (prof["distinct_tokens_hll"], prof["distinct_tokens_theta"]):
+        assert abs(est - exact_distinct) / exact_distinct < 0.05, (
+            est, exact_distinct)
+    # KLL quartiles: within rank tolerance of the exact quartiles
+    lens = sorted(
+        r["n"] for r in docs.select(F.size(tokens("text")).alias("n")).collect()
+    )
+    n = len(lens)
+    for q, est in zip((0.25, 0.5, 0.75), prof["doc_len_quartiles"]):
+        lo = lens[max(0, int((q - 0.05) * n))]
+        hi = lens[min(n - 1, int((q + 0.05) * n))]
+        assert lo <= est <= hi, (q, est, lo, hi)
+
+
+def test_theta_intersection_estimates_shared_vocabulary(docs, sketches):
+    shards = [r["shard"] for r in sketches.select("shard").collect()]
+    a, b = sorted(shards)[:2]
+    exact = (
+        docs.filter(F.col("source") == a)
+        .select(F.explode(tokens("text")).alias("t")).distinct()
+        .intersect(
+            docs.filter(F.col("source") == b)
+            .select(F.explode(tokens("text")).alias("t")).distinct()
+        )
+        .count()
+    )
+    est = shared_distinct_tokens(sketches, a, b)
+    assert abs(est - exact) / max(exact, 1) < 0.15, (est, exact)
+
+
+def test_cms_point_queries_bounded_overestimate(docs, sketches):
+    tok = docs.select(F.explode(tokens("text")).alias("t"))
+    total = tok.count()
+    exact = {
+        r["t"]: r["n"]
+        for r in tok.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n")).limit(5).collect()
+    }
+    got = cms_term_counts(sketches, list(exact))
+    for term, true_n in exact.items():
+        # CMS guarantee: never under, over by at most eps*N (whp; seeded)
+        assert true_n <= got[term] <= true_n + int(0.001 * total) + 1, (
+            term, got[term], true_n)
+
+
+def test_sketches_are_small_and_per_shard(docs, sketches):
+    rows = sketches.collect()
+    assert len(rows) == docs.select("source").distinct().count()
+    for r in rows:
+        # each sketch is a bounded artifact, not a data copy
+        assert len(bytes(r["hll_tokens"])) < 64 * 1024
+        assert len(bytes(r["theta_tokens"])) < 64 * 1024
+        assert len(bytes(r["kll_doc_len"])) < 64 * 1024
