@@ -133,6 +133,7 @@ def run_corpus_ingestion(
 
     n_seen_before = 0
     mode = "overwrite"
+    fresh = None
     if incremental and os.path.isdir(gold_path):
         mode = "append"
         history = spark.read.parquet(gold_path).select("content_hash").distinct()
@@ -156,6 +157,8 @@ def run_corpus_ingestion(
         mode=mode,
     )
     groups.unpersist()
+    if fresh is not None:
+        fresh.unpersist()
     return {
         "n_clean": counts["n_clean"] or 0,
         "n_quarantined": quarantine.count(),

@@ -102,6 +102,10 @@ def write_gold_zordered(
         *[F.min(c).alias(f"_lo_{c}") for c in zorder_by],
         *[F.max(c).alias(f"_hi_{c}") for c in zorder_by],
     ).collect()[0]
+    if any(row[f"_lo_{c}"] is None for c in zorder_by):
+        # empty input (or all-null z column): nothing to cluster
+        df.write.mode(mode).option("compression", compression).parquet(path)
+        return
     ranges = {
         c: (float(row[f"_lo_{c}"]), float(row[f"_hi_{c}"])) for c in zorder_by
     }

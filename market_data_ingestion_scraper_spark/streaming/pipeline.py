@@ -239,3 +239,52 @@ def write_events_silver(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def sink_corpus_batch(batch: DataFrame, batch_id: int, gold_path: str) -> None:
+    """Per-micro-batch corpus landing: within-batch exact content dedup
+    (keep lowest doc_id per normalized-content hash) then an anti-join
+    against every content_hash already in gold, append survivors.
+
+    Idempotence here is CONTENT-level, stronger than the partition-grain
+    overwrite of :func:`sink_events_batch`: a crash-replayed batch
+    re-runs the history anti-join against a gold that already holds its
+    rows, so nothing re-appends — and the same property absorbs
+    re-crawled shards with duplicate content.  At scale the history scan
+    reads only the 32-byte hash column (parquet pruning), and the append
+    belongs in a transactional table format."""
+    import os
+
+    from ..jobs import _content_hash
+    from ..operators.dedup import content_hash_dedup
+    from ..sources.writer import write_gold
+
+    spark = batch.sparkSession
+    hashed = batch.withColumn("content_hash", _content_hash())
+    keeps = content_hash_dedup(batch).select(F.col("keep_doc_id").alias("doc_id"))
+    deduped = hashed.join(keeps, "doc_id", "left_semi")
+    if os.path.isdir(gold_path):
+        history = spark.read.parquet(gold_path).select("content_hash").distinct()
+        deduped = deduped.join(history, "content_hash", "left_anti")
+    write_gold(
+        deduped, gold_path, partition_by=("source",), sort_within=("doc_id",),
+        mode="append",
+    )
+
+
+def stream_corpus_to_gold(
+    documents: DataFrame, gold_path: str, checkpoint: str
+) -> "StreamingQuery":  # noqa: F821 - py doc only
+    """Continuous-crawl ingestion: a :func:`~..sources.jsonl.stream_jsonl`
+    stream lands into the same deduplicated gold table the batch job
+    (:func:`~..jobs.run_corpus_ingestion` incremental mode) maintains —
+    one content contract, two execution modes.  The file-source +
+    checkpoint log give exactly-once per shard; the content-hash
+    anti-join gives exactly-once per DOCUMENT even across re-crawls."""
+    return (
+        documents.writeStream.foreachBatch(
+            lambda b, bid: sink_corpus_batch(b, bid, gold_path)
+        )
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

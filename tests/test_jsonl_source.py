@@ -160,3 +160,54 @@ def test_run_corpus_ingestion_incremental_appends_only_new(spark, tmp_path):
     m3 = run_corpus_ingestion(spark, l2, gold, incremental=True)
     assert m3["n_kept"] == 0 and m3["n_seen_before"] == 2
     assert spark.read.parquet(gold).count() == 3
+
+
+def test_stream_corpus_to_gold_cross_batch_dedup(spark, tmp_path):
+    """Continuous-crawl ingestion: the streaming path must maintain the
+    same content-deduplicated gold as the incremental batch job —
+    including across a checkpoint restart and a re-crawled shard."""
+    from market_data_ingestion_scraper_spark.sources import stream_jsonl
+    from market_data_ingestion_scraper_spark.streaming.pipeline import (
+        stream_corpus_to_gold,
+    )
+
+    landing = str(tmp_path / "landing")
+    gold = str(tmp_path / "gold")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing)
+
+    def land(name, rows):
+        with open(os.path.join(landing, name), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    def doc(i, text, src="a"):
+        return {"doc_id": i, "text": text, "lang": "en", "source": src,
+                "n_chars": len(text)}
+
+    q = stream_corpus_to_gold(stream_jsonl(spark, landing), gold, ckpt)
+    land("s1.jsonl", [doc(1, "first doc"), doc(2, "second doc")])
+    q.processAllAvailable()
+    # batch 2: within-batch dup (4 of 3) + cross-batch dup (5 of 1)
+    land("s2.jsonl", [doc(3, "third doc", "b"), doc(4, "THIRD  doc", "b"),
+                      doc(5, "First Doc", "b")])
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(r["doc_id"] for r in spark.read.parquet(gold).collect())
+    assert got == [1, 2, 3]
+
+    # restart from the same checkpoint: old shards are not reprocessed,
+    # new shards keep deduplicating against gold
+    q2 = stream_corpus_to_gold(stream_jsonl(spark, landing), gold, ckpt)
+    land("s3.jsonl", [doc(6, "brand new"), doc(7, "second doc", "c")])
+    q2.processAllAvailable()
+    q2.stop()
+    got = sorted(r["doc_id"] for r in spark.read.parquet(gold).collect())
+    assert got == [1, 2, 3, 6]
+    # re-crawled shard (same content, new file) appends nothing
+    q3 = stream_corpus_to_gold(stream_jsonl(spark, landing), gold, ckpt)
+    land("s4.jsonl", [doc(8, "first doc"), doc(9, "brand new")])
+    q3.processAllAvailable()
+    q3.stop()
+    got = sorted(r["doc_id"] for r in spark.read.parquet(gold).collect())
+    assert got == [1, 2, 3, 6]
