@@ -93,6 +93,25 @@ def _content_hash(text_col: str = "text"):
     return F.sha2(norm, 256)
 
 
+def _gold_hashes(spark: SparkSession, gold_path: str):
+    """Distinct content hashes already in gold, or None if no gold exists
+    yet.  Existence is probed by READING, not ``os.path`` — a driver-local
+    filesystem check returns False for every hdfs:///s3a:// URI, which
+    would silently turn an incremental run into a full overwrite on
+    exactly the object-store deployments this job targets (review r7
+    finding)."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        return (
+            spark.read.parquet(gold_path)
+            .select(F.col("content_hash").alias("_gold_hash"))
+            .distinct()
+        )
+    except AnalysisException:
+        return None
+
+
 def run_corpus_ingestion(
     spark: SparkSession,
     landing_path: str,
@@ -119,8 +138,6 @@ def run_corpus_ingestion(
     semi-join broadcasts when small.  The hash-group table is persisted
     because both counters and the keep-join read it — it holds one row
     per DISTINCT document, the corpus's smallest useful summary."""
-    import os
-
     from .operators.dedup import content_hash_dedup
     from .sources.jsonl import read_jsonl
     from .sources.writer import write_gold
@@ -134,10 +151,17 @@ def run_corpus_ingestion(
     n_seen_before = 0
     mode = "overwrite"
     fresh = None
-    if incremental and os.path.isdir(gold_path):
+    history = _gold_hashes(spark, gold_path) if incremental else None
+    if history is not None:
         mode = "append"
-        history = spark.read.parquet(gold_path).select("content_hash").distinct()
-        fresh = deduped.join(history, "content_hash", "left_anti").persist()
+        # eqNullSafe: a doc with NULL text hashes to NULL, and a plain
+        # anti-join would never match it against gold's NULL — null-text
+        # docs would re-append on every run (review r7 finding)
+        fresh = deduped.join(
+            history,
+            deduped["content_hash"].eqNullSafe(history["_gold_hash"]),
+            "left_anti",
+        ).persist()
         n_new, n_batch = (
             fresh.count(),
             groups.agg(F.count(F.lit(1))).collect()[0][0],

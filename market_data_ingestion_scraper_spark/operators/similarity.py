@@ -278,6 +278,125 @@ def lsh_topk(
     )
 
 
+def _sample_matrix(
+    embeddings: DataFrame, vec_col: str, max_rows: int, seed: int
+):
+    """ONE distributed pass drawing a ≤max_rows seeded sample as a numpy
+    matrix — the bounded driver-side training set both index fits
+    (IVF centroids, PQ codebooks) share."""
+    n = embeddings.count()
+    frac = min(1.0, max_rows / max(n, 1))
+    src = embeddings if frac >= 1.0 else embeddings.sample(fraction=frac, seed=seed)
+    return np.array(
+        src.select(_dbl(F.col(vec_col)).alias("v"))
+        .limit(max_rows)
+        .toPandas()["v"]
+        .tolist(),
+        dtype=np.float64,
+    )
+
+
+def _kmeans(x, k: int, seed: int, n_iter: int):
+    """Seeded Lloyd's on a driver-resident matrix — the shared inner loop
+    of both index fits (one call for IVF, one per subspace for PQ)."""
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=min(k, len(x)), replace=False)]
+    for _ in range(n_iter):
+        d2 = (
+            (x * x).sum(axis=1, keepdims=True)
+            - 2.0 * (x @ cents.T)
+            + (cents * cents).sum(axis=1)
+        )
+        assign = d2.argmin(axis=1)
+        for j in range(len(cents)):
+            members = x[assign == j]
+            if len(members):
+                cents[j] = members.mean(axis=0)
+    return cents
+
+
+def _ivf_weight_table(spark, centroids):
+    """(cell, pos, wm, cn_m): broadcastable micro-unit centroid weights
+    with per-cell ‖c‖² riding along — one table serves the whole
+    -2·v·c + ‖c‖² assignment score (‖v‖² is constant per row and never
+    affects an argmin/rank, so it is dropped)."""
+    crows = [
+        (cell, pos, int(round(w * 1e6)))
+        for cell, cvec in enumerate(centroids)
+        for pos, w in enumerate(cvec)
+    ]
+    cw = spark.createDataFrame(crows, "cell int, pos int, wm long")
+    cn = cw.groupBy("cell").agg(F.sum(F.col("wm") * F.col("wm")).alias("cn_m"))
+    return cw.join(cn, "cell")
+
+
+def _cell_scores(
+    df: DataFrame, cweights: DataFrame, id_col: str, vec_col: str, out_id: str
+) -> DataFrame:
+    """Relational cell scoring shared by ivf_topk and ivfpq_topk: vectors
+    posexplode once to micro-units, join the broadcast weight table, one
+    codegen'd aggregate per (row, cell).  No Python in the distributed
+    path; plan size constant in cell count; shuffle rows are
+    (id, cell, partial-score) with map-side combine.  (An Arrow/pandas
+    formulation was faster per batch in isolation but churned python
+    workers across long many-query sessions.)"""
+    vals = df.select(
+        F.col(id_col).alias(out_id),
+        F.posexplode(_dbl(F.col(vec_col))).alias("pos", "_val"),
+    ).select(out_id, "pos", F.round(F.col("_val") * 1e6).cast("long").alias("vm"))
+    return (
+        vals.join(F.broadcast(cweights), "pos")
+        .groupBy(out_id, "cell")
+        .agg((F.first("cn_m") - 2 * F.sum(F.col("vm") * F.col("wm"))).alias("score"))
+    )
+
+
+def _ivf_assign(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    cweights: DataFrame,
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+):
+    """(corpus id → its cell, query id → its n_probe nearest cells) —
+    exact int64 micro-unit arithmetic, so assignment is identical at any
+    parallelism and in a DuckDB oracle."""
+    c_cell = (
+        _cell_scores(_spread(embeddings), cweights, id_col, vec_col, "neighbor_id")
+        .groupBy("neighbor_id")
+        .agg(F.min_by("cell", F.struct("score", "cell")).alias("cell"))
+    )
+    qw = Window.partitionBy("query_id").orderBy("score", "cell")
+    q_cell = (
+        _cell_scores(queries, cweights, id_col, vec_col, "query_id")
+        .withColumn("cr", F.row_number().over(qw))
+        .filter(F.col("cr") <= n_probe)
+        .select("query_id", "cell")
+    )
+    return c_cell, q_cell
+
+
+def _adc_query_table(
+    queries: DataFrame, cw: DataFrame, dsub: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Per-(query, sub, code) exact squared distance of the query
+    subvector to every codebook entry — the m×k ADC lookup tables pq_topk
+    and ivfpq_topk both broadcast: ‖q_sub − c‖² = Σq² − 2Σq·c + ‖c‖²."""
+    qvals = _pq_subvals(queries, id_col, vec_col, "query_id", dsub)
+    return (
+        qvals.join(F.broadcast(cw), ["sub", "pos"])
+        .groupBy("query_id", "sub", "code")
+        .agg(
+            (
+                F.sum(F.col("vm") * F.col("vm"))
+                - 2 * F.sum(F.col("vm") * F.col("wm"))
+                + F.first("cn_m")
+            ).alias("qd_m")
+        )
+    )
+
+
 def fit_ivf_centroids(
     embeddings: DataFrame,
     n_lists: int = 16,
@@ -297,32 +416,8 @@ def fit_ivf_centroids(
     Returns plain floats (n_lists × dim — KBs) so callers can
     persist/reuse them across queries; ``ivf_topk`` accepts them via
     ``centroids=``."""
-    n = embeddings.count()
-    frac = min(1.0, max_train_rows / max(n, 1))
-    train_src = embeddings if frac >= 1.0 else embeddings.sample(
-        fraction=frac, seed=seed
-    )
-    x = np.array(
-        train_src.select(_dbl(F.col(vec_col)).alias("v"))
-        .limit(max_train_rows)
-        .toPandas()["v"]
-        .tolist(),
-        dtype=np.float64,
-    )
-    rng = np.random.default_rng(seed)
-    cents = x[rng.choice(len(x), size=min(n_lists, len(x)), replace=False)]
-    for _ in range(n_iter):
-        # assign to nearest centroid via ||x-c||² = ||x||² - 2x·c + ||c||²
-        d2 = (
-            (x * x).sum(axis=1, keepdims=True)
-            - 2.0 * (x @ cents.T)
-            + (cents * cents).sum(axis=1)
-        )
-        assign = d2.argmin(axis=1)
-        for j in range(len(cents)):
-            members = x[assign == j]
-            if len(members):
-                cents[j] = members.mean(axis=0)
+    x = _sample_matrix(embeddings, vec_col, max_train_rows, seed)
+    cents = _kmeans(x, n_lists, seed, n_iter)
     return [list(map(float, c)) for c in cents]
 
 
@@ -370,60 +465,16 @@ def ivf_topk(
             "pos",
             F.round(F.col("centroid_val") * 1e6).cast("long").alias("wm"),
         )
+        cn = cw.groupBy("cell").agg(F.sum(F.col("wm") * F.col("wm")).alias("cn_m"))
+        cweights = cw.join(cn, "cell")
     else:
         if centroids is None:
             centroids = fit_ivf_centroids(
                 embeddings, n_lists=n_lists, seed=seed, vec_col=vec_col
             )
-        crows = [
-            (cell, pos, int(round(w * 1e6)))
-            for cell, cvec in enumerate(centroids)
-            for pos, w in enumerate(cvec)
-        ]
-        cw = spark.createDataFrame(crows, "cell int, pos int, wm long")
-    # ‖c‖² in micro²-units per cell rides along each weight row so one
-    # broadcast table serves the whole -2·v·c + ‖c‖² score (the ‖v‖² term
-    # is constant per row and never affects the argmin, so it is dropped).
-    cn = cw.groupBy("cell").agg(F.sum(F.col("wm") * F.col("wm")).alias("cn_m"))
-    cweights = cw.join(cn, "cell")
-
-    # Cell assignment is relational, exactly like bucket_table: the
-    # centroids become a broadcast (cell, pos, wm) table, vectors
-    # posexplode once, and the per-(row, cell) score comes out of one
-    # codegen'd aggregation.  No Python in the distributed path, plan size
-    # constant in n_lists, shuffle rows are (id, cell, partial-score) with
-    # map-side combine.  An earlier Arrow/pandas-UDF formulation was
-    # faster per-batch in isolation but interacted badly with long
-    # many-query sessions (python-worker churn); the relational plan is
-    # uniformly stable.
-    def cell_scores(df: DataFrame, out_id: str) -> DataFrame:
-        vals = df.select(
-            F.col(id_col).alias(out_id),
-            F.posexplode(_dbl(F.col(vec_col))).alias("pos", "_val"),
-        ).select(
-            out_id, "pos", F.round(F.col("_val") * 1e6).cast("long").alias("vm")
-        )
-        return (
-            vals.join(F.broadcast(cweights), "pos")
-            .groupBy(out_id, "cell")
-            .agg(
-                (F.first("cn_m") - 2 * F.sum(F.col("vm") * F.col("wm"))).alias(
-                    "score"
-                )
-            )
-        )
-
-    c_cell = (
-        cell_scores(_spread(embeddings), "neighbor_id")
-        .groupBy("neighbor_id")
-        .agg(F.min_by("cell", F.struct("score", "cell")).alias("cell"))
-    )
-    qw = Window.partitionBy("query_id").orderBy("score", "cell")
-    q_cell = (
-        cell_scores(queries, "query_id")
-        .withColumn("cr", F.row_number().over(qw))
-        .filter(F.col("cr") <= n_probe)
-        .select("query_id", "cell")
+        cweights = _ivf_weight_table(spark, centroids)
+    c_cell, q_cell = _ivf_assign(
+        embeddings, queries, cweights, n_probe, id_col, vec_col
     )
     c = _scoring_side(_spread(embeddings), id_col, vec_col, "neighbor_id", "n").join(
         c_cell, "neighbor_id"
@@ -464,38 +515,15 @@ def fit_pq_codebooks(
     float vector (256 B) compresses to ``m`` 4-bit/8-bit codes (4-8 B),
     so a 100 TB embedding corpus's index fits in cluster RAM and
     candidate scoring never touches the raw vectors."""
-    n = embeddings.count()
-    frac = min(1.0, max_train_rows / max(n, 1))
-    train_src = embeddings if frac >= 1.0 else embeddings.sample(
-        fraction=frac, seed=seed
-    )
-    x = np.array(
-        train_src.select(_dbl(F.col(vec_col)).alias("v"))
-        .limit(max_train_rows)
-        .toPandas()["v"]
-        .tolist(),
-        dtype=np.float64,
-    )
+    x = _sample_matrix(embeddings, vec_col, max_train_rows, seed)
     dim = x.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
-    rng = np.random.default_rng(seed)
     books: list[list[list[float]]] = []
     for j in range(m):
-        xs = x[:, j * dsub : (j + 1) * dsub]
-        cents = xs[rng.choice(len(xs), size=min(k, len(xs)), replace=False)]
-        for _ in range(n_iter):
-            d2 = (
-                (xs * xs).sum(axis=1, keepdims=True)
-                - 2.0 * (xs @ cents.T)
-                + (cents * cents).sum(axis=1)
-            )
-            assign = d2.argmin(axis=1)
-            for c in range(len(cents)):
-                members = xs[assign == c]
-                if len(members):
-                    cents[c] = members.mean(axis=0)
+        # seed + j: each subspace draws independent initial centroids
+        cents = _kmeans(x[:, j * dsub : (j + 1) * dsub], k, seed + j, n_iter)
         books.append([list(map(float, c)) for c in cents])
     return books
 
@@ -606,19 +634,7 @@ def pq_topk(
     if encoded is None:
         encoded = pq_encode(embeddings, codebooks, id_col=id_col, vec_col=vec_col)
     cw = _pq_codebook_table(spark, codebooks)
-    qvals = _pq_subvals(queries, id_col, vec_col, "query_id", dsub)
-    # ‖q_sub - c‖² = Σq² - 2Σq·c + ‖c‖² per (query, sub, code), exact
-    qtab = (
-        qvals.join(F.broadcast(cw), ["sub", "pos"])
-        .groupBy("query_id", "sub", "code")
-        .agg(
-            (
-                F.sum(F.col("vm") * F.col("vm"))
-                - 2 * F.sum(F.col("vm") * F.col("wm"))
-                + F.first("cn_m")
-            ).alias("qd_m")
-        )
-    )
+    qtab = _adc_query_table(queries, cw, dsub, id_col, vec_col)
     corpus_codes = encoded.select(
         F.col(id_col).alias("neighbor_id"),
         F.posexplode("codes").alias("sub", "code"),
@@ -684,44 +700,10 @@ def ivfpq_topk(
     if encoded is None:
         encoded = pq_encode(embeddings, codebooks, id_col=id_col, vec_col=vec_col)
 
-    # --- IVF side: same relational micro-unit assignment as ivf_topk
-    crows = [
-        (cell, pos, int(round(w * 1e6)))
-        for cell, cvec in enumerate(centroids)
-        for pos, w in enumerate(cvec)
-    ]
-    cw = spark.createDataFrame(crows, "cell int, pos int, wm long")
-    cn = cw.groupBy("cell").agg(F.sum(F.col("wm") * F.col("wm")).alias("cn_m"))
-    cweights = cw.join(cn, "cell")
-
-    def cell_scores(df: DataFrame, out_id: str) -> DataFrame:
-        vals = df.select(
-            F.col(id_col).alias(out_id),
-            F.posexplode(_dbl(F.col(vec_col))).alias("pos", "_val"),
-        ).select(
-            out_id, "pos", F.round(F.col("_val") * 1e6).cast("long").alias("vm")
-        )
-        return (
-            vals.join(F.broadcast(cweights), "pos")
-            .groupBy(out_id, "cell")
-            .agg(
-                (F.first("cn_m") - 2 * F.sum(F.col("vm") * F.col("wm"))).alias(
-                    "score"
-                )
-            )
-        )
-
-    c_cell = (
-        cell_scores(_spread(embeddings), "neighbor_id")
-        .groupBy("neighbor_id")
-        .agg(F.min_by("cell", F.struct("score", "cell")).alias("cell"))
-    )
-    qw = Window.partitionBy("query_id").orderBy("score", "cell")
-    q_cell = (
-        cell_scores(queries, "query_id")
-        .withColumn("cr", F.row_number().over(qw))
-        .filter(F.col("cr") <= n_probe)
-        .select("query_id", "cell")
+    # --- IVF side: shared relational micro-unit assignment
+    cweights = _ivf_weight_table(spark, centroids)
+    c_cell, q_cell = _ivf_assign(
+        embeddings, queries, cweights, n_probe, id_col, vec_col
     )
 
     # --- PQ side: ADC restricted to candidates from the probed cells
@@ -729,18 +711,7 @@ def ivfpq_topk(
         "query_id", "neighbor_id"
     )
     cmw = _pq_codebook_table(spark, codebooks)
-    qvals = _pq_subvals(queries, id_col, vec_col, "query_id", dsub)
-    qtab = (
-        qvals.join(F.broadcast(cmw), ["sub", "pos"])
-        .groupBy("query_id", "sub", "code")
-        .agg(
-            (
-                F.sum(F.col("vm") * F.col("vm"))
-                - 2 * F.sum(F.col("vm") * F.col("wm"))
-                + F.first("cn_m")
-            ).alias("qd_m")
-        )
-    )
+    qtab = _adc_query_table(queries, cmw, dsub, id_col, vec_col)
     corpus_codes = encoded.select(
         F.col(id_col).alias("neighbor_id"),
         F.posexplode("codes").alias("sub", "code"),

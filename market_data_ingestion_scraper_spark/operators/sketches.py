@@ -42,7 +42,7 @@ def shard_token_sketches(
     shuffle carries partial sketches (KBs), not tokens."""
     staged = documents.select(
         F.col(shard_col).alias("shard"), tokens("text").alias("_toks")
-    )
+    ).persist()  # tokenization feeds both the token and the length sketch
     tok = staged.select("shard", F.explode("_toks").alias("tok"))
     tok_sketches = tok.groupBy("shard").agg(
         F.count(F.lit(1)).alias("n_token_instances"),
@@ -55,7 +55,13 @@ def shard_token_sketches(
     len_sketches = staged.select(
         "shard", F.size("_toks").cast("long").alias("_n")
     ).groupBy("shard").agg(F.kll_sketch_agg_bigint("_n").alias("kll_doc_len"))
-    return tok_sketches.join(len_sketches, "shard")
+    # LEFT join from the length side: a shard whose documents all
+    # tokenize to empty (non-Latin text, pure punctuation) has no token
+    # rows but must still appear in the profile — as 0 tokens / N docs,
+    # not as a nonexistent shard (review r7 finding)
+    return len_sketches.join(tok_sketches, "shard", "left").withColumn(
+        "n_token_instances", F.coalesce("n_token_instances", F.lit(0))
+    )
 
 
 def merge_corpus_profile(shard_sketches: DataFrame) -> Row:
@@ -120,7 +126,9 @@ def shared_distinct_tokens(
             F.theta_intersection(F.col("ta"), F.col("tb"))
         ).alias("est")
     ).collect()
-    return float(row[0]["est"]) if row else 0.0
+    if not row or row[0]["est"] is None:  # missing shard or no tokens
+        return 0.0
+    return float(row[0]["est"])
 
 
 def cms_term_counts(shard_sketches: DataFrame, terms: list[str]) -> dict[str, int]:
@@ -135,8 +143,12 @@ def cms_term_counts(shard_sketches: DataFrame, terms: list[str]) -> dict[str, in
     jvm = shard_sketches.sparkSession._jvm
     sketch = None
     for r in rows:
+        if r["cms_terms"] is None:  # empty-token shard carries no CMS
+            continue
         s = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
             bytes(r["cms_terms"])
         )
         sketch = s if sketch is None else sketch.mergeInPlace(s)
+    if sketch is None:
+        return {t: 0 for t in terms}
     return {t: int(sketch.estimateCount(t)) for t in terms}

@@ -60,6 +60,14 @@ def zorder_key(cols: dict[str, tuple[float, float]], bits: int = 12):
     from pyspark.sql import functions as F
 
     k = len(cols)
+    if bits * k > 63:
+        # Java shiftleft masks the shift count mod 64: positions >= 64
+        # would wrap onto low bits and the additive combine would carry
+        # across dimensions — silently aliasing distant grid cells
+        raise ValueError(
+            f"z-order key needs {bits * k} bits for {k} columns x {bits} "
+            f"bits; max 63 — lower bits (<= {63 // k}) or drop columns"
+        )
     grid = (1 << bits) - 1
     scaled = []
     for name, (lo, hi) in cols.items():
@@ -98,6 +106,7 @@ def write_gold_zordered(
     ``zorder_by`` skip files/row groups via parquet statistics."""
     from pyspark.sql import functions as F
 
+    bits = min(bits, 63 // max(len(zorder_by), 1))  # keep the key in 63 bits
     row = df.agg(
         *[F.min(c).alias(f"_lo_{c}") for c in zorder_by],
         *[F.max(c).alias(f"_hi_{c}") for c in zorder_by],

@@ -253,9 +253,7 @@ def sink_corpus_batch(batch: DataFrame, batch_id: int, gold_path: str) -> None:
     re-crawled shards with duplicate content.  At scale the history scan
     reads only the 32-byte hash column (parquet pruning), and the append
     belongs in a transactional table format."""
-    import os
-
-    from ..jobs import _content_hash
+    from ..jobs import _content_hash, _gold_hashes
     from ..operators.dedup import content_hash_dedup
     from ..sources.writer import write_gold
 
@@ -263,9 +261,16 @@ def sink_corpus_batch(batch: DataFrame, batch_id: int, gold_path: str) -> None:
     hashed = batch.withColumn("content_hash", _content_hash())
     keeps = content_hash_dedup(batch).select(F.col("keep_doc_id").alias("doc_id"))
     deduped = hashed.join(keeps, "doc_id", "left_semi")
-    if os.path.isdir(gold_path):
-        history = spark.read.parquet(gold_path).select("content_hash").distinct()
-        deduped = deduped.join(history, "content_hash", "left_anti")
+    # read-probed existence + eqNullSafe: see _gold_hashes — an os.path
+    # check misses URI paths (skipping dedup forever) and a plain
+    # anti-join misses NULL hashes (null-text docs re-append)
+    history = _gold_hashes(spark, gold_path)
+    if history is not None:
+        deduped = deduped.join(
+            history,
+            deduped["content_hash"].eqNullSafe(history["_gold_hash"]),
+            "left_anti",
+        )
     write_gold(
         deduped, gold_path, partition_by=("source",), sort_within=("doc_id",),
         mode="append",

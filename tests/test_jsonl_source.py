@@ -211,3 +211,23 @@ def test_stream_corpus_to_gold_cross_batch_dedup(spark, tmp_path):
     q3.stop()
     got = sorted(r["doc_id"] for r in spark.read.parquet(gold).collect())
     assert got == [1, 2, 3, 6]
+
+
+def test_incremental_ingestion_null_text_does_not_reappend(spark, tmp_path):
+    """A clean object with NO text field hashes to NULL; the incremental
+    anti-join must still treat it as seen (eqNullSafe) — a plain
+    anti-join re-appended it on every run."""
+    from market_data_ingestion_scraper_spark.jobs import run_corpus_ingestion
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    with open(os.path.join(landing, "s.jsonl"), "w") as f:
+        f.write(json.dumps({"doc_id": 1, "lang": "en", "source": "a"}) + "\n")
+        f.write(json.dumps({"doc_id": 2, "text": "real", "lang": "en",
+                            "source": "a", "n_chars": 4}) + "\n")
+    gold = str(tmp_path / "gold")
+    m1 = run_corpus_ingestion(spark, landing, gold, incremental=True)
+    assert m1["n_kept"] == 2
+    m2 = run_corpus_ingestion(spark, landing, gold, incremental=True)
+    assert m2["n_kept"] == 0 and m2["n_seen_before"] == 2
+    assert spark.read.parquet(gold).count() == 2

@@ -86,3 +86,25 @@ def test_sketches_are_small_and_per_shard(docs, sketches):
         assert len(bytes(r["hll_tokens"])) < 64 * 1024
         assert len(bytes(r["theta_tokens"])) < 64 * 1024
         assert len(bytes(r["kll_doc_len"])) < 64 * 1024
+
+
+def test_empty_token_shard_still_profiled(spark):
+    """A shard whose docs tokenize to nothing (non-Latin text) must stay
+    in the profile as 0 tokens / N docs, not vanish (inner-join bug)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "hello world tokens here", "latin"),
+            (2, "你好世界", "cjk"),     # no [a-z0-9] runs
+            (3, "!!! ??? ...", "cjk"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    sk = shard_token_sketches(docs)
+    rows = {r["shard"]: r for r in sk.collect()}
+    assert set(rows) == {"latin", "cjk"}
+    assert rows["cjk"]["n_token_instances"] == 0
+    assert rows["cjk"]["kll_doc_len"] is not None  # doc lengths still sketched
+    assert shared_distinct_tokens(sk, "latin", "cjk") == 0.0
+    assert cms_term_counts(sk.filter(F.col("shard") == "cjk"), ["hello"]) == {
+        "hello": 0
+    }

@@ -107,3 +107,25 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
     # z-clustering with 4 files splits the grid into quadrant-ish blocks
     for r in back:
         assert (r["x1"] - r["x0"] + 1) * (r["y1"] - r["y0"] + 1) <= 1024 // 2
+
+
+def test_zorder_key_rejects_bit_overflow(spark):
+    """bits*k > 63 would wrap shift counts (Java masks mod 64) and alias
+    distant grid cells — must refuse, and the writer must auto-reduce."""
+    import pytest as _pytest
+
+    from market_data_ingestion_scraper_spark.sources.writer import (
+        write_gold_zordered,
+        zorder_key,
+    )
+
+    with _pytest.raises(ValueError, match="63"):
+        zorder_key({f"c{i}": (0, 1) for i in range(6)}, bits=12)
+    # the writer clamps instead of raising: 6 cols -> 10 bits each
+    df = spark.range(8).selectExpr(*[f"id as c{i}" for i in range(6)])
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        write_gold_zordered(df, f"{d}/z", zorder_by=tuple(f"c{i}" for i in range(6)),
+                            bits=12, n_files=2)
+        assert spark.read.parquet(f"{d}/z").count() == 8
