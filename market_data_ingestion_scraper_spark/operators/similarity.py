@@ -145,15 +145,19 @@ def bucket_table(
     dim: int,
     seed_base: int,
 ) -> DataFrame:
-    """(id, t, bucket) for every (row, hash-table) pair, via relational ops.
+    """(id, t, bucket) for every (row, hash-table) pair — shuffle-free.
 
-    The expression-based formulation builds n_tables × n_planes higher-order
-    dot products with dim literals each — analysis/codegen cost grows with
-    the configuration and dominated cold runs.  Here the hyperplane weights
-    are DATA: posexplode the vectors, broadcast-join the (t, plane, pos, wm)
-    weight table, and two codegen'd aggregations produce dots → sign-bit
-    buckets.  Plan size is constant; the work is a dim-×-weights join that
-    scales linearly and shuffles only (id, t, plane, partial-dot) rows.
+    The hyperplane weights travel as DATA in a single broadcast row
+    (``array<struct<t, planes: array<array<long>>>>``), so plan size stays
+    constant regardless of (n_tables × n_planes × dim); per data row, one
+    codegen'd higher-order expression computes every table's sign-bit
+    bucket (``aggregate(zip_with(...))`` dot products), and a small
+    ``explode`` (n_tables elements) emits the (id, t, bucket) rows.  The
+    whole table is FileScan → Project → 1-row-broadcast → Generate: ZERO
+    exchanges, so the index build is scan-bandwidth-bound at any corpus
+    size.  (The earlier relational form — posexplode vectors ⋈ weight
+    rows → two aggregations — shuffled dim×n_tables×n_planes partial-dot
+    rows per vector and cost ~2× even at toy scale.)
 
     Dot products run in int64 micro-units (vector values and weights both
     snapped to 1e-6): integer sums are summation-order-independent, so
@@ -164,27 +168,30 @@ def bucket_table(
     bucket quality.  Overflow bound: |v|·1e6 × |w|·1e6 × dim ≪ 2^63 for
     unit-scale vectors at any realistic dim."""
     spark = df.sparkSession
-    weights = spark.createDataFrame(
-        _micro_weights(n_planes, n_tables, dim, seed_base),
-        "t int, plane int, pos int, wm long",
+    per_t: dict[int, dict[int, list[int]]] = {}
+    for t, p, _pos, wm in _micro_weights(n_planes, n_tables, dim, seed_base):
+        per_t.setdefault(t, {}).setdefault(p, []).append(wm)
+    tables = [(t, [per_t[t][p] for p in sorted(per_t[t])]) for t in sorted(per_t)]
+    wtab = spark.createDataFrame(
+        [(tables,)], "w array<struct<t:int, planes:array<array<long>>>>"
     )
-    vals = df.select(
-        F.col(id_col),
-        F.posexplode(_dbl(F.col(vec_col))).alias("pos", "_val"),
-    ).select(
-        id_col, "pos", F.round(F.col("_val") * 1e6).cast("long").alias("vm")
+    vm = F.transform(
+        _dbl(F.col(vec_col)), lambda x: F.round(x * 1e6).cast("long")
     )
-    dots = (
-        vals.join(F.broadcast(weights), "pos")
-        .groupBy(id_col, "t", "plane")
-        .agg(F.sum(F.col("vm") * F.col("wm")).alias("dot"))
+    buckets = F.expr(
+        "transform(w, ts -> struct(ts.t AS t, "
+        " aggregate(sequence(0, size(ts.planes) - 1), CAST(0 AS BIGINT), "
+        "  (acc, p) -> acc + IF("
+        "    aggregate(zip_with(_vm, ts.planes[p], (x, y) -> x * y), "
+        "              CAST(0 AS BIGINT), (a, x) -> a + x) >= 0, "
+        "    shiftleft(CAST(1 AS BIGINT), p), CAST(0 AS BIGINT))) AS bucket))"
     )
-    # NB: python F.shiftleft needs a literal shift; SQL shiftleft takes columns
-    bit = F.expr(
-        "CASE WHEN dot >= 0 THEN shiftleft(CAST(1 AS BIGINT), plane) "
-        "ELSE CAST(0 AS BIGINT) END"
+    return (
+        df.select(F.col(id_col), vm.alias("_vm"))
+        .join(F.broadcast(wtab))
+        .select(id_col, F.explode(buckets).alias("_tb"))
+        .select(id_col, F.col("_tb.t").alias("t"), F.col("_tb.bucket").alias("bucket"))
     )
-    return dots.groupBy(id_col, "t").agg(F.sum(bit).alias("bucket"))
 
 
 def _micro_weights(
