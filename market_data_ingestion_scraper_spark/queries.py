@@ -1930,16 +1930,152 @@ def q_embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------- multimodal (X5)
+#
+# The synthetic media table is deterministic and sf-independent, so these
+# queries get GOLDEN-LITERAL oracles: a driver-side reference (plain
+# numpy, single process, no Spark) decodes every payload at import time
+# and the oracle SQL is a VALUES literal of the expected rows.  DuckDB
+# cannot decode BMP/WAV/RVID, but it does not need to — the differential
+# still checks the full distributed pipeline (Arrow binary fidelity,
+# mapInPandas batching, partitioning, the chunk-banded join) against an
+# independent local computation, bit-for-bit.  Float columns replicate
+# Spark's ROUND semantics (BigDecimal HALF_UP on the shortest repr).
+
+
+def _round_half_up(x: float, d: int = 6) -> float:
+    """Spark F.round twin: HALF_UP on the shortest decimal repr of the
+    double (BigDecimal.valueOf semantics), back to float."""
+    import decimal as _dec
+
+    return float(
+        _dec.Decimal(repr(float(x))).quantize(
+            _dec.Decimal(1).scaleb(-d), rounding=_dec.ROUND_HALF_UP
+        )
+    )
+
+
+def _media_reference() -> list[tuple]:
+    """(media_id, kind, payload, meta) for the full synthetic table,
+    computed locally — the single source for the golden oracles below."""
+    from .operators.multimodal import _synth_media_row
+
+    return [_synth_media_row(i) for i in range(64)]
+
+
+def _multimodal_features_oracle() -> str:
+    """Golden rows for q_multimodal: local numpy decode + the same
+    sequential left fold / min / max / rounding the Spark query applies."""
+    import functools
+
+    from .operators.multimodal import _decode_bytes
+
+    vals = []
+    for mid, kind, payload, _meta in _media_reference():
+        f = _decode_bytes(payload)
+        fsum = functools.reduce(lambda a, x: a + x, [float(v) for v in f], 0.0)
+        vals.append(
+            f"({mid},'{kind}',{len(payload)},{len(f)},"
+            f"{_round_half_up(fsum)!r},{_round_half_up(float(f.min()))!r},"
+            f"{_round_half_up(float(f.max()))!r})"
+        )
+    return (
+        "SELECT media_id, kind, n_bytes, feat_dim,"
+        " CAST(feat_sum AS DOUBLE) AS feat_sum,"
+        " CAST(feat_min AS DOUBLE) AS feat_min,"
+        " CAST(feat_max AS DOUBLE) AS feat_max FROM (VALUES "
+        + ",".join(vals)
+        + ") v(media_id, kind, n_bytes, feat_dim, feat_sum, feat_min, feat_max)"
+    )
+
+
+def _video_digest_oracle() -> str:
+    """Golden rows for q_frame_sample: reference frame sampling (same
+    nearest-slot arithmetic), md5 per PPM frame, frames concatenated in
+    frame_idx order and digested again — one row per video."""
+    import hashlib
+
+    from .operators.multimodal import decode_rvid, encode_ppm
+
+    vals = []
+    for mid, kind, payload, meta in _media_reference():
+        if kind != "video":
+            continue
+        dur = meta[4] or 0
+        n_samples = (dur + 499) // 500
+        vid = decode_rvid(payload)
+        nf = vid.shape[0]
+        digests = []
+        for j in range(n_samples):
+            ts = j * 500
+            src = min(nf - 1, ts * nf // max(dur, 1))
+            digests.append(hashlib.md5(encode_ppm(vid[src])).hexdigest())
+        rollup = hashlib.md5("".join(digests).encode()).hexdigest()
+        vals.append(f"({mid},{len(digests)},'{rollup}')")
+    return (
+        "SELECT * FROM (VALUES "
+        + ",".join(vals)
+        + ") v(media_id, n_frames, frames_digest)"
+    )
+
+
+def _image_near_dup_oracle(max_hamming: int = 3) -> str:
+    """Golden rows for q_image_near_dups via BRUTE-FORCE all-pairs Hamming
+    over locally computed average-hashes — deliberately independent of the
+    chunk-banded join under test (pigeonhole guarantees the candidate join
+    loses no pair at Hamming ≤ 3, and this oracle would catch it if a
+    refactor broke that)."""
+    import numpy as np
+
+    from .operators.multimodal import decode_bmp, decode_ppm
+
+    def ahash(payload: bytes, hs: int = 8) -> int:
+        px = (
+            decode_bmp(payload) if payload[:2] == b"BM" else decode_ppm(payload)
+        ).astype(np.int64)
+        h, w, _ = px.shape
+        luma = (px[:, :, 0] * 299 + px[:, :, 1] * 587 + px[:, :, 2] * 114) // 1000
+        ys = ((np.arange(hs) + 0.5) * h / hs).astype(np.int64)
+        xs = ((np.arange(hs) + 0.5) * w / hs).astype(np.int64)
+        cells = luma[ys][:, xs].ravel()
+        n, tot = cells.size, int(cells.sum())
+        bits = (cells * n > tot).astype(np.uint64)
+        return int(
+            np.bitwise_or.reduce(bits[: n - 1] << np.arange(n - 1, dtype=np.uint64))
+        )
+
+    hashes = [
+        (mid, ahash(payload))
+        for mid, kind, payload, _meta in _media_reference()
+        if kind == "image"
+    ]
+    vals = []
+    for i in range(len(hashes)):
+        for j in range(i + 1, len(hashes)):
+            hd = bin(hashes[i][1] ^ hashes[j][1]).count("1")
+            if hd <= max_hamming:
+                vals.append(f"({hashes[i][0]},{hashes[j][0]},{hd})")
+    if not vals:  # planted dups gone: emit a typed empty relation
+        return (
+            "SELECT * FROM (VALUES (0,0,0)) v(media_a, media_b, hamming) "
+            "WHERE false"
+        )
+    return (
+        "SELECT * FROM (VALUES "
+        + ",".join(vals)
+        + ") v(media_a, media_b, hamming)"
+    )
+
 
 @register(
     "multimodal_features",
-    None,  # DuckDB cannot decode image/audio payloads → rows-only
+    _multimodal_features_oracle(),
     doc="Multimodal feature extraction: binary media columns → mapInPandas "
     "pure-numpy decode of REAL encoded payloads (BMP 24-bit, PPM P6, WAV "
     "PCM-16, RVID raw video) into pixel/sample statistics.  The "
-    "array<double> feature column is projected to scalar digests here — "
-    "the driver's canonicalizer needs sortable scalars; exact feature "
-    "values are pinned in tests/test_multimodal.py.",
+    "array<double> feature column is projected to scalar digests — the "
+    "driver's canonicalizer needs sortable scalars.  Oracle: golden VALUES "
+    "literal from an independent driver-side numpy decode (bit-exact "
+    "floats incl. Spark ROUND HALF_UP semantics).",
 )
 def q_multimodal(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.multimodal import extract_features, synthetic_media
@@ -2184,30 +2320,48 @@ def q_sliding(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "video_frame_sample",
-    None,  # payload-derived frame digests have no SQL twin → rows-only
+    _video_digest_oracle(),
     doc="X5 video frame sampling: one row per sampled frame (row-expanding "
-    "mapInPandas over binary payloads).  Frames are REAL pixel data — "
-    "decoded from the RVID raw container and re-encoded as PPM P6 by the "
-    "pure-numpy codec — digested to md5 hex for the gate's scalar "
-    "canonicalizer (exact pixel values pinned in tests/test_multimodal.py).",
+    "mapInPandas over binary payloads), rolled up to one ordered digest "
+    "per video.  Frames are REAL pixel data — decoded from the RVID raw "
+    "container and re-encoded as PPM P6 by the pure-numpy codec; the "
+    "frame_idx-ordered md5 chain pins every sampled frame's exact bytes. "
+    "Oracle: golden VALUES from an independent local decode of the same "
+    "payloads (per-frame pixel values also pinned in "
+    "tests/test_multimodal.py).",
 )
 def q_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.multimodal import sample_frames, synthetic_media
 
     frames = sample_frames(synthetic_media(spark, n=64, parts=4))
-    return frames.select(
-        "media_id", "frame_idx", "frame_ts_ms", F.md5("frame").alias("frame_digest")
+    per_frame = frames.select(
+        "media_id", "frame_idx", F.md5("frame").alias("fd")
+    )
+    return per_frame.groupBy("media_id").agg(
+        F.count("*").cast("int").alias("n_frames"),
+        F.md5(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("frame_idx", "fd"))),
+                    lambda s: s.fd,
+                ),
+            )
+        ).alias("frames_digest"),
     )
 
 
 @register(
     "image_near_dups",
-    None,  # DuckDB cannot decode image payloads → rows-only
+    _image_near_dup_oracle(),
     doc="X5 perceptual image dedup: 63-bit average-hash over REAL decoded "
     "pixels (integer luma, nearest-grid downsample, mean compare — the "
     "public aHash recipe), then SimHash-style 16-bit chunk banding + "
     "bit_count verify.  Pixels never shuffle; one long per image does. "
-    "Planted-duplicate detection pinned in tests/test_multimodal.py.",
+    "Oracle: brute-force all-pairs Hamming over locally computed hashes — "
+    "independent of the banded join, so a broken pigeonhole loses pairs "
+    "loudly.  Planted-duplicate detection pinned in "
+    "tests/test_multimodal.py.",
 )
 def q_image_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.multimodal import image_near_duplicates, synthetic_media
