@@ -129,6 +129,27 @@ def test_lsh_topk_recall(spark, vectors):
     assert recall >= 0.6, f"recall@5 = {recall}"
 
 
+def test_lsh_index_parquet_roundtrip(spark, vectors, tmp_path):
+    """The bucket table IS the LSH index: write it out as parquet
+    partitioned by hash table, read it back, and serve top-k against the
+    loaded index — results identical to the inline build.  This is the
+    production amortization pattern (index once at 100 TB, serve many
+    query batches); the round-trip proves the index is a plain relation
+    with no session-bound state."""
+    q = vectors.filter(F.col("vec_id") < 8)
+    inline = S.lsh_topk(vectors, q, k=5)
+    idx_path = str(tmp_path / "lsh_index")
+    S.bucket_table(
+        vectors, "vec_id", "embedding", n_planes=4, n_tables=8, dim=64,
+        seed_base=1000,
+    ).write.partitionBy("t").parquet(idx_path)
+    loaded = spark.read.parquet(idx_path)
+    served = S.lsh_topk(vectors, q, k=5, corpus_buckets=loaded)
+    assert sorted(map(tuple, inline.collect())) == sorted(
+        map(tuple, served.collect())
+    )
+
+
 def test_ivf_topk_recall(spark, vectors):
     """IVF with n_probe=4 of 16 cells: scores ~25% of the corpus per query;
     recall floor well above that fraction proves the cells are informative."""

@@ -210,6 +210,25 @@ def test_lsh_topk_all_joins_hash_or_broadcast(spark):
     assert n_shuffle <= 6, txt
 
 
+def test_lsh_index_build_is_shuffle_free(spark):
+    # The index build (bucket_table) must stay a pure projection:
+    # FileScan -> Project -> 1-row weights broadcast -> Generate.  ZERO
+    # data exchanges — at 100 TB this is what makes building the index a
+    # scan-bandwidth-bound map pass instead of a dim-amplified shuffle.
+    from market_data_ingestion_scraper_spark.operators.similarity import (
+        bucket_table,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    bt = bucket_table(emb, "vec_id", "embedding", 4, 8, 64, 1000)
+    with aqe_disabled(spark):
+        txt = explain_str(bt, "simple")
+    n_shuffle = txt.count("Exchange") - txt.count("BroadcastExchange")
+    assert n_shuffle == 0, txt
+    assert txt.count("BroadcastExchange") == 1, txt
+    assert "IdentityBroadcastMode" in txt, txt
+
+
 def test_near_dup_clusters_no_cartesian_anywhere(spark):
     # iterative min-label propagation: the final lineage stacks one join
     # pair per round, but every single one must stay an equi-join — a
