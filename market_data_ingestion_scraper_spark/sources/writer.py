@@ -81,6 +81,17 @@ def zorder_key(cols: dict[str, tuple[float, float]], bits: int = 12):
             ),
         )
         scaled.append(s)
+    return _interleave(scaled, bits)
+
+
+def _interleave(scaled: list, bits: int):
+    """Morton-interleave k ``bits``-wide integer grid columns: bit i of
+    column j lands at key position i*k + j.  Shared by the min/max and
+    quantile grids — the key layout is identical, only the per-column
+    value→cell mapping differs."""
+    from pyspark.sql import functions as F
+
+    k = len(scaled)
     z = F.lit(0).cast("long")
     for i in range(bits):
         for j, s in enumerate(scaled):
@@ -88,6 +99,40 @@ def zorder_key(cols: dict[str, tuple[float, float]], bits: int = 12):
                 F.shiftright(s, i).bitwiseAND(F.lit(1)), i * k + j
             )
     return z
+
+
+def zorder_key_quantile(
+    bounds: dict[str, list[float]], bits: int = 8
+):
+    """Z-order key over QUANTILE-bucketed columns — the skew-resistant
+    grid.  Min/max normalization collapses under skew: one outlier
+    stretches the range so the bulk of the data lands in a single grid
+    cell and files stop bounding the hot region.  Here each column's cell
+    is its quantile bucket (``bounds[c]`` = 2^bits - 1 interior cut
+    points from one ``approxQuantile`` pass), so cells hold ~equal row
+    counts BY CONSTRUCTION regardless of the value distribution.
+
+    The bucket lookup is ``size(filter(boundaries, b -> b <= x))`` over a
+    bound literal array — O(2^bits) codegen'd comparisons per row, which
+    is why the quantile grid defaults to 8 bits (256 cells/dim; file- and
+    row-group-level clustering needs far fewer cells than values).
+    Repeated cut points (heavy ties) merge cells harmlessly — the key
+    stays monotone in the underlying value."""
+    from pyspark.sql import functions as F
+
+    if bits * len(bounds) > 63:
+        raise ValueError(
+            f"z-order key needs {bits * len(bounds)} bits; max 63"
+        )
+    grid = (1 << bits) - 1
+    scaled = []
+    for name, cuts in bounds.items():
+        arr = F.array(*[F.lit(float(c)) for c in cuts])
+        bucket = F.size(
+            F.filter(arr, lambda b: b <= F.col(name).cast("double"))
+        ).cast("long")
+        scaled.append(F.least(F.lit(grid).cast("long"), bucket))
+    return _interleave(scaled, bits)
 
 
 def write_gold_zordered(
@@ -98,28 +143,53 @@ def write_gold_zordered(
     n_files: int = 1,
     compression: str = "zstd",
     mode: str = "overwrite",
+    grid: str = "minmax",
 ) -> None:
-    """Gold writer with z-order clustering: one agg pass for per-column
-    min/max, range-repartition + sort on the interleaved key (so both the
-    file boundaries AND the row groups inside each file are z-clustered),
-    key dropped before write.  Queries filtering any subset of
-    ``zorder_by`` skip files/row groups via parquet statistics."""
+    """Gold writer with z-order clustering: one pre-pass for the grid
+    (per-column min/max, or quantile cut points with ``grid="quantile"``),
+    range-repartition + sort on the interleaved key (so both the file
+    boundaries AND the row groups inside each file are z-clustered), key
+    dropped before write.  Queries filtering any subset of ``zorder_by``
+    skip files/row groups via parquet statistics.
+
+    ``grid="quantile"`` trades a slightly costlier pre-pass
+    (``approxQuantile``) and per-row bucket lookup for skew resistance:
+    cells hold ~equal row counts whatever the distribution, so a
+    heavy-tailed column still yields near-disjoint per-file value ranges
+    on the hot region (min/max normalization would put ~all rows in one
+    cell there and bound nothing)."""
     from pyspark.sql import functions as F
 
-    bits = min(bits, 63 // max(len(zorder_by), 1))  # keep the key in 63 bits
-    row = df.agg(
-        *[F.min(c).alias(f"_lo_{c}") for c in zorder_by],
-        *[F.max(c).alias(f"_hi_{c}") for c in zorder_by],
-    ).collect()[0]
-    if any(row[f"_lo_{c}"] is None for c in zorder_by):
-        # empty input (or all-null z column): nothing to cluster
-        df.write.mode(mode).option("compression", compression).parquet(path)
-        return
-    ranges = {
-        c: (float(row[f"_lo_{c}"]), float(row[f"_hi_{c}"])) for c in zorder_by
-    }
+    if grid == "quantile":
+        bits = min(bits, 8, 63 // max(len(zorder_by), 1))
+        probs = [i / (1 << bits) for i in range(1, 1 << bits)]
+        cast = df.select(
+            *[F.col(c).cast("double").alias(c) for c in zorder_by]
+        )
+        cuts = dict(
+            zip(zorder_by, cast.approxQuantile(list(zorder_by), probs, 0.001))
+        )
+        if any(not c for c in cuts.values()):
+            # empty input (or all-null z column): nothing to cluster
+            df.write.mode(mode).option("compression", compression).parquet(path)
+            return
+        key = zorder_key_quantile(cuts, bits)
+    else:
+        bits = min(bits, 63 // max(len(zorder_by), 1))  # keep key in 63 bits
+        row = df.agg(
+            *[F.min(c).alias(f"_lo_{c}") for c in zorder_by],
+            *[F.max(c).alias(f"_hi_{c}") for c in zorder_by],
+        ).collect()[0]
+        if any(row[f"_lo_{c}"] is None for c in zorder_by):
+            # empty input (or all-null z column): nothing to cluster
+            df.write.mode(mode).option("compression", compression).parquet(path)
+            return
+        ranges = {
+            c: (float(row[f"_lo_{c}"]), float(row[f"_hi_{c}"])) for c in zorder_by
+        }
+        key = zorder_key(ranges, bits)
     out = (
-        df.withColumn("_z", zorder_key(ranges, bits))
+        df.withColumn("_z", key)
         .repartitionByRange(n_files, "_z")
         .sortWithinPartitions("_z")
         .drop("_z")

@@ -129,3 +129,56 @@ def test_zorder_key_rejects_bit_overflow(spark):
         write_gold_zordered(df, f"{d}/z", zorder_by=tuple(f"c{i}" for i in range(6)),
                             bits=12, n_files=2)
         assert spark.read.parquet(f"{d}/z").count() == 8
+
+
+def test_zorder_quantile_grid_survives_skew(spark, tmp_path):
+    """Skew resistance of the quantile grid: one huge outlier stretches
+    the min/max range so the WHOLE bulk lands in grid cell 0 — the range
+    partitioner cannot split identical keys, so min/max z-ordering
+    degenerates to one giant file with full-range value spans (zero
+    pruning inside the hot region).  The quantile grid buckets by rank,
+    so files stay balanced and bound the hot region regardless of the
+    outlier."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from market_data_ingestion_scraper_spark.sources.writer import (
+        write_gold_zordered,
+    )
+
+    rng = random.Random(7)
+    rows = [(rng.randrange(1000), rng.randrange(1000), i) for i in range(4000)]
+    rows.append((1_000_000, 1_000_000, 9999))  # outlier stretches both dims
+    df = spark.createDataFrame(rows, "x long, y long, payload long")
+
+    def file_stats(path):
+        return (
+            spark.read.parquet(path)
+            .withColumn("f", F.input_file_name())
+            .groupBy("f")
+            .agg(
+                F.min("x").alias("x0"), F.max("x").alias("x1"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+
+    mm = str(tmp_path / "minmax")
+    write_gold_zordered(df, mm, zorder_by=("x", "y"), bits=5, n_files=4,
+                        grid="minmax")
+    qt = str(tmp_path / "quantile")
+    write_gold_zordered(df, qt, zorder_by=("x", "y"), bits=5, n_files=4,
+                        grid="quantile")
+
+    mm_stats, qt_stats = file_stats(mm), file_stats(qt)
+    # min/max grid collapse: the bulk is one unsplittable z cell
+    assert max(r["n"] for r in mm_stats) >= 4000, mm_stats
+    # quantile grid: balanced files...
+    assert max(r["n"] for r in qt_stats) <= 4001 // 2, qt_stats
+    assert len(qt_stats) == 4, qt_stats
+    # ...that bound the hot dimension (sub-range x spans in most files,
+    # which is what parquet stats pruning keys off; the outlier's file
+    # necessarily spans to 1e6)
+    tight = [r for r in qt_stats if r["x1"] - r["x0"] <= 700]
+    assert len(tight) >= 2, qt_stats
