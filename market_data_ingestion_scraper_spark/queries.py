@@ -1954,12 +1954,20 @@ def _round_half_up(x: float, d: int = 6) -> float:
     )
 
 
+_MEDIA_REF_CACHE: list[tuple] | None = None
+
+
 def _media_reference() -> list[tuple]:
     """(media_id, kind, payload, meta) for the full synthetic table,
-    computed locally — the single source for the golden oracles below."""
-    from .operators.multimodal import _synth_media_row
+    computed locally — the single source for the golden oracles below.
+    Cached: three builders call this at import time and payload synthesis
+    (notably the long sine-wave audio rows) is the expensive part."""
+    global _MEDIA_REF_CACHE
+    if _MEDIA_REF_CACHE is None:
+        from .operators.multimodal import _synth_media_row
 
-    return [_synth_media_row(i) for i in range(64)]
+        _MEDIA_REF_CACHE = [_synth_media_row(i) for i in range(64)]
+    return _MEDIA_REF_CACHE
 
 
 def _multimodal_features_oracle() -> str:
