@@ -144,6 +144,7 @@ def bucket_table(
     n_tables: int,
     dim: int,
     seed_base: int,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, t, bucket) for every (row, hash-table) pair — shuffle-free.
 
@@ -166,7 +167,12 @@ def bucket_table(
     sign of a dot only differs from the float computation within ~1e-5 of
     zero — a measure-zero region of a random projection, irrelevant to
     bucket quality.  Overflow bound: |v|·1e6 × |w|·1e6 × dim ≪ 2^63 for
-    unit-scale vectors at any realistic dim."""
+    unit-scale vectors at any realistic dim.
+
+    ``carry`` columns pass through unchanged next to (id, t, bucket) —
+    streaming consumers use it to keep the query vector on the row, since
+    a stream cannot re-join itself to fetch it back
+    (:func:`streaming.pipeline.ann_enrich_stream`)."""
     spark = df.sparkSession
     per_t: dict[int, dict[int, list[int]]] = {}
     for t, p, _pos, wm in _micro_weights(n_planes, n_tables, dim, seed_base):
@@ -187,10 +193,15 @@ def bucket_table(
         "    shiftleft(CAST(1 AS BIGINT), p), CAST(0 AS BIGINT))) AS bucket))"
     )
     return (
-        df.select(F.col(id_col), vm.alias("_vm"))
+        df.select(F.col(id_col), *[F.col(c) for c in carry], vm.alias("_vm"))
         .join(F.broadcast(wtab))
-        .select(id_col, F.explode(buckets).alias("_tb"))
-        .select(id_col, F.col("_tb.t").alias("t"), F.col("_tb.bucket").alias("bucket"))
+        .select(id_col, *carry, F.explode(buckets).alias("_tb"))
+        .select(
+            id_col,
+            *carry,
+            F.col("_tb.t").alias("t"),
+            F.col("_tb.bucket").alias("bucket"),
+        )
     )
 
 

@@ -182,6 +182,82 @@ def enrich_with_static(
     )
 
 
+def ann_enrich_stream(
+    queries: DataFrame,
+    corpus_buckets: DataFrame,
+    corpus_vectors: DataFrame,
+    k: int = 5,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Streaming ANN serving: each micro-batch of query vectors is
+    enriched with its approximate top-k neighbors from a STATIC indexed
+    corpus — the online half of the "index once, serve many" pattern
+    (the batch half builds ``corpus_buckets`` with
+    ``similarity.bucket_table`` and persists it, see
+    ``test_lsh_index_parquet_roundtrip``).
+
+    Composition is entirely stream-legal: the query-side bucket signature
+    is the same shuffle-free per-row projection the batch path uses (a
+    1-row static weights broadcast — no state), with the query vector's
+    scoring columns CARRIED through the bucket rows (a stream cannot
+    re-join itself to fetch them back — that would be an unsupported
+    stream-stream self-join); candidates come from a stream-static
+    equi-join on (t, bucket), scoring joins the static vector table, and
+    the per-query top-k is a streaming aggregation (collect → sort →
+    slice inside the agg — streaming forbids the batch path's row_number
+    window).  State per query id is its candidate list; emit with
+    update/complete mode.
+
+    Returns (query_id, topk: array<struct<neighbor_id, cos_sim>>)."""
+    from ..operators.similarity import (
+        _dbl,
+        _pair_cosine,
+        _scoring_side,
+        bucket_table,
+        l2_norm,
+    )
+
+    d = _dbl(F.col(vec_col))
+    staged = queries.select(
+        F.col(id_col), F.col(vec_col), d.alias("_vq"), l2_norm(d).alias("_nq")
+    )
+    q_b = bucket_table(
+        staged, id_col, vec_col, n_planes, n_tables, dim, 1000,
+        carry=("_vq", "_nq"),
+    ).withColumnsRenamed({id_col: "query_id"})
+    cand = q_b.join(
+        corpus_buckets.withColumnsRenamed({id_col: "neighbor_id"}),
+        ["t", "bucket"],
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = cand.join(
+        _scoring_side(corpus_vectors, id_col, vec_col, "neighbor_id", "n"),
+        "neighbor_id",
+    ).select("query_id", "neighbor_id", _pair_cosine())
+    # distinct (multi-table collisions) then top-k, both inside one
+    # streaming-legal aggregation: collect the candidate set, order by
+    # (cos desc, id asc) — the batch tie-break — and slice k.
+    topk = F.slice(
+        F.array_sort(
+            F.collect_set(F.struct(
+                (-F.col("cos_sim")).alias("_neg"),
+                F.col("neighbor_id").alias("neighbor_id"),
+                F.col("cos_sim").alias("cos_sim"),
+            ))
+        ),
+        1,
+        k,
+    )
+    return scored.groupBy("query_id").agg(
+        F.transform(
+            topk, lambda s: F.struct(s.neighbor_id, s.cos_sim)
+        ).alias("topk")
+    )
+
+
 def run_to_memory(
     df: DataFrame, name: str, spark: SparkSession, mode: str = "complete"
 ) -> DataFrame:

@@ -204,3 +204,51 @@ def test_dedup_within_watermark_drops_jittered_redelivery(spark, tmp_path):
     # treated the jittered copy as new: prove the distinction
     ids = sorted(r["event_id"] for r in out.collect())
     assert ids == [1, 2, 3]
+
+
+def test_streaming_ann_matches_batch_topk(spark, sf_smoke, tmp_path):
+    """Online ANN serving: a stream of query vectors enriched against a
+    static prebuilt LSH index must return EXACTLY the batch lsh_topk
+    answer (same candidates, same cosine, same tie-break order) — one
+    index, two execution modes."""
+    from market_data_ingestion_scraper_spark.operators.similarity import (
+        bucket_table,
+        lsh_topk,
+    )
+
+    emb = load_table(spark, sf_smoke, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    index = bucket_table(
+        emb, "vec_id", "embedding", n_planes=4, n_tables=8, dim=64,
+        seed_base=1000,
+    ).persist()
+    q_batch = emb.filter(F.col("vec_id") < 8)
+
+    qdir = str(tmp_path / "queries")
+    q_batch.repartition(2).write.parquet(qdir)  # 2 files -> 2 micro-batches
+    q_stream = (
+        spark.readStream.schema(q_batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(qdir)
+    )
+    out = P.run_to_memory(
+        P.ann_enrich_stream(q_stream, index, emb, k=5),
+        "t_ann_stream",
+        spark,
+        mode="complete",
+    )
+    got = {
+        r["query_id"]: [(n["neighbor_id"], n["cos_sim"]) for n in r["topk"]]
+        for r in out.collect()
+    }
+    want: dict[int, list] = {}
+    for r in lsh_topk(emb, q_batch, k=5).collect():
+        want.setdefault(r["query_id"], []).append(
+            (r["rnk"], r["neighbor_id"], r["cos_sim"])
+        )
+    want_ordered = {
+        q: [(n, c) for _, n, c in sorted(rows)] for q, rows in want.items()
+    }
+    assert got == want_ordered
+    index.unpersist()
