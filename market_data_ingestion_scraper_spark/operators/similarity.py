@@ -380,19 +380,45 @@ def _ivf_assign(
     """(corpus id → its cell, query id → its n_probe nearest cells) —
     exact int64 micro-unit arithmetic, so assignment is identical at any
     parallelism and in a DuckDB oracle."""
-    c_cell = (
-        _cell_scores(_spread(embeddings), cweights, id_col, vec_col, "neighbor_id")
-        .groupBy("neighbor_id")
-        .agg(F.min_by("cell", F.struct("score", "cell")).alias("cell"))
+    c_cell = ivf_cell_table(embeddings, cweights, id_col, vec_col).withColumnsRenamed(
+        {id_col: "neighbor_id"}
     )
+    return c_cell, _ivf_query_cells(queries, cweights, n_probe, id_col, vec_col)
+
+
+def _ivf_query_cells(
+    queries: DataFrame,
+    cweights: DataFrame,
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(query_id, cell) for each query's n_probe nearest cells."""
     qw = Window.partitionBy("query_id").orderBy("score", "cell")
-    q_cell = (
+    return (
         _cell_scores(queries, cweights, id_col, vec_col, "query_id")
         .withColumn("cr", F.row_number().over(qw))
         .filter(F.col("cr") <= n_probe)
         .select("query_id", "cell")
     )
-    return c_cell, q_cell
+
+
+def ivf_cell_table(
+    embeddings: DataFrame,
+    cweights: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell) corpus assignment — the persistable IVF INDEX (faiss's
+    inverted lists as a relation).  Build once against a fitted quantizer
+    weight table, write out partitioned by cell, and pass the loaded
+    relation to ``ivf_topk(corpus_cells=…)`` so serving pays only the
+    query-side probe ranking + candidate join."""
+    return (
+        _cell_scores(_spread(embeddings), cweights, id_col, vec_col, id_col)
+        .groupBy(id_col)
+        .agg(F.min_by("cell", F.struct("score", "cell")).alias("cell"))
+    )
 
 
 def _adc_query_table(
@@ -450,9 +476,15 @@ def ivf_topk(
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
     centroid_elements: DataFrame | None = None,
+    corpus_cells: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: partition the corpus into ``n_lists``
     cells; each query scores only its ``n_probe`` nearest cells.
+
+    ``corpus_cells`` accepts a precomputed (id, cell) corpus assignment
+    (:func:`ivf_cell_table` — the persistable index, parquet round-trip
+    tested); the quantizer weights must be the ones the index was built
+    with, and only the query-side probe ranking runs per call.
 
     The IVF scale story vs hyperplane LSH: cells adapt to the data
     distribution (clustered corpora get balanced cells where fixed
@@ -491,9 +523,13 @@ def ivf_topk(
                 embeddings, n_lists=n_lists, seed=seed, vec_col=vec_col
             )
         cweights = _ivf_weight_table(spark, centroids)
-    c_cell, q_cell = _ivf_assign(
-        embeddings, queries, cweights, n_probe, id_col, vec_col
-    )
+    if corpus_cells is not None:
+        c_cell = corpus_cells.withColumnsRenamed({id_col: "neighbor_id"})
+        q_cell = _ivf_query_cells(queries, cweights, n_probe, id_col, vec_col)
+    else:
+        c_cell, q_cell = _ivf_assign(
+            embeddings, queries, cweights, n_probe, id_col, vec_col
+        )
     c = _scoring_side(_spread(embeddings), id_col, vec_col, "neighbor_id", "n").join(
         c_cell, "neighbor_id"
     )
@@ -690,6 +726,7 @@ def ivfpq_topk(
     centroids: list[list[float]] | None = None,
     codebooks: list[list[list[float]]] | None = None,
     encoded: DataFrame | None = None,
+    corpus_cells: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ: the production ANN composition (faiss's IndexIVFPQ shape)
     — IVF cell probing bounds WHICH vectors are scored
@@ -718,11 +755,17 @@ def ivfpq_topk(
     if encoded is None:
         encoded = pq_encode(embeddings, codebooks, id_col=id_col, vec_col=vec_col)
 
-    # --- IVF side: shared relational micro-unit assignment
+    # --- IVF side: shared relational micro-unit assignment (or the
+    # persisted (id, cell) index — both halves of IndexIVFPQ are then
+    # prebuilt relations: corpus_cells + encoded)
     cweights = _ivf_weight_table(spark, centroids)
-    c_cell, q_cell = _ivf_assign(
-        embeddings, queries, cweights, n_probe, id_col, vec_col
-    )
+    if corpus_cells is not None:
+        c_cell = corpus_cells.withColumnsRenamed({id_col: "neighbor_id"})
+        q_cell = _ivf_query_cells(queries, cweights, n_probe, id_col, vec_col)
+    else:
+        c_cell, q_cell = _ivf_assign(
+            embeddings, queries, cweights, n_probe, id_col, vec_col
+        )
 
     # --- PQ side: ADC restricted to candidates from the probed cells
     cand = c_cell.join(F.broadcast(q_cell), "cell").select(

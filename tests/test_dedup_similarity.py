@@ -548,3 +548,24 @@ def test_ivfpq_topk_composes_probe_and_adc(spark, vectors):
         assert ds == sorted(ds) and all(d >= 0 for d in ds)
     # the planted twin pair finds each other through probing + ADC
     assert by_q[99999][0]["neighbor_id"] == 0
+
+
+def test_ivf_index_parquet_roundtrip(spark, vectors, tmp_path):
+    """IVF twin of the LSH round-trip: the (id, cell) assignment is the
+    persistable index.  Build against a fitted quantizer, write parquet
+    partitioned by cell (faiss's inverted lists as directories), reload,
+    and serve — identical top-k to the inline build, and only the
+    query-side probe ranking recomputes."""
+    cents = S.fit_ivf_centroids(vectors, n_lists=16, seed=42)
+    q = vectors.filter(F.col("vec_id") < 8)
+    inline = S.ivf_topk(vectors, q, k=5, centroids=cents)
+    idx_path = str(tmp_path / "ivf_index")
+    cw = S._ivf_weight_table(spark, cents)
+    S.ivf_cell_table(vectors, cw).write.partitionBy("cell").parquet(idx_path)
+    loaded = spark.read.parquet(idx_path)
+    served = S.ivf_topk(
+        vectors, q, k=5, centroids=cents, corpus_cells=loaded
+    )
+    assert sorted(map(tuple, inline.collect())) == sorted(
+        map(tuple, served.collect())
+    )
