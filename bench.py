@@ -37,6 +37,9 @@ INDEX_BACKED: set[str] = {"lsh_topk_ann", "ann_recall_eval"}
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # context for run-to-run variance: a loaded box inflates every number
+    # (observed 70 -> 83 s total between back-to-back identical runs)
+    print(f"load avg at start: {os.getloadavg()}", file=sys.stderr)
     spark = get_spark(app_name="bench")
 
     # Warm-up, not part of the measurement: JVM/codegen via a trivial
@@ -123,12 +126,14 @@ def main() -> None:
                 "n_queries": len(timings),
                 "queries": timings,
                 "index_build": index_build,
+                "load_avg_end": os.getloadavg(),
             },
             f,
             indent=1,
             sort_keys=True,
         )
     print(f"full per-query timings -> {detail_path}", file=sys.stderr)
+    print(f"load avg at end: {os.getloadavg()}", file=sys.stderr)
 
     # The stdout line itself must ALWAYS fit the capture window: emit the
     # total plus only the 10 slowest queries (the ones worth gating on).
