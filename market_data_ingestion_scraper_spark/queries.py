@@ -3304,8 +3304,9 @@ def q_source_language_mix(spark: SparkSession, sf: str) -> DataFrame:
 GATE_PRIORITY: tuple[str, ...] = (
     # r7 rotation: the 37 queries whose latest gate row is r05 (parked
     # outside the r6 window) come back in — nothing may go >2 rounds
-    # without a fresh row.  The 3 rows-only demos (approx_profile,
-    # multimodal_features, video_frame_sample) are among them.
+    # without a fresh row.  Among them: approx_profile (the one remaining
+    # rows-only query) and the multimodal family, which gained
+    # golden-literal oracles this round (first oracle rows at r7).
     "shipping_lead_time",
     "top3_parts_per_brand",
     "revenue_rank_tiers",
