@@ -41,6 +41,21 @@ def main(argv: list[str] | None = None) -> int:
     corp.add_argument("--incremental", action="store_true",
                       help="dedup against existing gold hashes and append")
 
+    ann = sub.add_parser(
+        "ann-index",
+        help="build a persistable ANN index (LSH bucket table or IVF cell "
+        "assignment) from an embeddings parquet, partitioned for serving",
+    )
+    ann.add_argument("--embeddings", required=True,
+                     help="parquet with (vec_id, embedding) columns")
+    ann.add_argument("--out", required=True)
+    ann.add_argument("--kind", choices=("lsh", "ivf"), default="lsh")
+    ann.add_argument("--n-planes", type=int, default=4)
+    ann.add_argument("--n-tables", type=int, default=8)
+    ann.add_argument("--n-lists", type=int, default=16)
+    ann.add_argument("--dim", type=int, default=64)
+    ann.add_argument("--seed", type=int, default=1000)
+
     args = p.parse_args(argv)
 
     from .queries import REGISTRY
@@ -85,6 +100,33 @@ def main(argv: list[str] | None = None) -> int:
         )
         for k, v in sorted(metrics.items()):
             print(f"{k}={v}")
+        return 0
+
+    if args.cmd == "ann-index":
+        # The bucket/cell tables ARE the index (see SURVEY X14): built
+        # once here, partitioned so a serving probe reads only its
+        # table's/cell's files, consumed via lsh_topk(corpus_buckets=) /
+        # ivf_topk(corpus_cells=) or the streaming ann_enrich_stream.
+        from .operators import similarity as S
+
+        emb = spark.read.parquet(args.embeddings)
+        if args.kind == "lsh":
+            idx = S.bucket_table(
+                emb, "vec_id", "embedding", args.n_planes, args.n_tables,
+                args.dim, args.seed,
+            )
+            part = "t"
+        else:
+            cents = S.fit_ivf_centroids(
+                emb, n_lists=args.n_lists, seed=args.seed
+            )
+            idx = S.ivf_cell_table(
+                emb, S._ivf_weight_table(spark, cents)
+            )
+            part = "cell"
+        idx.write.mode("overwrite").partitionBy(part).parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+        print(f"kind={args.kind} rows={n} out={args.out} partition_by={part}")
         return 0
 
     return 2

@@ -48,3 +48,31 @@ def test_cli_ingest_corpus(tmp_path):
     assert r.returncode == 0
     assert "n_kept=1" in r.stdout and "n_quarantined=1" in r.stdout
     assert os.path.isdir(tmp_path / "gold" / "source=a")
+
+
+def test_cli_ann_index_build_and_serve(tmp_path):
+    """ann-index builds a partitioned, servable index: directory layout
+    matches the partition key and the loaded relation serves lsh_topk."""
+    import os
+
+    out = str(tmp_path / "idx")
+    r = _run(
+        "ann-index", "--embeddings", "/root/testdata/sf0.001/embeddings.parquet",
+        "--out", out,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "kind=lsh" in r.stdout and "partition_by=t" in r.stdout
+    assert os.path.isdir(os.path.join(out, "t=0"))
+
+
+def test_cli_ann_index_ivf_kind(tmp_path):
+    import os
+
+    out = str(tmp_path / "ivf")
+    r = _run(
+        "ann-index", "--embeddings", "/root/testdata/sf0.001/embeddings.parquet",
+        "--out", out, "--kind", "ivf", "--n-lists", "8",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "kind=ivf" in r.stdout and "partition_by=cell" in r.stdout
+    assert any(d.startswith("cell=") for d in os.listdir(out))
