@@ -423,3 +423,43 @@ def test_pq_encode_is_broadcast_join_only(spark):
     assert "CartesianProduct" not in txt
     assert "BroadcastNestedLoopJoin" not in txt
     assert "BroadcastHashJoin" in txt
+
+
+def test_timeseries_series_shuffles_bounded_by_grid(spark):
+    # events -> series: the only exchanges are the two vocabulary-bounded
+    # aggregations (per-(user, day) partials, then per-user assembly); the
+    # min-date anchor rides a deliberate 1-row identity broadcast, and no
+    # data-sized nested-loop/cartesian join may appear.
+    from market_data_ingestion_scraper_spark.operators.timeseries import (
+        user_value_series,
+    )
+    from market_data_ingestion_scraper_spark.sources import load_table
+
+    ev = load_table(spark, SF, "events")
+    with aqe_disabled(spark):
+        txt = explain_str(user_value_series(ev, n_days=8), "simple")
+    assert "CartesianProduct" not in txt, txt
+    assert txt.count("BroadcastNestedLoopJoin") <= txt.count(
+        "IdentityBroadcastMode"
+    ), txt
+    # three exchanges, all bounded: the anchor's single-row global min,
+    # per-(user, day) partials, per-user assembly — never raw events
+    n_shuffle = txt.count("Exchange") - txt.count("BroadcastExchange")
+    assert n_shuffle <= 3, txt
+
+
+def test_bpe_stats_join_not_nested_loop(spark):
+    # occurrence -> piece-count mapping must be an equi-join on the word;
+    # the Python stage (mapInPandas) runs on the DISTINCT side only.
+    from market_data_ingestion_scraper_spark.operators.bpe import (
+        bpe_token_stats,
+    )
+    from market_data_ingestion_scraper_spark.sources import load_table
+
+    docs = load_table(spark, SF, "documents")
+    merges = [("e", "s"), ("t", "h")]
+    with aqe_disabled(spark):
+        txt = explain_str(bpe_token_stats(docs, merges), "simple")
+    assert "CartesianProduct" not in txt, txt
+    assert "BroadcastNestedLoopJoin" not in txt, txt
+    assert "MapInPandas" in txt, txt
