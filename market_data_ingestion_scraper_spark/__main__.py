@@ -10,6 +10,7 @@
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 
@@ -107,6 +108,13 @@ def main(argv: list[str] | None = None) -> int:
         # once here, partitioned so a serving probe reads only its
         # table's/cell's files, consumed via lsh_topk(corpus_buckets=) /
         # ivf_topk(corpus_cells=) or the streaming ann_enrich_stream.
+        # The QUANTIZER PARAMETERS travel with the index as a
+        # `_quantizer.json` sidecar (underscore-prefixed → invisible to
+        # parquet readers): serving with different hyperplanes/centroids
+        # than the build silently degrades recall to chance, so the
+        # parameters the index was built with must never be guessed.
+        import json
+
         from .operators import similarity as S
 
         emb = spark.read.parquet(args.embeddings)
@@ -116,6 +124,13 @@ def main(argv: list[str] | None = None) -> int:
                 args.dim, args.seed,
             )
             part = "t"
+            quantizer = {
+                "kind": "lsh",
+                "n_planes": args.n_planes,
+                "n_tables": args.n_tables,
+                "dim": args.dim,
+                "seed_base": args.seed,
+            }
         else:
             cents = S.fit_ivf_centroids(
                 emb, n_lists=args.n_lists, seed=args.seed
@@ -124,9 +139,20 @@ def main(argv: list[str] | None = None) -> int:
                 emb, S._ivf_weight_table(spark, cents)
             )
             part = "cell"
+            quantizer = {
+                "kind": "ivf",
+                "n_lists": args.n_lists,
+                "seed": args.seed,
+                "centroids": cents,
+            }
+        n = idx.count()  # count the plan once; never re-scan the output
         idx.write.mode("overwrite").partitionBy(part).parquet(args.out)
-        n = spark.read.parquet(args.out).count()
-        print(f"kind={args.kind} rows={n} out={args.out} partition_by={part}")
+        with open(os.path.join(args.out, "_quantizer.json"), "w") as f:
+            json.dump(quantizer, f)
+        print(
+            f"kind={args.kind} rows={n} out={args.out} partition_by={part} "
+            f"quantizer=_quantizer.json"
+        )
         return 0
 
     return 2

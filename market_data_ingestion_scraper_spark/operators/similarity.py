@@ -184,16 +184,25 @@ def bucket_table(
     vm = F.transform(
         _dbl(F.col(vec_col)), lambda x: F.round(x * 1e6).cast("long")
     )
+    # coalesce per-element products to 0: a vector shorter/longer than
+    # ``dim`` contributes a partial dot over the overlap (zip_with pads
+    # with nulls; an un-coalesced null would null the whole sum and send
+    # EVERY such row to bucket 0 in every table — a silent all-pairs
+    # blowup in the candidate join).  Null/empty vectors are dropped
+    # entirely, matching the old explode formulation which emitted no
+    # rows for them.
     buckets = F.expr(
         "transform(w, ts -> struct(ts.t AS t, "
         " aggregate(sequence(0, size(ts.planes) - 1), CAST(0 AS BIGINT), "
         "  (acc, p) -> acc + IF("
-        "    aggregate(zip_with(_vm, ts.planes[p], (x, y) -> x * y), "
+        "    aggregate(zip_with(_vm, ts.planes[p], "
+        "              (x, y) -> coalesce(x * y, CAST(0 AS BIGINT))), "
         "              CAST(0 AS BIGINT), (a, x) -> a + x) >= 0, "
         "    shiftleft(CAST(1 AS BIGINT), p), CAST(0 AS BIGINT))) AS bucket))"
     )
     return (
-        df.select(F.col(id_col), *[F.col(c) for c in carry], vm.alias("_vm"))
+        df.filter(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0))
+        .select(F.col(id_col), *[F.col(c) for c in carry], vm.alias("_vm"))
         .join(F.broadcast(wtab))
         .select(id_col, *carry, F.explode(buckets).alias("_tb"))
         .select(
@@ -244,6 +253,7 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     corpus_buckets: DataFrame | None = None,
+    seed_base: int = 1000,
 ) -> DataFrame:
     """ANN top-k via multi-table hyperplane LSH: L independent hash tables
     of b sign-bits each; a corpus vector is a candidate if it collides with
@@ -267,14 +277,17 @@ def lsh_topk(
     corpus = _spread(embeddings)
     if corpus_buckets is None:
         corpus_buckets = bucket_table(
-            corpus, id_col, vec_col, n_planes, n_tables, dim, 1000
+            corpus, id_col, vec_col, n_planes, n_tables, dim, seed_base
         )
     c_b = corpus_buckets.select(
         F.col(id_col).alias("neighbor_id"), "t", "bucket"
     )
-    q_b = bucket_table(queries, id_col, vec_col, n_planes, n_tables, dim, 1000).select(
-        F.col(id_col).alias("query_id"), "t", "bucket"
-    )
+    # seed_base MUST match the one the corpus index was built with — a
+    # mismatch hashes query and corpus with different hyperplanes and
+    # collisions become random (no error, recall collapses to chance)
+    q_b = bucket_table(
+        queries, id_col, vec_col, n_planes, n_tables, dim, seed_base
+    ).select(F.col(id_col).alias("query_id"), "t", "bucket")
     cand = (
         c_b.join(F.broadcast(q_b), ["t", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -806,6 +819,7 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     corpus_buckets: DataFrame | None = None,
+    seed_base: int = 7000,
 ) -> DataFrame:
     """X2 embedding-cosine near-dup: self-join within multi-table LSH
     buckets only, keep pairs with cosine ≥ threshold.  At cos 0.95 a pair
@@ -824,7 +838,7 @@ def embedding_near_duplicates(
         banded = corpus_buckets
     else:
         banded = bucket_table(
-            corpus, id_col, vec_col, n_planes, n_tables, dim, 7000
+            corpus, id_col, vec_col, n_planes, n_tables, dim, seed_base
         ).persist()
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
@@ -1033,6 +1047,7 @@ def ann_recall(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     corpus_buckets: DataFrame | None = None,
+    seed_base: int = 1000,
 ) -> DataFrame:
     """Recall@k of the LSH ANN against exact brute-force ground truth —
     the eval harness every ANN deployment runs before trusting the index
@@ -1047,7 +1062,7 @@ def ann_recall(
     bucket index."""
     approx = lsh_topk(
         embeddings, queries, k, id_col=id_col, vec_col=vec_col,
-        corpus_buckets=corpus_buckets,
+        corpus_buckets=corpus_buckets, seed_base=seed_base,
     )
     exact = brute_force_topk(embeddings, queries, k, id_col, vec_col)
     return recall_vs_exact(approx, exact, k)

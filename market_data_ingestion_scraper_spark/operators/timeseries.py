@@ -102,8 +102,11 @@ def subsequence_topk(
     match score is cosine against the broadcast-literal normalized
     pattern — all higher-order built-ins, no UDF.  Output:
     (user, start_day, match_cos), global top-k (ties → lower user, then
-    earlier start).  A single-partition top-k window over k·users rows
-    is fine because per-user maxima reduce first."""
+    earlier start) — a user with several strong occurrences can fill
+    several slots.  The single-partition global ranking only ever sees
+    k·users rows because each user's top-k reduces in parallel first
+    (top-k, not top-1: no more than k windows of one user can reach the
+    global top-k, but more than one can)."""
     from .similarity import dot, l2_norm
 
     w = len(pattern)
@@ -137,14 +140,18 @@ def subsequence_topk(
     scored = win.select(
         F.col(id_col), "start_day", F.round(cos, 6).alias("match_cos")
     )
-    # per-user best first (parallel), then the tiny global top-k
-    per_user = scored.groupBy(id_col).agg(
-        F.max_by(
-            F.struct("match_cos", "start_day"),
-            F.struct("match_cos", F.lit(-1) * F.col("start_day")),
-        ).alias("_b")
-    ).select(id_col, F.col("_b.start_day").alias("start_day"),
-             F.col("_b.match_cos").alias("match_cos"))
+    # per-user top-k first (parallel — k windows per user suffice, since
+    # no more than k of one user's windows can make the global top-k;
+    # reducing to top-1 here would silently drop a second same-user
+    # occurrence of the pattern), then the tiny k·users global ranking.
+    per_user_w = Window.partitionBy(id_col).orderBy(
+        F.desc("match_cos"), F.asc("start_day")
+    )
+    per_user = (
+        scored.withColumn("_ur", F.row_number().over(per_user_w))
+        .filter(F.col("_ur") <= k)
+        .drop("_ur")
+    )
     order = Window.orderBy(
         F.desc("match_cos"), F.asc(id_col), F.asc("start_day")
     )

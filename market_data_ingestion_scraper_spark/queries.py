@@ -16,6 +16,7 @@ Determinism contract (why the SQL looks the way it does):
 
 from __future__ import annotations
 
+import functools
 import os
 from collections.abc import Callable
 from dataclasses import dataclass
@@ -39,14 +40,20 @@ _REV = "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS D
 @dataclass(frozen=True)
 class QuerySpec:
     fn: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None
+    #: SQL string, or a zero-arg builder resolved lazily — expensive
+    #: oracles (the golden-literal multimodal family synthesizes and
+    #: decodes the whole media table) must not tax every REGISTRY import
+    oracle: str | Callable[[], str] | None
     doc: str
+
+    def oracle_text(self) -> str | None:
+        return self.oracle() if callable(self.oracle) else self.oracle
 
 
 REGISTRY: dict[str, QuerySpec] = {}
 
 
-def register(name: str, oracle: str | None, doc: str = ""):
+def register(name: str, oracle: str | Callable[[], str] | None, doc: str = ""):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle, doc=doc)
         return fn
@@ -1933,8 +1940,11 @@ def q_embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
 #
 # The synthetic media table is deterministic and sf-independent, so these
 # queries get GOLDEN-LITERAL oracles: a driver-side reference (plain
-# numpy, single process, no Spark) decodes every payload at import time
-# and the oracle SQL is a VALUES literal of the expected rows.  DuckDB
+# numpy, single process, no Spark) decodes every payload and the oracle
+# SQL is a VALUES literal of the expected rows.  The builders are LAZY
+# (registered as callables, resolved+memoized at oracle_sql() time) so
+# plain REGISTRY imports — CLI, bench, non-parity tests — never pay the
+# media synthesis.  DuckDB
 # cannot decode BMP/WAV/RVID, but it does not need to — the differential
 # still checks the full distributed pipeline (Arrow binary fidelity,
 # mapInPandas batching, partitioning, the chunk-banded join) against an
@@ -1970,6 +1980,7 @@ def _media_reference() -> list[tuple]:
     return _MEDIA_REF_CACHE
 
 
+@functools.lru_cache(maxsize=None)
 def _multimodal_features_oracle() -> str:
     """Golden rows for q_multimodal: local numpy decode + the same
     sequential left fold / min / max / rounding the Spark query applies."""
@@ -1996,6 +2007,7 @@ def _multimodal_features_oracle() -> str:
     )
 
 
+@functools.lru_cache(maxsize=None)
 def _video_digest_oracle() -> str:
     """Golden rows for q_frame_sample: reference frame sampling (same
     nearest-slot arithmetic), md5 per PPM frame, frames concatenated in
@@ -2026,6 +2038,7 @@ def _video_digest_oracle() -> str:
     )
 
 
+@functools.lru_cache(maxsize=None)
 def _image_near_dup_oracle(max_hamming: int = 3) -> str:
     """Golden rows for q_image_near_dups via BRUTE-FORCE all-pairs Hamming
     over locally computed average-hashes — deliberately independent of the
@@ -2076,7 +2089,7 @@ def _image_near_dup_oracle(max_hamming: int = 3) -> str:
 
 @register(
     "multimodal_features",
-    _multimodal_features_oracle(),
+    _multimodal_features_oracle,  # lazy: resolved at oracle_sql() time
     doc="Multimodal feature extraction: binary media columns → mapInPandas "
     "pure-numpy decode of REAL encoded payloads (BMP 24-bit, PPM P6, WAV "
     "PCM-16, RVID raw video) into pixel/sample statistics.  The "
@@ -2328,7 +2341,7 @@ def q_sliding(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "video_frame_sample",
-    _video_digest_oracle(),
+    _video_digest_oracle,  # lazy: resolved at oracle_sql() time
     doc="X5 video frame sampling: one row per sampled frame (row-expanding "
     "mapInPandas over binary payloads), rolled up to one ordered digest "
     "per video.  Frames are REAL pixel data — decoded from the RVID raw "
@@ -2361,7 +2374,7 @@ def q_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "image_near_dups",
-    _image_near_dup_oracle(),
+    _image_near_dup_oracle,  # lazy: resolved at oracle_sql() time
     doc="X5 perceptual image dedup: 63-bit average-hash over REAL decoded "
     "pixels (integer luma, nearest-grid downsample, mean compare — the "
     "public aHash recipe), then SimHash-style 16-bit chunk banding + "
@@ -3451,7 +3464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
-        name: REGISTRY[name].oracle
+        name: REGISTRY[name].oracle_text()
         for name in _gate_order()
         if REGISTRY[name].oracle
     }

@@ -192,6 +192,7 @@ def ann_enrich_stream(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seed_base: int = 1000,
 ) -> DataFrame:
     """Streaming ANN serving: each micro-batch of query vectors is
     enriched with its approximate top-k neighbors from a STATIC indexed
@@ -225,8 +226,9 @@ def ann_enrich_stream(
     staged = queries.select(
         F.col(id_col), F.col(vec_col), d.alias("_vq"), l2_norm(d).alias("_nq")
     )
+    # seed_base must match the corpus index build (see lsh_topk)
     q_b = bucket_table(
-        staged, id_col, vec_col, n_planes, n_tables, dim, 1000,
+        staged, id_col, vec_col, n_planes, n_tables, dim, seed_base,
         carry=("_vq", "_nq"),
     ).withColumnsRenamed({id_col: "query_id"})
     cand = q_b.join(

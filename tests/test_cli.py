@@ -63,6 +63,13 @@ def test_cli_ann_index_build_and_serve(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     assert "kind=lsh" in r.stdout and "partition_by=t" in r.stdout
     assert os.path.isdir(os.path.join(out, "t=0"))
+    # the quantizer sidecar records the parameters serving must reuse
+    import json as _json
+
+    with open(os.path.join(out, "_quantizer.json")) as f:
+        q = _json.load(f)
+    assert q == {"kind": "lsh", "n_planes": 4, "n_tables": 8, "dim": 64,
+                 "seed_base": 1000}
 
 
 def test_cli_ann_index_ivf_kind(tmp_path):
@@ -76,3 +83,11 @@ def test_cli_ann_index_ivf_kind(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     assert "kind=ivf" in r.stdout and "partition_by=cell" in r.stdout
     assert any(d.startswith("cell=") for d in os.listdir(out))
+    # the fitted centroids travel with the index — without them a
+    # consumer would re-fit a DIFFERENT quantizer and probe wrong cells
+    import json as _json
+
+    with open(os.path.join(out, "_quantizer.json")) as f:
+        q = _json.load(f)
+    assert q["kind"] == "ivf" and q["n_lists"] == 8 and q["seed"] == 1000
+    assert len(q["centroids"]) == 8 and len(q["centroids"][0]) == 64

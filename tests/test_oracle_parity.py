@@ -23,7 +23,7 @@ WITH_ORACLE = sorted(name for name, spec in REGISTRY.items() if spec.oracle)
 @pytest.mark.parametrize("name", WITH_ORACLE)
 def test_matches_oracle(spark, name):
     spec = REGISTRY[name]
-    compare_query(spark, SF_DIR, spec.fn, spec.oracle)
+    compare_query(spark, SF_DIR, spec.fn, spec.oracle_text())
 
 
 def test_all_queries_return_rows(spark):

@@ -124,3 +124,19 @@ def test_subsequence_exact_match_on_clean_series(spark):
     assert len(out) == 1
     r = out[0]
     assert r["user_id"] == 5 and r["start_day"] == 2 and r["match_cos"] == 1.0
+
+
+def test_subsequence_topk_returns_multiple_windows_of_one_user(spark):
+    """k>1 must surface a SECOND occurrence within the same user's series
+    — a per-user top-1 reduction would silently drop it."""
+    pat = [1.0, 9.0, 2.0, 8.0]
+    vals = [0, 0, 1, 9, 2, 8, 0, 0, 1, 9, 2, 8, 0, 0]  # planted at 2 and 8
+    rows = [(5, d, float(v)) for d, v in enumerate(vals)]
+    rows += [(6, d, float(d % 3)) for d in range(14)]  # unrelated user
+    ev = _events(spark, rows)
+    out = sorted(
+        TS.subsequence_topk(ev, pat, k=2, n_days=14).collect(),
+        key=lambda r: r["rnk"],
+    )
+    assert [(r["user_id"], r["start_day"]) for r in out] == [(5, 2), (5, 8)]
+    assert all(r["match_cos"] == 1.0 for r in out)
