@@ -454,6 +454,30 @@ def _adc_query_table(
     )
 
 
+def load_ann_index(spark, path: str) -> tuple[DataFrame, dict]:
+    """Load a persisted ANN index (the `ann-index` CLI layout): the
+    partitioned index relation plus the `_quantizer.json` sidecar that
+    records the EXACT parameters the index was built with — serving with
+    re-guessed parameters (different hyperplane seed, re-fit centroids)
+    silently degrades recall to chance, so the sidecar is authoritative.
+
+    Returns (index_df, quantizer).  Wire into serving as::
+
+        idx, q = load_ann_index(spark, path)
+        lsh_topk(corpus, queries, corpus_buckets=idx,
+                 n_planes=q["n_planes"], n_tables=q["n_tables"],
+                 dim=q["dim"], seed_base=q["seed_base"])     # kind=lsh
+        ivf_topk(corpus, queries, corpus_cells=idx,
+                 centroids=q["centroids"])                    # kind=ivf
+    """
+    import json
+    import os
+
+    with open(os.path.join(path, "_quantizer.json")) as f:
+        quantizer = json.load(f)
+    return spark.read.parquet(path), quantizer
+
+
 def fit_ivf_centroids(
     embeddings: DataFrame,
     n_lists: int = 16,

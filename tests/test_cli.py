@@ -91,3 +91,37 @@ def test_cli_ann_index_ivf_kind(tmp_path):
         q = _json.load(f)
     assert q["kind"] == "ivf" and q["n_lists"] == 8 and q["seed"] == 1000
     assert len(q["centroids"]) == 8 and len(q["centroids"][0]) == 64
+
+
+def test_load_ann_index_serves_lsh(tmp_path):
+    """End-to-end lifecycle: CLI build -> load_ann_index -> serve with the
+    sidecar's parameters -> identical top-k to an inline build."""
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo")
+    from market_data_ingestion_scraper_spark.operators.similarity import (
+        load_ann_index,
+        lsh_topk,
+    )
+    from market_data_ingestion_scraper_spark.session import get_spark
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "idx")
+    r = _run(
+        "ann-index", "--embeddings", "/root/testdata/sf0.001/embeddings.parquet",
+        "--out", out,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    spark = get_spark(app_name="test-load-ann")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 4)
+    idx, quant = load_ann_index(spark, out)
+    served = lsh_topk(
+        emb, q, k=5, corpus_buckets=idx, n_planes=quant["n_planes"],
+        n_tables=quant["n_tables"], dim=quant["dim"],
+        seed_base=quant["seed_base"],
+    )
+    inline = lsh_topk(emb, q, k=5)
+    assert sorted(map(tuple, served.collect())) == sorted(
+        map(tuple, inline.collect())
+    )
