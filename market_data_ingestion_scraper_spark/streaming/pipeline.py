@@ -21,6 +21,8 @@ cardinality), not stream length.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -260,6 +262,76 @@ def ann_enrich_stream(
     )
 
 
+def stream_near_dup_filter(
+    rows: DataFrame,
+    corpus_buckets: DataFrame,
+    corpus_vectors: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    n_tables: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_base: int = 7000,
+) -> DataFrame:
+    """Streaming ADMISSION CONTROL against the corpus: drop incoming rows
+    whose embedding is near-duplicate (cos ≥ threshold) to anything in
+    the static index — run in front of the gold sink so re-crawled /
+    mirrored / re-encoded content never lands (the embedding-space
+    counterpart of `sink_corpus_batch`'s exact content-hash anti-join).
+
+    Stream-legal composition: the incoming row (with its scoring
+    columns) is CARRIED through the shuffle-free bucket projection, LEFT
+    joins the static bucket index on (t, bucket) — rows with no
+    collision must survive, and a stream cannot left-join back to itself
+    — then candidates score against the static vector table and a
+    streaming aggregation keeps rows whose best match stays below the
+    threshold.  An exact duplicate hashes into identical buckets in
+    EVERY table, so it is always caught regardless of LSH recall;
+    near-dups are caught at the bucketing recall of
+    (n_planes, n_tables), same math as `embedding_near_duplicates`.
+
+    Returns the admitted rows (id, vector, max_corpus_sim); identical
+    code runs in batch, which is how the test cross-checks it."""
+    from ..operators.similarity import (
+        _dbl,
+        _pair_cosine,
+        _scoring_side,
+        bucket_table,
+        l2_norm,
+    )
+
+    d = _dbl(F.col(vec_col))
+    staged = rows.select(
+        F.col(id_col), F.col(vec_col), d.alias("_vq"), l2_norm(d).alias("_nq")
+    )
+    q_b = bucket_table(
+        staged, id_col, vec_col, n_planes, n_tables, dim, seed_base,
+        carry=(vec_col, "_vq", "_nq"),
+    )
+    cand = q_b.join(
+        corpus_buckets.withColumnsRenamed({id_col: "neighbor_id"}),
+        ["t", "bucket"],
+        "left",
+    ).filter(
+        F.col("neighbor_id").isNull() | (F.col("neighbor_id") != F.col(id_col))
+    )
+    scored = cand.join(
+        _scoring_side(corpus_vectors, id_col, vec_col, "neighbor_id", "n"),
+        "neighbor_id",
+        "left",
+    ).select(
+        id_col,
+        vec_col,
+        F.coalesce(_pair_cosine(), F.lit(-1.0)).alias("_sim"),
+    )
+    return (
+        scored.groupBy(id_col, vec_col)
+        .agg(F.max("_sim").alias("max_corpus_sim"))
+        .filter(F.col("max_corpus_sim") < threshold)
+    )
+
+
 def run_to_memory(
     df: DataFrame, name: str, spark: SparkSession, mode: str = "complete"
 ) -> DataFrame:
@@ -317,6 +389,51 @@ def write_events_silver(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def compact_events_silver(spark: SparkSession, root: str) -> dict[str, int]:
+    """Nightly compaction promised by :func:`sink_events_batch`'s layout:
+    the streaming sink partitions by (event_date, ingest_batch_id) so a
+    replayed micro-batch overwrites exactly itself, but a long-running
+    stream accumulates one sub-directory (and ≥1 small file) PER
+    micro-batch per date — the classic small-files problem that makes a
+    100 TB listing metadata-bound.  Once a date is outside the stream's
+    replay window, the batch level carries no information; this folds it
+    away: rewrite each date's rows into one file under
+    ``event_date=<d>/compacted=true`` and delete the per-batch
+    subdirectories.
+
+    Idempotent and reader-transparent: readers prune on ``event_date``
+    exactly as before (the extra partition column is constant), a re-run
+    on a compacted date is a no-op, and a crash between write and delete
+    leaves both copies distinguishable by the ``compacted`` flag — the
+    delete pass below always removes only per-batch directories, so
+    re-running heals the overlap rather than duplicating it."""
+    import shutil
+
+    base = os.path.join(root, "events_silver")
+    stats = {"dates_compacted": 0, "batch_dirs_removed": 0}
+    if not os.path.isdir(base):
+        return stats
+    for date_dir in sorted(os.listdir(base)):
+        full = os.path.join(base, date_dir)
+        if not (date_dir.startswith("event_date=") and os.path.isdir(full)):
+            continue
+        batch_dirs = [
+            d for d in os.listdir(full) if d.startswith("ingest_batch_id=")
+        ]
+        if not batch_dirs:
+            continue
+        rows = spark.read.parquet(*[os.path.join(full, d) for d in batch_dirs])
+        (
+            rows.repartition(1).write.mode("overwrite")
+            .parquet(os.path.join(full, "compacted=true"))
+        )
+        for d in batch_dirs:
+            shutil.rmtree(os.path.join(full, d))
+            stats["batch_dirs_removed"] += 1
+        stats["dates_compacted"] += 1
+    return stats
 
 
 def sink_corpus_batch(batch: DataFrame, batch_id: int, gold_path: str) -> None:

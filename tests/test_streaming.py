@@ -252,3 +252,90 @@ def test_streaming_ann_matches_batch_topk(spark, sf_smoke, tmp_path):
     }
     assert got == want_ordered
     index.unpersist()
+
+
+def test_compact_events_silver_folds_batch_level(spark, sf_smoke, tmp_path):
+    """Compaction folds (event_date, ingest_batch_id) down to one file per
+    date: same rows, per-batch directories gone, event_date pruning
+    intact, and a re-run is a no-op."""
+    import os
+
+    root = str(tmp_path / "lake")
+    ev = load_table(spark, sf_smoke, "events")
+    # three "micro-batches" land via the real sink body
+    parts = ev.randomSplit([1.0, 1.0, 1.0], seed=7)
+    for bid, part in enumerate(parts):
+        P.sink_events_batch(part, bid, root)
+    base = os.path.join(root, "events_silver")
+    # materialize BEFORE compaction: the lazy plan's file listing dies
+    # with the per-batch directories
+    before_ids = sorted(
+        r["event_id"]
+        for r in spark.read.parquet(base).select("event_id").collect()
+    )
+    n_before = len(before_ids)
+    date_dirs = [d for d in os.listdir(base) if d.startswith("event_date=")]
+    assert any(
+        any(x.startswith("ingest_batch_id=") for x in os.listdir(os.path.join(base, d)))
+        for d in date_dirs
+    )
+
+    stats = P.compact_events_silver(spark, root)
+    assert stats["dates_compacted"] == len(date_dirs)
+    assert stats["batch_dirs_removed"] >= len(date_dirs)
+    after = spark.read.parquet(base)
+    assert after.count() == n_before
+    # the batch level is gone; every date folded to the compacted flag
+    for d in date_dirs:
+        subs = os.listdir(os.path.join(base, d))
+        assert not any(x.startswith("ingest_batch_id=") for x in subs)
+    # same event_ids survive
+    assert sorted(
+        r["event_id"] for r in after.select("event_id").collect()
+    ) == before_ids
+    # idempotent re-run: nothing left to fold
+    again = P.compact_events_silver(spark, root)
+    assert again["dates_compacted"] == 0
+
+
+def test_stream_near_dup_filter_admission(spark, sf_smoke, tmp_path):
+    """Admission control: an incoming vector that copies a corpus vector
+    is rejected (exact dup ⇒ identical buckets in every table ⇒ always
+    caught); a fresh random vector is admitted.  Stream ≡ batch."""
+    import random
+
+    from market_data_ingestion_scraper_spark.operators.similarity import (
+        bucket_table,
+    )
+
+    emb = load_table(spark, sf_smoke, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    index = bucket_table(
+        emb, "vec_id", "embedding", n_planes=8, n_tables=6, dim=64,
+        seed_base=7000,
+    ).persist()
+    v0 = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    rng = random.Random(11)
+    fresh = [rng.uniform(-1, 1) for _ in range(64)]
+    incoming = spark.createDataFrame(
+        [(9001, [float(x) for x in v0]), (9002, [float(x) for x in fresh])],
+        "vec_id long, embedding array<float>",
+    )
+
+    batch = P.stream_near_dup_filter(incoming, index, emb)
+    admitted_batch = {r["vec_id"]: r["max_corpus_sim"] for r in batch.collect()}
+    assert 9001 not in admitted_batch          # the copy is rejected
+    assert 9002 in admitted_batch              # novel content lands
+    assert admitted_batch[9002] < 0.95
+
+    qdir = str(tmp_path / "incoming")
+    incoming.write.parquet(qdir)
+    stream = spark.readStream.schema(incoming.schema).parquet(qdir)
+    out = P.run_to_memory(
+        P.stream_near_dup_filter(stream, index, emb),
+        "t_admission", spark, mode="complete",
+    )
+    admitted_stream = {r["vec_id"]: r["max_corpus_sim"] for r in out.collect()}
+    assert admitted_stream == admitted_batch
+    index.unpersist()
