@@ -116,7 +116,9 @@ def main(argv: list[str] | None = None) -> int:
         import json
 
         from .operators import similarity as S
+        from .util import require_local_path
 
+        require_local_path(args.out)  # the sidecar write is an os-level op
         emb = spark.read.parquet(args.embeddings)
         if args.kind == "lsh":
             idx = S.bucket_table(
@@ -145,8 +147,11 @@ def main(argv: list[str] | None = None) -> int:
                 "seed": args.seed,
                 "centroids": cents,
             }
-        n = idx.count()  # count the plan once; never re-scan the output
         idx.write.mode("overwrite").partitionBy(part).parquet(args.out)
+        # counting the WRITTEN parquet is metadata-only (row-group stats)
+        # and doubles as a readability check; counting the plan instead
+        # would re-execute the whole build
+        n = spark.read.parquet(args.out).count()
         with open(os.path.join(args.out, "_quantizer.json"), "w") as f:
             json.dump(quantizer, f)
         print(

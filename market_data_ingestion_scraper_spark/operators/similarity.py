@@ -473,6 +473,9 @@ def load_ann_index(spark, path: str) -> tuple[DataFrame, dict]:
     import json
     import os
 
+    from ..util import require_local_path
+
+    require_local_path(path)
     with open(os.path.join(path, "_quantizer.json")) as f:
         quantizer = json.load(f)
     return spark.read.parquet(path), quantizer

@@ -184,6 +184,33 @@ def enrich_with_static(
     )
 
 
+def _staged_query_buckets(
+    rows: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_planes: int,
+    n_tables: int,
+    dim: int,
+    seed_base: int,
+):
+    """Project stream rows through the shuffle-free bucket signature with
+    their scoring columns CARRIED on-row (a stream cannot re-join itself
+    to fetch them back).  seed_base MUST match the corpus index build — a
+    mismatch hashes the two sides with different hyperplanes and
+    collisions become random.  Shared by ann_enrich_stream and
+    stream_near_dup_filter so the staging cannot drift between them."""
+    from ..operators.similarity import _dbl, bucket_table, l2_norm
+
+    d = _dbl(F.col(vec_col))
+    staged = rows.select(
+        F.col(id_col), F.col(vec_col), d.alias("_vq"), l2_norm(d).alias("_nq")
+    )
+    return bucket_table(
+        staged, id_col, vec_col, n_planes, n_tables, dim, seed_base,
+        carry=(vec_col, "_vq", "_nq"),
+    )
+
+
 def ann_enrich_stream(
     queries: DataFrame,
     corpus_buckets: DataFrame,
@@ -216,23 +243,11 @@ def ann_enrich_stream(
     update/complete mode.
 
     Returns (query_id, topk: array<struct<neighbor_id, cos_sim>>)."""
-    from ..operators.similarity import (
-        _dbl,
-        _pair_cosine,
-        _scoring_side,
-        bucket_table,
-        l2_norm,
-    )
+    from ..operators.similarity import _pair_cosine, _scoring_side
 
-    d = _dbl(F.col(vec_col))
-    staged = queries.select(
-        F.col(id_col), F.col(vec_col), d.alias("_vq"), l2_norm(d).alias("_nq")
-    )
-    # seed_base must match the corpus index build (see lsh_topk)
-    q_b = bucket_table(
-        staged, id_col, vec_col, n_planes, n_tables, dim, seed_base,
-        carry=("_vq", "_nq"),
-    ).withColumnsRenamed({id_col: "query_id"})
+    q_b = _staged_query_buckets(
+        queries, id_col, vec_col, n_planes, n_tables, dim, seed_base
+    ).drop(vec_col).withColumnsRenamed({id_col: "query_id"})
     cand = q_b.join(
         corpus_buckets.withColumnsRenamed({id_col: "neighbor_id"}),
         ["t", "bucket"],
@@ -292,29 +307,27 @@ def stream_near_dup_filter(
     (n_planes, n_tables), same math as `embedding_near_duplicates`.
 
     Returns the admitted rows (id, vector, max_corpus_sim); identical
-    code runs in batch, which is how the test cross-checks it."""
-    from ..operators.similarity import (
-        _dbl,
-        _pair_cosine,
-        _scoring_side,
-        bucket_table,
-        l2_norm,
-    )
+    code runs in batch, which is how the test cross-checks it.
 
-    d = _dbl(F.col(vec_col))
-    staged = rows.select(
-        F.col(id_col), F.col(vec_col), d.alias("_vq"), l2_norm(d).alias("_nq")
+    POLICY: rows with a null/empty embedding cannot be scored and are
+    DROPPED (the bucket projection excludes them) — they are neither
+    admitted nor rejected here.  Route un-embeddable content through the
+    exact content-hash path (`sink_corpus_batch`) or a quarantine before
+    this filter; the test pins the drop so the policy cannot change
+    silently."""
+    from ..operators.similarity import _pair_cosine, _scoring_side
+
+    q_b = _staged_query_buckets(
+        rows, id_col, vec_col, n_planes, n_tables, dim, seed_base
     )
-    q_b = bucket_table(
-        staged, id_col, vec_col, n_planes, n_tables, dim, seed_base,
-        carry=(vec_col, "_vq", "_nq"),
-    )
+    # NO self-exclusion: unlike lsh_topk, incoming rows are not corpus
+    # members — a re-crawl that kept its corpus id but re-encoded its
+    # content MUST still be compared against (and rejected by) its own
+    # corpus copy; filtering 'self' here admitted exactly that near-dup.
     cand = q_b.join(
         corpus_buckets.withColumnsRenamed({id_col: "neighbor_id"}),
         ["t", "bucket"],
         "left",
-    ).filter(
-        F.col("neighbor_id").isNull() | (F.col("neighbor_id") != F.col(id_col))
     )
     scored = cand.join(
         _scoring_side(corpus_vectors, id_col, vec_col, "neighbor_id", "n"),
@@ -391,49 +404,83 @@ def write_events_silver(
     )
 
 
-def compact_events_silver(spark: SparkSession, root: str) -> dict[str, int]:
+#: reserved ingest_batch_id for compacted data — a real micro-batch id is
+#: always ≥ 0, so the compacted directory can never collide with one
+COMPACTED_BATCH_ID = -1
+
+
+def compact_events_silver(
+    spark: SparkSession, root: str, before_date: str | None = None
+) -> dict[str, int]:
     """Nightly compaction promised by :func:`sink_events_batch`'s layout:
     the streaming sink partitions by (event_date, ingest_batch_id) so a
     replayed micro-batch overwrites exactly itself, but a long-running
     stream accumulates one sub-directory (and ≥1 small file) PER
     micro-batch per date — the classic small-files problem that makes a
     100 TB listing metadata-bound.  Once a date is outside the stream's
-    replay window, the batch level carries no information; this folds it
-    away: rewrite each date's rows into one file under
-    ``event_date=<d>/compacted=true`` and delete the per-batch
-    subdirectories.
+    replay window its batch level carries no information, so each such
+    date's rows fold into ONE file under the reserved batch directory
+    ``ingest_batch_id=-1``.  The layout stays uniform — every date still
+    contains only ``ingest_batch_id=*`` dirs, so partition discovery
+    never sees conflicting column names mid-compaction — and readers
+    prune on ``event_date`` exactly as before.
 
-    Idempotent and reader-transparent: readers prune on ``event_date``
-    exactly as before (the extra partition column is constant), a re-run
-    on a compacted date is a no-op, and a crash between write and delete
-    leaves both copies distinguishable by the ``compacted`` flag — the
-    delete pass below always removes only per-batch directories, so
-    re-running heals the overlap rather than duplicating it."""
+    ``before_date`` is the replay horizon (ISO date): only strictly
+    older dates are compacted.  Pass it whenever the stream is live —
+    compacting a replayable date would let a crash-replayed micro-batch
+    re-land rows next to the compacted copy and duplicate them.  The
+    ``None`` default means "compact everything" and is only safe for
+    terminated streams.
+
+    Crash safety is write-ahead: (1) the date's merged rows land in an
+    underscore-prefixed staging dir (invisible to readers) with Spark's
+    ``_SUCCESS`` marker; (2) the source dirs (real batches + any prior
+    compacted dir) are deleted; (3) the staging dir moves into place.  A
+    re-run resumes from whichever step crashed — a completed staging
+    snapshot is authoritative, so no ordering loses rows; the only
+    mid-crash reader anomaly is a temporarily missing (never duplicated,
+    never conflicting) date between (2) and (3).
+
+    Local-filesystem paths only (os-level dir ops; a cluster deployment
+    would drive the same protocol through the Hadoop FileSystem API)."""
     import shutil
 
+    from ..util import require_local_path
+
+    require_local_path(root)
     base = os.path.join(root, "events_silver")
+    staging_root = os.path.join(root, "_compact_staging")
     stats = {"dates_compacted": 0, "batch_dirs_removed": 0}
     if not os.path.isdir(base):
         return stats
+    compacted_dir = f"ingest_batch_id={COMPACTED_BATCH_ID}"
     for date_dir in sorted(os.listdir(base)):
         full = os.path.join(base, date_dir)
         if not (date_dir.startswith("event_date=") and os.path.isdir(full)):
             continue
-        batch_dirs = [
+        if before_date is not None and date_dir[len("event_date="):] >= before_date:
+            continue
+        sources = [
             d for d in os.listdir(full) if d.startswith("ingest_batch_id=")
         ]
-        if not batch_dirs:
-            continue
-        rows = spark.read.parquet(*[os.path.join(full, d) for d in batch_dirs])
-        (
-            rows.repartition(1).write.mode("overwrite")
-            .parquet(os.path.join(full, "compacted=true"))
-        )
-        for d in batch_dirs:
-            shutil.rmtree(os.path.join(full, d))
+        real = [d for d in sources if d != compacted_dir]
+        staging = os.path.join(staging_root, date_dir)
+        staged_ok = os.path.exists(os.path.join(staging, "_SUCCESS"))
+        if not real and not staged_ok:
+            continue  # nothing to fold and no interrupted run to finish
+        if not staged_ok:
+            rows = spark.read.parquet(*[os.path.join(full, d) for d in sources])
+            rows.repartition(1).write.mode("overwrite").parquet(staging)
+        # the staged snapshot now holds every source row; deletions below
+        # can crash at any point and a re-run resumes here
+        for d in sources:
+            shutil.rmtree(os.path.join(full, d), ignore_errors=True)
             stats["batch_dirs_removed"] += 1
+        shutil.move(staging, os.path.join(full, compacted_dir))
         stats["dates_compacted"] += 1
+    shutil.rmtree(staging_root, ignore_errors=True)
     return stats
+
 
 
 def sink_corpus_batch(batch: DataFrame, batch_id: int, gold_path: str) -> None:

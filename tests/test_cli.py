@@ -125,3 +125,15 @@ def test_load_ann_index_serves_lsh(tmp_path):
     assert sorted(map(tuple, served.collect())) == sorted(
         map(tuple, inline.collect())
     )
+
+
+def test_cli_ann_index_rejects_uri_paths():
+    """os-level sidecar writes only work on local paths — a URI output
+    must fail fast BEFORE the expensive build, not crash after it (or
+    silently no-op, the be0a832 bug class)."""
+    r = _run(
+        "ann-index", "--embeddings", "/root/testdata/sf0.001/embeddings.parquet",
+        "--out", "hdfs://nn/idx",
+    )
+    assert r.returncode != 0
+    assert "local filesystem path required" in r.stderr

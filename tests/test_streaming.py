@@ -285,10 +285,13 @@ def test_compact_events_silver_folds_batch_level(spark, sf_smoke, tmp_path):
     assert stats["batch_dirs_removed"] >= len(date_dirs)
     after = spark.read.parquet(base)
     assert after.count() == n_before
-    # the batch level is gone; every date folded to the compacted flag
+    # every date folded to exactly the reserved compaction batch dir —
+    # the layout stays uniform (only ingest_batch_id=* dirs), so readers
+    # never see conflicting partition column names mid-compaction
     for d in date_dirs:
-        subs = os.listdir(os.path.join(base, d))
-        assert not any(x.startswith("ingest_batch_id=") for x in subs)
+        subs = [x for x in os.listdir(os.path.join(base, d))
+                if x.startswith("ingest_batch_id=")]
+        assert subs == [f"ingest_batch_id={P.COMPACTED_BATCH_ID}"]
     # same event_ids survive
     assert sorted(
         r["event_id"] for r in after.select("event_id").collect()
@@ -318,16 +321,24 @@ def test_stream_near_dup_filter_admission(spark, sf_smoke, tmp_path):
     v0 = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
     rng = random.Random(11)
     fresh = [rng.uniform(-1, 1) for _ in range(64)]
+    # id 0 deliberately REUSES its corpus id: a re-crawl that kept its id
+    # but carries near-identical content must still be rejected against
+    # its own corpus copy (a 'self'-exclusion here would admit it)
     incoming = spark.createDataFrame(
-        [(9001, [float(x) for x in v0]), (9002, [float(x) for x in fresh])],
+        [
+            (0, [float(x) for x in v0]),
+            (9002, [float(x) for x in fresh]),
+            (9003, None),  # un-embeddable: dropped by policy (pinned)
+        ],
         "vec_id long, embedding array<float>",
     )
 
     batch = P.stream_near_dup_filter(incoming, index, emb)
     admitted_batch = {r["vec_id"]: r["max_corpus_sim"] for r in batch.collect()}
-    assert 9001 not in admitted_batch          # the copy is rejected
+    assert 0 not in admitted_batch             # same-id re-crawl rejected
     assert 9002 in admitted_batch              # novel content lands
     assert admitted_batch[9002] < 0.95
+    assert 9003 not in admitted_batch          # null embedding: dropped
 
     qdir = str(tmp_path / "incoming")
     incoming.write.parquet(qdir)
@@ -339,3 +350,41 @@ def test_stream_near_dup_filter_admission(spark, sf_smoke, tmp_path):
     admitted_stream = {r["vec_id"]: r["max_corpus_sim"] for r in out.collect()}
     assert admitted_stream == admitted_batch
     index.unpersist()
+
+
+def test_compact_resumes_after_crash_mid_delete(spark, sf_smoke, tmp_path):
+    """The data-loss scenario the write-ahead staging exists for: staging
+    snapshot complete, crash after deleting SOME source dirs.  A re-run
+    must treat the staged snapshot as authoritative (not recompute from
+    the surviving sources) — every row survives."""
+    import os
+    import shutil
+
+    root = str(tmp_path / "lake")
+    ev = load_table(spark, sf_smoke, "events")
+    b0, b1 = ev.randomSplit([1.0, 1.0], seed=3)
+    P.sink_events_batch(b0, 0, root)
+    P.sink_events_batch(b1, 1, root)
+    base = os.path.join(root, "events_silver")
+    n_total = spark.read.parquet(base).count()
+    date_dir = next(
+        d for d in sorted(os.listdir(base)) if d.startswith("event_date=")
+    )
+    full = os.path.join(base, date_dir)
+    n_date = spark.read.parquet(full).count()
+
+    # simulate the interrupted run: complete staging, then a crash after
+    # one source dir was already deleted
+    staging = os.path.join(root, "_compact_staging", date_dir)
+    sources = [d for d in os.listdir(full) if d.startswith("ingest_batch_id=")]
+    assert len(sources) >= 2
+    spark.read.parquet(*[os.path.join(full, d) for d in sources]) \
+        .repartition(1).write.parquet(staging)
+    assert os.path.exists(os.path.join(staging, "_SUCCESS"))
+    shutil.rmtree(os.path.join(full, sources[0]))
+
+    P.compact_events_silver(spark, root)
+    assert spark.read.parquet(full).count() == n_date     # nothing lost
+    assert spark.read.parquet(base).count() == n_total
+    subs = [x for x in os.listdir(full) if x.startswith("ingest_batch_id=")]
+    assert subs == [f"ingest_batch_id={P.COMPACTED_BATCH_ID}"]
