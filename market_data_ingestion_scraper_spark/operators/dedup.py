@@ -589,6 +589,25 @@ def near_duplicate_clusters(
         )
     if method != "propagate":
         raise ValueError(f"unknown components method: {method!r}")
+    labels = _propagate_components(pairs, max_iter, pointer_jump, stats)
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "label").select(
+        F.col("id").alias(id_col),
+        F.col("label").alias("cluster_rep"),
+        "cluster_size",
+    )
+
+
+def _propagate_components(
+    pairs: DataFrame,
+    max_iter: int,
+    pointer_jump: bool = False,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Min-label propagation components (the ``method="propagate"`` body
+    of :func:`near_duplicate_clusters`, factored out so the loop's
+    storage discipline is directly testable on a raw edge list): (id,
+    label) with label = component min."""
     edges = (
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
@@ -668,12 +687,7 @@ def near_duplicate_clusters(
     # edges stays persisted: the returned plan still depends on it through
     # the final labels' lineage if the cache evicts; the ContextCleaner
     # reclaims both when the plan is garbage-collected.
-    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return labels.join(sizes, "label").select(
-        F.col("id").alias(id_col),
-        F.col("label").alias("cluster_rep"),
-        "cluster_size",
-    )
+    return labels
 
 
 # --------------------------------------------------------------- SimHash

@@ -425,10 +425,12 @@ def bigram_merge_candidates(
 
     Scale shape: per-row pair explode → groupBy(pair) with map-side
     combine (shuffle bounded by distinct-pair vocabulary), then the
-    ``min_count`` filter shrinks the table BEFORE the single-partition
-    ranking window touches it — production BPE loops would swap the exact
-    global rank for per-partition top-k + merge, the mechanics upstream
-    are identical."""
+    top-k itself is ``orderBy().limit(k)`` — Spark plans
+    ``TakeOrderedAndProject``, a distributed per-partition top-k + merge,
+    so NO single-partition window ever sees the pair table (at web scale
+    distinct word-pairs run to 10⁹ rows; a global rank window would
+    funnel them through one partition).  The rank column is derived from
+    the already-reduced k rows."""
     staged = documents.select(tokens("text").alias("_toks"))
     n = F.size("_toks")
     idx = F.when(n >= 2, F.sequence(F.lit(1), n - F.lit(1))).otherwise(
@@ -448,11 +450,12 @@ def bigram_merge_candidates(
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= min_count)
     )
-    w = Window.orderBy(F.desc("n"), F.asc("pair"))
-    return (
-        counted.withColumn("rnk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rnk") <= k)
-    )
+    topk = counted.orderBy(F.desc("n"), F.asc("pair")).limit(k)
+    # rank over the k surviving rows only (constant partition key: the
+    # input is k rows by construction, and an empty partition spec would
+    # be a WindowExec warning + a scale trap if k ever grew)
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("n"), F.asc("pair"))
+    return topk.withColumn("rnk", F.row_number().over(w).cast("int"))
 
 
 def unigram_logprob(documents: DataFrame) -> DataFrame:
@@ -533,18 +536,20 @@ def zipf_profile(documents: DataFrame, top_n: int = 100) -> DataFrame:
     templated or machine-generated corpora deviate).  The micro-unit
     rounding makes every emitted value engine-exact.
 
-    Shape: vocabulary-bounded term count (map-side combined), then a
-    single-partition rank window over the count table — same bounded
-    pattern as bigram_merge_candidates."""
+    Shape: vocabulary-bounded term count (map-side combined), then
+    ``orderBy().limit(top_n)`` (``TakeOrderedAndProject`` — distributed
+    top-k, never a single-partition rank over the full term table: at
+    web scale the vocabulary alone is 10⁸⁺ terms) with rank derived from
+    the surviving ``top_n`` rows — same pattern as
+    bigram_merge_candidates."""
     counted = (
         documents.select(F.explode(tokens("text")).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w = Window.orderBy(F.desc("n"), F.asc("term"))
-    ranked = counted.withColumn("rank", F.row_number().over(w).cast("long")).filter(
-        F.col("rank") <= top_n
-    )
+    topk = counted.orderBy(F.desc("n"), F.asc("term")).limit(top_n)
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("n"), F.asc("term"))
+    ranked = topk.withColumn("rank", F.row_number().over(w).cast("long"))
     return ranked.select(
         "term",
         "rank",

@@ -152,12 +152,18 @@ def subsequence_topk(
         .filter(F.col("_ur") <= k)
         .drop("_ur")
     )
-    order = Window.orderBy(
+    # global top-k via orderBy().limit(k) (TakeOrderedAndProject —
+    # distributed reduction over the k·users candidate rows), then rank
+    # the k survivors under a constant partition key (no empty-spec
+    # WindowExec; the input is k rows by construction).
+    topk = per_user.orderBy(
+        F.desc("match_cos"), F.asc(id_col), F.asc("start_day")
+    ).limit(k)
+    order = Window.partitionBy(F.lit(0)).orderBy(
         F.desc("match_cos"), F.asc(id_col), F.asc("start_day")
     )
     return (
-        per_user.withColumn("rnk", F.row_number().over(order))
-        .filter(F.col("rnk") <= k)
+        topk.withColumn("rnk", F.row_number().over(order))
         .select(id_col, "start_day", "match_cos", F.col("rnk").cast("int").alias("rnk"))
     )
 

@@ -317,6 +317,38 @@ def test_star_components_planted_64_link_chain(spark):
     assert stats["rounds"] <= 8, stats
 
 
+def test_clustering_loop_releases_checkpoint_storage(spark):
+    # r7 advice closure: each round's localCheckpoint blocks must be freed
+    # DETERMINISTICALLY when the next round materializes — across a
+    # ~100-iteration propagation loop (101-node chain, diameter 100, one
+    # hop per round) the persistent-RDD census must stay flat, not grow by
+    # one checkpoint per round.  A release regression turns the +bounded
+    # assertion into +~100 and fails loudly.
+    def census():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    spark.catalog.clearCache()
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100)], "doc_a long, doc_b long"
+    )
+    before = census()
+    stats = {}
+    labels = D._propagate_components(pairs, max_iter=120, stats=stats)
+    got = {(r["id"], r["label"]) for r in labels.collect()}
+    assert got == {(i, 0) for i in range(101)}
+    assert stats["converged"] and stats["rounds"] >= 100, stats
+    # surviving entries: the persisted edge list + the final round's
+    # checkpoint (still reachable through the returned plan) — nothing
+    # proportional to the round count.
+    assert census() - before <= 3, (before, census(), stats)
+    # the star path has the same discipline at its own (fewer) rounds
+    before = census()
+    s_stats = {}
+    D._star_components(pairs, max_iter=25, stats=s_stats).collect()
+    assert s_stats["converged"]
+    assert census() - before <= 3, (before, census(), s_stats)
+
+
 def test_approx_profile_within_sketch_error_bounds(spark):
     # the rows-only sketch query gets hard local evidence: HLL++ distinct
     # counts within its published ~2.3% default rsd (allow 4 sigma), and

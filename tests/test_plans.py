@@ -328,11 +328,23 @@ def test_centroid_assign_broadcasts_prototypes(spark):
 
 def test_bigram_merges_filter_before_rank_window(spark):
     # pair explode -> vocabulary-bounded groupBy -> min-count filter ->
-    # single-partition rank window; the filter must sit between the agg
-    # and the window exchange so the global sort sees the shrunken table
+    # distributed top-k; the filter must sit between the agg and the
+    # top-k so the reduction sees the shrunken table
     n_shuffle, n_bcast, txt = _shuffle_count(spark, "bigram_merge_candidates")
     assert "Join" not in txt, txt
     assert n_shuffle <= 2, txt
+    # the top-k is TakeOrderedAndProject (per-partition top-k + merge),
+    # never a global rank window over the full pair table (r7 review:
+    # distinct word-pairs run to 1e9 rows at web scale)
+    assert "TakeOrderedAndProject" in txt, txt
+
+
+def test_zipf_topk_is_take_ordered(spark):
+    # zipf_profile's top-N must reduce via TakeOrderedAndProject before
+    # any window touches it — the term table is vocabulary-sized (1e8+ at
+    # web scale) and must never funnel through one partition
+    _, _, txt = _shuffle_count(spark, "zipf_profile")
+    assert "TakeOrderedAndProject" in txt, txt
 
 
 def test_simhash_table_is_projection_only(spark):
