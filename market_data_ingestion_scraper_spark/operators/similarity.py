@@ -254,6 +254,7 @@ def lsh_topk(
     vec_col: str = "embedding",
     corpus_buckets: DataFrame | None = None,
     seed_base: int = 1000,
+    index: "AnnIndex | None" = None,
 ) -> DataFrame:
     """ANN top-k via multi-table hyperplane LSH: L independent hash tables
     of b sign-bits each; a corpus vector is a candidate if it collides with
@@ -273,7 +274,17 @@ def lsh_topk(
     once (``bucket_table(corpus, ..., seed_base=1000)``), persist it
     partitioned by (t, bucket), and amortize it over every query; only the
     query-side signatures + the candidate join are per-query cost.  When
-    omitted the index is built inline (self-contained on fixtures)."""
+    omitted the index is built inline (self-contained on fixtures).
+
+    ``index`` (an :class:`AnnIndex` from :func:`load_ann_index`)
+    supplies BOTH the bucket relation and the exact hash parameters the
+    index was built with, overriding the raw arguments — the
+    mismatch-proof serving form."""
+    if index is not None:
+        q = index.require("lsh")
+        corpus_buckets = index.df
+        n_planes, n_tables = q["n_planes"], q["n_tables"]
+        dim, seed_base = q["dim"], q["seed_base"]
     corpus = _spread(embeddings)
     if corpus_buckets is None:
         corpus_buckets = bucket_table(
@@ -454,22 +465,51 @@ def _adc_query_table(
     )
 
 
-def load_ann_index(spark, path: str) -> tuple[DataFrame, dict]:
+class AnnIndex:
+    """A loaded ANN index: the partitioned bucket/cell relation PLUS the
+    quantizer parameters it was built with, travelling as one handle so
+    serving can never pair the relation with re-guessed parameters
+    (r7 review: every serving entry point took raw ints with defaults, so
+    a mismatch with the persisted index silently degraded recall to
+    chance — the handle makes the sidecar authoritative at the API).
+
+    Pass the handle itself: ``lsh_topk(corpus, queries, index=idx)``,
+    ``ivf_topk(corpus, queries, index=idx)``,
+    ``ann_enrich_stream(stream, index=idx, corpus_vectors=...)``,
+    ``stream_near_dup_filter(stream, index=idx, ...)``.  Serving raises
+    on a kind mismatch instead of degrading.  Tuple-unpacks as
+    ``(df, quantizer)`` for callers of the pre-handle API."""
+
+    def __init__(self, df: DataFrame, quantizer: dict):
+        self.df = df
+        self.quantizer = dict(quantizer)
+
+    @property
+    def kind(self) -> str:
+        return self.quantizer["kind"]
+
+    def __iter__(self):  # (df, quantizer) unpacking compatibility
+        return iter((self.df, self.quantizer))
+
+    def require(self, kind: str) -> dict:
+        if self.kind != kind:
+            raise ValueError(
+                f"ANN index kind mismatch: serving path needs {kind!r}, "
+                f"index was built as {self.kind!r}"
+            )
+        return self.quantizer
+
+
+def load_ann_index(spark, path: str) -> AnnIndex:
     """Load a persisted ANN index (the `ann-index` CLI layout): the
     partitioned index relation plus the `_quantizer.json` sidecar that
     records the EXACT parameters the index was built with — serving with
     re-guessed parameters (different hyperplane seed, re-fit centroids)
     silently degrades recall to chance, so the sidecar is authoritative.
 
-    Returns (index_df, quantizer).  Wire into serving as::
-
-        idx, q = load_ann_index(spark, path)
-        lsh_topk(corpus, queries, corpus_buckets=idx,
-                 n_planes=q["n_planes"], n_tables=q["n_tables"],
-                 dim=q["dim"], seed_base=q["seed_base"])     # kind=lsh
-        ivf_topk(corpus, queries, corpus_cells=idx,
-                 centroids=q["centroids"])                    # kind=ivf
-    """
+    Returns an :class:`AnnIndex` handle (tuple-unpacks as
+    ``(index_df, quantizer)``); pass it to serving via ``index=`` so the
+    hash parameters are DERIVED from the sidecar, never re-typed."""
     import json
     import os
 
@@ -478,7 +518,7 @@ def load_ann_index(spark, path: str) -> tuple[DataFrame, dict]:
     require_local_path(path)
     with open(os.path.join(path, "_quantizer.json")) as f:
         quantizer = json.load(f)
-    return spark.read.parquet(path), quantizer
+    return AnnIndex(spark.read.parquet(path), quantizer)
 
 
 def fit_ivf_centroids(
@@ -517,9 +557,15 @@ def ivf_topk(
     centroids: list[list[float]] | None = None,
     centroid_elements: DataFrame | None = None,
     corpus_cells: DataFrame | None = None,
+    index: "AnnIndex | None" = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: partition the corpus into ``n_lists``
     cells; each query scores only its ``n_probe`` nearest cells.
+
+    ``index`` (an :class:`AnnIndex` from :func:`load_ann_index`)
+    supplies BOTH the (id, cell) relation and the exact centroids the
+    index was built with, overriding the raw arguments — the
+    mismatch-proof serving form.
 
     ``corpus_cells`` accepts a precomputed (id, cell) corpus assignment
     (:func:`ivf_cell_table` — the persistable index, parquet round-trip
@@ -549,6 +595,10 @@ def ivf_topk(
     per-query cost.  This function recomputes the assignment inline so it
     stays self-contained on fixtures."""
     spark = embeddings.sparkSession
+    if index is not None:
+        q = index.require("ivf")
+        corpus_cells, centroids = index.df, q["centroids"]
+        centroid_elements, n_lists = None, q["n_lists"]
     if centroid_elements is not None:
         cw = centroid_elements.select(
             F.col("label").alias("cell"),

@@ -1983,7 +1983,15 @@ def _media_reference() -> list[tuple]:
 @functools.lru_cache(maxsize=None)
 def _multimodal_features_oracle() -> str:
     """Golden rows for q_multimodal: local numpy decode + the same
-    sequential left fold / min / max / rounding the Spark query applies."""
+    sequential left fold / min / max / rounding the Spark query applies.
+
+    Shared-code caveat (and its closure): this builder reuses
+    ``_decode_bytes``, so the differential proves the DISTRIBUTED
+    plumbing (Arrow binary fidelity, mapInPandas batching, partitioning),
+    not the decode arithmetic.  The decode math itself is pinned
+    independently by ``test_bmp_features_match_handwritten_spec_fixture``
+    (hand-assembled spec bytes, hand-computed feature literals) plus the
+    codec round-trip tests."""
     import functools
 
     from .operators.multimodal import _decode_bytes

@@ -213,8 +213,8 @@ def _staged_query_buckets(
 
 def ann_enrich_stream(
     queries: DataFrame,
-    corpus_buckets: DataFrame,
-    corpus_vectors: DataFrame,
+    corpus_buckets: DataFrame | None = None,
+    corpus_vectors: DataFrame | None = None,
     k: int = 5,
     n_planes: int = 4,
     n_tables: int = 8,
@@ -222,6 +222,7 @@ def ann_enrich_stream(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed_base: int = 1000,
+    index=None,
 ) -> DataFrame:
     """Streaming ANN serving: each micro-batch of query vectors is
     enriched with its approximate top-k neighbors from a STATIC indexed
@@ -242,9 +243,25 @@ def ann_enrich_stream(
     window).  State per query id is its candidate list; emit with
     update/complete mode.
 
+    ``index`` (an ``AnnIndex`` from ``similarity.load_ann_index``, kind
+    ``lsh``) supplies the bucket relation AND the exact hash parameters
+    the index was built with — the mismatch-proof serving form (r7
+    review: raw int defaults let a parameter drift silently degrade
+    recall to chance).
+
     Returns (query_id, topk: array<struct<neighbor_id, cos_sim>>)."""
     from ..operators.similarity import _pair_cosine, _scoring_side
 
+    if index is not None:
+        qz = index.require("lsh")
+        corpus_buckets = index.df
+        n_planes, n_tables = qz["n_planes"], qz["n_tables"]
+        dim, seed_base = qz["dim"], qz["seed_base"]
+    if corpus_buckets is None or corpus_vectors is None:
+        raise ValueError(
+            "ann_enrich_stream needs corpus_vectors plus either index= "
+            "or corpus_buckets="
+        )
     q_b = _staged_query_buckets(
         queries, id_col, vec_col, n_planes, n_tables, dim, seed_base
     ).drop(vec_col).withColumnsRenamed({id_col: "query_id"})
@@ -279,8 +296,8 @@ def ann_enrich_stream(
 
 def stream_near_dup_filter(
     rows: DataFrame,
-    corpus_buckets: DataFrame,
-    corpus_vectors: DataFrame,
+    corpus_buckets: DataFrame | None = None,
+    corpus_vectors: DataFrame | None = None,
     threshold: float = 0.95,
     n_planes: int = 8,
     n_tables: int = 6,
@@ -288,6 +305,7 @@ def stream_near_dup_filter(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed_base: int = 7000,
+    index=None,
 ) -> DataFrame:
     """Streaming ADMISSION CONTROL against the corpus: drop incoming rows
     whose embedding is near-duplicate (cos ≥ threshold) to anything in
@@ -314,9 +332,23 @@ def stream_near_dup_filter(
     admitted nor rejected here.  Route un-embeddable content through the
     exact content-hash path (`sink_corpus_batch`) or a quarantine before
     this filter; the test pins the drop so the policy cannot change
-    silently."""
+    silently.
+
+    ``index`` (an ``AnnIndex``, kind ``lsh``) supplies the bucket
+    relation AND the exact hash parameters, like
+    :func:`ann_enrich_stream`."""
     from ..operators.similarity import _pair_cosine, _scoring_side
 
+    if index is not None:
+        qz = index.require("lsh")
+        corpus_buckets = index.df
+        n_planes, n_tables = qz["n_planes"], qz["n_tables"]
+        dim, seed_base = qz["dim"], qz["seed_base"]
+    if corpus_buckets is None or corpus_vectors is None:
+        raise ValueError(
+            "stream_near_dup_filter needs corpus_vectors plus either "
+            "index= or corpus_buckets="
+        )
     q_b = _staged_query_buckets(
         rows, id_col, vec_col, n_planes, n_tables, dim, seed_base
     )
@@ -432,17 +464,35 @@ def compact_events_silver(
     ``None`` default means "compact everything" and is only safe for
     terminated streams.
 
-    Crash safety is write-ahead: (1) the date's merged rows land in an
-    underscore-prefixed staging dir (invisible to readers) with Spark's
-    ``_SUCCESS`` marker; (2) the source dirs (real batches + any prior
-    compacted dir) are deleted; (3) the staging dir moves into place.  A
-    re-run resumes from whichever step crashed — a completed staging
-    snapshot is authoritative, so no ordering loses rows; the only
-    mid-crash reader anomaly is a temporarily missing (never duplicated,
-    never conflicting) date between (2) and (3).
+    Crash safety is write-ahead with a SOURCE MANIFEST (r7 review fixes):
+    (1) the date's merged rows land in an underscore-prefixed staging dir
+    (invisible to readers) with Spark's ``_SUCCESS`` marker, then a
+    ``_compact_manifest.json`` naming exactly the source dirs the
+    snapshot covers — a snapshot is complete only when BOTH exist; (2)
+    the manifest'd source dirs are deleted; (3) the staging dir moves
+    into place.  A re-run resumes from whichever step crashed, comparing
+    the manifest against the CURRENT source listing:
+
+    - manifest == current sources → finish (delete + move).  This runs
+      REGARDLESS of this invocation's ``before_date``: a completed
+      snapshot whose sources were already (partially) deleted may be the
+      only copy of those rows, so a smaller horizon must never strand —
+      or worse, garbage-collect — it.
+    - new dirs landed after staging, none deleted yet → the snapshot is
+      stale but redundant; discard it and restart from the live sources
+      (subject to the horizon, as a fresh compaction).
+    - new dirs landed AND some manifest'd dirs are already deleted → the
+      snapshot is the sole copy of the deleted rows; merge snapshot +
+      surviving sources into a ``.merge`` generation, swap it in, then
+      finish.  The swap is itself crash-safe: a complete ``.merge`` is
+      detected and promoted on the next run before anything else.
+
+    Only staging dirs this run has consumed (or proven redundant) are
+    removed; completed snapshots are never bulk-deleted.
 
     Local-filesystem paths only (os-level dir ops; a cluster deployment
     would drive the same protocol through the Hadoop FileSystem API)."""
+    import json
     import shutil
 
     from ..util import require_local_path
@@ -454,31 +504,85 @@ def compact_events_silver(
     if not os.path.isdir(base):
         return stats
     compacted_dir = f"ingest_batch_id={COMPACTED_BATCH_ID}"
+    manifest_name = "_compact_manifest.json"
+
+    def staging_complete(path: str) -> bool:
+        return os.path.exists(os.path.join(path, "_SUCCESS")) and os.path.exists(
+            os.path.join(path, manifest_name)
+        )
+
+    def write_snapshot(paths: list[str], dest: str, covers: list[str]) -> None:
+        spark.read.parquet(*paths).repartition(1).write.mode(
+            "overwrite"
+        ).parquet(dest)
+        # manifest LAST: its presence marks the snapshot complete
+        with open(os.path.join(dest, manifest_name), "w") as f:
+            json.dump(sorted(covers), f)
+
     for date_dir in sorted(os.listdir(base)):
         full = os.path.join(base, date_dir)
         if not (date_dir.startswith("event_date=") and os.path.isdir(full)):
             continue
-        if before_date is not None and date_dir[len("event_date="):] >= before_date:
-            continue
+        staging = os.path.join(staging_root, date_dir)
+        merge_staging = staging + ".merge"
+        # a completed .merge generation is a finished swap that lost its
+        # rename — promote it before reading any state; an incomplete one
+        # is scratch (base staging + sources still cover everything)
+        if staging_complete(merge_staging):
+            shutil.rmtree(staging, ignore_errors=True)
+            shutil.move(merge_staging, staging)
+        else:
+            shutil.rmtree(merge_staging, ignore_errors=True)
+        staged_ok = staging_complete(staging)
+        horizon_skip = (
+            before_date is not None
+            and date_dir[len("event_date="):] >= before_date
+        )
         sources = [
             d for d in os.listdir(full) if d.startswith("ingest_batch_id=")
         ]
-        real = [d for d in sources if d != compacted_dir]
-        staging = os.path.join(staging_root, date_dir)
-        staged_ok = os.path.exists(os.path.join(staging, "_SUCCESS"))
-        if not real and not staged_ok:
-            continue  # nothing to fold and no interrupted run to finish
+        covered: list[str] = []
+        if staged_ok:
+            with open(os.path.join(staging, manifest_name)) as f:
+                covered = json.load(f)
+            new_dirs = sorted(set(sources) - set(covered))
+            deleted = sorted(set(covered) - set(sources))
+            if new_dirs and not deleted:
+                # crash before any deletion: sources intact, snapshot
+                # stale — discard and treat as a fresh compaction below
+                shutil.rmtree(staging)
+                staged_ok = False
+            elif new_dirs:
+                # snapshot is the sole copy of `deleted`; fold the
+                # surviving sources in via a new generation, then swap
+                write_snapshot(
+                    [staging] + [os.path.join(full, d) for d in new_dirs],
+                    merge_staging,
+                    covered + new_dirs,
+                )
+                shutil.rmtree(staging)
+                shutil.move(merge_staging, staging)
+                covered = sorted(covered + new_dirs)
         if not staged_ok:
-            rows = spark.read.parquet(*[os.path.join(full, d) for d in sources])
-            rows.repartition(1).write.mode("overwrite").parquet(staging)
-        # the staged snapshot now holds every source row; deletions below
-        # can crash at any point and a re-run resumes here
-        for d in sources:
-            shutil.rmtree(os.path.join(full, d), ignore_errors=True)
-            stats["batch_dirs_removed"] += 1
+            real = [d for d in sources if d != compacted_dir]
+            if horizon_skip or not real:
+                continue  # nothing to fold (or date inside replay window)
+            covered = sorted(sources)
+            write_snapshot(
+                [os.path.join(full, d) for d in sources], staging, covered
+            )
+        # the staged snapshot holds every covered row; deletions below can
+        # crash at any point and a re-run resumes via the manifest
+        for d in covered:
+            if os.path.isdir(os.path.join(full, d)):
+                shutil.rmtree(os.path.join(full, d), ignore_errors=True)
+                stats["batch_dirs_removed"] += 1
+        os.remove(os.path.join(staging, manifest_name))
         shutil.move(staging, os.path.join(full, compacted_dir))
         stats["dates_compacted"] += 1
-    shutil.rmtree(staging_root, ignore_errors=True)
+    # only scratch can remain: completed snapshots were all consumed above
+    if os.path.isdir(staging_root) and not os.listdir(staging_root):
+        os.rmdir(staging_root)
     return stats
 
 

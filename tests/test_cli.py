@@ -107,24 +107,33 @@ def test_load_ann_index_serves_lsh(tmp_path):
     from pyspark.sql import functions as F
 
     out = str(tmp_path / "idx")
+    # NON-default build parameters: serving via the handle must derive
+    # them from the sidecar (r7 review: re-typed defaults would hash the
+    # query side with the wrong hyperplanes and degrade recall silently)
     r = _run(
         "ann-index", "--embeddings", "/root/testdata/sf0.001/embeddings.parquet",
-        "--out", out,
+        "--out", out, "--n-planes", "6", "--n-tables", "5", "--seed", "4321",
     )
     assert r.returncode == 0, r.stderr[-2000:]
     spark = get_spark(app_name="test-load-ann")
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < 4)
-    idx, quant = load_ann_index(spark, out)
-    served = lsh_topk(
-        emb, q, k=5, corpus_buckets=idx, n_planes=quant["n_planes"],
-        n_tables=quant["n_tables"], dim=quant["dim"],
-        seed_base=quant["seed_base"],
-    )
-    inline = lsh_topk(emb, q, k=5)
+    handle = load_ann_index(spark, out)
+    idx, quant = handle  # tuple unpacking still works for old callers
+    assert quant["n_planes"] == 6 and quant["seed_base"] == 4321
+    served = lsh_topk(emb, q, k=5, index=handle)
+    inline = lsh_topk(emb, q, k=5, n_planes=6, n_tables=5, seed_base=4321)
     assert sorted(map(tuple, served.collect())) == sorted(
         map(tuple, inline.collect())
     )
+    # kind mismatch fails loudly instead of degrading recall to chance
+    import pytest
+    from market_data_ingestion_scraper_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    with pytest.raises(ValueError, match="kind mismatch"):
+        ivf_topk(emb, q, index=handle)
 
 
 def test_cli_ann_index_rejects_uri_paths():

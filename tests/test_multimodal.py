@@ -28,6 +28,47 @@ def test_bmp_round_trip_odd_width():
     assert np.array_equal(out, px)
 
 
+def test_bmp_features_match_handwritten_spec_fixture(spark):
+    """Shared-code blind-spot closure (r7 review): the golden-literal
+    multimodal oracle builds its expectations through the same
+    ``_decode_bytes`` the Spark path uses, so a decoder bug would cancel
+    out there.  This fixture is independent end-to-end: the BMP bytes are
+    assembled BY HAND from the public BITMAPFILEHEADER/BITMAPINFOHEADER
+    spec (not via encode_bmp) and the 16 expected features are hand
+    arithmetic from the pixel values (not via _decode_bytes)."""
+    import struct
+
+    # 2x2 24-bit BI_RGB BMP: top row (255,0,0),(0,255,0); bottom row
+    # (0,0,255),(255,255,255).  File = 14-byte file header + 40-byte info
+    # header + 2 bottom-up rows of BGR triples padded to 4 bytes.
+    header = struct.pack("<2sIHHI", b"BM", 70, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, 16, 0, 0, 0, 0)
+    pixel_rows = bytes(
+        [255, 0, 0, 255, 255, 255, 0, 0,     # bottom image row, BGR + pad
+         0, 0, 255, 0, 255, 0, 0, 0]          # top image row, BGR + pad
+    )
+    payload = header + info + pixel_rows
+    # hand arithmetic: six 0s and six 255s per channel-set => every mean
+    # is 127.5 and every std is exactly 127.5 (deviations are +/-127.5);
+    # first row/col each hold one 255 among three values => 85.0;
+    # sum 1530 % 997 = 533.
+    expected = [
+        2.0, 2.0, 3.0,                 # w, h, channels
+        127.5, 127.5, 0.0, 255.0,      # global mean/std/min/max
+        127.5, 127.5, 127.5,           # per-channel means
+        127.5, 127.5, 127.5,           # per-channel stds
+        85.0, 85.0,                    # first-row / first-col means
+        533.0,                         # checksum feature
+    ]
+    media = spark.createDataFrame(
+        [(0, "image", payload, ("image/bmp", 2, 2, None, None))],
+        M.MEDIA_SCHEMA,
+    )
+    row = M.extract_features(media).collect()[0]
+    assert row["n_bytes"] == 70
+    assert row["features"] == expected
+
+
 def test_ppm_round_trip():
     px = M._synth_image(11, 9, 4)
     assert np.array_equal(M.decode_ppm(M.encode_ppm(px)), px)

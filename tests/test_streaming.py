@@ -232,8 +232,19 @@ def test_streaming_ann_matches_batch_topk(spark, sf_smoke, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(qdir)
     )
+    # serve through the AnnIndex handle: parameters come from the
+    # quantizer, not re-typed ints (r7 review — mismatch-proof serving)
+    from market_data_ingestion_scraper_spark.operators.similarity import (
+        AnnIndex,
+    )
+
+    handle = AnnIndex(
+        index,
+        {"kind": "lsh", "n_planes": 4, "n_tables": 8, "dim": 64,
+         "seed_base": 1000},
+    )
     out = P.run_to_memory(
-        P.ann_enrich_stream(q_stream, index, emb, k=5),
+        P.ann_enrich_stream(q_stream, corpus_vectors=emb, k=5, index=handle),
         "t_ann_stream",
         spark,
         mode="complete",
@@ -343,8 +354,19 @@ def test_stream_near_dup_filter_admission(spark, sf_smoke, tmp_path):
     qdir = str(tmp_path / "incoming")
     incoming.write.parquet(qdir)
     stream = spark.readStream.schema(incoming.schema).parquet(qdir)
+    # streaming leg serves through the AnnIndex handle (parameters derive
+    # from the quantizer, mismatch-proof) — must equal the positional batch
+    from market_data_ingestion_scraper_spark.operators.similarity import (
+        AnnIndex,
+    )
+
+    handle = AnnIndex(
+        index,
+        {"kind": "lsh", "n_planes": 8, "n_tables": 6, "dim": 64,
+         "seed_base": 7000},
+    )
     out = P.run_to_memory(
-        P.stream_near_dup_filter(stream, index, emb),
+        P.stream_near_dup_filter(stream, corpus_vectors=emb, index=handle),
         "t_admission", spark, mode="complete",
     )
     admitted_stream = {r["vec_id"]: r["max_corpus_sim"] for r in out.collect()}
@@ -373,18 +395,117 @@ def test_compact_resumes_after_crash_mid_delete(spark, sf_smoke, tmp_path):
     full = os.path.join(base, date_dir)
     n_date = spark.read.parquet(full).count()
 
-    # simulate the interrupted run: complete staging, then a crash after
-    # one source dir was already deleted
+    # simulate the interrupted run: complete staging (snapshot + source
+    # manifest, as the protocol writes them), then a crash after one
+    # source dir was already deleted
     staging = os.path.join(root, "_compact_staging", date_dir)
     sources = [d for d in os.listdir(full) if d.startswith("ingest_batch_id=")]
     assert len(sources) >= 2
-    spark.read.parquet(*[os.path.join(full, d) for d in sources]) \
-        .repartition(1).write.parquet(staging)
-    assert os.path.exists(os.path.join(staging, "_SUCCESS"))
+    _stage_snapshot(spark, full, sources, staging)
     shutil.rmtree(os.path.join(full, sources[0]))
 
     P.compact_events_silver(spark, root)
     assert spark.read.parquet(full).count() == n_date     # nothing lost
     assert spark.read.parquet(base).count() == n_total
+    subs = [x for x in os.listdir(full) if x.startswith("ingest_batch_id=")]
+    assert subs == [f"ingest_batch_id={P.COMPACTED_BATCH_ID}"]
+
+
+def _stage_snapshot(spark, full, sources, staging):
+    """Replicate a crashed run's completed staging state: merged parquet
+    snapshot + the source manifest that marks it authoritative."""
+    import json
+    import os
+
+    spark.read.parquet(*[os.path.join(full, d) for d in sources]) \
+        .repartition(1).write.mode("overwrite").parquet(staging)
+    assert os.path.exists(os.path.join(staging, "_SUCCESS"))
+    with open(os.path.join(staging, "_compact_manifest.json"), "w") as f:
+        json.dump(sorted(sources), f)
+
+
+def test_compact_finishes_staged_date_outside_horizon(spark, sf_smoke, tmp_path):
+    """r7 review (medium): a prior run with a wider horizon crashed AFTER
+    deleting a date's source dirs — the staged snapshot is the only copy.
+    A later run whose before_date EXCLUDES that date must still finish it
+    (move the snapshot into place), never bulk-delete the staging root."""
+    import os
+    import shutil
+
+    root = str(tmp_path / "lake")
+    ev = load_table(spark, sf_smoke, "events")
+    P.sink_events_batch(ev, 0, root)
+    base = os.path.join(root, "events_silver")
+    date_dirs = sorted(
+        d for d in os.listdir(base) if d.startswith("event_date=")
+    )
+    victim = date_dirs[-1]  # a date >= any earlier horizon
+    full = os.path.join(base, victim)
+    n_date = spark.read.parquet(full).count()
+    sources = [d for d in os.listdir(full) if d.startswith("ingest_batch_id=")]
+    staging = os.path.join(root, "_compact_staging", victim)
+    _stage_snapshot(spark, full, sources, staging)
+    for d in sources:  # crash happened between delete and move
+        shutil.rmtree(os.path.join(full, d))
+
+    # horizon excludes the victim date entirely (and every other date)
+    stats = P.compact_events_silver(
+        spark, root, before_date=victim[len("event_date="):]
+    )
+    assert stats["dates_compacted"] >= 1
+    assert spark.read.parquet(full).count() == n_date
+    subs = [x for x in os.listdir(full) if x.startswith("ingest_batch_id=")]
+    assert subs == [f"ingest_batch_id={P.COMPACTED_BATCH_ID}"]
+
+
+def test_compact_absorbs_batches_landed_after_staging(spark, sf_smoke, tmp_path):
+    """r7 review (low): batch dirs that land AFTER a staging snapshot was
+    written must never be deleted unreplayed.  Two states: (a) nothing
+    deleted yet -> the stale snapshot is discarded and compaction restarts
+    from the live listing; (b) some manifest'd dirs already deleted -> the
+    snapshot (sole copy of those rows) is MERGED with the survivors."""
+    import os
+    import shutil
+
+    root = str(tmp_path / "lake")
+    ev = load_table(spark, sf_smoke, "events")
+    b0, b1, b2 = ev.randomSplit([1.0, 1.0, 1.0], seed=5)
+    P.sink_events_batch(b0, 0, root)
+    P.sink_events_batch(b1, 1, root)
+    base = os.path.join(root, "events_silver")
+    date_dir = sorted(
+        d for d in os.listdir(base) if d.startswith("event_date=")
+    )[0]
+    full = os.path.join(base, date_dir)
+    staging = os.path.join(root, "_compact_staging", date_dir)
+
+    # (a) stage batches {0,1}, crash pre-delete, then batch 2 lands
+    sources = sorted(
+        d for d in os.listdir(full) if d.startswith("ingest_batch_id=")
+    )
+    _stage_snapshot(spark, full, sources, staging)
+    P.sink_events_batch(b2, 2, root)
+    n_all = spark.read.parquet(full).count()
+    P.compact_events_silver(spark, root)
+    assert spark.read.parquet(full).count() == n_all
+    subs = [x for x in os.listdir(full) if x.startswith("ingest_batch_id=")]
+    assert subs == [f"ingest_batch_id={P.COMPACTED_BATCH_ID}"]
+
+    # (b) new batches + a deleted manifest'd dir: merge, don't drop either
+    P.sink_events_batch(b0, 3, root)
+    P.sink_events_batch(b1, 4, root)
+    sources = sorted(
+        d for d in os.listdir(full) if d.startswith("ingest_batch_id=")
+    )
+    n_before = spark.read.parquet(full).count()
+    _stage_snapshot(spark, full, sources, staging)
+    shutil.rmtree(os.path.join(full, sources[0]))   # crash mid-delete...
+    P.sink_events_batch(b2, 5, root)                 # ...then batch 5 lands
+    n_expect = n_before + b2.filter(
+        b2.ts.cast("date").cast("string")
+        == date_dir[len("event_date="):]
+    ).count()
+    P.compact_events_silver(spark, root)
+    assert spark.read.parquet(full).count() == n_expect
     subs = [x for x in os.listdir(full) if x.startswith("ingest_batch_id=")]
     assert subs == [f"ingest_batch_id={P.COMPACTED_BATCH_ID}"]
