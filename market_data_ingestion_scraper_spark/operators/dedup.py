@@ -21,6 +21,7 @@ fraction of signatures estimates Jaccard similarity of shingle sets.
 
 from __future__ import annotations
 
+import itertools
 import logging
 import random
 
@@ -756,16 +757,69 @@ def simhash_table(
     return staged.select(id_col, sh.alias("sh"))
 
 
+def hamming_band_keys(
+    sig: Column, max_hamming: int, n_blocks: int, n_bits: int = 64
+) -> Column:
+    """``array<struct<tbl int, key long>>`` of block-permuted banding
+    keys for Hamming-radius search (Manku, Jain & Sarma 2007, "Detecting
+    Near-Duplicates for Web Crawling" §3 — public): split the ``n_bits``
+    signature into ``n_blocks`` blocks; two signatures within Hamming ≤
+    ``max_hamming`` differ in at most ``max_hamming`` blocks, so they
+    agree on ALL blocks of at least one of the C(n_blocks,
+    n_blocks−max_hamming) block combinations (pigeonhole).  Keying every
+    combination keeps recall EXACT while the key width grows to
+    ~(1 − h/b)·n_bits — the scale dial the fixed 4×16-bit chunking
+    lacked: at 10⁸⁺ items, 16-bit keys collide by birthday (~4·n²/2¹⁷
+    candidate pairs); n_blocks=6 gives 20 tables keyed on ~32 bits,
+    n_blocks=8 gives 56 tables on ~40 bits, each collapsing expected
+    random collisions by 2¹⁶⁺×.
+
+    ``n_blocks = max_hamming + 1`` (the default callers use) degenerates
+    to single-block keys — exactly the classic 4-chunk pigeonhole."""
+    if n_blocks <= max_hamming:
+        raise ValueError(
+            f"n_blocks={n_blocks} must exceed max_hamming={max_hamming} "
+            "(pigeonhole needs at least one untouched block)"
+        )
+    if n_blocks > n_bits:
+        raise ValueError(f"n_blocks={n_blocks} > n_bits={n_bits}")
+    widths = [
+        n_bits // n_blocks + (1 if i < n_bits % n_blocks else 0)
+        for i in range(n_blocks)
+    ]
+    starts = [sum(widths[:i]) for i in range(n_blocks)]
+    keep = n_blocks - max_hamming
+    entries = []
+    for t, combo in enumerate(itertools.combinations(range(n_blocks), keep)):
+        key = F.lit(0).cast("long")
+        off = 0
+        for b in combo:
+            block = F.shiftrightunsigned(sig, starts[b]).bitwiseAND(
+                F.lit((1 << widths[b]) - 1)
+            )
+            key = key.bitwiseOR(F.shiftleft(block, off))
+            off += widths[b]
+        entries.append(
+            F.struct(F.lit(t).cast("int").alias("tbl"), key.alias("key"))
+        )
+    return F.array(*entries)
+
+
 def simhash_near_duplicates(
     documents: DataFrame,
     max_hamming: int = 3,
     id_col: str = "doc_id",
     portable: bool = False,
+    n_blocks: int | None = None,
 ) -> DataFrame:
-    """SimHash near-dups via chunk banding: split the 64-bit hash into 4
-    16-bit chunks; pairs within Hamming distance ≤3 must share ≥1 chunk
-    (pigeonhole), so the join is an equi-join on (chunk_idx, chunk_value)
-    — LSH-shaped, no crossJoin.  Verify with bit_count(a XOR b).
+    """SimHash near-dups via block-permuted banding
+    (:func:`hamming_band_keys`): pairs within Hamming ≤ ``max_hamming``
+    share at least one banding key (pigeonhole over ``n_blocks`` blocks),
+    so the join is an equi-join on (table, key) — LSH-shaped, no
+    crossJoin.  Verify with bit_count(a XOR b); recall is exact at ANY
+    ``n_blocks``, which only dials candidate precision: the default 4
+    reproduces the classic 4×16-bit chunking, 6+ widens keys to ~32+
+    bits for 10⁸⁺-row corpora where 16-bit buckets collide by birthday.
 
     Scale shape: the corpus is collapsed to DISTINCT simhash values before
     pairing (duplicate hashes ride along via a final expansion join), the
@@ -773,6 +827,8 @@ def simhash_near_duplicates(
     surviving pairs are deduped — on correlated corpora (shared vocabulary)
     chunk buckets are big, so filtering before the distinct is the
     difference between deduping thousands of rows and tens of millions."""
+    if n_blocks is None:
+        n_blocks = max_hamming + 1  # minimal pigeonhole: 1-block keys
     # One SimHash pass, not three: distinct_sh and both expansion sides
     # reference this table — one long per document, tiny to cache.
     sh = simhash_table(documents, id_col=id_col, portable=portable).persist()
@@ -780,19 +836,9 @@ def simhash_near_duplicates(
     chunked = distinct_sh.select(
         "sh",
         F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("chunk"),
-                        F.shiftright(F.col("sh"), 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("val"),
-                    )
-                    for i in range(4)
-                ]
-            )
+            hamming_band_keys(F.col("sh"), max_hamming, n_blocks)
         ).alias("c"),
-    ).select("sh", "c.chunk", "c.val")
+    ).select("sh", "c.tbl", "c.key")
     left, right = chunked.alias("l"), chunked.alias("r")
     hamming = F.bit_count(F.col("l.sh").bitwiseXOR(F.col("r.sh")))
     # pair distinct hash values; ≤ (not <) so duplicate-hash doc pairs
@@ -800,8 +846,8 @@ def simhash_near_duplicates(
     sh_pairs = (
         left.join(
             right,
-            (F.col("l.chunk") == F.col("r.chunk"))
-            & (F.col("l.val") == F.col("r.val"))
+            (F.col("l.tbl") == F.col("r.tbl"))
+            & (F.col("l.key") == F.col("r.key"))
             & (F.col("l.sh") <= F.col("r.sh")),
         )
         .select(

@@ -462,42 +462,40 @@ def image_average_hash(media: DataFrame, hash_size: int = 8) -> DataFrame:
     return media.filter(F.col("kind") == "image").mapInPandas(op, out_schema)
 
 
-def image_near_duplicates(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+def image_near_duplicates(
+    media: DataFrame, max_hamming: int = 3, n_blocks: int | None = None
+) -> DataFrame:
     """Perceptual image dedup: pairs of images whose average-hashes are
     within ``max_hamming`` bits — re-encodes, resizes, and mild edits
     hash nearby, so this catches visual duplicates exact byte-hashing
     misses.
 
-    Same scale shape as SimHash text dedup: the 63-bit hash splits into
-    4 ~16-bit chunks; two hashes within Hamming ≤ 3 must share at least
-    one identical chunk (pigeonhole), so candidates come from a chunk
-    equi-join over the (media_id, ahash) table — one long per image, no
-    pixel ever shuffles, no crossJoin — then bit_count(a XOR b) verifies.
-    """
+    Same scale shape as SimHash text dedup, sharing its block-permuted
+    banding (:func:`~.dedup.hamming_band_keys`): candidates come from an
+    equi-join on (table, key) over the (media_id, ahash) table — one
+    long per image, no pixel ever shuffles, no crossJoin — then
+    bit_count(a XOR b) verifies.  Recall is exact at any ``n_blocks``;
+    the default 4 is the classic 4-chunk pigeonhole, raise it (6 ⇒ 20
+    tables on ~32-bit keys) once the image count makes 16-bit buckets
+    collide by birthday (10⁸⁺ items — 100 TB of images)."""
+    from .dedup import hamming_band_keys
+
+    if n_blocks is None:
+        n_blocks = max_hamming + 1  # minimal pigeonhole: 1-block keys
     ah = image_average_hash(media).persist()
     chunks = ah.select(
         "media_id",
         "ahash",
         F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("ci"),
-                        F.shiftrightunsigned(F.col("ahash"), i * 16)
-                        .bitwiseAND(F.lit((1 << 16) - 1))
-                        .alias("cv"),
-                    )
-                    for i in range(4)
-                ]
-            )
+            hamming_band_keys(F.col("ahash"), max_hamming, n_blocks)
         ).alias("c"),
-    ).select("media_id", "ahash", F.col("c.ci"), F.col("c.cv"))
+    ).select("media_id", "ahash", F.col("c.tbl"), F.col("c.key"))
     l, r = chunks.alias("l"), chunks.alias("r")
     return (
         l.join(
             r,
-            (F.col("l.ci") == F.col("r.ci"))
-            & (F.col("l.cv") == F.col("r.cv"))
+            (F.col("l.tbl") == F.col("r.tbl"))
+            & (F.col("l.key") == F.col("r.key"))
             & (F.col("l.media_id") < F.col("r.media_id")),
         )
         .select(

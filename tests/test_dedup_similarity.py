@@ -220,6 +220,115 @@ def test_ssjoin_max_df_bounds_stop_shingle_blowup(spark):
     assert reps == {100: 100, 101: 100}
 
 
+def test_banding_key_width_collapses_birthday_candidates(spark):
+    """The 100 TB dial (r7 review #1): with fixed ~16-bit chunk keys,
+    4 000 RANDOM signatures already produce birthday collisions
+    (expected ≈ Σ_tables pairs/2^width ≈ 600 candidate pairs — growing
+    as n², ruinous at 10⁸ rows); Manku-style n_blocks=6 banding keys
+    each table on ~32 bits (20 tables) and collapses the expectation by
+    ~2¹⁶× on the SAME signatures.  Verified recall is unaffected (see
+    test_banding_recall_invariant_across_block_counts)."""
+    import random
+
+    rng = random.Random(42)
+    df = spark.createDataFrame(
+        [(i, rng.getrandbits(63)) for i in range(4000)], "id long, sh long"
+    )
+
+    def n_candidates(n_blocks: int) -> int:
+        keys = df.select(
+            "id",
+            F.explode(
+                D.hamming_band_keys(F.col("sh"), 3, n_blocks)
+            ).alias("c"),
+        ).select("id", "c.tbl", "c.key")
+        l, r = keys.alias("l"), keys.alias("r")
+        return (
+            l.join(
+                r,
+                (F.col("l.tbl") == F.col("r.tbl"))
+                & (F.col("l.key") == F.col("r.key"))
+                & (F.col("l.id") < F.col("r.id")),
+            )
+            .select(F.col("l.id"), F.col("r.id"))
+            .distinct()
+            .count()
+        )
+
+    dense, wide = n_candidates(4), n_candidates(6)
+    assert dense > 100, dense   # the birthday regime is real at 16 bits
+    assert wide <= dense // 50, (dense, wide)
+
+
+def test_banding_recall_invariant_across_block_counts(spark):
+    """Pigeonhole exactness: planted mutations at Hamming 1..3 of a base
+    signature are candidates under EVERY legal n_blocks — block count
+    dials candidate precision only, never recall — and the end-to-end
+    simhash output on the text corpus is identical across block counts."""
+    import random
+
+    rng = random.Random(7)
+    base = rng.getrandbits(63)
+    rows = [(0, base)]
+    for i in range(1, 16):                      # hamming 1..3 mutations
+        flipped = base
+        for b in rng.sample(range(63), 1 + i % 3):
+            flipped ^= 1 << b
+        rows.append((i, flipped))
+    rows += [(100 + i, rng.getrandbits(63)) for i in range(20)]  # far rows
+    df = spark.createDataFrame(rows, "id long, sh long")
+    want = None
+    for n_blocks in (4, 5, 6, 8):
+        keys = df.select(
+            "id", "sh",
+            F.explode(
+                D.hamming_band_keys(F.col("sh"), 3, n_blocks)
+            ).alias("c"),
+        ).select("id", "sh", "c.tbl", "c.key")
+        l, r = keys.alias("l"), keys.alias("r")
+        verified = (
+            l.join(
+                r,
+                (F.col("l.tbl") == F.col("r.tbl"))
+                & (F.col("l.key") == F.col("r.key"))
+                & (F.col("l.id") < F.col("r.id")),
+            )
+            .select(
+                F.col("l.id").alias("a"),
+                F.col("r.id").alias("b"),
+                F.bit_count(
+                    F.col("l.sh").bitwiseXOR(F.col("r.sh"))
+                ).alias("h"),
+            )
+            .filter(F.col("h") <= 3)
+            .distinct()
+        )
+        got = {(r_["a"], r_["b"]) for r_ in verified.collect()}
+        assert all((0, i) in got for i in range(1, 16)), (n_blocks, got)
+        if want is None:
+            want = got
+        assert got == want, n_blocks
+    # end-to-end: identical verified pairs on real text at 4 vs 6 blocks
+    docs = spark.createDataFrame(
+        [(0, BASE), (1, BASE.replace("quick", "speedy")), (2, BASE)],
+        "doc_id long, text string",
+    )
+    out_wide = {tuple(r) for r in D.simhash_near_duplicates(
+        docs, max_hamming=10, n_blocks=14).collect()}
+    out_default = {tuple(r) for r in D.simhash_near_duplicates(
+        docs, max_hamming=10).collect()}  # None -> 11 blocks
+    assert out_wide == out_default and (0, 2, 0) in out_default
+
+
+def test_banding_rejects_unsatisfiable_block_counts(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="must exceed"):
+        D.hamming_band_keys(F.col("sh"), 3, 3)
+    with pytest.raises(ValueError, match="n_bits"):
+        D.hamming_band_keys(F.col("sh"), 3, 65)
+
+
 def test_simhash_drops_tokenless_docs(spark):
     # docs with no [a-z0-9] content have no signature: emitting sh=0 would
     # make '!!!' and '???' mutual hamming-0 "near-duplicates" and diverge
