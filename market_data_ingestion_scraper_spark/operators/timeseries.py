@@ -45,14 +45,24 @@ def user_value_series(
     ``n_days`` grid anchored at the corpus min date (deterministic; no
     wall-clock).  Days with no events are 0.0, matching the "no activity"
     semantics of a usage series.  One aggregation pass: the shuffle
-    carries (user, day, sum, count) partials, bounded by users × grid."""
+    carries (user, day, sum, count) partials, bounded by users × grid.
+
+    The daily mean uses the house exact-aggregation pattern (per-row
+    DECIMAL cast, one double division at the end) instead of ``avg`` so
+    the series — and everything downstream of it — is independent of
+    partitioning/summation order and bit-reproducible in a SQL oracle."""
     anchor = events.select(F.min(F.col(ts_col).cast("date")).alias("d0"))
     day = F.datediff(F.col(ts_col).cast("date"), F.col("d0"))
     per_day = (
         events.join(F.broadcast(anchor))
         .filter((day >= 0) & (day < n_days))
         .groupBy(F.col(id_col), day.alias("_day"))
-        .agg(F.avg(value_col).alias("_avg"))
+        .agg(
+            (
+                F.sum(F.col(value_col).cast("decimal(18,6)")).cast("double")
+                / F.count(value_col)
+            ).alias("_avg")
+        )
     )
     # dense grid assembly: sorted sparse (day, avg) pairs -> fixed array
     pairs = per_day.groupBy(id_col).agg(
@@ -180,11 +190,19 @@ def series_topk_similar(
     feed :func:`similarity.brute_force_topk` unchanged — swap in
     ``lsh_topk``/``ivf_topk`` with the same vectors when the entity count
     demands sub-quadratic search (the series table IS an embeddings
-    table)."""
+    table).
+
+    Constant series (every in-window day identical — in practice, a user
+    whose only activity nets to the 0.0 fill) z-normalize to the zero
+    vector; correlation is undefined for them, so they are excluded from
+    both the query and corpus sides rather than fed into a 0/0 cosine."""
     from .similarity import brute_force_topk
 
     vecs = user_value_series(events, n_days, id_col=id_col).select(
         F.col(id_col).alias("vec_id"), znormalize_series().alias("embedding")
+    )
+    vecs = vecs.filter(
+        F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x) > 0
     )
     q = vecs.filter(F.col("vec_id").isin(query_ids))
     return brute_force_topk(vecs, q, k=k)

@@ -3315,6 +3315,422 @@ def q_source_language_mix(spark: SparkSession, sf: str) -> DataFrame:
     return source_language_mix(_t(spark, sf, "documents"))
 
 
+# ------------------------------------------- r8 gate rows: PQ / series / BPE / sketches
+#
+# First oracle evidence for the four r7 families that were pytest-only
+# (VERDICT r7 "What's missing"): product quantization, time-series
+# similarity, corpus BPE, and mergeable sketch profiling.
+
+def _pq_topk_oracle() -> str:
+    """DuckDB twin of q_pq_topk: label-prototype codebooks (the IVF
+    oracle's exact micro-unit construction sliced into m=8 subspaces of 8
+    dims), integer-exact corpus encode (argmin of ‖c‖² − 2·v·c per
+    subspace, ties to the lower code), per-query ADC tables
+    (Σq² − 2Σq·c + ‖c‖²), and the summed-lookup rank.  Every score is
+    int64 micro²-units, so both engines agree bit-for-bit."""
+    return """
+    WITH exv AS (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT)
+               AS vm
+      FROM embeddings
+    ),
+    per AS (
+      SELECT label, pos, CAST(SUM(vm) AS BIGINT) AS s, COUNT(*) AS n_vecs
+      FROM exv GROUP BY label, pos
+    ),
+    cw AS (
+      SELECT label AS code, pos // 8 AS sub, pos % 8 AS spos,
+             CAST(ROUND(ROUND(CAST(s AS DOUBLE) / 1000000.0 / n_vecs, 6)
+                        * 1000000) AS BIGINT) AS wm
+      FROM per
+    ),
+    cn AS (SELECT sub, code, CAST(SUM(wm * wm) AS BIGINT) AS cn_m
+           FROM cw GROUP BY sub, code),
+    exv2 AS (SELECT vec_id, pos // 8 AS sub, pos % 8 AS spos, vm FROM exv),
+    escore AS (
+      SELECT e.vec_id, c.sub, c.code,
+             CAST(ANY_VALUE(n.cn_m) - 2 * SUM(e.vm * c.wm) AS BIGINT) AS score
+      FROM exv2 e
+      JOIN cw c ON c.sub = e.sub AND c.spos = e.spos
+      JOIN cn n ON n.sub = c.sub AND n.code = c.code
+      GROUP BY e.vec_id, c.sub, c.code
+    ),
+    codes AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT vec_id, sub, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY score, code) AS rn
+        FROM escore
+      ) WHERE rn = 1
+    ),
+    qtab AS (
+      SELECT e.vec_id AS query_id, c.sub, c.code,
+             CAST(SUM(e.vm * e.vm) - 2 * SUM(e.vm * c.wm)
+                  + ANY_VALUE(n.cn_m) AS BIGINT) AS qd_m
+      FROM exv2 e
+      JOIN cw c ON c.sub = e.sub AND c.spos = e.spos
+      JOIN cn n ON n.sub = c.sub AND n.code = c.code
+      WHERE e.vec_id < 8
+      GROUP BY e.vec_id, c.sub, c.code
+    ),
+    scored AS (
+      SELECT q.query_id, cd.vec_id AS neighbor_id,
+             CAST(SUM(q.qd_m) AS BIGINT) AS d_m
+      FROM codes cd
+      JOIN qtab q ON q.sub = cd.sub AND q.code = cd.code
+      WHERE cd.vec_id <> q.query_id
+      GROUP BY q.query_id, cd.vec_id
+    )
+    SELECT query_id, neighbor_id, approx_dist2, rnk FROM (
+      SELECT query_id, neighbor_id,
+             ROUND(d_m / 1e12, 6) AS approx_dist2,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY d_m, neighbor_id) AS INT) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    """
+
+
+def _label_pq_codebooks(emb: DataFrame) -> list[list[list[float]]]:
+    """Deterministic PQ codebooks from the label prototypes — the same
+    externally-trained-quantizer pattern q_ivf_topk uses, sliced into
+    m=8 subspaces of 8 dims (codebook j, code c = subspace-j slice of
+    label c's centroid).  The collect is |labels| × 64 rows — bounded by
+    the label vocabulary, never the corpus; the sample-bounded KMeans
+    fit (fit_pq_codebooks) remains the unsupervised production default
+    and is recall/ADC-exactness-tested in tests/test_dedup_similarity."""
+    from .operators.similarity import label_centroid_elements
+
+    by_label: dict[int, dict[int, float]] = {}
+    for r in label_centroid_elements(emb).collect():
+        by_label.setdefault(r["label"], {})[r["pos"]] = r["centroid_val"]
+    labels = sorted(by_label)
+    dsub = 8
+    return [
+        [
+            [by_label[lab][j * dsub + p] for p in range(dsub)]
+            for lab in labels
+        ]
+        for j in range(8)
+    ]
+
+
+@register(
+    "pq_topk_adc",
+    _pq_topk_oracle(),
+    doc="X13 product quantization: asymmetric-distance top-5 for query "
+    "vectors vec_id<8 over the PQ-encoded corpus (m=8 subspaces, "
+    "label-prototype codebooks).  The encoded (id, codes) table is the "
+    "memory-bound ANN index; scoring sums m broadcast table lookups and "
+    "never touches a raw corpus vector.  All arithmetic is int64 "
+    "micro²-units — the oracle reproduces encode and ADC bit-for-bit.",
+)
+def q_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.similarity import pq_topk
+
+    emb = _t(spark, sf, "embeddings")
+    return pq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 8),
+        k=5,
+        codebooks=_label_pq_codebooks(emb),
+    )
+
+
+def _series_topk_oracle() -> str:
+    """DuckDB twin of q_series_topk: exact-decimal daily means on the
+    30-day grid, the same sequential-fold z-normalization (mean, then
+    (x−mean)² fold, /n, sqrt), the zero-variance exclusion, and the
+    brute-force fold-cosine rank."""
+    return """
+    WITH d0 AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events),
+    per AS (
+      SELECT user_id,
+             date_diff('day', d0.d0, CAST(ts AS DATE)) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(value) AS avg
+      FROM events, d0
+      WHERE date_diff('day', d0.d0, CAST(ts AS DATE)) >= 0
+        AND date_diff('day', d0.d0, CAST(ts AS DATE)) < 30
+      GROUP BY user_id, day
+    ),
+    pairs AS (
+      SELECT user_id,
+             map_from_entries(list(struct_pack(k := day, v := avg))) AS m
+      FROM per GROUP BY user_id
+    ),
+    series AS (
+      SELECT user_id,
+             list_transform(range(0, 30),
+                            d -> coalesce(map_extract(m, d)[1], 0.0)) AS s
+      FROM pairs
+    ),
+    stats AS (
+      SELECT user_id, s, mean,
+             sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                    list_transform(s, x -> (x - mean) * (x - mean))),
+                  (a, x) -> a + x) / 30) AS std
+      FROM (
+        SELECT user_id, s,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE), s),
+                           (a, x) -> a + x) / 30 AS mean
+        FROM series
+      )
+    ),
+    zn AS (
+      SELECT user_id,
+             list_transform(s, x -> (x - mean) / std) AS v
+      FROM stats WHERE std > 1e-12
+    ),
+    q AS (SELECT user_id AS query_id, v AS qv FROM zn
+          WHERE user_id IN (1, 2, 3, 4)),
+    c AS (SELECT user_id AS neighbor_id, v AS nv FROM zn),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list_transform(range(1, len(qv) + 1),
+                                    i -> qv[i] * nv[i])),
+                     (a, x) -> a + x)
+                   / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                        list_transform(qv, x -> x * x)), (a, x) -> a + x))
+                    * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                        list_transform(nv, x -> x * x)), (a, x) -> a + x))),
+                   6) AS cos_sim
+      FROM c, q WHERE neighbor_id <> query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    """
+
+
+@register(
+    "series_topk_similar",
+    _series_topk_oracle(),
+    doc="X15 time-series similarity: top-3 most-similar users to users "
+    "1-4 by z-normalized 30-day-series cosine (≡ Pearson correlation of "
+    "the daily-mean series).  The series projection is one grid-bounded "
+    "aggregation; the normalized vectors feed the existing brute-force "
+    "cosine rank unchanged.  Constant series are excluded (correlation "
+    "undefined).",
+)
+def q_series_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.timeseries import series_topk_similar
+
+    return series_topk_similar(
+        _t(spark, sf, "events"), query_ids=[1, 2, 3, 4], k=3
+    )
+
+
+#: BPE merge budget shared by the Spark query and the reference trainer.
+_BPE_N_MERGES = 50
+#: The correctness gate always runs at this scale factor; the reference
+#: BPE trainer below reads the same parquet the gate's `documents` view
+#: wraps.  (Same coupling class as the multimodal golden oracles, which
+#: bake the fixed synthetic table into VALUES literals.)
+_GATE_SF_DIR = "/root/testdata/sf0.01"
+
+
+def _bpe_reference_encoded_vocab() -> list[tuple[str, int]]:
+    """INDEPENDENT reference BPE (pure Python, no operators.bpe import):
+    learn merges by naive full-recount per round (highest pair count,
+    lexicographically lowest pair on ties, left-to-right application —
+    Sennrich et al. 2016 §3.2 semantics), then encode each vocabulary
+    word by repeatedly merging its lowest-rank adjacent pair.  Returns
+    (word, n_pieces) for every distinct word of the gate corpus; the
+    oracle SQL joins these against a DuckDB-side tokenization so the
+    corpus-level accounting is recomputed relationally."""
+    import duckdb
+
+    con = duckdb.connect()
+    vocab = con.execute(
+        "SELECT w, COUNT(*) AS n FROM ("
+        "  SELECT unnest(list_filter("
+        "    string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''))"
+        "    AS w"
+        f"  FROM read_parquet('{_GATE_SF_DIR}/documents.parquet')"
+        ") GROUP BY w"
+    ).fetchall()
+    con.close()
+    assert len(vocab) < 100_000  # the Spark side's max_vocab cap is inert
+    segs = [list(w) for w, _ in vocab]
+    counts = [n for _, n in vocab]
+    merges: list[tuple[str, str]] = []
+    for _ in range(_BPE_N_MERGES):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for seg, n in zip(segs, counts):
+            for p in zip(seg, seg[1:]):
+                pair_counts[p] = pair_counts.get(p, 0) + n
+        if not pair_counts:
+            break
+        best_n = max(pair_counts.values())
+        best = min(p for p, n in pair_counts.items() if n == best_n)
+        merges.append(best)
+        for i, seg in enumerate(segs):
+            out: list[str] = []
+            j = 0
+            while j < len(seg):
+                if (
+                    j + 1 < len(seg)
+                    and seg[j] == best[0]
+                    and seg[j + 1] == best[1]
+                ):
+                    out.append(best[0] + best[1])
+                    j += 2
+                else:
+                    out.append(seg[j])
+                    j += 1
+            segs[i] = out
+    rank = {p: i for i, p in enumerate(merges)}
+    encoded = []
+    for w, _ in vocab:
+        seg = list(w)
+        while len(seg) > 1:
+            best_at = None
+            for i, p in enumerate(zip(seg, seg[1:])):
+                r = rank.get(p)
+                if r is not None and (best_at is None or (r, i) < best_at):
+                    best_at = (r, i)
+            if best_at is None:
+                break
+            i = best_at[1]
+            seg = seg[:i] + [seg[i] + seg[i + 1]] + seg[i + 2:]
+        encoded.append((w, len(seg)))
+    return encoded
+
+
+@functools.lru_cache(maxsize=None)
+def _bpe_corpus_stats_oracle() -> str:
+    """Oracle for q_bpe_corpus_stats: the reference-encoded vocabulary as
+    a VALUES literal (words are [a-z0-9]+ — no escaping needed), joined
+    against DuckDB's own tokenization of the corpus; per-document piece
+    accounting is recomputed relationally in SQL."""
+    enc = _bpe_reference_encoded_vocab()
+    values = ",\n      ".join(f"('{w}', {n})" for w, n in enc)
+    return f"""
+    WITH enc(w, n_pieces) AS (VALUES
+      {values}),
+    occ AS (
+      SELECT doc_id,
+             unnest(list_filter(
+               string_split_regex(lower(text), '[^a-z0-9]+'),
+               t -> t <> '')) AS w
+      FROM documents
+    )
+    SELECT occ.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(n_pieces) AS BIGINT) AS n_pieces,
+           ROUND(CAST(SUM(n_pieces) AS DOUBLE) / COUNT(*), 6)
+             AS pieces_per_word
+    FROM occ JOIN enc USING (w)
+    GROUP BY occ.doc_id
+    """
+
+
+@register(
+    "bpe_corpus_stats",
+    _bpe_corpus_stats_oracle,
+    doc="X16 corpus BPE: learn 50 character-level merges from the corpus "
+    "(driver-side over the bounded (word,count) table), encode the "
+    "DISTINCT vocabulary once (Arrow-batched), and account pieces per "
+    "document relationally.  The oracle re-learns the merges with an "
+    "independent pure-Python trainer/encoder and re-aggregates in SQL — "
+    "a full trainer+encoder differential.",
+)
+def q_bpe_corpus_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.bpe import bpe_token_stats, fit_bpe_merges
+
+    docs = _t(spark, sf, "documents")
+    merges = fit_bpe_merges(docs, n_merges=_BPE_N_MERGES)
+    return bpe_token_stats(docs, merges)
+
+
+@register(
+    "sketch_profile_check",
+    """
+    WITH toks AS (
+      SELECT unnest(list_filter(
+               string_split_regex(lower(text), '[^a-z0-9]+'),
+               t -> t <> '')) AS tok
+      FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_token_instances,
+           CAST(COUNT(DISTINCT tok) AS BIGINT) AS distinct_tokens_exact,
+           TRUE AS hll_within_5pct,
+           TRUE AS theta_within_5pct,
+           TRUE AS kll_quartiles_bracketed,
+           TRUE AS cms_within_eps
+    FROM toks
+    """,
+    doc="X6 mergeable sketches, exact-twin gate: per-source "
+    "HLL/theta/KLL/CMS shard sketches are MERGED (never rescanned) into "
+    "a corpus profile, and the profile is checked against exactly "
+    "computed ground truth inside the query — the exact counts must "
+    "match the oracle bit-for-bit, and the sketch-accuracy booleans "
+    "(HLL/theta within 5% of exact distinct, KLL quartile estimates "
+    "inside the exact 20-30/45-55/70-80 percentile brackets, CMS "
+    "point lookups within eps*N above exact) must all come back true.",
+)
+def q_sketch_profile_check(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.sketches import (
+        cms_term_counts,
+        merge_corpus_profile,
+        shard_token_sketches,
+    )
+    from .operators.text import tokens
+
+    docs = _t(spark, sf, "documents")
+    shards = shard_token_sketches(docs).persist()
+    prof = merge_corpus_profile(shards)
+    cms_terms = ["the", "data", "of"]
+    cms = cms_term_counts(shards, cms_terms)
+    shards.unpersist()
+
+    tok = docs.select(F.explode(tokens("text")).alias("tok"))
+    n_tok = int(prof["n_token_instances"])
+    distinct_exact = tok.distinct().count()
+    exact_counts = {
+        r["tok"]: r["n"]
+        for r in tok.filter(F.col("tok").isin(cms_terms))
+        .groupBy("tok").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # exact percentile brackets around each KLL quartile estimate (the
+    # approx_profile bracketing pattern: value-domain brackets absorb
+    # both KLL rank error and mass points)
+    lens = docs.select(F.size(tokens("text")).cast("long").alias("n"))
+    br = lens.select(
+        F.expr(
+            "percentile(n, array(0.20, 0.30, 0.45, 0.55, 0.70, 0.80))"
+        ).alias("p")
+    ).collect()[0]["p"]
+    q25, q50, q75 = (float(x) for x in prof["doc_len_quartiles"])
+    kll_ok = (
+        br[0] <= q25 <= br[1]
+        and br[2] <= q50 <= br[3]
+        and br[4] <= q75 <= br[5]
+    )
+    hll_ok = abs(prof["distinct_tokens_hll"] - distinct_exact) <= (
+        0.05 * distinct_exact
+    )
+    theta_ok = abs(prof["distinct_tokens_theta"] - distinct_exact) <= (
+        0.05 * distinct_exact
+    )
+    cms_ok = all(
+        exact_counts.get(t, 0) <= cms[t] <= exact_counts.get(t, 0) + 0.001 * n_tok
+        for t in cms_terms
+    )
+    return spark.createDataFrame(
+        [(n_tok, distinct_exact, bool(hll_ok), bool(theta_ok),
+          bool(kll_ok), bool(cms_ok))],
+        "n_token_instances long, distinct_tokens_exact long, "
+        "hll_within_5pct boolean, theta_within_5pct boolean, "
+        "kll_quartiles_bracketed boolean, cms_within_eps boolean",
+    )
+
+
 # The external correctness gate snapshots the FIRST 50 entries of the
 # queries() dict (observed r01/r02: entries past position 50 get no
 # correctness row at all).  Registration order in this file is topical, so
@@ -3323,11 +3739,71 @@ def q_source_language_mix(spark: SparkSession, sf: str) -> DataFrame:
 # queries, and finally entries whose evidence already exists elsewhere
 # (rows-only demos pinned by pytest, long-stable double-green rows).
 GATE_PRIORITY: tuple[str, ...] = (
-    # r7 rotation: the 37 queries whose latest gate row is r05 (parked
-    # outside the r6 window) come back in — nothing may go >2 rounds
-    # without a fresh row.  Among them: approx_profile (the one remaining
-    # rows-only query) and the multimodal family, which gained
-    # golden-literal oracles this round (first oracle rows at r7).
+    # r8 rotation (executes the hard commitment recorded here at r7): the
+    # r6-green queries parked in GATE_DEFERRED hit the 2-round staleness
+    # limit this round and ALL come back into the window, minus the four
+    # retired demo duplicates (see GATE_RETIRED) — which frees exactly
+    # the slots the four never-checked r7/r8 families need for their
+    # first oracle rows.
+    "pq_topk_adc",
+    "series_topk_similar",
+    "bpe_corpus_stats",
+    "sketch_profile_check",
+    # --- the 46 r6-green rows due for refresh
+    "unigram_logprob_quality",
+    "paragraph_dup_stats",
+    "centroid_assign",
+    "bigram_merge_candidates",
+    "collapse_repeated_paras",
+    "curation_pipeline",
+    "lsh_topk_ann",
+    "embedding_near_dups",
+    "ivf_topk_ann",
+    "repeat_vs_lapsed_custs",
+    "lexical_diversity",
+    "zipf_profile",
+    "split_leakage",
+    "sliding_hourly_avg",
+    "clicks_recent_purchase",
+    "asof_last_purchase",
+    "range_join_value_bands",
+    "scalar_date_scan",
+    "customers_without_orders",
+    "pricing_summary",
+    "priority_counts",
+    "count_data_rows",
+    "container_classification",
+    "completed_link_types",
+    "fully_covered_orders",
+    "sanitize_commodity_names",
+    "lineage_projection",
+    "parts_above_brand_avg",
+    "events_json_extract",
+    "events_daily_by_type",
+    "user_sessionization",
+    "tfidf_top_terms",
+    "text_quality",
+    "language_id",
+    "html_table_scan",
+    "stratified_sample_by_lang",
+    "repetition_scores",
+    "doc_chunks",
+    "pack_plan",
+    "benchmark_decontam",
+    "training_order",
+    "rollup_revenue",
+    "pivot_status_qty",
+    "cube_revenue",
+    "quantity_percentiles",
+    "top_part_per_brand_maxby",
+)
+
+# The 50 queries checked green at r07 park outside the snapshot window
+# this round; they hit the 2-round staleness limit at r09, so the r9
+# rotation MUST move this entire list into GATE_PRIORITY (and park the
+# r8-green window here).  With 100 exported queries and a 50-row
+# snapshot the cycle is exactly two rounds — sustainable indefinitely.
+GATE_DEFERRED: tuple[str, ...] = (
     "shipping_lead_time",
     "top3_parts_per_brand",
     "revenue_rank_tiers",
@@ -3365,8 +3841,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "dedup_exact_groups",
     "dedup_content_hash",
     "term_frequencies",
-    # New queries this round (never checked) fill the remaining window
-    # slots — appended here as they land.
     "doc_length_histogram",
     "source_language_mix",
     "semdedup_drop",
@@ -3382,79 +3856,42 @@ GATE_PRIORITY: tuple[str, ...] = (
     "duplicated_span_stats",
 )
 
-# The 50 queries green in CORRECTNESS_r06 park outside the snapshot
-# window this round; they hit the 2-round staleness limit at r08, so the
-# r8 rotation MUST move this entire list into GATE_PRIORITY (and park the
-# r7-green window here).  The front of this list still lands inside the
-# 50-entry snapshot when GATE_PRIORITY has spare slots, so keep it
-# oldest-evidence first.
-GATE_DEFERRED: tuple[str, ...] = (
-    "token_counts",
-    "unigram_logprob_quality",
-    "paragraph_dup_stats",
-    "dup_paragraph_docs",
-    "centroid_assign",
-    "bigram_merge_candidates",
-    "collapse_repeated_paras",
-    "dedup_survivors",
-    "curation_pipeline",
-    "lsh_topk_ann",
-    "embedding_near_dups",
-    "ivf_topk_ann",
-    "repeat_vs_lapsed_custs",
-    "lexical_diversity",
-    "zipf_profile",
-    "split_leakage",
-    "sliding_hourly_avg",
-    "clicks_recent_purchase",
-    "asof_last_purchase",
-    "range_join_value_bands",
-    "scalar_date_scan",
-    "customers_without_orders",
-    "pricing_summary",
-    "priority_counts",
-    "count_data_rows",
-    "container_classification",
-    "completed_link_types",
-    "fully_covered_orders",
-    "sanitize_commodity_names",
-    "lineage_projection",
-    "parts_above_brand_avg",
-    "events_json_extract",
-    "events_daily_by_type",
-    "user_sessionization",
-    "tfidf_top_terms",
-    "text_quality",
-    "language_id",
-    "html_table_scan",
+# Retired from the GATE EXPORT only (r8, on the r7 verdict's advice): each
+# is a demo-duplicate of a sibling that carries the same SURVEY §2
+# operator's oracle evidence, and keeping all four would stretch the
+# rotation cycle to 3 rounds.  They stay REGISTERED — `list`, bench, and
+# the pytest suite still exercise them — but no longer consume snapshot
+# slots.  Coverage continuity: html_table_scan_datasource ≡ S1
+# (html_table_scan), dedup_survivors ≡ X10 (curation_pipeline),
+# token_counts ≡ X7 (token_count_histogram), dup_paragraph_docs ≡ X8
+# (paragraph_dup_stats, collapse_repeated_paras).
+GATE_RETIRED: tuple[str, ...] = (
     "html_table_scan_datasource",
-    "stratified_sample_by_lang",
-    "repetition_scores",
-    "doc_chunks",
-    "pack_plan",
-    "benchmark_decontam",
-    "training_order",
-    "rollup_revenue",
-    "pivot_status_qty",
-    "cube_revenue",
-    "quantity_percentiles",
-    "top_part_per_brand_maxby",
+    "dedup_survivors",
+    "token_counts",
+    "dup_paragraph_docs",
 )
 
 
 def _check_gate_lists() -> None:
-    """Import-time structural guard (r6 review): the gate lists must
-    PARTITION the registry exactly.  A typo'd or forgotten name would
-    otherwise silently drop a query from the export order and it would
-    never get a correctness row (this bit round 5)."""
-    prio, deferred, reg = set(GATE_PRIORITY), set(GATE_DEFERRED), set(REGISTRY)
-    overlap = prio & deferred
-    if overlap:
-        raise KeyError(f"queries in both gate lists: {sorted(overlap)}")
-    unknown = (prio | deferred) - reg
+    """Import-time structural guard (r6 review): the gate lists (plus the
+    retired list) must PARTITION the registry exactly.  A typo'd or
+    forgotten name would otherwise silently drop a query from the export
+    order and it would never get a correctness row (this bit round 5)."""
+    prio, deferred = set(GATE_PRIORITY), set(GATE_DEFERRED)
+    retired, reg = set(GATE_RETIRED), set(REGISTRY)
+    for a, b, la, lb in (
+        (prio, deferred, "GATE_PRIORITY", "GATE_DEFERRED"),
+        (prio, retired, "GATE_PRIORITY", "GATE_RETIRED"),
+        (deferred, retired, "GATE_DEFERRED", "GATE_RETIRED"),
+    ):
+        overlap = a & b
+        if overlap:
+            raise KeyError(f"queries in both {la} and {lb}: {sorted(overlap)}")
+    unknown = (prio | deferred | retired) - reg
     if unknown:
         raise KeyError(f"gate window names missing from REGISTRY: {sorted(unknown)}")
-    unlisted = reg - prio - deferred
+    unlisted = reg - prio - deferred - retired
     if unlisted:
         raise KeyError(
             f"registered queries missing from the gate lists: {sorted(unlisted)}"
