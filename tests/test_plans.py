@@ -419,6 +419,29 @@ def test_duplicated_span_stats_plan_shape(spark):
     assert rep.has_partial_agg, rep.summary()
 
 
+def test_pq_topk_adc_gate_plan_no_cartesian(spark):
+    """The r8 PQ gate query end-to-end: codebook and ADC-table joins are
+    broadcasts, candidate scoring is an equi-join + aggregate — no
+    cartesian/BNL anywhere, and map-side combine on the code sums."""
+    df = _plan(spark, "pq_topk_adc")
+    txt = explain_str(df)
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+    rep = plan_report(df)
+    assert rep.n_broadcast_joins >= 2, rep.summary()
+    assert rep.has_partial_agg, rep.summary()
+
+
+def test_ivfpq_gate_plan_no_cartesian(spark):
+    """IVF-PQ composition: probe-cell candidate join + candidate-bounded
+    ADC — equi-joins only; the raw-vector side appears ONLY in the
+    bounded encode/probe stages, never in scoring."""
+    df = _plan(spark, "ivfpq_topk_adc")
+    txt = explain_str(df)
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+
+
 def test_pq_encode_is_broadcast_join_only(spark):
     """PQ encoding must never shuffle the corpus against the codebook:
     the codebook join is a broadcast, argmin is an aggregate — no
