@@ -57,6 +57,21 @@ def main(argv: list[str] | None = None) -> int:
     ann.add_argument("--dim", type=int, default=64)
     ann.add_argument("--seed", type=int, default=1000)
 
+    nd = sub.add_parser(
+        "near-dup-index",
+        help="build the persistable MinHash band index from a documents "
+        "parquet; incremental shards dedup against it via "
+        "near_duplicates_vs_index without re-shingling the corpus",
+    )
+    nd.add_argument("--documents", required=True,
+                    help="parquet with (doc_id, text) columns")
+    nd.add_argument("--out", required=True)
+    nd.add_argument("--n-bands", type=int, default=16)
+    nd.add_argument("--shingle-k", type=int, default=3)
+    nd.add_argument("--portable", action="store_true",
+                    help="md5-fold token hash (oracle-reproducible) "
+                    "instead of xxhash64 (throughput default)")
+
     args = p.parse_args(argv)
 
     from .queries import REGISTRY
@@ -156,6 +171,39 @@ def main(argv: list[str] | None = None) -> int:
             json.dump(quantizer, f)
         print(
             f"kind={args.kind} rows={n} out={args.out} partition_by={part} "
+            f"quantizer=_quantizer.json"
+        )
+        return 0
+
+    if args.cmd == "near-dup-index":
+        # Same lifecycle as ann-index: the banded signature table is the
+        # index, partitioned by band so an incremental shard's candidate
+        # join prunes to its bands' files; the parameter sidecar is
+        # authoritative — banding a shard with different (n_bands, k,
+        # hash) than the build silently destroys recall.
+        import json
+
+        from .operators.dedup import minhash_band_table
+        from .util import require_local_path
+
+        require_local_path(args.out)
+        docs = spark.read.parquet(args.documents)
+        idx = minhash_band_table(
+            docs, n_bands=args.n_bands, k=args.shingle_k,
+            portable=args.portable,
+        )
+        idx.write.mode("overwrite").partitionBy("band").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+        quantizer = {
+            "kind": "minhash",
+            "n_bands": args.n_bands,
+            "shingle_k": args.shingle_k,
+            "portable": bool(args.portable),
+        }
+        with open(os.path.join(args.out, "_quantizer.json"), "w") as f:
+            json.dump(quantizer, f)
+        print(
+            f"kind=minhash rows={n} out={args.out} partition_by=band "
             f"quantizer=_quantizer.json"
         )
         return 0

@@ -218,6 +218,108 @@ def minhash_table(
     )
 
 
+def minhash_band_table(
+    documents: DataFrame,
+    n_bands: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    portable: bool = False,
+) -> DataFrame:
+    """(id, sig, band, key) — the banded MinHash signature table.  This
+    IS the persistable near-dup index (the MinHash counterpart of
+    :func:`~.similarity.bucket_table`'s LSH index): at 100 TB you compute
+    it once per corpus, write it partitioned by ``band``, and every
+    incremental shard dedups against it via
+    :func:`near_duplicates_vs_index` — the corpus text is never
+    re-shingled.  The ``near-dup-index`` CLI builds + persists it with an
+    authoritative parameter sidecar."""
+    r = N_HASHES // n_bands
+    sig = minhash_table(
+        documents, id_col=id_col, text_col=text_col, k=k, portable=portable
+    )
+    return sig.select(
+        id_col,
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.concat_ws(",", F.slice("sig", b * r + 1, r))).alias("key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select(id_col, "sig", "bk.band", "bk.key")
+
+
+def _sig_agreement() -> Column:
+    """est_jaccard from two signature columns (sig_a, sig_b) in scope."""
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda a, b: a == b),
+            lambda x: x,
+        )
+    )
+    return F.round(agree / F.lit(N_HASHES), 6).alias("est_jaccard")
+
+
+def near_duplicates_vs_index(
+    new_docs: DataFrame,
+    corpus_index: DataFrame | None = None,
+    threshold: float = 0.5,
+    n_bands: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    portable: bool = False,
+    index=None,
+) -> DataFrame:
+    """Incremental near-dup admission for a NEW shard against an EXISTING
+    corpus index (:func:`minhash_band_table`): only the shard is
+    shingled/signatured; candidates come from a (band, key) equi-join
+    against the index, and pairs with estimated Jaccard ≥ ``threshold``
+    are reported as (doc_id, corpus_id, est_jaccard).
+
+    This is the batch half of the production ingest loop — re-crawls and
+    mirrors never re-pay the corpus pass (the embedding-space streaming
+    twin is :func:`~..streaming.pipeline.stream_near_dup_filter`).  NO
+    self-exclusion: a re-crawl that kept its corpus doc_id must still
+    match its own indexed copy.  Admitted docs are the shard minus the
+    reported ``doc_id``s (anti-join); their banded rows can then be
+    APPENDED to the index — band keys depend only on the row itself, so
+    the index grows incrementally without rebuild.
+
+    ``index`` accepts the :class:`~.similarity.AnnIndex` handle from
+    ``load_ann_index`` (kind ``minhash``) and derives (n_bands, k,
+    portable) from the sidecar — the mismatch-proof serving form: banding
+    a shard with parameters that differ from the index build silently
+    destroys recall, exactly like the hyperplane families."""
+    if index is not None:
+        q = index.require("minhash")
+        corpus_index = index.df
+        n_bands, k, portable = q["n_bands"], q["shingle_k"], q["portable"]
+    if corpus_index is None:
+        raise ValueError(
+            "near_duplicates_vs_index needs either index= or corpus_index="
+        )
+    new_banded = minhash_band_table(
+        new_docs, n_bands, id_col=id_col, text_col=text_col, k=k,
+        portable=portable,
+    )
+    corpus_side = corpus_index.withColumnsRenamed(
+        {id_col: "corpus_id", "sig": "sig_b"}
+    )
+    cand = (
+        new_banded.withColumnRenamed("sig", "sig_a")
+        .join(corpus_side, ["band", "key"])
+        .dropDuplicates([id_col, "corpus_id"])
+    )
+    return cand.select(id_col, "corpus_id", _sig_agreement()).filter(
+        F.col("est_jaccard") >= threshold
+    )
+
+
 def lsh_candidate_pairs(
     documents: DataFrame,
     n_bands: int = 16,
@@ -231,21 +333,9 @@ def lsh_candidate_pairs(
     steep around j≈0.55.  Output: (doc_a, doc_b, est_jaccard) with
     doc_a < doc_b, est_jaccard = fraction of agreeing signature values.
     """
-    r = N_HASHES // n_bands
-    sig = minhash_table(documents, id_col=id_col, text_col=text_col, portable=portable)
-    banded = sig.select(
-        id_col,
-        "sig",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(F.concat_ws(",", F.slice("sig", b * r + 1, r))).alias("key"),
-                ),
-            )
-        ).alias("bk"),
-    ).select(id_col, "sig", "bk.band", "bk.key")
+    banded = minhash_band_table(
+        documents, n_bands, id_col=id_col, text_col=text_col, portable=portable
+    )
 
     # One MinHash pass, not two: the banded table feeds both sides of the
     # self-join; without the cache marker each side re-runs the whole
@@ -268,15 +358,7 @@ def lsh_candidate_pairs(
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    agree = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda a, b: a == b),
-            lambda x: x,
-        )
-    )
-    return pairs.select(
-        "doc_a", "doc_b", F.round(agree / F.lit(N_HASHES), 6).alias("est_jaccard")
-    )
+    return pairs.select("doc_a", "doc_b", _sig_agreement())
 
 
 def exact_jaccard_pairs(

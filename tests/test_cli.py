@@ -136,6 +136,49 @@ def test_load_ann_index_serves_lsh(tmp_path):
         ivf_topk(emb, q, index=handle)
 
 
+def test_cli_near_dup_index_build_and_serve(tmp_path):
+    """MinHash index lifecycle: CLI build (non-default banding) ->
+    load_ann_index -> incremental shard served with sidecar-derived
+    parameters; a re-crawled document matches its own indexed copy."""
+    import os
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo")
+    from market_data_ingestion_scraper_spark.operators.dedup import (
+        near_duplicates_vs_index,
+    )
+    from market_data_ingestion_scraper_spark.operators.similarity import (
+        load_ann_index,
+    )
+    from market_data_ingestion_scraper_spark.session import get_spark
+
+    out = str(tmp_path / "ndidx")
+    r = _run(
+        "near-dup-index",
+        "--documents", "/root/testdata/sf0.001/documents.parquet",
+        "--out", out, "--n-bands", "8", "--shingle-k", "4",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "kind=minhash" in r.stdout and "partition_by=band" in r.stdout
+    assert os.path.isdir(os.path.join(out, "band=0"))
+    spark = get_spark(app_name="test-nd-index")
+    handle = load_ann_index(spark, out)
+    assert handle.quantizer == {
+        "kind": "minhash", "n_bands": 8, "shingle_k": 4, "portable": False
+    }
+    recrawl = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(5)
+    got = {
+        (r_["doc_id"], r_["corpus_id"]): r_["est_jaccard"]
+        for r_ in near_duplicates_vs_index(
+            recrawl, threshold=0.9, index=handle
+        ).collect()
+    }
+    for r_ in recrawl.collect():
+        assert got.get((r_["doc_id"], r_["doc_id"])) == 1.0
+
+
 def test_cli_ann_index_rejects_uri_paths():
     """os-level sidecar writes only work on local paths — a URI output
     must fail fast BEFORE the expensive build, not crash after it (or

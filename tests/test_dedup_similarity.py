@@ -220,6 +220,95 @@ def test_ssjoin_max_df_bounds_stop_shingle_blowup(spark):
     assert reps == {100: 100, 101: 100}
 
 
+def test_incremental_near_dup_vs_band_index(spark, corpus):
+    """The MinHash 'index once, serve many' half (r8): only the NEW shard
+    is shingled; candidates come from a (band, key) join against the
+    persisted corpus band table, and estimates equal the full-corpus
+    pipeline's for the same pairs.  Same-id re-crawls match their own
+    indexed copy (no self-exclusion — admission semantics)."""
+    idx_docs = corpus.filter(F.col("doc_id").isin([0, 3, 4]))
+    index = D.minhash_band_table(idx_docs)
+    new = spark.createDataFrame(
+        [
+            (1, BASE.replace("quick", "speedy")),   # near-dup of corpus 0
+            (2, BASE),                               # exact dup of corpus 0
+            (9, "entirely novel prose sharing no phrases with anything "
+                "indexed here nineteen zebras juggle violet umbrellas "
+                "beside the glass harbor under a copper winter moon"),
+            (0, BASE),                               # re-crawl, same id
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["corpus_id"]): r["est_jaccard"]
+        for r in D.near_duplicates_vs_index(
+            new, index, threshold=0.5
+        ).collect()
+    }
+    assert got[(2, 0)] == 1.0
+    assert (1, 0) in got and got[(1, 0)] > 0.5
+    assert got[(0, 0)] == 1.0                       # re-crawl caught
+    assert all(a != 9 for a, _ in got)              # novel content admitted
+    # estimator agreement with the one-shot full-corpus pipeline
+    full = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in D.lsh_candidate_pairs(corpus).collect()
+    }
+    assert got[(1, 0)] == full[(0, 1)]
+    assert got[(2, 0)] == full[(0, 2)]
+
+
+def test_near_dup_index_parquet_roundtrip_and_handle(spark, corpus, tmp_path):
+    """Persist the band index partitioned by band, reload through the
+    AnnIndex handle, and serve with parameters DERIVED from the sidecar
+    (non-default n_bands so re-typed defaults would break recall)."""
+    import json
+    import os
+
+    from market_data_ingestion_scraper_spark.operators.similarity import (
+        load_ann_index,
+    )
+
+    out = str(tmp_path / "mh_idx")
+    D.minhash_band_table(corpus, n_bands=8).write.mode("overwrite").partitionBy(
+        "band"
+    ).parquet(out)
+    with open(os.path.join(out, "_quantizer.json"), "w") as f:
+        json.dump(
+            {"kind": "minhash", "n_bands": 8, "shingle_k": 3,
+             "portable": False}, f,
+        )
+    handle = load_ann_index(spark, out)
+    new = spark.createDataFrame(
+        [(7, BASE.replace("quick", "speedy"))], "doc_id long, text string"
+    )
+    served = {
+        (r["doc_id"], r["corpus_id"]): r["est_jaccard"]
+        for r in D.near_duplicates_vs_index(
+            new, threshold=0.5, index=handle
+        ).collect()
+    }
+    direct = {
+        (r["doc_id"], r["corpus_id"]): r["est_jaccard"]
+        for r in D.near_duplicates_vs_index(
+            new, D.minhash_band_table(corpus, n_bands=8), threshold=0.5,
+            n_bands=8,
+        ).collect()
+    }
+    assert served == direct and (7, 0) in served
+    import pytest
+
+    with pytest.raises(ValueError, match="kind mismatch"):
+        from market_data_ingestion_scraper_spark.operators.similarity import (
+            lsh_topk,
+        )
+
+        emb = spark.createDataFrame(
+            [(0, [0.0] * 64)], "vec_id long, embedding array<float>"
+        )
+        lsh_topk(emb, emb, index=handle)
+
+
 def test_banding_key_width_collapses_birthday_candidates(spark):
     """The 100 TB dial (r7 review #1): with fixed ~16-bit chunk keys,
     4 000 RANDOM signatures already produce birthday collisions
