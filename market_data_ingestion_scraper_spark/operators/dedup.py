@@ -320,6 +320,38 @@ def near_duplicates_vs_index(
     )
 
 
+def extend_band_index(
+    admitted_docs: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> int:
+    """Append the admitted documents' banded signatures to a persisted
+    band index — the post-admission half of the incremental loop
+    (:func:`near_duplicates_vs_index` flags, caller filters, this
+    extends).  Band keys are row-local, so APPEND IS the index update:
+    no rebuild, no read of existing index rows.  Banding parameters are
+    read from the index's own sidecar, never re-typed.  Returns the
+    number of band rows appended.
+
+    NOT idempotent across crash-replays (plain parquet append — a
+    replayed call would double the shard's rows and inflate duplicate
+    candidates, though never drop recall); drive it from an
+    exactly-once context (e.g. foreachBatch) or a transactional table
+    at production scale."""
+    from .similarity import load_ann_index
+
+    spark = admitted_docs.sparkSession
+    handle = load_ann_index(spark, index_path)
+    q = handle.require("minhash")
+    banded = minhash_band_table(
+        admitted_docs, q["n_bands"], id_col=id_col, text_col=text_col,
+        k=q["shingle_k"], portable=q["portable"],
+    ).localCheckpoint(eager=True)  # shard-bounded; compute once for count+write
+    banded.write.mode("append").partitionBy("band").parquet(index_path)
+    return banded.count()
+
+
 def lsh_candidate_pairs(
     documents: DataFrame,
     n_bands: int = 16,

@@ -309,6 +309,55 @@ def test_near_dup_index_parquet_roundtrip_and_handle(spark, corpus, tmp_path):
         lsh_topk(emb, emb, index=handle)
 
 
+def test_extend_band_index_closes_incremental_loop(spark, corpus, tmp_path):
+    """Admission -> filter -> extend: shard B's admitted (novel) document
+    joins the index via a parameter-sidecar-driven APPEND, and shard C's
+    near-dup of that B document is then caught — without any rebuild or
+    re-read of shard A's text."""
+    import json
+    import os
+
+    out = str(tmp_path / "grow_idx")
+    D.minhash_band_table(corpus).write.partitionBy("band").parquet(out)
+    with open(os.path.join(out, "_quantizer.json"), "w") as f:
+        json.dump({"kind": "minhash", "n_bands": 16, "shingle_k": 3,
+                   "portable": False}, f)
+
+    novel = (
+        "entirely novel prose sharing no phrases with anything indexed "
+        "here nineteen zebras juggle violet umbrellas beside the glass "
+        "harbor under a copper winter moon tonight"
+    )
+    shard_b = spark.createDataFrame(
+        [(10, BASE), (11, novel)], "doc_id long, text string"
+    )
+    from market_data_ingestion_scraper_spark.operators.similarity import (
+        load_ann_index,
+    )
+
+    flagged = D.near_duplicates_vs_index(
+        shard_b, threshold=0.5, index=load_ann_index(spark, out)
+    )
+    dup_ids = {r["doc_id"] for r in flagged.collect()}
+    assert dup_ids == {10}                       # BASE copy rejected
+    admitted = shard_b.join(
+        flagged.select("doc_id").distinct(), "doc_id", "left_anti"
+    )
+    n = D.extend_band_index(admitted, out)
+    assert n == 16                               # 1 admitted doc x 16 bands
+
+    shard_c = spark.createDataFrame(
+        [(20, novel.replace("zebras", "pelicans"))], "doc_id long, text string"
+    )
+    caught = {
+        (r["doc_id"], r["corpus_id"])
+        for r in D.near_duplicates_vs_index(
+            shard_c, threshold=0.5, index=load_ann_index(spark, out)
+        ).collect()
+    }
+    assert (20, 11) in caught                    # near-dup of the B doc
+
+
 def test_banding_key_width_collapses_birthday_candidates(spark):
     """The 100 TB dial (r7 review #1): with fixed ~16-bit chunk keys,
     4 000 RANDOM signatures already produce birthday collisions

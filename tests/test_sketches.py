@@ -88,6 +88,34 @@ def test_sketches_are_small_and_per_shard(docs, sketches):
         assert len(bytes(r["kll_doc_len"])) < 64 * 1024
 
 
+def test_shard_sketches_parquet_roundtrip_merges_identically(
+    spark, sketches, tmp_path
+):
+    """The 'persisted alongside the data' claim, closed: shard sketch
+    rows (binary HLL/theta/KLL/CMS columns) survive a parquet round-trip
+    byte-for-byte — the reloaded artifacts merge to the same global
+    profile and the same CMS point estimates as the in-memory rows, so
+    yesterday's shard files really do serve tomorrow's global questions
+    without a rescan."""
+    path = str(tmp_path / "shard_sketches")
+    sketches.write.parquet(path)
+    reloaded = spark.read.parquet(path)
+    a = merge_corpus_profile(sketches)
+    b = merge_corpus_profile(reloaded)
+    assert a["n_token_instances"] == b["n_token_instances"]
+    assert a["distinct_tokens_hll"] == b["distinct_tokens_hll"]
+    assert a["distinct_tokens_theta"] == b["distinct_tokens_theta"]
+    # KLL pairwise merges are collect-order-sensitive (the reloaded frame
+    # lists shards in file order, the original in computation order), so
+    # quartile ESTIMATES may differ by a within-rank-error hair — which is
+    # exactly why the gate query (sketch_profile_check) pins bracketed
+    # booleans, not raw estimates.  Tolerance: ±5% in value.
+    for qa, qb in zip(a["doc_len_quartiles"], b["doc_len_quartiles"]):
+        assert abs(qa - qb) <= max(2, 0.05 * qa), (qa, qb)
+    terms = ["the", "data", "of"]
+    assert cms_term_counts(sketches, terms) == cms_term_counts(reloaded, terms)
+
+
 def test_empty_token_shard_still_profiled(spark):
     """A shard whose docs tokenize to nothing (non-Latin text) must stay
     in the profile as 0 tokens / N docs, not vanish (inner-join bug)."""
