@@ -3870,17 +3870,74 @@ def q_sketch_profile_check(spark: SparkSession, sf: str) -> DataFrame:
 # queries, and finally entries whose evidence already exists elsewhere
 # (rows-only demos pinned by pytest, long-stable double-green rows).
 GATE_PRIORITY: tuple[str, ...] = (
-    # r8 rotation (executes the hard commitment recorded here at r7): the
-    # r6-green queries parked in GATE_DEFERRED hit the 2-round staleness
-    # limit this round and ALL come back into the window, minus the four
-    # retired demo duplicates (see GATE_RETIRED) — which frees exactly
-    # the slots the four never-checked r7/r8 families need for their
-    # first oracle rows.
+    # r9 rotation (executes the hard commitment recorded here at r8): the
+    # 50 queries last checked green at r07 were parked in GATE_DEFERRED
+    # through r8 and hit the 2-round staleness limit this round — the
+    # entire list comes back into the window.  ivfpq_topk_adc got its
+    # first oracle row at r8 from the deferred overflow slot and now
+    # rides the normal 2-round cycle.
+    "shipping_lead_time",
+    "top3_parts_per_brand",
+    "revenue_rank_tiers",
+    "cumulative_monthly_volume",
+    "daily_price_delta",
+    "indexed_commodity_groups",
+    "union_day_slices",
+    "link_text_filter",
+    "commodity_lookup",
+    "brands_never_shipped_1998",
+    "grouped_pandas_price_stats",
+    "approx_profile",
+    "gopher_quality_rules",
+    "boilerplate_grams",
+    "label_centroids",
+    "top5_commodities",
+    "revenue_by_region",
+    "pii_scrub",
+    "doc_fingerprints",
+    "uniform_hash_sample",
+    "minhash_lsh_candidates",
+    "ngram_jaccard_near_dups",
+    "near_dup_clusters",
+    "jaccard_ssjoin_near_dups",
+    "simhash_near_dups",
+    "per_doc_term_counts",
+    "ivfpq_topk_adc",
+    "cosine_topk_bruteforce",
+    "salted_qty_by_flag",
+    "validate_documents",
+    "source_mix",
+    "quality_funnel",
+    "multimodal_features",
+    "video_frame_sample",
+    "dedup_exact_groups",
+    "dedup_content_hash",
+    "term_frequencies",
+    "doc_length_histogram",
+    "source_language_mix",
+    "semdedup_drop",
+    "cross_doc_gram_overlap",
+    "minhash_est_calibration",
+    "ann_recall_eval",
+    "ivf_recall_eval",
+    "dedup_rate_by_source",
+    "token_count_histogram",
+    "embedding_norm_outliers",
+    "pack_efficiency",
+    "image_near_dups",
+    "duplicated_span_stats",
+)
+
+# The 50 queries checked green at r08 park outside the snapshot window
+# this round; they hit the 2-round staleness limit at r10, so the r10
+# rotation MUST move this entire list into GATE_PRIORITY (and park the
+# r9-green window here).  With 100 exported queries and a 50-row
+# snapshot the cycle is exactly two rounds — sustainable indefinitely.
+GATE_DEFERRED: tuple[str, ...] = (
     "pq_topk_adc",
     "series_topk_similar",
     "bpe_corpus_stats",
     "sketch_profile_check",
-    # --- the 46 r6-green rows due for refresh
     "unigram_logprob_quality",
     "paragraph_dup_stats",
     "centroid_assign",
@@ -3927,66 +3984,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "cube_revenue",
     "quantity_percentiles",
     "top_part_per_brand_maxby",
-)
-
-# The 50 queries checked green at r07 park outside the snapshot window
-# this round; they hit the 2-round staleness limit at r09, so the r9
-# rotation MUST move this entire list into GATE_PRIORITY (and park the
-# r8-green window here).  With 100 exported queries and a 50-row
-# snapshot the cycle is exactly two rounds — sustainable indefinitely.
-GATE_DEFERRED: tuple[str, ...] = (
-    "shipping_lead_time",
-    "top3_parts_per_brand",
-    "revenue_rank_tiers",
-    "cumulative_monthly_volume",
-    "daily_price_delta",
-    "indexed_commodity_groups",
-    "union_day_slices",
-    "link_text_filter",
-    "commodity_lookup",
-    "brands_never_shipped_1998",
-    "grouped_pandas_price_stats",
-    "approx_profile",
-    "gopher_quality_rules",
-    "boilerplate_grams",
-    "label_centroids",
-    "top5_commodities",
-    "revenue_by_region",
-    "pii_scrub",
-    "doc_fingerprints",
-    "uniform_hash_sample",
-    "minhash_lsh_candidates",
-    "ngram_jaccard_near_dups",
-    "near_dup_clusters",
-    "jaccard_ssjoin_near_dups",
-    "simhash_near_dups",
-    "per_doc_term_counts",
-    # first-evidence slot for the r8-registered IVF-PQ composition (its
-    # parent constructions pq_topk_adc / ivf_topk_ann are both gated)
-    "ivfpq_topk_adc",
-    "cosine_topk_bruteforce",
-    "salted_qty_by_flag",
-    "validate_documents",
-    "source_mix",
-    "quality_funnel",
-    "multimodal_features",
-    "video_frame_sample",
-    "dedup_exact_groups",
-    "dedup_content_hash",
-    "term_frequencies",
-    "doc_length_histogram",
-    "source_language_mix",
-    "semdedup_drop",
-    "cross_doc_gram_overlap",
-    "minhash_est_calibration",
-    "ann_recall_eval",
-    "ivf_recall_eval",
-    "dedup_rate_by_source",
-    "token_count_histogram",
-    "embedding_norm_outliers",
-    "pack_efficiency",
-    "image_near_dups",
-    "duplicated_span_stats",
 )
 
 # Retired from the GATE EXPORT only (r8, on the r7 verdict's advice): each
