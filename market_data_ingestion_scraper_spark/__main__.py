@@ -41,6 +41,10 @@ def main(argv: list[str] | None = None) -> int:
     corp.add_argument("--gold", required=True)
     corp.add_argument("--incremental", action="store_true",
                       help="dedup against existing gold hashes and append")
+    corp.add_argument("--bloom-path", default=None,
+                      help="maintain a sharded Bloom sidecar here; "
+                      "incremental runs probe it and skip the gold "
+                      "anti-join for provably-novel rows")
 
     ann = sub.add_parser(
         "ann-index",
@@ -112,7 +116,11 @@ def main(argv: list[str] | None = None) -> int:
         from .jobs import run_corpus_ingestion
 
         metrics = run_corpus_ingestion(
-            spark, args.landing, args.gold, incremental=args.incremental
+            spark,
+            args.landing,
+            args.gold,
+            incremental=args.incremental,
+            bloom_path=args.bloom_path,
         )
         for k, v in sorted(metrics.items()):
             print(f"{k}={v}")

@@ -117,6 +117,10 @@ def run_corpus_ingestion(
     landing_path: str,
     gold_path: str,
     incremental: bool = False,
+    bloom_path: str | None = None,
+    bloom_shards: int = 16,
+    bloom_bits: int = 1 << 20,
+    bloom_hashes: int = 5,
 ) -> dict[str, int]:
     """Training-corpus twin of :func:`run_market_ingestion`: JSONL landing
     directory → corrupt-line quarantine → exact content dedup (keep
@@ -133,6 +137,18 @@ def run_corpus_ingestion(
     real scale the append belongs in a transactional table format so a
     mid-write failure can't leave a partial batch visible.
 
+    ``bloom_path`` (with ``incremental``) maintains a sharded
+    Bloom-filter sidecar over gold's content hashes (operators.bloom):
+    batch hashes probe the fixed-size artifact first, and only
+    bloom-POSITIVE rows pay the gold anti-join — a novel crawl (all
+    negative) appends without scanning gold at all.  No false negatives
+    means the result is IDENTICAL to the plain path (pytest-pinned);
+    false positives only cost the redundant exact check.  The invariant
+    that makes skipping sound — bloom ⊇ gold's hashes — is maintained
+    here: the first bloom-less run builds the filter from gold after
+    writing, and every append extends it with exactly the appended
+    hashes before returning.
+
     Scale shape: the landing scan is line-splittable text; dedup shuffles
     32-byte hashes (map-side combined), never documents; the keep-set
     semi-join broadcasts when small.  The hash-group table is persisted
@@ -148,20 +164,61 @@ def run_corpus_ingestion(
     keeps = groups.select(F.col("keep_doc_id").alias("doc_id"))
     deduped = clean.join(keeps, "doc_id", "left_semi")
 
+    bloom = None
+    if incremental and bloom_path is not None:
+        from .operators.bloom import load_hash_bloom
+
+        try:
+            bloom, _ = load_hash_bloom(spark, bloom_path)
+        except FileNotFoundError:
+            bloom = None  # first run: built from gold after the write
+
     n_seen_before = 0
+    n_bloom_skipped = 0
     mode = "overwrite"
     fresh = None
+    flagged = None
     history = _gold_hashes(spark, gold_path) if incremental else None
     if history is not None:
         mode = "append"
-        # eqNullSafe: a doc with NULL text hashes to NULL, and a plain
-        # anti-join would never match it against gold's NULL — null-text
-        # docs would re-append on every run (review r7 finding)
-        fresh = deduped.join(
-            history,
-            deduped["content_hash"].eqNullSafe(history["_gold_hash"]),
-            "left_anti",
-        ).persist()
+        if bloom is not None:
+            from .operators.bloom import bloom_probe_hashes
+
+            verdicts = bloom_probe_hashes(
+                deduped.select(F.col("content_hash").alias("_h")), bloom
+            )
+            # eqNullSafe both here and below: NULL-text docs hash to NULL
+            # and must route through the exact path (their bloom verdict
+            # is always "maybe"), never silently re-append (r7 finding)
+            flagged = deduped.join(
+                verdicts,
+                deduped["content_hash"].eqNullSafe(verdicts["_h"]),
+                "left",
+            ).drop("_h").persist()
+            maybe = flagged.where(F.col("bloom_maybe")).drop("bloom_maybe")
+            definite_new = flagged.where(~F.col("bloom_maybe")).drop(
+                "bloom_maybe"
+            )
+            n_maybe = maybe.count()
+            if n_maybe == 0:
+                # the whole batch is provably novel — gold never scanned
+                checked = maybe
+            else:
+                checked = maybe.join(
+                    history,
+                    maybe["content_hash"].eqNullSafe(history["_gold_hash"]),
+                    "left_anti",
+                )
+            fresh = definite_new.unionByName(checked).persist()
+            n_bloom_skipped = (
+                groups.agg(F.count(F.lit(1))).collect()[0][0] - n_maybe
+            )
+        else:
+            fresh = deduped.join(
+                history,
+                deduped["content_hash"].eqNullSafe(history["_gold_hash"]),
+                "left_anti",
+            ).persist()
         n_new, n_batch = (
             fresh.count(),
             groups.agg(F.count(F.lit(1))).collect()[0][0],
@@ -180,13 +237,40 @@ def run_corpus_ingestion(
         sort_within=("doc_id",),
         mode=mode,
     )
+    if bloom_path is not None:
+        from .operators.bloom import (
+            build_hash_bloom,
+            extend_hash_bloom,
+            write_hash_bloom,
+        )
+
+        if bloom is not None:
+            # localCheckpoint cuts lineage back to the bloom parquet so
+            # overwriting the same path below is safe (never lazily read
+            # a path mid-overwrite); the table is n_shards small rows
+            updated = extend_hash_bloom(
+                bloom, deduped.select("content_hash")
+            ).localCheckpoint(eager=True)
+        else:
+            # first run (or rebuild after a lost sidecar): cover ALL of
+            # gold, not just this batch — the ⊇ invariant must hold
+            updated = build_hash_bloom(
+                spark.read.parquet(gold_path).select("content_hash"),
+                n_shards=bloom_shards,
+                n_bits=bloom_bits,
+                n_hashes=bloom_hashes,
+            )
+        write_hash_bloom(updated, bloom_path)
     groups.unpersist()
     if fresh is not None:
         fresh.unpersist()
+    if flagged is not None:
+        flagged.unpersist()
     return {
         "n_clean": counts["n_clean"] or 0,
         "n_quarantined": quarantine.count(),
         "n_kept": counts["n_distinct"] - n_seen_before,
         "n_dup_copies_removed": (counts["n_clean"] or 0) - counts["n_distinct"],
         "n_seen_before": n_seen_before,
+        "n_bloom_skipped": n_bloom_skipped,
     }

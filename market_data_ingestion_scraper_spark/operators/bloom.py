@@ -1,0 +1,327 @@
+"""Sharded Bloom-filter membership sidecar — the incremental-ingest
+accelerator a 100 TB gold corpus needs.
+
+Problem shape: ``run_corpus_ingestion(incremental=True)`` decides "is this
+document already in gold?" by anti-joining new content hashes against the
+persisted ``content_hash`` column.  Column pruning keeps that scan to
+32-byte hashes, but at 10^10 gold documents it is still a few-hundred-GB
+read per increment — and almost every incoming document of a novel crawl
+is NEW, so nearly all of that work answers "no match".  A Bloom filter
+gives the "definitely new" answer from a fixed-size artifact: no false
+negatives, so a bloom-negative row can append without ever touching gold;
+only the (tiny) bloom-positive remainder pays the exact anti-join.
+
+Design, Spark-first:
+
+- The filter is SHARDED: a row's content hash routes to one of
+  ``n_shards`` independent bitmaps (shard = portable md5 fold of the hash,
+  mod n_shards).  Shards keep every bitmap small enough to build inside
+  one Arrow batch and to extend incrementally — only the shards touched
+  by a new batch rewrite — and at cluster scale they parallelize both
+  build and probe.  10^10 hashes at 10 bits/key is ~12 GB of bitmap
+  total; at 256 shards that is ~47 MB per shard, a comfortable task.
+- Bit positions are ENGINE-PORTABLE: position_j(h) = the first 15 hex
+  chars of md5(h || ':' || j) parsed as a 60-bit integer, mod n_bits —
+  the same md5-fold idiom the MinHash oracle uses (dedup.py:42), so a SQL
+  engine reproduces every set bit exactly and the correctness gate can
+  differential-test membership semantics without comparing bitmaps.
+- The bitmap itself is a numpy uint8 array built/probed inside
+  ``applyInPandas`` / cogrouped ``applyInPandas``: Python touches
+  (shard, position) integers and fixed-size bitmaps — never documents —
+  and every batch is Arrow-transferred and vectorized.
+- The bloom table is SELF-DESCRIBING: each row carries (n_bits,
+  n_hashes) alongside the bitmap, and probes derive their hash
+  parameters from the table instead of trusting caller-supplied ints —
+  a parameter mismatch with a persisted artifact is therefore
+  impossible, not merely documented (the r8 AnnIndex lesson).
+
+False-positive math (standard Bloom bound): with m bits, n keys, k
+hashes, fpr ≈ (1 - e^(-kn/m))^k; m/n = 10 bits/key and k = 5 gives
+~0.9%.  False positives only cost a redundant exact check — correctness
+never depends on the filter.
+
+No part of this replicates the reference repo (a Selenium scraper,
+/root/reference/main.py) — the operator exists for the training-corpus
+scale mission; Bloom filters are textbook public knowledge (Bloom 1970).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: sidecar recording build provenance next to the bloom parquet
+BLOOM_SIDECAR = "_bloom.json"
+
+_BLOOM_SCHEMA = StructType(
+    [
+        StructField("shard", IntegerType()),
+        StructField("n_bits", LongType()),
+        StructField("n_hashes", IntegerType()),
+        StructField("n_set", LongType()),
+        StructField("bitmap", BinaryType()),
+    ]
+)
+
+
+def shard_of(hash_col, n_shards: int):
+    """Portable shard route: first 8 hex chars of md5(hash) mod n_shards
+    (31-bit fold — same idiom as dedup.portable_token_hash)."""
+    m = F.substring(F.md5(hash_col), 1, 8)
+    return F.pmod(F.conv(m, 16, 10).cast("long"), F.lit(n_shards)).cast("int")
+
+
+def bit_positions(hash_col, n_bits: int, n_hashes: int):
+    """Array of the row's k bit positions, each a 60-bit md5 fold of
+    (hash ':' j) mod n_bits — reproducible bit-for-bit in ANSI SQL:
+    ``('0x' || substring(md5(h || ':j'), 1, 15))::BIGINT % n_bits``."""
+    return F.array(
+        *[
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(hash_col, F.lit(f":{j}"))), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(n_bits),
+            )
+            for j in range(n_hashes)
+        ]
+    )
+
+
+def _position_rows(
+    hashes: DataFrame, n_shards: int, n_bits: int, n_hashes: int
+) -> DataFrame:
+    """(shard, pos) rows for every distinct non-null hash — the sparse
+    form of the filter.  distinct() bounds the frame by n_shards x n_bits
+    regardless of corpus size (it can never exceed the bit population)."""
+    return (
+        hashes.where(F.col("_h").isNotNull())
+        .select(
+            shard_of(F.col("_h"), n_shards).alias("shard"),
+            F.explode(bit_positions(F.col("_h"), n_bits, n_hashes)).alias(
+                "pos"
+            ),
+        )
+        .distinct()
+    )
+
+
+def build_hash_bloom(
+    df: DataFrame,
+    hash_col: str = "content_hash",
+    n_shards: int = 16,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 5,
+) -> DataFrame:
+    """Build the sharded bloom table from a hash column: one row per
+    shard, (shard, n_bits, n_hashes, n_set, bitmap).
+
+    Plan: distinct hashes (map-side combined) → k portable positions each
+    → distinct (shard, pos) → groupBy(shard).applyInPandas sets bits into
+    a numpy bitmap.  The shuffle carries (int, long) pairs bounded by the
+    bit population; document text never moves.  Size n_bits ~10x the
+    expected DISTINCT hash count per shard for ~1% fpr at k=5."""
+    nb, nh = int(n_bits), int(n_hashes)
+    pos = _position_rows(
+        df.select(F.col(hash_col).alias("_h")).distinct(), n_shards, nb, nh
+    )
+
+    def set_bits(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        bm = np.zeros((nb + 7) // 8, dtype=np.uint8)
+        p = pdf["pos"].to_numpy(dtype=np.int64)
+        np.bitwise_or.at(bm, p >> 3, (1 << (p & 7)).astype(np.uint8))
+        return pd.DataFrame(
+            {
+                "shard": [int(key[0])],
+                "n_bits": [nb],
+                "n_hashes": [nh],
+                "n_set": [len(p)],
+                "bitmap": [bm.tobytes()],
+            }
+        )
+
+    return pos.groupBy("shard").applyInPandas(set_bits, _BLOOM_SCHEMA)
+
+
+def _bloom_params(blooms: DataFrame) -> tuple[int, int, int]:
+    """Derive (n_shards, n_bits, n_hashes) FROM the bloom table — the
+    self-describing contract.  One tiny driver aggregate; raises when the
+    table mixes parameterizations (a corrupt or hand-edited artifact)."""
+    row = blooms.agg(
+        F.countDistinct("n_bits").alias("d_b"),
+        F.countDistinct("n_hashes").alias("d_h"),
+        F.max("n_bits").alias("n_bits"),
+        F.max("n_hashes").alias("n_hashes"),
+        F.max("shard").alias("max_shard"),
+    ).collect()[0]
+    if row["d_b"] != 1 or row["d_h"] != 1:
+        raise ValueError("bloom table mixes n_bits/n_hashes parameterizations")
+    # shards are dense 0..n-1 at build time; absent shards (possible
+    # after filtering) only matter for routing, which uses the BUILD
+    # shard count recorded implicitly by max_shard+1 being stable.
+    return int(row["max_shard"]) + 1, int(row["n_bits"]), int(row["n_hashes"])
+
+
+def bloom_probe_hashes(
+    hashes: DataFrame,
+    blooms: DataFrame,
+    n_shards: int | None = None,
+) -> DataFrame:
+    """Membership verdict for a frame of hashes: (_h, bloom_maybe).
+
+    ``bloom_maybe = false`` is a GUARANTEE of absence (no false
+    negatives); ``true`` means "check exactly".  NULL hashes return
+    ``true`` — they must flow to the exact (eqNullSafe) path, never be
+    admitted as definitely-new.  Hash parameters come from the bloom
+    table itself; pass ``n_shards`` only when probing a filtered subset
+    of shards (routing needs the BUILD-time shard count).
+
+    Plan: probe hashes carry their k positions as ONE array column into
+    a cogrouped applyInPandas against the shard's bitmap — the narrow
+    (hash, k longs) frame shuffles by shard; bitmaps move once; the bit
+    test is a vectorized numpy gather per Arrow batch.  A shard absent
+    from the bloom table answers definitely-new for its whole group."""
+    ns, nb, nh = _bloom_params(blooms)
+    ns = int(n_shards) if n_shards is not None else ns
+    probes = hashes.select(F.col("_h")).distinct()
+    nulls = probes.where(F.col("_h").isNull()).select(
+        "_h", F.lit(True).alias("bloom_maybe")
+    )
+    keyed = probes.where(F.col("_h").isNotNull()).select(
+        "_h",
+        shard_of(F.col("_h"), ns).alias("shard"),
+        bit_positions(F.col("_h"), nb, nh).alias("pos_arr"),
+    )
+    out_schema = StructType(
+        [
+            StructField("_h", StringType()),
+            StructField("bloom_maybe", BooleanType()),
+        ]
+    )
+
+    def probe(
+        key: tuple, left: pd.DataFrame, right: pd.DataFrame
+    ) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame({"_h": [], "bloom_maybe": []}).astype(
+                {"_h": "object", "bloom_maybe": "bool"}
+            )
+        if right.empty:  # shard never built → nothing is in it
+            return pd.DataFrame(
+                {"_h": left["_h"], "bloom_maybe": False}
+            )
+        bm = np.frombuffer(right["bitmap"].iloc[0], dtype=np.uint8)
+        pos = np.stack(
+            [np.asarray(a, dtype=np.int64) for a in left["pos_arr"]]
+        )  # rows x k
+        hit = (bm[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+        return pd.DataFrame(
+            {"_h": left["_h"], "bloom_maybe": hit.all(axis=1)}
+        )
+
+    tested = (
+        keyed.groupBy("shard")
+        .cogroup(blooms.groupBy("shard"))
+        .applyInPandas(probe, out_schema)
+    )
+    return tested.unionByName(nulls)
+
+
+def extend_hash_bloom(
+    blooms: DataFrame,
+    new_hashes: DataFrame,
+    hash_col: str = "content_hash",
+    n_shards: int | None = None,
+) -> DataFrame:
+    """OR newly-admitted hashes into the filter WITHOUT rebuilding: only
+    shards their positions touch rewrite; untouched shards pass through
+    byte-identical.  Same cogroup shape as the probe — new (shard, pos)
+    rows meet the shard's existing bitmap and set bits in numpy.
+    Invariant (pytest-pinned): extend(build(A), B) ≡ build(A ∪ B)."""
+    ns, nb, nh = _bloom_params(blooms)
+    ns = int(n_shards) if n_shards is not None else ns
+    pos = _position_rows(
+        new_hashes.select(F.col(hash_col).alias("_h")).distinct(), ns, nb, nh
+    )
+
+    def merge(
+        key: tuple, new_pos: pd.DataFrame, old: pd.DataFrame
+    ) -> pd.DataFrame:
+        if new_pos.empty:  # untouched shard: pass through unchanged
+            return old[
+                ["shard", "n_bits", "n_hashes", "n_set", "bitmap"]
+            ]
+        bm = (
+            np.frombuffer(old["bitmap"].iloc[0], dtype=np.uint8).copy()
+            if not old.empty
+            else np.zeros((nb + 7) // 8, dtype=np.uint8)
+        )
+        base = int(old["n_set"].iloc[0]) if not old.empty else 0
+        p = new_pos["pos"].to_numpy(dtype=np.int64)
+        was = ((bm[p >> 3] >> (p & 7).astype(np.uint8)) & 1).sum()
+        np.bitwise_or.at(bm, p >> 3, (1 << (p & 7)).astype(np.uint8))
+        return pd.DataFrame(
+            {
+                "shard": [int(key[0])],
+                "n_bits": [nb],
+                "n_hashes": [nh],
+                "n_set": [base + len(p) - int(was)],
+                "bitmap": [bm.tobytes()],
+            }
+        )
+
+    return (
+        pos.groupBy("shard")
+        .cogroup(blooms.groupBy("shard"))
+        .applyInPandas(merge, _BLOOM_SCHEMA)
+    )
+
+
+def write_hash_bloom(
+    blooms: DataFrame, path: str, hash_col: str = "content_hash"
+) -> None:
+    """Persist the filter as parquet + a provenance sidecar.  One file
+    per shard would be ideal; shard-count files via repartition keeps
+    single small files without a driver collect."""
+    ns, nb, nh = _bloom_params(blooms)
+    blooms.repartition(ns, "shard").write.mode("overwrite").parquet(path)
+    sidecar = {
+        "kind": "sharded-bloom",
+        "hash_col": hash_col,
+        "n_shards": ns,
+        "n_bits": nb,
+        "n_hashes": nh,
+    }
+    with open(os.path.join(path, BLOOM_SIDECAR), "w") as f:
+        json.dump(sidecar, f)
+
+
+def load_hash_bloom(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, dict]:
+    """Load (bloom table, sidecar).  Probe/extend still derive hash
+    parameters from the TABLE; the sidecar is provenance + the build
+    shard count for routing filtered subsets."""
+    with open(os.path.join(path, BLOOM_SIDECAR)) as f:
+        sidecar = json.load(f)
+    if sidecar.get("kind") != "sharded-bloom":
+        raise ValueError(f"not a bloom sidecar: {sidecar}")
+    return spark.read.parquet(path), sidecar

