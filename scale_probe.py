@@ -121,6 +121,93 @@ def main() -> None:
         print(json.dumps({"op": "near_dup_vs_index", "factor": factor,
                           "pairs": flagged, "sec": sec}), flush=True)
         idx.unpersist()
+        # r9: bloom sidecar — build over the K× corpus (timed: one scan +
+        # bit-population-bounded shuffle), then probe a FIXED mixed shard
+        # (half present, half novel hashes).  The artifact stays
+        # n_shards × n_bits/8 bytes at ANY corpus size; serve wall must
+        # be shard-bounded, and positives ~constant (present hashes all
+        # hit; novel false positives track the fill factor, not K).
+        from market_data_ingestion_scraper_spark.operators.bloom import (
+            bloom_probe_hashes,
+            build_hash_bloom,
+        )
+
+        hashes = d.select(
+            F.sha2(
+                F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), 256
+            ).alias("content_hash")
+        )
+        t0 = time.perf_counter()
+        blooms = build_hash_bloom(
+            hashes, n_shards=16, n_bits=1 << 20, n_hashes=5
+        ).persist()
+        bloom_bytes = blooms.agg(
+            F.sum(F.length("bitmap"))
+        ).collect()[0][0]
+        build_sec = round(time.perf_counter() - t0, 2)
+        results.setdefault("bloom_build", {})[factor] = {
+            "pairs": int(bloom_bytes), "sec": build_sec,
+        }
+        print(json.dumps({"op": "bloom_build", "factor": factor,
+                          "bitmap_bytes": int(bloom_bytes),
+                          "sec": build_sec}), flush=True)
+        present = (
+            docs.filter(F.col("doc_id") < 250)
+            .select(
+                F.sha2(
+                    F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "),
+                    256,
+                ).alias("_h")
+            )
+        )
+        novel = spark.range(250).select(
+            F.sha2(F.concat(F.lit("novel-"), F.col("id")), 256).alias("_h")
+        )
+        probe_shard = present.unionByName(novel)
+        t0 = time.perf_counter()
+        n_maybe = (
+            bloom_probe_hashes(probe_shard, blooms)
+            .where(F.col("bloom_maybe"))
+            .count()
+        )
+        sec = round(time.perf_counter() - t0, 2)
+        results.setdefault("bloom_probe", {})[factor] = {
+            "pairs": n_maybe, "sec": sec,
+        }
+        print(json.dumps({"op": "bloom_probe", "factor": factor,
+                          "positives": n_maybe, "sec": sec}), flush=True)
+        blooms.unpersist()
+        # r9: one full-corpus Lloyd refinement step — output is k × dim
+        # rows at ANY corpus size; wall must grow far below K (one scan +
+        # one bounded shuffle).
+        from market_data_ingestion_scraper_spark.operators.similarity import (
+            label_centroid_elements,
+            refined_centroid_elements,
+        )
+
+        if factor == 1:
+            elems = label_centroid_elements(
+                emb.join(
+                    load_table(spark, sf_dir, "embeddings").select(
+                        "vec_id", "label"
+                    ),
+                    "vec_id",
+                )
+            ).collect()
+            n_cells = max(r["label"] for r in elems) + 1
+            dim = max(r["pos"] for r in elems) + 1
+            cents = [[0.0] * dim for _ in range(n_cells)]
+            for r in elems:
+                cents[r["label"]][r["pos"]] = float(r["centroid_val"])
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        n_rows = refined_centroid_elements(e, cents).count()
+        sec = round(time.perf_counter() - t0, 2)
+        results.setdefault("lloyd_refine_step", {})[factor] = {
+            "pairs": n_rows, "sec": sec,
+        }
+        print(json.dumps({"op": "lloyd_refine_step", "factor": factor,
+                          "out_rows": n_rows, "sec": sec}), flush=True)
 
     summary = {
         name: {
