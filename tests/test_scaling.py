@@ -107,3 +107,68 @@ def test_duplicated_span_stats_replica_invariant(spark, base_docs, scaled_docs):
     assert sorted(set(scaled)) == [t for t in base]  # same per-replica values
     from collections import Counter
     assert all(c == K for c in Counter(scaled).values())
+
+
+def test_bloom_artifact_constant_size_and_probe_shard_bounded(
+    spark, base_docs, scaled_docs
+):
+    """The bloom sidecar's 100 TB claim: the artifact is n_shards x
+    n_bits/8 bytes at ANY corpus size, present hashes always hit, and a
+    fixed probe shard's verdict count doesn't scale with the corpus."""
+    from market_data_ingestion_scraper_spark.operators.bloom import (
+        bloom_probe_hashes,
+        build_hash_bloom,
+    )
+
+    def hashes(df):
+        return df.select(
+            F.sha2(
+                F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), 256
+            ).alias("content_hash")
+        )
+
+    sizes = {}
+    positives = {}
+    probe = hashes(base_docs.filter(F.col("doc_id") < 50)).withColumnRenamed(
+        "content_hash", "_h"
+    )
+    for name, df in (("base", base_docs), ("scaled", scaled_docs)):
+        blooms = build_hash_bloom(
+            hashes(df), n_shards=4, n_bits=1 << 14, n_hashes=5
+        ).persist()
+        sizes[name] = blooms.agg(F.sum(F.length("bitmap"))).collect()[0][0]
+        positives[name] = (
+            bloom_probe_hashes(probe, blooms)
+            .where(F.col("bloom_maybe"))
+            .count()
+        )
+        blooms.unpersist()
+    assert sizes["base"] == sizes["scaled"] == 4 * (1 << 14) // 8
+    n_probe = probe.distinct().count()
+    # every present hash hits in both (no false negatives)
+    assert positives["base"] == positives["scaled"] == n_probe
+
+
+def test_lloyd_refine_output_bounded_by_k_times_dim(spark, scaled_docs):
+    """One Lloyd step's output is k x dim rows regardless of corpus
+    size — the reduce that makes full-data refinement affordable."""
+    from market_data_ingestion_scraper_spark.operators.scaling import (
+        replicate_embeddings,
+    )
+    from market_data_ingestion_scraper_spark.operators.similarity import (
+        refined_centroid_elements,
+    )
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    dim = len(emb.first()["embedding"])
+    cents = [[0.1 * (c + 1)] * dim for c in range(4)]
+    base_rows = refined_centroid_elements(emb, cents)
+    scaled_rows = refined_centroid_elements(
+        replicate_embeddings(emb, K), cents
+    )
+    assert base_rows.count() <= 4 * dim
+    assert scaled_rows.count() <= 4 * dim
+    # replicas reuse base vectors, so per-cell counts scale by exactly K
+    b = {(r["cell"], r["pos"]): r["n_vecs"] for r in base_rows.collect()}
+    s = {(r["cell"], r["pos"]): r["n_vecs"] for r in scaled_rows.collect()}
+    assert s == {k2: K * v for k2, v in b.items()}
