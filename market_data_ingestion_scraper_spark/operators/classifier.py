@@ -44,16 +44,20 @@ FEATURE_COLS: tuple[str, ...] = (
 
 
 def classifier_features(
-    quality: DataFrame, label_threshold: float = 0.6
+    quality: DataFrame,
+    label_threshold: float = 0.6,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Stage (doc_id, x_bias..x_stop, s) from a `quality_features` frame:
     every feature saturates into [0, 1] and is rounded to 6 decimals so
     micro-unit arithmetic downstream is exact; ``s`` is the +-1 weak
     label (composite quality_score >= threshold) the gradient step
     consumes.  Callers with real labels can overwrite ``s`` — anything
-    +-1 works."""
+    +-1 works.  ``keep`` carries extra columns through (streaming
+    serving keeps the original row beside its features)."""
     return quality.select(
         "doc_id",
+        *keep,
         F.lit(1.0).alias("x_bias"),
         F.round(F.least(F.col("n_tokens") / 100.0, F.lit(1.0)), 6).alias(
             "x_len"
@@ -137,13 +141,14 @@ def logit_scores(feats: DataFrame, weights: DataFrame) -> DataFrame:
 
 
 def score_with_literal_weights(
-    feats: DataFrame, weights: list[float]
+    feats: DataFrame, weights: list[float], keep: tuple[str, ...] = ()
 ) -> DataFrame:
     """Serving path: score against a persisted/trained weight vector
     passed as Python literals (scoring order = FEATURE_COLS).  Same
     exact micro-unit arithmetic as :func:`logit_scores`; weights are
     rounded to 6 decimals on entry so stored artifacts and literals
-    agree."""
+    agree.  ``keep`` carries extra columns into the output (streaming
+    admission returns the original row beside its verdict)."""
     if len(weights) != len(FEATURE_COLS):
         raise ValueError(
             f"expected {len(FEATURE_COLS)} weights, got {len(weights)}"
@@ -155,6 +160,7 @@ def score_with_literal_weights(
         dot = term if dot is None else dot + term
     return feats.withColumn("_dot", dot).select(
         "doc_id",
+        *keep,
         F.round(F.col("_dot").cast("double") / 1e12, 6).alias("logit"),
         (F.col("_dot") > 0).alias("keep"),
     )

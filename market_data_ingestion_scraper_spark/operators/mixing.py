@@ -66,6 +66,61 @@ def source_mix(documents: DataFrame, source_col: str = "source") -> DataFrame:
     )
 
 
+def temperature_mixture(
+    documents: DataFrame,
+    alpha: float = 0.5,
+    source_col: str = "source",
+) -> DataFrame:
+    """Exponent-smoothed source sampling weights — the multilingual /
+    multi-source mixing standard (sample p_s^alpha renormalized; alpha <
+    1 upsamples tail sources: mBERT used 0.7, XLM-R 0.3 — both public):
+    ``sample_weight_s ∝ token_share_s ^ alpha``.
+
+    Builds on :func:`source_mix` (exact integer-ppm token shares), so
+    one corpus scan total.  Exactness: for the default alpha = 0.5 the
+    power is ``sqrt`` — IEEE-754 correctly rounded, hence bit-identical
+    across engines (unlike ``pow``, which is only ~1-ulp); other alphas
+    go through ``pow`` + round-6 (the `tfidf` ln precedent).  The
+    normalization sums micro-unit ints (exact, order-independent) and
+    re-derives ppm via the half-up DIV identity.  The global window runs
+    over per-source rows — bounded cardinality, same justification as
+    ``source_mix``."""
+    mix = source_mix(documents, source_col)
+    p = (
+        F.sqrt(F.col("token_share"))
+        if float(alpha) == 0.5
+        else F.pow(F.col("token_share"), F.lit(float(alpha)))
+    )
+    scaled = mix.select(
+        source_col,
+        "n_tokens",
+        "token_share",
+        F.round(p, 6).alias("_scaled"),
+    ).select(
+        source_col,
+        "n_tokens",
+        "token_share",
+        F.round(F.col("_scaled") * 1e6).cast("long").alias("_sm"),
+    )
+    w = Window.partitionBy()
+    t = scaled.select(
+        source_col,
+        "n_tokens",
+        "token_share",
+        "_sm",
+        F.sum("_sm").over(w).alias("_tot"),
+    )
+    ppm = F.expr(
+        "(CAST(_sm AS DECIMAL(38,0)) * 2000000 + _tot) DIV (2 * _tot)"
+    )
+    return t.select(
+        source_col,
+        "n_tokens",
+        "token_share",
+        (ppm / F.lit(1000000.0)).alias("sample_weight"),
+    )
+
+
 def training_order(
     documents: DataFrame,
     n_shards: int = 8,

@@ -68,18 +68,25 @@ def term_frequencies(documents: DataFrame) -> DataFrame:
     )
 
 
-def quality_features(documents: DataFrame) -> DataFrame:
+def quality_features(
+    documents: DataFrame, keep: tuple[str, ...] = ()
+) -> DataFrame:
     """Per-document quality signals: char/token counts, average token
     length, punctuation ratio, stopword ratio, and a composite score.
     All ratios rounded for cross-engine reproducibility.
 
     Staged through aliased columns so the tokenizer and each ratio run
     once per row — a single Project would inline the token array into
-    every downstream reference (see :func:`repetition_scores`)."""
+    every downstream reference (see :func:`repetition_scores`).
+
+    ``keep`` carries extra input columns through unchanged (streaming
+    admission filters need the original row beside its score — a stream
+    cannot join back to itself)."""
     t = tokens("text")
     en = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
     raw = documents.select(
         "doc_id",
+        *keep,
         F.length("text").alias("_n_chars"),
         (
             F.length("text")
@@ -91,6 +98,7 @@ def quality_features(documents: DataFrame) -> DataFrame:
     )
     ratios = raw.select(
         "doc_id",
+        *keep,
         "_n_chars",
         "_n_tok",
         F.round(
@@ -112,6 +120,7 @@ def quality_features(documents: DataFrame) -> DataFrame:
     )
     return ratios.select(
         "doc_id",
+        *keep,
         F.col("_n_chars").alias("n_chars_obs"),
         F.col("_n_tok").alias("n_tokens"),
         F.col("_avg_tok").alias("avg_token_len"),
@@ -364,6 +373,91 @@ def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= k)
         .select("doc_id", "term", "tfidf", "rnk")
+    )
+
+
+def bm25_scores(
+    documents: DataFrame,
+    query_terms: tuple[str, ...],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> DataFrame:
+    """Okapi BM25 ranking of documents for a literal query term set
+    (Robertson-Sparck Jones probabilistic IR — textbook public):
+    ``score(d) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1-b+b*|d|/avgdl))``
+    with ``idf(t) = ln((N - df + 0.5)/(df + 0.5) + 1)``.
+
+    Scale shape: the token explode FILTERS to the query terms before
+    aggregating, so the per-(doc, term) shuffle carries only matching
+    occurrences (|query| columns of the inverted index, not the
+    vocabulary); per-term df and the corpus (N, avgdl) row are
+    |query|-row / 1-row broadcasts; the final top-k is
+    ``orderBy().limit()`` — TakeOrderedAndProject, no single-partition
+    window.  Determinism: idf and the per-term weight are rounded to 6
+    decimals, the per-document sum runs in exact micro-unit ints
+    (order-independent), ties break by doc_id."""
+    terms = [t.lower() for t in query_terms]
+    qlit = F.array(*[F.lit(t) for t in terms])
+    doclen = documents.select(
+        "doc_id", F.size(tokens("text")).alias("_dl")
+    )
+    corpus = doclen.agg(
+        F.count(F.lit(1)).alias("_n_docs"),
+        F.round(
+            F.sum("_dl").cast("double") / F.count(F.lit(1)), 6
+        ).alias("_avgdl"),
+    )
+    tf = (
+        documents.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .where(F.array_contains(qlit, F.col("term")))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("_df")
+    )
+    idf = F.round(
+        F.log(
+            (F.col("_n_docs") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+            + 1.0
+        ),
+        6,
+    )
+    weight = F.round(
+        F.col("_tf")
+        * F.lit(float(k1) + 1.0)
+        / (
+            F.col("_tf")
+            + F.lit(float(k1))
+            * (
+                F.lit(1.0 - float(b))
+                + F.lit(float(b)) * F.col("_dl") / F.col("_avgdl")
+            )
+        ),
+        6,
+    )
+    contrib = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            F.round(F.round(idf, 6) * weight, 6).alias("_part"),
+        )
+        .select(
+            "doc_id",
+            F.round(F.col("_part") * 1e6).cast("long").alias("_pm"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.round(F.sum("_pm").cast("double") / 1e6, 6).alias("bm25"),
+            F.count(F.lit(1)).alias("n_terms_matched"),
+        )
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(int(top_k))
     )
 
 

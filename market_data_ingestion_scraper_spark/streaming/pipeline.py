@@ -377,6 +377,40 @@ def stream_near_dup_filter(
     )
 
 
+def stream_quality_filter(
+    rows: DataFrame,
+    weights: list[float],
+    keep_cols: tuple[str, ...] = ("text",),
+) -> DataFrame:
+    """Streaming QUALITY admission: score each incoming document with a
+    trained linear quality model (operators/classifier — weights from an
+    offline ``fit_lr`` / ``gradient_step_weights`` run, passed as
+    literals) and admit only rows the model keeps.  Train offline, serve
+    online: the whole filter is a stateless row-local projection — the
+    same exact micro-unit integer dot product the oracle-gated batch
+    query uses — so it is stream-legal at any rate, adds no state, and
+    batch ≡ stream bit-for-bit (pytest-pinned).
+
+    Returns (doc_id, *keep_cols, quality_logit).  POLICY: rows whose
+    text is null can't be featurized (null features ⇒ null verdict) and
+    are DROPPED, mirroring `stream_near_dup_filter`'s un-scoreable
+    policy — route them through quarantine before this filter; the test
+    pins the drop."""
+    from ..operators.classifier import (
+        classifier_features,
+        score_with_literal_weights,
+    )
+    from ..operators.text import quality_features
+
+    feats = classifier_features(
+        quality_features(rows, keep=keep_cols), keep=keep_cols
+    )
+    scored = score_with_literal_weights(feats, weights, keep=keep_cols)
+    return scored.where(F.col("keep")).select(
+        "doc_id", *keep_cols, F.col("logit").alias("quality_logit")
+    )
+
+
 def run_to_memory(
     df: DataFrame, name: str, spark: SparkSession, mode: str = "complete"
 ) -> DataFrame:

@@ -148,3 +148,106 @@ def test_pack_plan_strata_scale_with_shards(spark, sf_smoke):
     strata = df.select("lang", "shard").distinct().count()
     langs = df.select("lang").distinct().count()
     assert strata > 3 * langs, (strata, langs)
+
+
+def test_temperature_mixture_flattens_toward_tail(spark):
+    """alpha < 1 compresses the mixture toward uniform: the dominant
+    source's weight shrinks vs its token share, the tail's grows, and
+    weights still sum to ~1 (ppm rounding)."""
+    from market_data_ingestion_scraper_spark.operators.mixing import (
+        temperature_mixture,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "big " * 50, "web") for i in range(9)]
+        + [(100, "tiny text here", "books")],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in temperature_mixture(docs, 0.5).collect()}
+    web, books = out["web"], out["books"]
+    assert web["token_share"] > 0.9
+    assert web["sample_weight"] < web["token_share"]
+    assert books["sample_weight"] > books["token_share"]
+    total = sum(r["sample_weight"] for r in out.values())
+    assert abs(total - 1.0) < 1e-4
+
+
+def test_temperature_mixture_alpha_one_keeps_shares(spark):
+    from market_data_ingestion_scraper_spark.operators.mixing import (
+        temperature_mixture,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d", "x"), (2, "e f", "y"), (3, "g h", "y")],
+        "doc_id long, text string, source string",
+    )
+    for r in temperature_mixture(docs, alpha=1.0).collect():
+        assert abs(r["sample_weight"] - r["token_share"]) < 2e-6
+
+
+def test_bm25_matches_independent_reference(spark):
+    """bm25_scores vs a from-the-formula pure-Python reference on a tiny
+    corpus (same tokenizer, independent arithmetic path)."""
+    import math
+
+    from market_data_ingestion_scraper_spark.operators.text import (
+        bm25_scores,
+    )
+
+    corpus = {
+        1: "hash join hash join hash",
+        2: "vector scan vector",
+        3: "hash vector join table scan",
+        4: "table scan only nothing relevant",
+    }
+    docs = spark.createDataFrame(
+        list(corpus.items()), "doc_id long, text string"
+    )
+    terms = ("hash", "vector")
+    k1, b = 1.2, 0.75
+    toks = {d: t.split() for d, t in corpus.items()}
+    n = len(corpus)
+    avgdl = round(sum(len(v) for v in toks.values()) / n, 6)
+    df = {
+        t: sum(1 for v in toks.values() if t in v) for t in terms
+    }
+    expect = {}
+    for d, v in toks.items():
+        pm = 0
+        matched = 0
+        for t in terms:
+            tf = v.count(t)
+            if not tf:
+                continue
+            matched += 1
+            idf = round(math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1), 6)
+            wt = round(
+                tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(v) / avgdl)), 6
+            )
+            pm += int(round(round(idf * wt, 6) * 1e6))
+        if matched:
+            expect[d] = (round(pm / 1e6, 6), matched)
+    got = {
+        r["doc_id"]: (r["bm25"], r["n_terms_matched"])
+        for r in bm25_scores(docs, terms, top_k=10).collect()
+    }
+    assert got == expect
+    assert 4 not in got  # no query term -> no row
+
+
+def test_bm25_topk_is_take_ordered_not_global_window(spark, sf_smoke):
+    from market_data_ingestion_scraper_spark.operators.text import (
+        bm25_scores,
+    )
+    from market_data_ingestion_scraper_spark.sources.tables import load_table
+
+    plan = (
+        bm25_scores(
+            load_table(spark, sf_smoke, "documents"), ("hash", "join"), top_k=5
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan

@@ -509,3 +509,49 @@ def test_compact_absorbs_batches_landed_after_staging(spark, sf_smoke, tmp_path)
     assert spark.read.parquet(full).count() == n_expect
     subs = [x for x in os.listdir(full) if x.startswith("ingest_batch_id=")]
     assert subs == [f"ingest_batch_id={P.COMPACTED_BATCH_ID}"]
+
+
+def test_stream_quality_filter_admission(spark, tmp_path):
+    """Train offline, serve online: the linear quality model's weights
+    (operators/classifier.fit_lr) admit prose, reject punctuation junk,
+    and DROP null-text rows (un-scoreable policy, mirroring the near-dup
+    filter).  The filter is a stateless projection: stream ≡ batch."""
+    from market_data_ingestion_scraper_spark.operators.classifier import (
+        classifier_features,
+        fit_lr,
+    )
+    from market_data_ingestion_scraper_spark.operators.text import (
+        quality_features,
+    )
+
+    prose = (
+        "the quick brown fox jumps over the lazy dog and it is a fine "
+        "day in the meadow " * 4
+    )
+    junk = "@@!! ## $$%% ^^&&**(( ))__ ++==" * 3
+    train = spark.createDataFrame(
+        [(i, prose) for i in range(20)]
+        + [(100 + i, junk) for i in range(20)],
+        "doc_id long, text string",
+    )
+    w = fit_lr(
+        classifier_features(quality_features(train), label_threshold=0.6),
+        n_iter=50,
+    )
+
+    incoming = spark.createDataFrame(
+        [(1, prose), (2, junk), (3, None)], "doc_id long, text string"
+    )
+    batch = P.stream_quality_filter(incoming, w)
+    got = {r["doc_id"]: r["quality_logit"] for r in batch.collect()}
+    assert set(got) == {1}          # prose admitted; junk + null dropped
+    assert got[1] > 0
+
+    qdir = str(tmp_path / "qdocs")
+    incoming.write.parquet(qdir)
+    stream = spark.readStream.schema(incoming.schema).parquet(qdir)
+    out = P.run_to_memory(
+        P.stream_quality_filter(stream, w), "t_quality_adm", spark,
+        mode="append",
+    )
+    assert {r["doc_id"]: r["quality_logit"] for r in out.collect()} == got
