@@ -75,6 +75,30 @@ def main() -> None:
     region.count()
     region.mapInPandas(lambda it: it, region.schema).count()
 
+    # Box-speed calibration (r9: identical untouched plans measured
+    # 1.4-1.5x slower than their r8 numbers on an idle box — host-level
+    # throughput drift a load average cannot see).  A fixed pure-JVM
+    # workload — SINGLE-partition 3e8-row codegen'd hash-sum, so one
+    # thread runs a compute-bound loop with no scheduling floor (a
+    # 32-way parallel range finishes in the ~0.2 s task-launch floor and
+    # tracks nothing) — timed min-of-3 and recorded as
+    # `calibration_sec`.  Cross-round query ratios should be read
+    # relative to the calibration ratio before calling anything a plan
+    # regression.
+    cal_runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        # % 1024 keeps the ANSI sum bounded; the hash still runs per row
+        spark.range(0, 300_000_000, 1, 1).selectExpr(
+            "sum(xxhash64(id) % 1024) AS s"
+        ).collect()
+        cal_runs.append(time.perf_counter() - t0)
+    calibration = round(min(cal_runs), 4)
+    print(
+        f"box calibration (1-thread 3e8 hash-sum): {calibration}s",
+        file=sys.stderr,
+    )
+
     # min-of-N per query: single-shot wall times on this box swing up to
     # 18x run-to-run (r03 verdict), so one sample cannot distinguish a plan
     # regression from scheduler jitter.  The min over N runs estimates the
@@ -154,6 +178,7 @@ def main() -> None:
                 "index_build": index_build,
                 "load_avg_start": load_start,
                 "load_avg_end": os.getloadavg(),
+                "calibration_sec": calibration,
             },
             f,
             indent=1,
@@ -172,6 +197,7 @@ def main() -> None:
         "sf": sf_val,
         "n_queries": len(timings),
         "detail": os.path.basename(detail_path),
+        "calibration_sec": calibration,
         "queries": {k: round(v, 2) for k, v in slowest.items()},
     }
     print(json.dumps(out, separators=(",", ":")))

@@ -45,6 +45,20 @@ def main(argv: list[str] | None = None) -> int:
                       help="maintain a sharded Bloom sidecar here; "
                       "incremental runs probe it and skip the gold "
                       "anti-join for provably-novel rows")
+    corp.add_argument("--sketch-path", default=None,
+                      help="append one mergeable sketch row per source "
+                      "shard covering the rows admitted this run; "
+                      "`corpus-profile` answers globally by merging")
+
+    prof = sub.add_parser(
+        "corpus-profile",
+        help="global corpus profile (total/distinct tokens, doc-length "
+        "quartiles) by MERGING the ingest-maintained sketch artifact — "
+        "gold text is never rescanned",
+    )
+    prof.add_argument("--sketches", required=True,
+                      help="sketch parquet maintained by ingest-corpus "
+                      "--sketch-path")
 
     ann = sub.add_parser(
         "ann-index",
@@ -60,6 +74,20 @@ def main(argv: list[str] | None = None) -> int:
     ann.add_argument("--n-lists", type=int, default=16)
     ann.add_argument("--dim", type=int, default=64)
     ann.add_argument("--seed", type=int, default=1000)
+
+    tq = sub.add_parser(
+        "train-quality",
+        help="train the linear quality classifier on a documents parquet "
+        "(weak labels from the composite quality score) and persist the "
+        "weight artifact for batch/stream serving",
+    )
+    tq.add_argument("--documents", required=True,
+                    help="parquet with (doc_id, text) columns")
+    tq.add_argument("--out", required=True,
+                    help="JSON weight artifact path")
+    tq.add_argument("--iters", type=int, default=50)
+    tq.add_argument("--lr", type=float, default=1.0)
+    tq.add_argument("--label-threshold", type=float, default=0.6)
 
     nd = sub.add_parser(
         "near-dup-index",
@@ -121,9 +149,54 @@ def main(argv: list[str] | None = None) -> int:
             args.gold,
             incremental=args.incremental,
             bloom_path=args.bloom_path,
+            sketch_path=args.sketch_path,
         )
         for k, v in sorted(metrics.items()):
             print(f"{k}={v}")
+        return 0
+
+    if args.cmd == "corpus-profile":
+        from .operators.sketches import merge_corpus_profile
+
+        row = merge_corpus_profile(spark.read.parquet(args.sketches))
+        print(f"n_token_instances={row['n_token_instances']}")
+        print(f"distinct_tokens_hll={row['distinct_tokens_hll']:.1f}")
+        print(f"distinct_tokens_theta={row['distinct_tokens_theta']:.1f}")
+        print(
+            "doc_len_quartiles="
+            + ",".join(str(v) for v in row["doc_len_quartiles"])
+        )
+        return 0
+
+    if args.cmd == "train-quality":
+        from .operators.classifier import (
+            classifier_features,
+            fit_lr,
+            logistic_loss,
+            save_quality_weights,
+        )
+        from .operators.text import quality_features
+
+        docs = spark.read.parquet(args.documents)
+        feats = classifier_features(
+            quality_features(docs), label_threshold=args.label_threshold
+        ).persist()
+        w = fit_lr(feats, n_iter=args.iters, lr=args.lr)
+        loss = logistic_loss(feats, w)
+        feats.unpersist()
+        save_quality_weights(
+            w,
+            args.out,
+            meta={
+                "n_iter": args.iters,
+                "lr": args.lr,
+                "label_threshold": args.label_threshold,
+                "train_loss": round(loss, 6),
+            },
+        )
+        print(f"weights={w}")
+        print(f"train_loss={round(loss, 6)}")
+        print(f"artifact={args.out}")
         return 0
 
     if args.cmd == "ann-index":

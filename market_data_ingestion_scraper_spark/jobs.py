@@ -121,6 +121,7 @@ def run_corpus_ingestion(
     bloom_shards: int = 16,
     bloom_bits: int = 1 << 20,
     bloom_hashes: int = 5,
+    sketch_path: str | None = None,
 ) -> dict[str, int]:
     """Training-corpus twin of :func:`run_market_ingestion`: JSONL landing
     directory → corrupt-line quarantine → exact content dedup (keep
@@ -148,6 +149,15 @@ def run_corpus_ingestion(
     here: the first bloom-less run builds the filter from gold after
     writing, and every append extends it with exactly the appended
     hashes before returning.
+
+    ``sketch_path`` maintains the mergeable profile artifact
+    (operators.sketches): each run appends ONE sketch row per source
+    shard covering exactly the rows admitted to gold this run, so the
+    global corpus profile (total/distinct tokens, doc-length quantiles)
+    is answered by MERGING the artifact — `merge_corpus_profile` /
+    the `corpus-profile` CLI — and gold text is never rescanned.
+    Content-level exactly-once carries over for free: a re-delivered
+    batch admits zero rows and therefore appends zero sketch rows.
 
     Scale shape: the landing scan is line-splittable text; dedup shuffles
     32-byte hashes (map-side combined), never documents; the keep-set
@@ -209,7 +219,18 @@ def run_corpus_ingestion(
                     maybe["content_hash"].eqNullSafe(history["_gold_hash"]),
                     "left_anti",
                 )
-            fresh = definite_new.unionByName(checked).persist()
+            # localCheckpoint, NOT persist: fresh's lineage reads the gold
+            # path (the history anti-join), and writing gold below makes
+            # Spark recache-by-path RECOMPUTE any cached plan that scans
+            # it — a persisted fresh silently re-evaluates to EMPTY after
+            # the append (its own rows now match history), so every
+            # post-write consumer (bloom extend, sketch append) would see
+            # nothing.  Eager checkpointing materializes the admitted
+            # rows NOW and truncates the lineage, making them immune to
+            # the append.
+            fresh = definite_new.unionByName(checked).localCheckpoint(
+                eager=True
+            )
             n_bloom_skipped = (
                 groups.agg(F.count(F.lit(1))).collect()[0][0] - n_maybe
             )
@@ -218,7 +239,7 @@ def run_corpus_ingestion(
                 history,
                 deduped["content_hash"].eqNullSafe(history["_gold_hash"]),
                 "left_anti",
-            ).persist()
+            ).localCheckpoint(eager=True)
         n_new, n_batch = (
             fresh.count(),
             groups.agg(F.count(F.lit(1))).collect()[0][0],
@@ -261,6 +282,15 @@ def run_corpus_ingestion(
                 n_hashes=bloom_hashes,
             )
         write_hash_bloom(updated, bloom_path)
+    if sketch_path is not None and counts["n_distinct"] - n_seen_before > 0:
+        from .operators.sketches import shard_token_sketches
+
+        # sketch exactly the admitted rows; merge-time multiplicity is
+        # fine (HLL/theta unions and count sums are associative), so the
+        # artifact is append-only — no read-modify-write race
+        shard_token_sketches(deduped).write.mode("append").parquet(
+            sketch_path
+        )
     groups.unpersist()
     if fresh is not None:
         fresh.unpersist()

@@ -200,6 +200,52 @@ def fit_lr(
     return [round(float(v), 6) for v in w]
 
 
+def save_quality_weights(
+    weights: list[float], path: str, meta: dict | None = None
+) -> None:
+    """Persist a trained weight vector as a small JSON artifact — the
+    classifier twin of the ann-index `_quantizer.json` lesson: serving
+    must derive its parameters from the artifact, never from caller
+    memory.  Records the feature schema so a loader can refuse a vector
+    trained against different features."""
+    import json
+
+    if len(weights) != len(FEATURE_COLS):
+        raise ValueError(
+            f"expected {len(FEATURE_COLS)} weights, got {len(weights)}"
+        )
+    doc = {
+        "kind": "linear-quality",
+        "feature_cols": list(FEATURE_COLS),
+        "weights": [round(float(w), 6) for w in weights],
+    }
+    if meta:
+        doc["meta"] = dict(meta)
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=1, sort_keys=True)
+
+
+def load_quality_weights(path: str) -> list[float]:
+    """Load a `save_quality_weights` artifact, validating kind and the
+    feature schema (a weight vector scored against features it was not
+    trained on is silent garbage — mismatch raises instead)."""
+    import json
+
+    with open(path) as f:
+        doc = json.load(f)
+    if doc.get("kind") != "linear-quality":
+        raise ValueError(f"not a linear-quality artifact: {doc.get('kind')}")
+    if tuple(doc.get("feature_cols", ())) != FEATURE_COLS:
+        raise ValueError(
+            "feature schema mismatch: artifact has "
+            f"{doc.get('feature_cols')}, serving expects {list(FEATURE_COLS)}"
+        )
+    w = doc["weights"]
+    if len(w) != len(FEATURE_COLS):
+        raise ValueError(f"expected {len(FEATURE_COLS)} weights, got {len(w)}")
+    return [float(v) for v in w]
+
+
 def logistic_loss(feats: DataFrame, weights: list[float]) -> float:
     """Mean logistic loss of a weight vector over a feature frame —
     the training diagnostic (pytest pins monotone decrease).  One

@@ -118,3 +118,37 @@ def test_scoring_plan_broadcasts_weights(feats):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_weight_artifact_round_trip(tmp_path, feats):
+    from market_data_ingestion_scraper_spark.operators.classifier import (
+        load_quality_weights,
+        save_quality_weights,
+    )
+
+    w = fit_lr(feats, n_iter=10)
+    p = str(tmp_path / "w.json")
+    save_quality_weights(w, p, meta={"n_iter": 10})
+    assert load_quality_weights(p) == w
+
+
+def test_weight_artifact_schema_mismatch_raises(tmp_path):
+    import json
+
+    from market_data_ingestion_scraper_spark.operators.classifier import (
+        load_quality_weights,
+    )
+
+    p = str(tmp_path / "bad.json")
+    with open(p, "w") as f:
+        json.dump(
+            {"kind": "linear-quality", "feature_cols": ["x_other"],
+             "weights": [1.0]},
+            f,
+        )
+    with pytest.raises(ValueError, match="feature schema mismatch"):
+        load_quality_weights(p)
+    with open(p, "w") as f:
+        json.dump({"kind": "something-else", "weights": []}, f)
+    with pytest.raises(ValueError, match="not a linear-quality"):
+        load_quality_weights(p)

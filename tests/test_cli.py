@@ -189,3 +189,47 @@ def test_cli_ann_index_rejects_uri_paths():
     )
     assert r.returncode != 0
     assert "local filesystem path required" in r.stderr
+
+
+def test_cli_train_quality_artifact_and_serving(tmp_path):
+    from market_data_ingestion_scraper_spark.operators.classifier import (
+        FEATURE_COLS,
+        load_quality_weights,
+    )
+
+    out = tmp_path / "quality_weights.json"
+    r = _run(
+        "train-quality",
+        "--documents", "/root/testdata/sf0.001/documents.parquet",
+        "--out", str(out),
+        "--iters", "10",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "train_loss=" in r.stdout
+    w = load_quality_weights(str(out))
+    assert len(w) == len(FEATURE_COLS)
+    assert any(v != 0.0 for v in w)
+
+
+def test_cli_corpus_profile_from_sketch_artifact(tmp_path):
+    import json as _json
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    with open(landing / "s.jsonl", "w") as f:
+        f.write(_json.dumps({"doc_id": 1, "text": "alpha beta gamma",
+                             "lang": "en", "source": "a",
+                             "n_chars": 16}) + "\n")
+        f.write(_json.dumps({"doc_id": 2, "text": "beta delta",
+                             "lang": "en", "source": "b",
+                             "n_chars": 10}) + "\n")
+    sk = str(tmp_path / "sketches")
+    r = _run("ingest-corpus", "--landing", str(landing),
+             "--gold", str(tmp_path / "gold"), "--incremental",
+             "--sketch-path", sk)
+    assert r.returncode == 0, r.stderr[-2000:]
+    r2 = _run("corpus-profile", "--sketches", sk)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "n_token_instances=5" in r2.stdout
+    assert "distinct_tokens_hll=4.0" in r2.stdout
+    assert "doc_len_quartiles=" in r2.stdout

@@ -233,3 +233,58 @@ def test_incremental_ingestion_null_text_does_not_reappend(spark, tmp_path):
     m2 = run_corpus_ingestion(spark, landing, gold, incremental=True)
     assert m2["n_kept"] == 0 and m2["n_seen_before"] == 2
     assert spark.read.parquet(gold).count() == 2
+
+
+def test_ingest_maintains_sketch_artifact_profile_by_merge(spark, tmp_path):
+    """--sketch-path: each run appends sketch rows for exactly the
+    admitted rows; the merged profile equals the exact gold stats
+    (counts exactly; distinct within sketch bounds) WITHOUT rescanning
+    gold, and a re-delivered batch appends nothing."""
+    from market_data_ingestion_scraper_spark.jobs import run_corpus_ingestion
+    from market_data_ingestion_scraper_spark.operators.sketches import (
+        merge_corpus_profile,
+    )
+    from market_data_ingestion_scraper_spark.operators.text import tokens
+
+    def land(dirname, rows):
+        d = tmp_path / dirname
+        d.mkdir()
+        with open(d / "s.jsonl", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        return str(d)
+
+    gold = str(tmp_path / "gold")
+    sk = str(tmp_path / "sketches")
+    l1 = land("s1", [
+        {"doc_id": 1, "text": "alpha beta gamma", "lang": "en",
+         "source": "a", "n_chars": 16},
+        {"doc_id": 2, "text": "beta delta", "lang": "en",
+         "source": "b", "n_chars": 10},
+    ])
+    run_corpus_ingestion(spark, l1, gold, incremental=True, sketch_path=sk)
+    l2 = land("s2", [
+        {"doc_id": 10, "text": "gamma epsilon zeta eta", "lang": "en",
+         "source": "a", "n_chars": 22},
+        # cross-run dup of doc 1: admitted nowhere, sketched nowhere
+        {"doc_id": 11, "text": "ALPHA   beta Gamma", "lang": "en",
+         "source": "b", "n_chars": 18},
+    ])
+    run_corpus_ingestion(spark, l2, gold, incremental=True, sketch_path=sk)
+
+    prof = merge_corpus_profile(spark.read.parquet(sk))
+    back = spark.read.parquet(gold)
+    exact_tokens = back.select(F.explode(tokens("text")).alias("t"))
+    n_exact = exact_tokens.count()
+    n_distinct = exact_tokens.distinct().count()
+    assert prof["n_token_instances"] == n_exact  # counts are exact
+    assert abs(prof["distinct_tokens_hll"] - n_distinct) <= 1
+    assert abs(prof["distinct_tokens_theta"] - n_distinct) <= 1
+
+    # re-delivered batch: zero admitted -> zero new sketch rows
+    n_rows = spark.read.parquet(sk).count()
+    run_corpus_ingestion(spark, l2, gold, incremental=True, sketch_path=sk)
+    assert spark.read.parquet(sk).count() == n_rows
+    assert merge_corpus_profile(
+        spark.read.parquet(sk)
+    )["n_token_instances"] == n_exact
