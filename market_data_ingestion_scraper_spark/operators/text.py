@@ -591,6 +591,85 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
     )
 
 
+def bigram_logprob(documents: DataFrame, lam: float = 0.75) -> DataFrame:
+    """Interpolated bigram LM quality (the CCNet-style perplexity signal
+    one order up from :func:`unigram_logprob`; Jelinek-Mercer smoothing —
+    textbook public): per-document mean log p(w_i | w_{i-1}) with
+    ``p = lam * c(w1,w2)/c(w1) + (1-lam) * c(w2)/N``; each document's
+    first token scores under the unigram model alone.
+
+    Exactness: the per-occurrence log-prob snaps to int64 micro-units
+    before the per-doc mean (the house pattern — order-independent sums;
+    only the round-6-stable ``ln`` touches floating point).
+
+    Scale shape: bigram pairs derive SHUFFLE-FREE from the token array
+    (``arrays_zip`` of two slices) — no self-join of the occurrence
+    table; the count tables are vocabulary- / bigram-vocabulary-bounded
+    (the latter runs to ~1e9 rows at web scale — a real but
+    partitionable shuffle, stated up front); scoring joins occurrences
+    against them by key.  Like the unigram scorer, deriving the model
+    and scoring with it in ONE plan costs two corpus passes; production
+    persists the count tables once and scores single-pass."""
+    lam = float(lam)
+    staged = documents.select("doc_id", tokens("text").alias("_t")).where(
+        F.size("_t") > 0
+    )
+    n_tok = F.size("_t")
+    firsts = staged.select(
+        "doc_id", F.element_at("_t", 1).alias("term")
+    )
+    pairs = staged.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("_t", 1, n_tok - 1).alias("prev"),
+                F.slice("_t", 2, n_tok - 1).alias("term"),
+            )
+        ).alias("_p"),
+    ).select("doc_id", F.col("_p.prev").alias("prev"), F.col("_p.term").alias("term"))
+    occ = staged.select("doc_id", F.explode("_t").alias("term"))
+    cu = occ.groupBy("term").agg(F.count(F.lit(1)).alias("cu"))
+    total = cu.agg(F.sum("cu").alias("total"))
+    cb = pairs.groupBy("prev", "term").agg(F.count(F.lit(1)).alias("cb"))
+
+    uni_p = F.col("cu").cast("double") / F.col("total")
+    first_scored = (
+        firsts.join(cu, "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.round(F.log(uni_p) * 1e6).cast("long").alias("lp_micro"),
+        )
+    )
+    cu_prev = cu.select(
+        F.col("term").alias("prev"), F.col("cu").alias("cu_prev")
+    )
+    big_p = (
+        F.lit(lam) * (F.col("cb").cast("double") / F.col("cu_prev"))
+        + F.lit(1.0 - lam) * uni_p
+    )
+    pair_scored = (
+        pairs.join(cb, ["prev", "term"])
+        .join(cu, "term")
+        .join(cu_prev, "prev")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.round(F.log(big_p) * 1e6).cast("long").alias("lp_micro"),
+        )
+    )
+    return (
+        first_scored.unionByName(pair_scored)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("lp_micro") / F.count(F.lit(1)) / 1e6, 6).alias(
+                "avg_logprob"
+            ),
+        )
+    )
+
+
 def lexical_diversity(documents: DataFrame) -> DataFrame:
     """Per-document type-token ratio (distinct tokens / tokens) and
     hapax ratio (tokens occurring once / tokens) — the classic lexical

@@ -190,3 +190,62 @@ def test_duplicated_span_stats_invariants(spark, texts):
             round(s["dup_token_fraction"] * s["n_tokens"]) for s in stats.values()
         )
         assert removed < covered_total or covered_total == 0
+
+
+def test_bigram_logprob_matches_independent_reference(spark):
+    """bigram_logprob vs a from-the-formula pure-Python twin on a tiny
+    corpus (same tokenizer, independent counting and arithmetic)."""
+    import math
+
+    from market_data_ingestion_scraper_spark.operators.text import (
+        bigram_logprob,
+    )
+
+    corpus = {
+        1: "the cat sat on the mat",
+        2: "the cat ran",
+        3: "a dog sat",
+        4: "zzz",  # single token: unigram-only doc
+    }
+    docs = spark.createDataFrame(
+        list(corpus.items()), "doc_id long, text string"
+    )
+    lam = 0.75
+    toks = {d: t.split() for d, t in corpus.items()}
+    from collections import Counter
+
+    cu = Counter(w for v in toks.values() for w in v)
+    total = sum(cu.values())
+    cb = Counter(
+        (v[i], v[i + 1]) for v in toks.values() for i in range(len(v) - 1)
+    )
+    expect = {}
+    for d, v in toks.items():
+        lps = [int(round(math.log(cu[v[0]] / total) * 1e6))]
+        for i in range(1, len(v)):
+            p = lam * (cb[(v[i - 1], v[i])] / cu[v[i - 1]]) + (1 - lam) * (
+                cu[v[i]] / total
+            )
+            lps.append(int(round(math.log(p) * 1e6)))
+        expect[d] = (len(v), round(sum(lps) / len(lps) / 1e6, 6))
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["avg_logprob"])
+        for r in bigram_logprob(docs, lam=lam).collect()
+    }
+    assert got == expect
+
+
+def test_bigram_logprob_prefers_fluent_repetition(spark):
+    """A document reusing the corpus's common bigrams must outscore one
+    made of corpus-unique word salad — the filtering signal."""
+    from market_data_ingestion_scraper_spark.operators.text import (
+        bigram_logprob,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(5)]
+        + [(100, "the cat sat on the mat"), (101, "qq ww ee rr tt yy")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["avg_logprob"] for r in bigram_logprob(docs).collect()}
+    assert got[100] > got[101]
