@@ -208,6 +208,37 @@ def main() -> None:
         }
         print(json.dumps({"op": "lloyd_refine_step", "factor": factor,
                           "out_rows": n_rows, "sec": sec}), flush=True)
+        # r9: quality/retrieval family — classifier scoring must stay
+        # scan-bound (zero hash exchanges), bm25's shuffle is bounded by
+        # query-term occurrences, bigram-LM work is linear in tokens.
+        from market_data_ingestion_scraper_spark.operators.classifier import (
+            classifier_features,
+            gradient_step_weights,
+            logit_scores,
+        )
+        from market_data_ingestion_scraper_spark.operators.text import (
+            bigram_logprob,
+            bm25_scores,
+            quality_features,
+        )
+
+        for op, fn2 in (
+            ("classifier_scores", lambda d2: logit_scores(
+                (f2 := classifier_features(quality_features(d2))),
+                gradient_step_weights(f2),
+            )),
+            ("bm25_ranking", lambda d2: bm25_scores(
+                d2, ("hash", "join", "vector"), top_k=20
+            )),
+            ("bigram_logprob", lambda d2: bigram_logprob(d2)),
+        ):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            n2 = fn2(d).count()
+            sec = round(time.perf_counter() - t0, 2)
+            results.setdefault(op, {})[factor] = {"pairs": n2, "sec": sec}
+            print(json.dumps({"op": op, "factor": factor, "rows": n2,
+                              "sec": sec}), flush=True)
 
     summary = {
         name: {
