@@ -179,9 +179,24 @@ def run_corpus_ingestion(
         from .operators.bloom import load_hash_bloom
 
         try:
-            bloom, _ = load_hash_bloom(spark, bloom_path)
+            bloom, _sidecar = load_hash_bloom(spark, bloom_path)
         except FileNotFoundError:
             bloom = None  # first run: built from gold after the write
+        else:
+            # Staleness guard (r9 review): trusting a bloom-negative
+            # verdict is only sound while bloom ⊇ gold's hashes.  Appends
+            # made WITHOUT --bloom-path never extended the sidecar, so
+            # compare the gold row count recorded at the last sidecar
+            # write against gold now (a parquet-metadata count — no data
+            # scan).  On mismatch the filter is stale: fall back to the
+            # exact path for this run and rebuild the filter from gold
+            # after the write.
+            try:
+                gold_now = spark.read.parquet(gold_path).count()
+            except Exception:
+                gold_now = None  # no readable gold yet
+            if _sidecar.get("gold_rows") != gold_now:
+                bloom = None
 
     n_seen_before = 0
     n_bloom_skipped = 0
@@ -189,6 +204,11 @@ def run_corpus_ingestion(
     fresh = None
     flagged = None
     history = _gold_hashes(spark, gold_path) if incremental else None
+    counts = groups.agg(
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum("n_copies").alias("n_clean"),
+    ).collect()[0]
+    n_batch = counts["n_distinct"]
     if history is not None:
         mode = "append"
         if bloom is not None:
@@ -231,26 +251,16 @@ def run_corpus_ingestion(
             fresh = definite_new.unionByName(checked).localCheckpoint(
                 eager=True
             )
-            n_bloom_skipped = (
-                groups.agg(F.count(F.lit(1))).collect()[0][0] - n_maybe
-            )
+            n_bloom_skipped = n_batch - n_maybe
         else:
             fresh = deduped.join(
                 history,
                 deduped["content_hash"].eqNullSafe(history["_gold_hash"]),
                 "left_anti",
             ).localCheckpoint(eager=True)
-        n_new, n_batch = (
-            fresh.count(),
-            groups.agg(F.count(F.lit(1))).collect()[0][0],
-        )
-        n_seen_before = n_batch - n_new
+        n_seen_before = n_batch - fresh.count()
         deduped = fresh
 
-    counts = groups.agg(
-        F.count(F.lit(1)).alias("n_distinct"),
-        F.sum("n_copies").alias("n_clean"),
-    ).collect()[0]
     write_gold(
         deduped,
         gold_path,
@@ -281,16 +291,26 @@ def run_corpus_ingestion(
                 n_bits=bloom_bits,
                 n_hashes=bloom_hashes,
             )
-        write_hash_bloom(updated, bloom_path)
-    if sketch_path is not None and counts["n_distinct"] - n_seen_before > 0:
+        # record the gold row count the filter covers (parquet-metadata
+        # count) — the staleness guard above compares against it on load
+        write_hash_bloom(
+            updated,
+            bloom_path,
+            extra_meta={"gold_rows": spark.read.parquet(gold_path).count()},
+        )
+    if sketch_path is not None and (
+        mode == "overwrite" or counts["n_distinct"] - n_seen_before > 0
+    ):
         from .operators.sketches import shard_token_sketches
 
         # sketch exactly the admitted rows; merge-time multiplicity is
         # fine (HLL/theta unions and count sums are associative), so the
-        # artifact is append-only — no read-modify-write race
-        shard_token_sketches(deduped).write.mode("append").parquet(
-            sketch_path
-        )
+        # artifact is append-only in incremental mode.  When gold was
+        # OVERWRITTEN the old corpus is gone — stale sketch rows would
+        # double-count — so the artifact resets with it (r9 review).
+        shard_token_sketches(deduped).write.mode(
+            "overwrite" if mode == "overwrite" else "append"
+        ).parquet(sketch_path)
     groups.unpersist()
     if fresh is not None:
         fresh.unpersist()

@@ -124,6 +124,28 @@ def _position_rows(
     )
 
 
+def _seeded_position_rows(
+    hashes: DataFrame, n_shards: int, n_bits: int, n_hashes: int
+) -> DataFrame:
+    """_position_rows plus one synthetic (shard, pos=-1) row for EVERY
+    shard 0..n_shards-1.  The seed rows guarantee the built table is
+    DENSE — one row per shard even when no hash routes there — which is
+    what makes deriving n_shards as max(shard)+1 sound.  A sparse build
+    (small corpus, shard 3 of 4 unoccupied) would otherwise make every
+    later probe/extend route hashes with a DIFFERENT modulus than the
+    build, producing exactly the false negatives the filter promises
+    are impossible (r9 review finding).  Bit-setters filter pos >= 0,
+    so seeds never set bits and never count toward n_set."""
+    spark = hashes.sparkSession
+    seeds = spark.range(n_shards).select(
+        F.col("id").cast("int").alias("shard"),
+        F.lit(-1).cast("long").alias("pos"),
+    )
+    return _position_rows(hashes, n_shards, n_bits, n_hashes).unionByName(
+        seeds
+    )
+
+
 def build_hash_bloom(
     df: DataFrame,
     hash_col: str = "content_hash",
@@ -135,18 +157,22 @@ def build_hash_bloom(
     shard, (shard, n_bits, n_hashes, n_set, bitmap).
 
     Plan: distinct hashes (map-side combined) → k portable positions each
-    → distinct (shard, pos) → groupBy(shard).applyInPandas sets bits into
-    a numpy bitmap.  The shuffle carries (int, long) pairs bounded by the
-    bit population; document text never moves.  Size n_bits ~10x the
-    expected DISTINCT hash count per shard for ~1% fpr at k=5."""
+    → distinct (shard, pos) plus a seed row per shard (DENSE table — one
+    row for every shard 0..n_shards-1, occupied or not, so the
+    self-describing max(shard)+1 derivation is always the build count) →
+    groupBy(shard).applyInPandas sets bits into a numpy bitmap.  The
+    shuffle carries (int, long) pairs bounded by the bit population;
+    document text never moves.  Size n_bits ~10x the expected DISTINCT
+    hash count per shard for ~1% fpr at k=5."""
     nb, nh = int(n_bits), int(n_hashes)
-    pos = _position_rows(
+    pos = _seeded_position_rows(
         df.select(F.col(hash_col).alias("_h")).distinct(), n_shards, nb, nh
     )
 
     def set_bits(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         bm = np.zeros((nb + 7) // 8, dtype=np.uint8)
         p = pdf["pos"].to_numpy(dtype=np.int64)
+        p = p[p >= 0]  # drop the density seed; it sets no bit
         np.bitwise_or.at(bm, p >> 3, (1 << (p & 7)).astype(np.uint8))
         return pd.DataFrame(
             {
@@ -172,11 +198,15 @@ def _bloom_params(blooms: DataFrame) -> tuple[int, int, int]:
         F.max("n_hashes").alias("n_hashes"),
         F.max("shard").alias("max_shard"),
     ).collect()[0]
+    if row["max_shard"] is None:
+        raise ValueError(
+            "empty bloom table — nothing was built (all-null hash column?)"
+        )
     if row["d_b"] != 1 or row["d_h"] != 1:
         raise ValueError("bloom table mixes n_bits/n_hashes parameterizations")
-    # shards are dense 0..n-1 at build time; absent shards (possible
-    # after filtering) only matter for routing, which uses the BUILD
-    # shard count recorded implicitly by max_shard+1 being stable.
+    # build_hash_bloom emits a row for EVERY shard (density seeds), so
+    # max(shard)+1 IS the build-time shard count — routing with any other
+    # modulus would produce false negatives.
     return int(row["max_shard"]) + 1, int(row["n_bits"]), int(row["n_hashes"])
 
 
@@ -296,11 +326,16 @@ def extend_hash_bloom(
 
 
 def write_hash_bloom(
-    blooms: DataFrame, path: str, hash_col: str = "content_hash"
+    blooms: DataFrame,
+    path: str,
+    hash_col: str = "content_hash",
+    extra_meta: dict | None = None,
 ) -> None:
     """Persist the filter as parquet + a provenance sidecar.  One file
     per shard would be ideal; shard-count files via repartition keeps
-    single small files without a driver collect."""
+    single small files without a driver collect.  ``extra_meta`` merges
+    caller provenance into the sidecar (e.g. the gold row count the
+    filter covers, which ingest's staleness guard compares on load)."""
     ns, nb, nh = _bloom_params(blooms)
     blooms.repartition(ns, "shard").write.mode("overwrite").parquet(path)
     sidecar = {
@@ -310,6 +345,8 @@ def write_hash_bloom(
         "n_bits": nb,
         "n_hashes": nh,
     }
+    if extra_meta:
+        sidecar.update(extra_meta)
     with open(os.path.join(path, BLOOM_SIDECAR), "w") as f:
         json.dump(sidecar, f)
 

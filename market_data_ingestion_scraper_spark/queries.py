@@ -4321,10 +4321,11 @@ GATE_PRIORITY: tuple[str, ...] = (
     # r9 rotation (executes the hard commitment recorded here at r8): the
     # 50 queries last checked green at r07 were parked in GATE_DEFERRED
     # through r8 and hit the 2-round staleness limit this round — the
-    # entire list comes back into the window, except four demo
-    # duplicates retired to make room (see GATE_RETIRED) for the four
-    # r9-new operator families' first oracle rows, keeping the cycle at
-    # exactly two rounds.
+    # entire list comes back into the window, except six demo duplicates
+    # retired to make room (see GATE_RETIRED, with per-query rationale)
+    # for the six r9-new queries' first oracle rows; a seventh
+    # (rollup_revenue) freed a DEFERRED slot for bigram_logprob_quality.
+    # The cycle stays at exactly two rounds.
     "bloom_dedup_filter",
     "kmeans_refine_step",
     "corpus_snapshot_diff",

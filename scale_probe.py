@@ -127,16 +127,13 @@ def main() -> None:
         # n_shards × n_bits/8 bytes at ANY corpus size; serve wall must
         # be shard-bounded, and positives ~constant (present hashes all
         # hit; novel false positives track the fill factor, not K).
+        from market_data_ingestion_scraper_spark.jobs import _content_hash
         from market_data_ingestion_scraper_spark.operators.bloom import (
             bloom_probe_hashes,
             build_hash_bloom,
         )
 
-        hashes = d.select(
-            F.sha2(
-                F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), 256
-            ).alias("content_hash")
-        )
+        hashes = d.select(_content_hash().alias("content_hash"))
         t0 = time.perf_counter()
         blooms = build_hash_bloom(
             hashes, n_shards=16, n_bits=1 << 20, n_hashes=5
@@ -151,14 +148,8 @@ def main() -> None:
         print(json.dumps({"op": "bloom_build", "factor": factor,
                           "bitmap_bytes": int(bloom_bytes),
                           "sec": build_sec}), flush=True)
-        present = (
-            docs.filter(F.col("doc_id") < 250)
-            .select(
-                F.sha2(
-                    F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "),
-                    256,
-                ).alias("_h")
-            )
+        present = docs.filter(F.col("doc_id") < 250).select(
+            _content_hash().alias("_h")
         )
         novel = spark.range(250).select(
             F.sha2(F.concat(F.lit("novel-"), F.col("id")), 256).alias("_h")

@@ -164,11 +164,16 @@ def test_incremental_ingest_with_bloom_identical_to_plain(spark, tmp_path):
             {k: v for k, v in m3.items() if k != "n_bloom_skipped"},
             rows,
         )
+        if variant == "bloom":
+            raw_bloom = (m1, m2, m3)
     assert results["plain"] == results["bloom"]
 
-    # and the fast path actually fired: batch 2's genuinely-new rows
-    # skipped the gold anti-join (doc 11 + the NULL-text doc routes exact)
-    gold = str(tmp_path / "gold_bloom")
+    # and the fast path actually FIRED (not silently degenerated to the
+    # plain path): batch 2's genuinely-new doc 11 was bloom-negative and
+    # skipped the gold anti-join; the dup (doc 10) and the NULL-text doc
+    # routed exact, and the all-dup re-land (run 3) skipped nothing
+    assert raw_bloom[1]["n_bloom_skipped"] == 1
+    assert raw_bloom[2]["n_bloom_skipped"] == 0
 
 
 def test_bloom_sidecar_extends_and_catches_recrawl(spark, tmp_path):
@@ -207,3 +212,72 @@ def test_bloom_sidecar_extends_and_catches_recrawl(spark, tmp_path):
     assert sorted(
         r["doc_id"] for r in spark.read.parquet(gold).collect()
     ) == [1, 2, 3]
+
+
+def test_sparse_build_stays_dense_and_routes_with_build_modulus(spark):
+    """r9 review: a build occupying only SOME shards must still emit one
+    row per shard, so the self-describing n_shards = max(shard)+1 equals
+    the build count and probes route with the build modulus.  A sparse
+    table would probe with a smaller modulus — false negatives."""
+    from market_data_ingestion_scraper_spark.operators.bloom import (
+        _bloom_params,
+        bloom_probe_hashes,
+        build_hash_bloom,
+    )
+
+    one = spark.createDataFrame([("solo-hash",)], "content_hash string")
+    blooms = build_hash_bloom(
+        one, n_shards=4, n_bits=1 << 10, n_hashes=5
+    ).persist()
+    assert blooms.count() == 4                      # dense: every shard
+    assert _bloom_params(blooms)[0] == 4            # derived == build
+    occupied = {r["shard"]: r["n_set"] for r in blooms.collect()}
+    assert sum(1 for v in occupied.values() if v > 0) == 1
+    got = bloom_probe_hashes(
+        one.select(F.col("content_hash").alias("_h")), blooms
+    ).collect()
+    assert got[0]["bloom_maybe"] is True            # no false negative
+    blooms.unpersist()
+
+
+def test_bloomless_append_detected_as_stale_sidecar(spark, tmp_path):
+    """r9 review: appends made WITHOUT --bloom-path leave the sidecar
+    stale (bloom no longer ⊇ gold).  The next bloom run must detect the
+    gold-row mismatch, fall back to the exact path (nothing skipped),
+    and NOT re-append the bloomless docs."""
+    from market_data_ingestion_scraper_spark.jobs import run_corpus_ingestion
+
+    gold = str(tmp_path / "gold")
+    bloom_path = str(tmp_path / "bloom")
+    l1 = _land(tmp_path, "st1", [
+        {"doc_id": 1, "text": "alpha text", "lang": "en", "source": "a",
+         "n_chars": 10},
+    ])
+    run_corpus_ingestion(spark, l1, gold, incremental=True,
+                         bloom_path=bloom_path, bloom_shards=4,
+                         bloom_bits=1 << 12)
+    # append WITHOUT the sidecar: bloom now misses doc 2's hash
+    l2 = _land(tmp_path, "st2", [
+        {"doc_id": 2, "text": "beta text", "lang": "en", "source": "a",
+         "n_chars": 9},
+    ])
+    run_corpus_ingestion(spark, l2, gold, incremental=True)
+    # re-deliver doc 2 WITH the sidecar: a trusted stale bloom would
+    # answer definitely-new and re-append; the guard must route exact
+    m3 = run_corpus_ingestion(spark, l2, gold, incremental=True,
+                              bloom_path=bloom_path, bloom_shards=4,
+                              bloom_bits=1 << 12)
+    assert m3["n_kept"] == 0 and m3["n_seen_before"] == 1
+    assert m3["n_bloom_skipped"] == 0               # stale -> exact path
+    ids = sorted(r["doc_id"] for r in spark.read.parquet(gold).collect())
+    assert ids == [1, 2]                            # no duplicate row
+    # and the guard REBUILT the filter covering all of gold: a fourth
+    # run with a novel doc may skip again
+    l4 = _land(tmp_path, "st4", [
+        {"doc_id": 3, "text": "gamma text", "lang": "en", "source": "a",
+         "n_chars": 10},
+    ])
+    m4 = run_corpus_ingestion(spark, l4, gold, incremental=True,
+                              bloom_path=bloom_path, bloom_shards=4,
+                              bloom_bits=1 << 12)
+    assert m4["n_kept"] == 1 and m4["n_bloom_skipped"] == 1

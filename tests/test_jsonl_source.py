@@ -288,3 +288,26 @@ def test_ingest_maintains_sketch_artifact_profile_by_merge(spark, tmp_path):
     assert merge_corpus_profile(
         spark.read.parquet(sk)
     )["n_token_instances"] == n_exact
+
+
+def test_sketch_artifact_resets_on_gold_overwrite(spark, tmp_path):
+    """r9 review: a non-incremental run OVERWRITES gold, so stale sketch
+    rows from the replaced corpus must not linger — re-running the same
+    overwrite twice must profile the corpus once, not twice."""
+    from market_data_ingestion_scraper_spark.jobs import run_corpus_ingestion
+    from market_data_ingestion_scraper_spark.operators.sketches import (
+        merge_corpus_profile,
+    )
+
+    landing = tmp_path / "ow"
+    landing.mkdir()
+    with open(landing / "s.jsonl", "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": "alpha beta gamma",
+                            "lang": "en", "source": "a",
+                            "n_chars": 16}) + "\n")
+    gold = str(tmp_path / "gold")
+    sk = str(tmp_path / "sketches")
+    for _ in range(2):  # identical overwrite runs
+        run_corpus_ingestion(spark, str(landing), gold, sketch_path=sk)
+    prof = merge_corpus_profile(spark.read.parquet(sk))
+    assert prof["n_token_instances"] == 3  # once, not doubled

@@ -121,11 +121,9 @@ def test_bloom_artifact_constant_size_and_probe_shard_bounded(
     )
 
     def hashes(df):
-        return df.select(
-            F.sha2(
-                F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), 256
-            ).alias("content_hash")
-        )
+        from market_data_ingestion_scraper_spark.jobs import _content_hash
+
+        return df.select(_content_hash().alias("content_hash"))
 
     sizes = {}
     positives = {}
