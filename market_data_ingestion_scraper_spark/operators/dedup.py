@@ -234,6 +234,16 @@ def minhash_band_table(
     :func:`near_duplicates_vs_index` — the corpus text is never
     re-shingled.  The ``near-dup-index`` CLI builds + persists it with an
     authoritative parameter sidecar."""
+    if n_bands < 1 or N_HASHES % n_bands != 0:
+        # r9 review: n_bands=128 gave r=0 → every band key the constant
+        # xxhash64('') → quadratic candidate explosion baked into the
+        # authoritative sidecar; non-divisors silently dropped trailing
+        # signature rows.  Fail at build time, the layer the sidecar
+        # exists to make mismatch-proof.
+        raise ValueError(
+            f"n_bands={n_bands} must divide N_HASHES={N_HASHES} "
+            f"(valid: {[b for b in range(1, N_HASHES + 1) if N_HASHES % b == 0]})"
+        )
     r = N_HASHES // n_bands
     sig = minhash_table(
         documents, id_col=id_col, text_col=text_col, k=k, portable=portable
@@ -908,8 +918,11 @@ def hamming_band_keys(
         key = F.lit(0).cast("long")
         off = 0
         for b in combo:
+            # width 64 (n_blocks=1, i.e. max_hamming=0 exact matching):
+            # (1<<64)-1 overflows LongType — the all-ones mask is -1
+            mask = -1 if widths[b] == 64 else (1 << widths[b]) - 1
             block = F.shiftrightunsigned(sig, starts[b]).bitwiseAND(
-                F.lit((1 << widths[b]) - 1)
+                F.lit(mask)
             )
             key = key.bitwiseOR(F.shiftleft(block, off))
             off += widths[b]

@@ -17,6 +17,7 @@ Determinism contract (why the SQL looks the way it does):
 from __future__ import annotations
 
 import functools
+import inspect
 import os
 from collections.abc import Callable
 from dataclasses import dataclass
@@ -36,18 +37,37 @@ RUN_DATE = "2026-08-13"
 # Shared SQL fragment: exact revenue sum (see module docstring).
 _REV = "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)"
 
+#: The external driver's correctness gate always runs oracle SQL at this
+#: scale factor; it is the default corpus for sf-dependent oracle builders
+#: (oracle callables that take an ``sf_dir`` parameter — e.g. the BPE
+#: trainer differential, whose expected VALUES literal is learned from
+#: the corpus itself).  ``oracle_text(sf_dir)`` rebuilds those per-sf, so
+#: local parity runs at sf0.001 compare like-for-like instead of pinning
+#: the query to one scale factor.
+GATE_SF_DIR = "/root/testdata/sf0.01"
+
 
 @dataclass(frozen=True)
 class QuerySpec:
     fn: Callable[[SparkSession, str], DataFrame]
-    #: SQL string, or a zero-arg builder resolved lazily — expensive
-    #: oracles (the golden-literal multimodal family synthesizes and
-    #: decodes the whole media table) must not tax every REGISTRY import
-    oracle: str | Callable[[], str] | None
+    #: SQL string, or a builder resolved lazily — expensive oracles (the
+    #: golden-literal multimodal family synthesizes and decodes the whole
+    #: media table) must not tax every REGISTRY import.  Builders are
+    #: zero-arg when the expected values are sf-independent, or take one
+    #: ``sf_dir`` argument when they derive expected values from the
+    #: corpus at a given scale factor.
+    oracle: str | Callable[..., str] | None
     doc: str
 
-    def oracle_text(self) -> str | None:
-        return self.oracle() if callable(self.oracle) else self.oracle
+    def oracle_text(self, sf_dir: str = GATE_SF_DIR) -> str | None:
+        if self.oracle is None or isinstance(self.oracle, str):
+            return self.oracle
+        # Dispatch on the parameter NAME, not arity: sf-independent
+        # builders may carry unrelated defaulted knobs (the multimodal
+        # golden oracles), and must never receive a path positionally.
+        if "sf_dir" in inspect.signature(self.oracle).parameters:
+            return self.oracle(sf_dir=sf_dir)
+        return self.oracle()
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -3392,14 +3412,21 @@ def _pq_topk_oracle() -> str:
     """
 
 
-def _label_pq_codebooks(emb: DataFrame) -> list[list[list[float]]]:
-    """Deterministic PQ codebooks from the label prototypes — the same
-    externally-trained-quantizer pattern q_ivf_topk uses, sliced into
-    m=8 subspaces of 8 dims (codebook j, code c = subspace-j slice of
-    label c's centroid).  The collect is |labels| × 64 rows — bounded by
-    the label vocabulary, never the corpus; the sample-bounded KMeans
-    fit (fit_pq_codebooks) remains the unsupervised production default
-    and is recall/ADC-exactness-tested in tests/test_dedup_similarity."""
+def _label_pq_quantizer(
+    emb: DataFrame,
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Deterministic (centroids, codebooks) from the label prototypes —
+    the same externally-trained-quantizer pattern q_ivf_topk uses.  The
+    centroids are the full 64-dim prototypes (IVF coarse cells); the
+    codebooks slice them into m=8 subspaces of 8 dims (codebook j,
+    code c = subspace-j slice of label c's centroid), so both quantizer
+    halves come from ONE |labels| × 64 collect — bounded by the label
+    vocabulary, never the corpus.  Both q_pq_topk and q_ivfpq_topk call
+    this single builder so the codebook layout (dsub, label ordering)
+    can never diverge between the two gate rows; the sample-bounded
+    KMeans fit (fit_pq_codebooks) remains the unsupervised production
+    default and is recall/ADC-exactness-tested in
+    tests/test_dedup_similarity."""
     from .operators.similarity import label_centroid_elements
 
     by_label: dict[int, dict[int, float]] = {}
@@ -3407,13 +3434,12 @@ def _label_pq_codebooks(emb: DataFrame) -> list[list[list[float]]]:
         by_label.setdefault(r["label"], {})[r["pos"]] = r["centroid_val"]
     labels = sorted(by_label)
     dsub = 8
-    return [
-        [
-            [by_label[lab][j * dsub + p] for p in range(dsub)]
-            for lab in labels
-        ]
+    centroids = [[by_label[lab][p] for p in range(64)] for lab in labels]
+    codebooks = [
+        [[by_label[lab][j * dsub + p] for p in range(dsub)] for lab in labels]
         for j in range(8)
     ]
+    return centroids, codebooks
 
 
 @register(
@@ -3434,7 +3460,7 @@ def q_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
         emb,
         emb.filter(F.col("vec_id") < 8),
         k=5,
-        codebooks=_label_pq_codebooks(emb),
+        codebooks=_label_pq_quantizer(emb)[1],
     )
 
 
@@ -3546,19 +3572,10 @@ def _ivfpq_topk_oracle() -> str:
     "constructions and is bit-exact end-to-end.",
 )
 def q_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.similarity import ivfpq_topk, label_centroid_elements
+    from .operators.similarity import ivfpq_topk
 
     emb = _t(spark, sf, "embeddings")
-    by_label: dict[int, dict[int, float]] = {}
-    for r in label_centroid_elements(emb).collect():
-        by_label.setdefault(r["label"], {})[r["pos"]] = r["centroid_val"]
-    labels = sorted(by_label)
-    centroids = [[by_label[lab][p] for p in range(64)] for lab in labels]
-    dsub = 8
-    codebooks = [
-        [[by_label[lab][j * dsub + p] for p in range(dsub)] for lab in labels]
-        for j in range(8)
-    ]
+    centroids, codebooks = _label_pq_quantizer(emb)
     return ivfpq_topk(
         emb,
         emb.filter(F.col("vec_id") < 8),
@@ -3658,22 +3675,19 @@ def q_series_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 #: BPE merge budget shared by the Spark query and the reference trainer.
 _BPE_N_MERGES = 50
-#: The correctness gate always runs at this scale factor; the reference
-#: BPE trainer below reads the same parquet the gate's `documents` view
-#: wraps.  (Same coupling class as the multimodal golden oracles, which
-#: bake the fixed synthetic table into VALUES literals.)
-_GATE_SF_DIR = "/root/testdata/sf0.01"
 
 
-def _bpe_reference_encoded_vocab() -> list[tuple[str, int]]:
+def _bpe_reference_encoded_vocab(sf_dir: str) -> list[tuple[str, int]]:
     """INDEPENDENT reference BPE (pure Python, no operators.bpe import):
     learn merges by naive full-recount per round (highest pair count,
     lexicographically lowest pair on ties, left-to-right application —
     Sennrich et al. 2016 §3.2 semantics), then encode each vocabulary
     word by repeatedly merging its lowest-rank adjacent pair.  Returns
-    (word, n_pieces) for every distinct word of the gate corpus; the
-    oracle SQL joins these against a DuckDB-side tokenization so the
-    corpus-level accounting is recomputed relationally."""
+    (word, n_pieces) for every distinct word of the ``sf_dir`` corpus —
+    the SAME corpus the compared query runs on, so the differential is
+    valid at any scale factor; the oracle SQL joins these against a
+    DuckDB-side tokenization so the corpus-level accounting is
+    recomputed relationally."""
     import duckdb
 
     con = duckdb.connect()
@@ -3682,7 +3696,7 @@ def _bpe_reference_encoded_vocab() -> list[tuple[str, int]]:
         "  SELECT unnest(list_filter("
         "    string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''))"
         "    AS w"
-        f"  FROM read_parquet('{_GATE_SF_DIR}/documents.parquet')"
+        f"  FROM read_parquet('{sf_dir}/documents.parquet')"
         ") GROUP BY w"
     ).fetchall()
     con.close()
@@ -3734,12 +3748,14 @@ def _bpe_reference_encoded_vocab() -> list[tuple[str, int]]:
 
 
 @functools.lru_cache(maxsize=None)
-def _bpe_corpus_stats_oracle() -> str:
+def _bpe_corpus_stats_oracle(sf_dir: str) -> str:
     """Oracle for q_bpe_corpus_stats: the reference-encoded vocabulary as
     a VALUES literal (words are [a-z0-9]+ — no escaping needed), joined
     against DuckDB's own tokenization of the corpus; per-document piece
-    accounting is recomputed relationally in SQL."""
-    enc = _bpe_reference_encoded_vocab()
+    accounting is recomputed relationally in SQL.  Built per-``sf_dir``
+    (memoized) because the expected vocabulary is learned from the
+    corpus itself."""
+    enc = _bpe_reference_encoded_vocab(sf_dir)
     values = ",\n      ".join(f"('{w}', {n})" for w, n in enc)
     return f"""
     WITH enc(w, n_pieces) AS (VALUES

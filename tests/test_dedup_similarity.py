@@ -467,6 +467,32 @@ def test_banding_rejects_unsatisfiable_block_counts(spark):
         D.hamming_band_keys(F.col("sh"), 3, 65)
 
 
+def test_banding_width64_single_block_exact_match(spark):
+    """max_hamming=0 ⇒ one 64-bit block: the all-ones mask must be -1,
+    not (1<<64)-1 which overflows LongType (regression: live Py4J
+    NumberFormatException on the replaced fixed-chunk code's valid
+    exact-match setting)."""
+    df = spark.createDataFrame([(0, -5), (1, -5), (2, 7)], "id long, sh long")
+    keys = df.select(
+        "id", F.explode(D.hamming_band_keys(F.col("sh"), 0, 1)).alias("c")
+    ).select("id", F.col("c.key").alias("key"))
+    got = {(r["id"], r["key"]) for r in keys.collect()}
+    assert got == {(0, -5), (1, -5), (2, 7)}
+
+
+def test_minhash_band_table_rejects_bad_n_bands(spark):
+    """n_bands must divide N_HASHES: n_bands>64 made every band key the
+    constant xxhash64('') (quadratic candidate explosion baked into the
+    persisted index sidecar); non-divisors silently dropped trailing
+    signature rows.  Both now fail at build time."""
+    import pytest
+
+    docs = spark.createDataFrame([(0, BASE)], "doc_id long, text string")
+    for bad in (0, 12, 65, 128):
+        with pytest.raises(ValueError, match="must divide"):
+            D.minhash_band_table(docs, n_bands=bad)
+
+
 def test_simhash_drops_tokenless_docs(spark):
     # docs with no [a-z0-9] content have no signature: emitting sh=0 would
     # make '!!!' and '???' mutual hamming-0 "near-duplicates" and diverge

@@ -17,21 +17,16 @@ from .oracle_utils import compare_query
 
 SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")
 
-# Oracles whose expected values are baked to the driver gate's corpus
-# (sf0.01): bpe_corpus_stats re-learns merges from the corpus on both
-# sides, and the reference trainer reads the gate parquet directly, so
-# the differential only lines up at that sf.
-GATE_SF_BOUND = {"bpe_corpus_stats": "/root/testdata/sf0.01"}
-
 WITH_ORACLE = sorted(name for name, spec in REGISTRY.items() if spec.oracle)
 
 
 @pytest.mark.parametrize("name", WITH_ORACLE)
 def test_matches_oracle(spark, name):
+    # oracle_text(SF_DIR): sf-dependent oracle builders (the BPE trainer
+    # differential) re-derive their expected values from the SAME corpus
+    # the query runs on, so parity holds at any scale factor.
     spec = REGISTRY[name]
-    compare_query(
-        spark, GATE_SF_BOUND.get(name, SF_DIR), spec.fn, spec.oracle_text()
-    )
+    compare_query(spark, SF_DIR, spec.fn, spec.oracle_text(SF_DIR))
 
 
 def test_all_queries_return_rows(spark):
