@@ -257,35 +257,23 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "near-dup-index":
-        # Same lifecycle as ann-index: the banded signature table is the
-        # index, partitioned by band so an incremental shard's candidate
-        # join prunes to its bands' files; the parameter sidecar is
-        # authoritative — banding a shard with different (n_bands, k,
-        # hash) than the build silently destroys recall.
-        import json
-
-        from .operators.dedup import minhash_band_table
+        # Same lifecycle as ann-index: the split (sigs/ + slim bands/)
+        # index is partitioned by band so an incremental shard's
+        # candidate join prunes to its bands' files; the parameter
+        # sidecar is authoritative — banding a shard with different
+        # (n_bands, k, hash) than the build silently destroys recall.
+        from .operators.dedup import write_minhash_index
         from .util import require_local_path
 
         require_local_path(args.out)
         docs = spark.read.parquet(args.documents)
-        idx = minhash_band_table(
-            docs, n_bands=args.n_bands, k=args.shingle_k,
+        n_docs, n_rows = write_minhash_index(
+            docs, args.out, n_bands=args.n_bands, k=args.shingle_k,
             portable=args.portable,
         )
-        idx.write.mode("overwrite").partitionBy("band").parquet(args.out)
-        n = spark.read.parquet(args.out).count()
-        quantizer = {
-            "kind": "minhash",
-            "n_bands": args.n_bands,
-            "shingle_k": args.shingle_k,
-            "portable": bool(args.portable),
-        }
-        with open(os.path.join(args.out, "_quantizer.json"), "w") as f:
-            json.dump(quantizer, f)
         print(
-            f"kind=minhash rows={n} out={args.out} partition_by=band "
-            f"quantizer=_quantizer.json"
+            f"kind=minhash docs={n_docs} rows={n_rows} out={args.out} "
+            f"layout=split partition_by=band quantizer=_quantizer.json"
         )
         return 0
 

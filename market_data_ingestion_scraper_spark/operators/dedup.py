@@ -218,22 +218,19 @@ def minhash_table(
     )
 
 
-def minhash_band_table(
-    documents: DataFrame,
-    n_bands: int = 16,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    k: int = 3,
-    portable: bool = False,
+def band_keys_from_sigs(
+    sigs: DataFrame, n_bands: int = 16, id_col: str = "doc_id"
 ) -> DataFrame:
-    """(id, sig, band, key) — the banded MinHash signature table.  This
-    IS the persistable near-dup index (the MinHash counterpart of
-    :func:`~.similarity.bucket_table`'s LSH index): at 100 TB you compute
-    it once per corpus, write it partitioned by ``band``, and every
-    incremental shard dedups against it via
-    :func:`near_duplicates_vs_index` — the corpus text is never
-    re-shingled.  The ``near-dup-index`` CLI builds + persists it with an
-    authoritative parameter sidecar."""
+    """SLIM banding rows (id, band, key) from an (id, sig) signature
+    table — a pure projection (slice + xxhash64 per band), so deriving
+    bands from already-materialized signatures costs no shingling.
+
+    Slim matters twice at 100 TB (r9 review): the persisted band index
+    carries 2 longs per band row instead of the full 64-long signature
+    (~16× smaller artifact at the default 16 bands), and candidate
+    equi-joins shuffle ids only — signatures are joined back AFTER the
+    (doc, candidate) pairs are deduplicated, so each signature crosses
+    the wire once per surviving pair, not once per colliding band."""
     if n_bands < 1 or N_HASHES % n_bands != 0:
         # r9 review: n_bands=128 gave r=0 → every band key the constant
         # xxhash64('') → quadratic candidate explosion baked into the
@@ -245,12 +242,8 @@ def minhash_band_table(
             f"(valid: {[b for b in range(1, N_HASHES + 1) if N_HASHES % b == 0]})"
         )
     r = N_HASHES // n_bands
-    sig = minhash_table(
-        documents, id_col=id_col, text_col=text_col, k=k, portable=portable
-    )
-    return sig.select(
+    return sigs.select(
         id_col,
-        "sig",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(n_bands - 1)),
@@ -260,7 +253,79 @@ def minhash_band_table(
                 ),
             )
         ).alias("bk"),
-    ).select(id_col, "sig", "bk.band", "bk.key")
+    ).select(id_col, "bk.band", "bk.key")
+
+
+def minhash_band_table(
+    documents: DataFrame,
+    n_bands: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    portable: bool = False,
+) -> DataFrame:
+    """(id, band, key) — the slim banded MinHash table, one shingling
+    pass end-to-end.  Together with the (id, sig) table from
+    :func:`minhash_table` this is the persistable near-dup index (the
+    MinHash counterpart of :func:`~.similarity.bucket_table`'s LSH
+    index): at 100 TB you compute both once per corpus
+    (:func:`write_minhash_index` — sigs/ + bands/ split layout), and
+    every incremental shard dedups against them via
+    :func:`near_duplicates_vs_index` — the corpus text is never
+    re-shingled.  The ``near-dup-index`` CLI builds + persists the split
+    index with an authoritative parameter sidecar."""
+    sig = minhash_table(
+        documents, id_col=id_col, text_col=text_col, k=k, portable=portable
+    )
+    return band_keys_from_sigs(sig, n_bands, id_col=id_col)
+
+
+def write_minhash_index(
+    documents: DataFrame,
+    path: str,
+    n_bands: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    portable: bool = False,
+) -> tuple[int, int]:
+    """Build + persist the split near-dup index at ``path``:
+
+    - ``sigs/``  — (id, sig), ONE row per document,
+    - ``bands/`` — slim (id, band, key), partitioned by ``band`` so an
+      incremental shard's candidate join prunes to its bands' files,
+    - ``_quantizer.json`` — the authoritative parameter sidecar
+      (``layout: split`` marks the two-table form for ``load_ann_index``).
+
+    The corpus is shingled exactly once: signatures are written first,
+    then read back and banded (a projection).  Returns
+    ``(n_docs, n_band_rows)``."""
+    import json
+    import os
+
+    from ..util import require_local_path
+
+    require_local_path(path)
+    spark = documents.sparkSession
+    sigs_path = os.path.join(path, "sigs")
+    bands_path = os.path.join(path, "bands")
+    minhash_table(
+        documents, id_col=id_col, text_col=text_col, k=k, portable=portable
+    ).write.mode("overwrite").parquet(sigs_path)
+    sigs = spark.read.parquet(sigs_path)
+    band_keys_from_sigs(sigs, n_bands, id_col=id_col).write.mode(
+        "overwrite"
+    ).partitionBy("band").parquet(bands_path)
+    quantizer = {
+        "kind": "minhash",
+        "layout": "split",
+        "n_bands": n_bands,
+        "shingle_k": k,
+        "portable": bool(portable),
+    }
+    with open(os.path.join(path, "_quantizer.json"), "w") as f:
+        json.dump(quantizer, f)
+    return sigs.count(), spark.read.parquet(bands_path).count()
 
 
 def _sig_agreement() -> Column:
@@ -284,46 +349,63 @@ def near_duplicates_vs_index(
     k: int = 3,
     portable: bool = False,
     index=None,
+    corpus_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dup admission for a NEW shard against an EXISTING
-    corpus index (:func:`minhash_band_table`): only the shard is
-    shingled/signatured; candidates come from a (band, key) equi-join
-    against the index, and pairs with estimated Jaccard ≥ ``threshold``
-    are reported as (doc_id, corpus_id, est_jaccard).
+    corpus index (slim bands from :func:`minhash_band_table` + sigs from
+    :func:`minhash_table`): only the shard is shingled/signatured;
+    candidates come from an ID-ONLY (band, key) equi-join against the
+    slim index, and signatures are joined back just for the deduplicated
+    candidate pairs — pairs with estimated Jaccard ≥ ``threshold`` are
+    reported as (doc_id, corpus_id, est_jaccard).
 
     This is the batch half of the production ingest loop — re-crawls and
     mirrors never re-pay the corpus pass (the embedding-space streaming
     twin is :func:`~..streaming.pipeline.stream_near_dup_filter`).  NO
     self-exclusion: a re-crawl that kept its corpus doc_id must still
     match its own indexed copy.  Admitted docs are the shard minus the
-    reported ``doc_id``s (anti-join); their banded rows can then be
-    APPENDED to the index — band keys depend only on the row itself, so
-    the index grows incrementally without rebuild.
+    reported ``doc_id``s (anti-join); :func:`extend_band_index` then
+    APPENDS their sigs + band rows — band keys depend only on the row
+    itself, so the index grows incrementally without rebuild.
 
     ``index`` accepts the :class:`~.similarity.AnnIndex` handle from
-    ``load_ann_index`` (kind ``minhash``) and derives (n_bands, k,
-    portable) from the sidecar — the mismatch-proof serving form: banding
-    a shard with parameters that differ from the index build silently
-    destroys recall, exactly like the hyperplane families."""
+    ``load_ann_index`` (kind ``minhash``, split layout) and derives
+    (n_bands, k, portable) AND the signature table from the sidecar —
+    the mismatch-proof serving form: banding a shard with parameters
+    that differ from the index build silently destroys recall, exactly
+    like the hyperplane families.  With a raw ``corpus_index`` bands
+    DataFrame, pass the matching ``corpus_sigs``."""
     if index is not None:
         q = index.require("minhash")
         corpus_index = index.df
+        corpus_sigs = index.sigs
         n_bands, k, portable = q["n_bands"], q["shingle_k"], q["portable"]
-    if corpus_index is None:
+    if corpus_index is None or corpus_sigs is None:
         raise ValueError(
-            "near_duplicates_vs_index needs either index= or corpus_index="
+            "near_duplicates_vs_index needs either index= or "
+            "corpus_index= plus corpus_sigs="
         )
-    new_banded = minhash_band_table(
-        new_docs, n_bands, id_col=id_col, text_col=text_col, k=k,
-        portable=portable,
-    )
-    corpus_side = corpus_index.withColumnsRenamed(
-        {id_col: "corpus_id", "sig": "sig_b"}
-    )
-    cand = (
-        new_banded.withColumnRenamed("sig", "sig_a")
-        .join(corpus_side, ["band", "key"])
+    # Shard-bounded: signatures feed both the banding projection and the
+    # sig_a join-back; persist so the shard is shingled exactly once.
+    shard_sigs = minhash_table(
+        new_docs, id_col=id_col, text_col=text_col, k=k, portable=portable
+    ).persist()
+    shard_bands = band_keys_from_sigs(shard_sigs, n_bands, id_col=id_col)
+    cand_ids = (
+        shard_bands.join(
+            corpus_index.withColumnRenamed(id_col, "corpus_id"),
+            ["band", "key"],
+        )
+        .select(id_col, "corpus_id")
         .dropDuplicates([id_col, "corpus_id"])
+    )
+    cand = cand_ids.join(
+        shard_sigs.select(F.col(id_col), F.col("sig").alias("sig_a")), id_col
+    ).join(
+        corpus_sigs.select(
+            F.col(id_col).alias("corpus_id"), F.col("sig").alias("sig_b")
+        ),
+        "corpus_id",
     )
     return cand.select(id_col, "corpus_id", _sig_agreement()).filter(
         F.col("est_jaccard") >= threshold
@@ -336,8 +418,9 @@ def extend_band_index(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> int:
-    """Append the admitted documents' banded signatures to a persisted
-    band index — the post-admission half of the incremental loop
+    """Append the admitted documents' signatures + banding rows to a
+    persisted split index (:func:`write_minhash_index` layout) — the
+    post-admission half of the incremental loop
     (:func:`near_duplicates_vs_index` flags, caller filters, this
     extends).  Band keys are row-local, so APPEND IS the index update:
     no rebuild, no read of existing index rows.  Banding parameters are
@@ -349,16 +432,28 @@ def extend_band_index(
     candidates, though never drop recall); drive it from an
     exactly-once context (e.g. foreachBatch) or a transactional table
     at production scale."""
+    import os
+
     from .similarity import load_ann_index
 
     spark = admitted_docs.sparkSession
     handle = load_ann_index(spark, index_path)
     q = handle.require("minhash")
-    banded = minhash_band_table(
-        admitted_docs, q["n_bands"], id_col=id_col, text_col=text_col,
+    if q.get("layout") != "split":
+        raise ValueError(
+            "extend_band_index needs a split-layout index "
+            "(build it with write_minhash_index / the near-dup-index CLI)"
+        )
+    # shard-bounded; compute signatures once for both appends + the count
+    sigs = minhash_table(
+        admitted_docs, id_col=id_col, text_col=text_col,
         k=q["shingle_k"], portable=q["portable"],
-    ).localCheckpoint(eager=True)  # shard-bounded; compute once for count+write
-    banded.write.mode("append").partitionBy("band").parquet(index_path)
+    ).localCheckpoint(eager=True)
+    sigs.write.mode("append").parquet(os.path.join(index_path, "sigs"))
+    banded = band_keys_from_sigs(sigs, q["n_bands"], id_col=id_col)
+    banded.write.mode("append").partitionBy("band").parquet(
+        os.path.join(index_path, "bands")
+    )
     return banded.count()
 
 
@@ -375,17 +470,20 @@ def lsh_candidate_pairs(
     steep around j≈0.55.  Output: (doc_a, doc_b, est_jaccard) with
     doc_a < doc_b, est_jaccard = fraction of agreeing signature values.
     """
-    banded = minhash_band_table(
-        documents, n_bands, id_col=id_col, text_col=text_col, portable=portable
-    )
-
-    # One MinHash pass, not two: the banded table feeds both sides of the
-    # self-join; without the cache marker each side re-runs the whole
-    # shingle+signature pipeline.  rows × n_bands of (id, sig, key) longs.
-    banded = banded.persist()
+    # One MinHash pass, not two: the persisted signature table feeds the
+    # banding projection (both self-join sides) AND the post-dedup sig
+    # join-back; without the cache marker each reference re-runs the
+    # whole shingle+signature pipeline.  The self-join itself shuffles
+    # slim (id, band, key) rows only — signatures are joined back AFTER
+    # dropDuplicates, so each sig crosses the wire once per surviving
+    # pair, not once per colliding band (r9 slim-index rework).
+    sigs = minhash_table(
+        documents, id_col=id_col, text_col=text_col, portable=portable
+    ).persist()
+    banded = band_keys_from_sigs(sigs, n_bands, id_col=id_col)
     left = banded.alias("l")
     right = banded.alias("r")
-    pairs = (
+    pair_ids = (
         left.join(
             right,
             (F.col("l.band") == F.col("r.band"))
@@ -395,10 +493,15 @@ def lsh_candidate_pairs(
         .select(
             F.col(f"l.{id_col}").alias("doc_a"),
             F.col(f"r.{id_col}").alias("doc_b"),
-            F.col("l.sig").alias("sig_a"),
-            F.col("r.sig").alias("sig_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    pairs = pair_ids.join(
+        sigs.select(F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a")),
+        "doc_a",
+    ).join(
+        sigs.select(F.col(id_col).alias("doc_b"), F.col("sig").alias("sig_b")),
+        "doc_b",
     )
     return pairs.select("doc_a", "doc_b", _sig_agreement())
 

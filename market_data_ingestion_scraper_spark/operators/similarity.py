@@ -480,9 +480,13 @@ class AnnIndex:
     on a kind mismatch instead of degrading.  Tuple-unpacks as
     ``(df, quantizer)`` for callers of the pre-handle API."""
 
-    def __init__(self, df: DataFrame, quantizer: dict):
+    def __init__(self, df: DataFrame, quantizer: dict, sigs: DataFrame | None = None):
         self.df = df
         self.quantizer = dict(quantizer)
+        #: companion (id, sig) table for split-layout minhash indexes —
+        #: the slim bands relation in ``df`` carries ids only, so serving
+        #: joins signatures back from here after candidate dedup
+        self.sigs = sigs
 
     @property
     def kind(self) -> str:
@@ -518,6 +522,13 @@ def load_ann_index(spark, path: str) -> AnnIndex:
     require_local_path(path)
     with open(os.path.join(path, "_quantizer.json")) as f:
         quantizer = json.load(f)
+    if quantizer.get("layout") == "split":
+        # write_minhash_index layout: slim bands/ + one-row-per-doc sigs/
+        return AnnIndex(
+            spark.read.parquet(os.path.join(path, "bands")),
+            quantizer,
+            sigs=spark.read.parquet(os.path.join(path, "sigs")),
+        )
     return AnnIndex(spark.read.parquet(path), quantizer)
 
 

@@ -159,13 +159,15 @@ def test_cli_near_dup_index_build_and_serve(tmp_path):
         "--out", out, "--n-bands", "8", "--shingle-k", "4",
     )
     assert r.returncode == 0, r.stderr[-2000:]
-    assert "kind=minhash" in r.stdout and "partition_by=band" in r.stdout
-    assert os.path.isdir(os.path.join(out, "band=0"))
+    assert "kind=minhash" in r.stdout and "layout=split" in r.stdout
+    assert os.path.isdir(os.path.join(out, "bands", "band=0"))
     spark = get_spark(app_name="test-nd-index")
     handle = load_ann_index(spark, out)
     assert handle.quantizer == {
-        "kind": "minhash", "n_bands": 8, "shingle_k": 4, "portable": False
+        "kind": "minhash", "layout": "split", "n_bands": 8, "shingle_k": 4,
+        "portable": False,
     }
+    assert handle.sigs is not None and "sig" not in handle.df.columns
     recrawl = spark.read.parquet(
         "/root/testdata/sf0.001/documents.parquet"
     ).limit(5)

@@ -228,6 +228,7 @@ def test_incremental_near_dup_vs_band_index(spark, corpus):
     indexed copy (no self-exclusion — admission semantics)."""
     idx_docs = corpus.filter(F.col("doc_id").isin([0, 3, 4]))
     index = D.minhash_band_table(idx_docs)
+    index_sigs = D.minhash_table(idx_docs)
     new = spark.createDataFrame(
         [
             (1, BASE.replace("quick", "speedy")),   # near-dup of corpus 0
@@ -242,7 +243,7 @@ def test_incremental_near_dup_vs_band_index(spark, corpus):
     got = {
         (r["doc_id"], r["corpus_id"]): r["est_jaccard"]
         for r in D.near_duplicates_vs_index(
-            new, index, threshold=0.5
+            new, index, threshold=0.5, corpus_sigs=index_sigs
         ).collect()
     }
     assert got[(2, 0)] == 1.0
@@ -259,10 +260,9 @@ def test_incremental_near_dup_vs_band_index(spark, corpus):
 
 
 def test_near_dup_index_parquet_roundtrip_and_handle(spark, corpus, tmp_path):
-    """Persist the band index partitioned by band, reload through the
+    """Persist the split (sigs/ + slim bands/) index, reload through the
     AnnIndex handle, and serve with parameters DERIVED from the sidecar
     (non-default n_bands so re-typed defaults would break recall)."""
-    import json
     import os
 
     from market_data_ingestion_scraper_spark.operators.similarity import (
@@ -270,14 +270,11 @@ def test_near_dup_index_parquet_roundtrip_and_handle(spark, corpus, tmp_path):
     )
 
     out = str(tmp_path / "mh_idx")
-    D.minhash_band_table(corpus, n_bands=8).write.mode("overwrite").partitionBy(
-        "band"
-    ).parquet(out)
-    with open(os.path.join(out, "_quantizer.json"), "w") as f:
-        json.dump(
-            {"kind": "minhash", "n_bands": 8, "shingle_k": 3,
-             "portable": False}, f,
-        )
+    n_docs, n_rows = D.write_minhash_index(corpus, out, n_bands=8)
+    assert n_rows == n_docs * 8
+    assert os.path.isdir(os.path.join(out, "bands", "band=0"))
+    # slim: the persisted band rows carry no signature column
+    assert "sig" not in spark.read.parquet(os.path.join(out, "bands")).columns
     handle = load_ann_index(spark, out)
     new = spark.createDataFrame(
         [(7, BASE.replace("quick", "speedy"))], "doc_id long, text string"
@@ -292,7 +289,7 @@ def test_near_dup_index_parquet_roundtrip_and_handle(spark, corpus, tmp_path):
         (r["doc_id"], r["corpus_id"]): r["est_jaccard"]
         for r in D.near_duplicates_vs_index(
             new, D.minhash_band_table(corpus, n_bands=8), threshold=0.5,
-            n_bands=8,
+            n_bands=8, corpus_sigs=D.minhash_table(corpus),
         ).collect()
     }
     assert served == direct and (7, 0) in served
@@ -314,14 +311,8 @@ def test_extend_band_index_closes_incremental_loop(spark, corpus, tmp_path):
     joins the index via a parameter-sidecar-driven APPEND, and shard C's
     near-dup of that B document is then caught — without any rebuild or
     re-read of shard A's text."""
-    import json
-    import os
-
     out = str(tmp_path / "grow_idx")
-    D.minhash_band_table(corpus).write.partitionBy("band").parquet(out)
-    with open(os.path.join(out, "_quantizer.json"), "w") as f:
-        json.dump({"kind": "minhash", "n_bands": 16, "shingle_k": 3,
-                   "portable": False}, f)
+    D.write_minhash_index(corpus, out)
 
     novel = (
         "entirely novel prose sharing no phrases with anything indexed "
