@@ -104,6 +104,19 @@ def main(argv: list[str] | None = None) -> int:
                     help="md5-fold token hash (oracle-reproducible) "
                     "instead of xxhash64 (throughput default)")
 
+    ie = sub.add_parser(
+        "index-extend",
+        help="append a new shard to a persisted index (lsh/ivf vectors "
+        "or minhash documents) — the incremental half of the index "
+        "lifecycle; parameters always come from the index's sidecar",
+    )
+    ie.add_argument("--input", required=True,
+                    help="parquet shard: (vec_id, embedding) for lsh/ivf "
+                    "indexes, (doc_id, text) for minhash indexes")
+    ie.add_argument("--index", required=True,
+                    help="existing index directory (ann-index or "
+                    "near-dup-index layout with _quantizer.json)")
+
     args = p.parse_args(argv)
 
     from .queries import REGISTRY
@@ -275,6 +288,27 @@ def main(argv: list[str] | None = None) -> int:
             f"kind=minhash docs={n_docs} rows={n_rows} out={args.out} "
             f"layout=split partition_by=band quantizer=_quantizer.json"
         )
+        return 0
+
+    if args.cmd == "index-extend":
+        # One sidecar-dispatched entry point for every index family: the
+        # quantizer names the kind, so the caller cannot append with the
+        # wrong row shape or re-typed parameters.
+        import json
+
+        from .operators.dedup import extend_band_index
+        from .operators.similarity import extend_ann_index
+        from .util import require_local_path
+
+        require_local_path(args.index)
+        with open(os.path.join(args.index, "_quantizer.json")) as f:
+            kind = json.load(f)["kind"]
+        shard = spark.read.parquet(args.input)
+        if kind == "minhash":
+            n = extend_band_index(shard, args.index)
+        else:
+            n = extend_ann_index(shard, args.index)
+        print(f"kind={kind} appended_rows={n} index={args.index}")
         return 0
 
     return 2

@@ -532,6 +532,63 @@ def load_ann_index(spark, path: str) -> AnnIndex:
     return AnnIndex(spark.read.parquet(path), quantizer)
 
 
+def extend_ann_index(
+    new_vectors: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Append new vectors' rows to a persisted LSH or IVF index — the
+    vector-space twin of :func:`~.dedup.extend_band_index`, completing
+    the incremental lifecycle for every index family (MinHash bands for
+    text, hyperplane buckets and IVF cells for vectors).
+
+    Both assignments are ROW-LOCAL given the quantizer (hyperplane
+    weights are a pure function of the sidecar's (n_planes, n_tables,
+    dim, seed_base); IVF cells come from the sidecar's frozen centroid
+    list), so APPEND IS the index update: no rebuild, no read of
+    existing index rows, and the new files land inside the existing
+    ``t=``/``cell=`` partition directories where serving probes already
+    prune.  Parameters are ALWAYS derived from the sidecar — the whole
+    point of the handle discipline.
+
+    IVF caveat (inherent, same as faiss): appends assign against the
+    centroids fitted at build time, so a drifting corpus slowly degrades
+    cell balance — monitor with the per-cell counts and periodically
+    refit (:func:`fit_ivf_centroids` / :func:`kmeans_refine_step`) and
+    rebuild.  LSH has no drift: the hyperplanes are data-independent.
+
+    Same caveat as the band-index twin: append + count is not atomic;
+    drive from an exactly-once context at production scale.  Returns the
+    number of index rows appended."""
+    spark = new_vectors.sparkSession
+    handle = load_ann_index(spark, index_path)
+    if handle.kind == "lsh":
+        q = handle.quantizer
+        rows = bucket_table(
+            new_vectors, id_col, vec_col, q["n_planes"], q["n_tables"],
+            q["dim"], q["seed_base"],
+        )
+        part = "t"
+    elif handle.kind == "ivf":
+        rows = ivf_cell_table(
+            new_vectors,
+            _ivf_weight_table(spark, handle.quantizer["centroids"]),
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        part = "cell"
+    else:
+        raise ValueError(
+            f"extend_ann_index handles lsh/ivf indexes, got "
+            f"{handle.kind!r} (minhash indexes grow via extend_band_index)"
+        )
+    # shard-bounded; compute once for both the append and the count
+    rows = rows.localCheckpoint(eager=True)
+    rows.write.mode("append").partitionBy(part).parquet(index_path)
+    return rows.count()
+
+
 def fit_ivf_centroids(
     embeddings: DataFrame,
     n_lists: int = 16,

@@ -181,6 +181,59 @@ def test_cli_near_dup_index_build_and_serve(tmp_path):
         assert got.get((r_["doc_id"], r_["doc_id"])) == 1.0
 
 
+def test_cli_index_extend_lsh_and_minhash(tmp_path):
+    """index-extend dispatches on the sidecar kind: an LSH index built by
+    ann-index grows with an embeddings shard, a minhash index built by
+    near-dup-index grows with a documents shard — one CLI entry point,
+    parameters never re-typed."""
+    import os
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo")
+    import duckdb
+
+    lsh = str(tmp_path / "lsh_idx")
+    r = _run(
+        "ann-index", "--embeddings",
+        "/root/testdata/sf0.001/embeddings.parquet", "--out", lsh,
+        "--n-tables", "4",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    shard = str(tmp_path / "shard.parquet")
+    duckdb.sql(
+        "copy (select vec_id + 1000000 as vec_id, embedding from "
+        "'/root/testdata/sf0.001/embeddings.parquet' limit 5) to "
+        f"'{shard}' (format parquet)"
+    )
+    r = _run("index-extend", "--input", shard, "--index", lsh)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "kind=lsh appended_rows=20" in r.stdout  # 5 vectors × 4 tables
+
+    mh = str(tmp_path / "mh_idx")
+    r = _run(
+        "near-dup-index", "--documents",
+        "/root/testdata/sf0.001/documents.parquet", "--out", mh,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    dshard = str(tmp_path / "docs.parquet")
+    duckdb.sql(
+        "copy (select doc_id + 1000000 as doc_id, text from "
+        "'/root/testdata/sf0.001/documents.parquet' limit 3) to "
+        f"'{dshard}' (format parquet)"
+    )
+    r = _run("index-extend", "--input", dshard, "--index", mh)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "kind=minhash appended_rows=48" in r.stdout  # 3 docs × 16 bands
+    # appended sigs landed in the split layout's sigs/ table too
+    n_sigs = duckdb.sql(
+        f"select count(*) from '{os.path.join(mh, 'sigs', '*.parquet')}'"
+    ).fetchone()[0]
+    base = duckdb.sql(
+        "select count(*) from '/root/testdata/sf0.001/documents.parquet'"
+    ).fetchone()[0]
+    assert n_sigs == base + 3
+
+
 def test_cli_ann_index_rejects_uri_paths():
     """os-level sidecar writes only work on local paths — a URI output
     must fail fast BEFORE the expensive build, not crash after it (or

@@ -833,3 +833,71 @@ def test_ivf_index_parquet_roundtrip(spark, vectors, tmp_path):
     assert sorted(map(tuple, inline.collect())) == sorted(
         map(tuple, served.collect())
     )
+
+
+def _write_sidecar(path, quantizer):
+    import json
+    import os
+
+    with open(os.path.join(path, "_quantizer.json"), "w") as f:
+        json.dump(quantizer, f)
+
+
+def test_extend_ann_index_lsh_append_equals_rebuild(spark, vectors, tmp_path):
+    """Bucket assignment is row-local given the sidecar's hyperplane
+    parameters, so appending a new shard's bucket rows to a persisted LSH
+    index must serve IDENTICALLY to rebuilding the index over the full
+    corpus — the vector twin of extend_band_index's incremental loop."""
+    out = str(tmp_path / "lsh_grow")
+    base = vectors.filter(F.col("vec_id") % 5 != 0)
+    new = vectors.filter(F.col("vec_id") % 5 == 0)
+    S.bucket_table(
+        base, "vec_id", "embedding", n_planes=4, n_tables=8, dim=64,
+        seed_base=1000,
+    ).write.partitionBy("t").parquet(out)
+    _write_sidecar(out, {"kind": "lsh", "n_planes": 4, "n_tables": 8,
+                         "dim": 64, "seed_base": 1000})
+    n = S.extend_ann_index(new, out)
+    assert n == new.count() * 8  # one row per (vector, hash table)
+    q = vectors.filter(F.col("vec_id") < 8)
+    inline = S.lsh_topk(vectors, q, k=5)
+    served = S.lsh_topk(vectors, q, k=5, index=S.load_ann_index(spark, out))
+    assert sorted(map(tuple, inline.collect())) == sorted(
+        map(tuple, served.collect())
+    )
+
+
+def test_extend_ann_index_ivf_append_equals_rebuild(spark, vectors, tmp_path):
+    """IVF appends assign against the FROZEN build-time centroids from
+    the sidecar (the faiss discipline), so extending with a new shard
+    serves identically to assigning the full corpus against the same
+    quantizer."""
+    out = str(tmp_path / "ivf_grow")
+    base = vectors.filter(F.col("vec_id") % 5 != 0)
+    new = vectors.filter(F.col("vec_id") % 5 == 0)
+    cents = S.fit_ivf_centroids(base, n_lists=16, seed=42)
+    S.ivf_cell_table(base, S._ivf_weight_table(spark, cents)).write.partitionBy(
+        "cell"
+    ).parquet(out)
+    _write_sidecar(out, {"kind": "ivf", "n_lists": 16, "seed": 42,
+                         "centroids": cents})
+    n = S.extend_ann_index(new, out)
+    assert n == new.count()  # one (id, cell) row per vector
+    q = vectors.filter(F.col("vec_id") < 8)
+    inline = S.ivf_topk(vectors, q, k=5, centroids=cents)
+    served = S.ivf_topk(vectors, q, k=5, index=S.load_ann_index(spark, out))
+    assert sorted(map(tuple, inline.collect())) == sorted(
+        map(tuple, served.collect())
+    )
+
+
+def test_extend_ann_index_rejects_minhash(spark, vectors, corpus, tmp_path):
+    """The vector extender must refuse a text index loudly: minhash
+    indexes grow through extend_band_index (different row shape, split
+    layout) — silently banding vectors would corrupt the index."""
+    import pytest as _pytest
+
+    out = str(tmp_path / "mh_not_ann")
+    D.write_minhash_index(corpus, out)
+    with _pytest.raises(ValueError, match="extend_band_index"):
+        S.extend_ann_index(vectors, out)
