@@ -117,6 +117,19 @@ def main(argv: list[str] | None = None) -> int:
                     help="existing index directory (ann-index or "
                     "near-dup-index layout with _quantizer.json)")
 
+    ic = sub.add_parser(
+        "index-compact",
+        help="fold an append-grown index's small files into one per "
+        "partition dir (crash-safe write-ahead snapshots); rows, schema "
+        "and sidecar untouched",
+    )
+    ic.add_argument("--index", required=True)
+    ic.add_argument("--max-files", type=int, default=1,
+                    help="compact partition dirs holding more than this "
+                    "many files")
+    ic.add_argument("--max-rows-per-file", type=int, default=None,
+                    help="roll compacted output at this many rows")
+
     args = p.parse_args(argv)
 
     from .queries import REGISTRY
@@ -309,6 +322,19 @@ def main(argv: list[str] | None = None) -> int:
         else:
             n = extend_ann_index(shard, args.index)
         print(f"kind={kind} appended_rows={n} index={args.index}")
+        return 0
+
+    if args.cmd == "index-compact":
+        from .operators.maintenance import compact_index
+
+        stats = compact_index(
+            spark, args.index, max_files=args.max_files,
+            max_rows_per_file=args.max_rows_per_file,
+        )
+        print(
+            f"dirs_compacted={stats['dirs_compacted']} "
+            f"files_removed={stats['files_removed']} index={args.index}"
+        )
         return 0
 
     return 2

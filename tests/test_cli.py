@@ -224,6 +224,23 @@ def test_cli_index_extend_lsh_and_minhash(tmp_path):
     r = _run("index-extend", "--input", dshard, "--index", mh)
     assert r.returncode == 0, r.stderr[-2000:]
     assert "kind=minhash appended_rows=48" in r.stdout  # 3 docs × 16 bands
+
+    # after the append, compaction folds each grown dir to one file and
+    # the serving row count is unchanged
+    before = duckdb.sql(
+        f"select count(*) from '{os.path.join(mh, 'bands', '*', '*.parquet')}'"
+    ).fetchone()[0]
+    r = _run("index-compact", "--index", mh)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "dirs_compacted=" in r.stdout and "files_removed=" in r.stdout
+    after = duckdb.sql(
+        f"select count(*) from '{os.path.join(mh, 'bands', '*', '*.parquet')}'"
+    ).fetchone()[0]
+    assert after == before
+    assert len([
+        f for f in os.listdir(os.path.join(mh, "bands", "band=0"))
+        if f.endswith(".parquet")
+    ]) == 1
     # appended sigs landed in the split layout's sigs/ table too
     n_sigs = duckdb.sql(
         f"select count(*) from '{os.path.join(mh, 'sigs', '*.parquet')}'"
