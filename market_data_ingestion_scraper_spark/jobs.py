@@ -112,6 +112,40 @@ def _gold_hashes(spark: SparkSession, gold_path: str):
         return None
 
 
+#: underscore-prefixed so Spark's parquet reader never lists it as data
+GOLD_BUILD_MARKER = "_ingest_build.json"
+
+
+def _write_gold_build_id(gold_path: str) -> str:
+    """Stamp a fresh unique generation id inside the gold directory and
+    return it.  The bloom sidecar records the id of the gold write it
+    covers; a mismatch on load means gold changed without the sidecar
+    (stale filter → rebuild).  Local paths only — a cluster deployment
+    writes the same marker through the Hadoop FileSystem API."""
+    import json as _json
+    import os as _os
+    import uuid as _uuid
+
+    build_id = _uuid.uuid4().hex
+    try:
+        with open(_os.path.join(gold_path, GOLD_BUILD_MARKER), "w") as f:
+            _json.dump({"build_id": build_id}, f)
+    except OSError:
+        pass  # non-local gold URI: the row-count check still applies
+    return build_id
+
+
+def _read_gold_build_id(gold_path: str) -> str | None:
+    import json as _json
+    import os as _os
+
+    try:
+        with open(_os.path.join(gold_path, GOLD_BUILD_MARKER)) as f:
+            return _json.load(f)["build_id"]
+    except (OSError, ValueError, KeyError):
+        return None
+
+
 def run_corpus_ingestion(
     spark: SparkSession,
     landing_path: str,
@@ -184,18 +218,29 @@ def run_corpus_ingestion(
             bloom = None  # first run: built from gold after the write
         else:
             # Staleness guard (r9 review): trusting a bloom-negative
-            # verdict is only sound while bloom ⊇ gold's hashes.  Appends
-            # made WITHOUT --bloom-path never extended the sidecar, so
-            # compare the gold row count recorded at the last sidecar
-            # write against gold now (a parquet-metadata count — no data
-            # scan).  On mismatch the filter is stale: fall back to the
-            # exact path for this run and rebuild the filter from gold
-            # after the write.
+            # verdict is only sound while bloom ⊇ gold's hashes.  Two
+            # independent checks, both must pass:
+            # 1. build-id handshake (r9 advice): every gold write here
+            #    stamps a fresh unique id into `_ingest_build.json`
+            #    inside the gold dir, and the sidecar records the id it
+            #    was written against.  Any rewrite that went through
+            #    this job without --bloom-path changes the marker; a
+            #    full external overwrite deletes it — either way the
+            #    ids diverge, even when the row count happens to match
+            #    (the case the count check below cannot see).
+            # 2. row-count match (parquet-metadata count, no data scan):
+            #    catches external APPENDS that keep the marker file.
+            # On any mismatch the filter is stale: fall back to the
+            # exact path for this run and rebuild from gold after the
+            # write.
             try:
                 gold_now = spark.read.parquet(gold_path).count()
             except Exception:
                 gold_now = None  # no readable gold yet
-            if _sidecar.get("gold_rows") != gold_now:
+            if (
+                _sidecar.get("gold_build_id") != _read_gold_build_id(gold_path)
+                or _sidecar.get("gold_rows") != gold_now
+            ):
                 bloom = None
 
     n_seen_before = 0
@@ -268,6 +313,13 @@ def run_corpus_ingestion(
         sort_within=("doc_id",),
         mode=mode,
     )
+    # Stamp the gold generation UNCONDITIONALLY (even without
+    # --bloom-path): the build-id handshake above needs every gold write
+    # to move the marker, so a later bloom-guarded run can detect that
+    # gold changed behind the sidecar's back.  Written before the
+    # sidecar — a crash in between leaves the ids mismatched, which
+    # reads as stale (a rebuild), never as a false "fresh".
+    gold_build_id = _write_gold_build_id(gold_path)
     if bloom_path is not None:
         from .operators.bloom import (
             build_hash_bloom,
@@ -291,12 +343,16 @@ def run_corpus_ingestion(
                 n_bits=bloom_bits,
                 n_hashes=bloom_hashes,
             )
-        # record the gold row count the filter covers (parquet-metadata
-        # count) — the staleness guard above compares against it on load
+        # record the gold generation the filter covers: the build id of
+        # the write it just absorbed plus the row count (parquet-metadata
+        # count) — the staleness guard above compares both on load
         write_hash_bloom(
             updated,
             bloom_path,
-            extra_meta={"gold_rows": spark.read.parquet(gold_path).count()},
+            extra_meta={
+                "gold_rows": spark.read.parquet(gold_path).count(),
+                "gold_build_id": gold_build_id,
+            },
         )
     if sketch_path is not None and (
         mode == "overwrite" or counts["n_distinct"] - n_seen_before > 0

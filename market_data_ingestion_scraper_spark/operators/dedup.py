@@ -37,6 +37,39 @@ _rng = random.Random(42)
 _AB = [( _rng.randrange(1, HASH_P), _rng.randrange(0, HASH_P)) for _ in range(N_HASHES)]
 
 
+# One cached generation per operator (r9 advice): serving operators
+# persist their shard-bounded signature tables so the shard is shingled
+# exactly once, but the returned plan is lazy — the driver can't know
+# when it is materialized.  Instead of leaking one cache per call in a
+# long-running driver (streaming/incremental ingest loops call these
+# every batch), each NEW call releases the frames the PREVIOUS call of
+# the same operator persisted.  Unpersisting a frame a caller still
+# holds is safe — Spark recomputes, never corrupts.
+_CACHE_GENERATIONS: dict[str, list[DataFrame]] = {}
+
+
+def _persist_generation(tag: str, df: DataFrame) -> DataFrame:
+    for old in _CACHE_GENERATIONS.pop(tag, []):
+        try:
+            old.unpersist(False)
+        except Exception:  # session torn down — nothing to release
+            pass
+    df = df.persist()
+    _CACHE_GENERATIONS.setdefault(tag, []).append(df)
+    return df
+
+
+def release_dedup_caches() -> None:
+    """Explicitly release every generation-cached frame (e.g. at the end
+    of a streaming ingest loop or before driver shutdown)."""
+    for tag in list(_CACHE_GENERATIONS):
+        for old in _CACHE_GENERATIONS.pop(tag, []):
+            try:
+                old.unpersist(False)
+            except Exception:
+                pass
+
+
 def portable_token_hash(w: Column) -> Column:
     """Token → 31-bit field element computable IDENTICALLY in any engine:
     the first 8 hex chars of md5 parsed as an integer, mod HASH_P —
@@ -379,6 +412,22 @@ def near_duplicates_vs_index(
         q = index.require("minhash")
         corpus_index = index.df
         corpus_sigs = index.sigs
+        if corpus_sigs is None:
+            # pre-split monolithic layout (r9 advice): each band row
+            # carries its document's full signature — derive the
+            # one-row-per-doc sig table from it rather than demanding a
+            # corpus_sigs the caller cannot have
+            if "sig" in corpus_index.columns:
+                corpus_sigs = corpus_index.select(
+                    id_col, "sig"
+                ).dropDuplicates([id_col])
+                corpus_index = corpus_index.drop("sig")
+            else:
+                raise ValueError(
+                    "legacy minhash index layout without a sig column — "
+                    "rebuild with write_minhash_index / the "
+                    "near-dup-index CLI"
+                )
         n_bands, k, portable = q["n_bands"], q["shingle_k"], q["portable"]
     if corpus_index is None or corpus_sigs is None:
         raise ValueError(
@@ -386,10 +435,15 @@ def near_duplicates_vs_index(
             "corpus_index= plus corpus_sigs="
         )
     # Shard-bounded: signatures feed both the banding projection and the
-    # sig_a join-back; persist so the shard is shingled exactly once.
-    shard_sigs = minhash_table(
-        new_docs, id_col=id_col, text_col=text_col, k=k, portable=portable
-    ).persist()
+    # sig_a join-back; cached so the shard is shingled exactly once —
+    # one generation per operator, released by the next call.
+    shard_sigs = _persist_generation(
+        "near_duplicates_vs_index",
+        minhash_table(
+            new_docs, id_col=id_col, text_col=text_col, k=k,
+            portable=portable,
+        ),
+    )
     shard_bands = band_keys_from_sigs(shard_sigs, n_bands, id_col=id_col)
     cand_ids = (
         shard_bands.join(
@@ -476,10 +530,15 @@ def lsh_candidate_pairs(
     # whole shingle+signature pipeline.  The self-join itself shuffles
     # slim (id, band, key) rows only — signatures are joined back AFTER
     # dropDuplicates, so each sig crosses the wire once per surviving
-    # pair, not once per colliding band (r9 slim-index rework).
-    sigs = minhash_table(
-        documents, id_col=id_col, text_col=text_col, portable=portable
-    ).persist()
+    # pair, not once per colliding band (r9 slim-index rework).  One
+    # cached generation per operator: a repeat call releases the last
+    # call's blocks (r9 advice — no leak across a long-running driver).
+    sigs = _persist_generation(
+        "lsh_candidate_pairs",
+        minhash_table(
+            documents, id_col=id_col, text_col=text_col, portable=portable
+        ),
+    )
     banded = band_keys_from_sigs(sigs, n_bands, id_col=id_col)
     left = banded.alias("l")
     right = banded.alias("r")

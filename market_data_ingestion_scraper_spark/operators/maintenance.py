@@ -16,10 +16,13 @@ Crash safety is the same write-ahead source-manifest protocol: (1) the
 partition's merged rows land in an underscore-prefixed staging dir
 (invisible to readers) with Spark's ``_SUCCESS`` marker plus a
 ``_compact_manifest.json`` naming exactly the source FILES the snapshot
-covers — complete only when both exist; (2) the manifest'd files are
-deleted; (3) the staged files move into the partition dir.  A re-run
+covers AND the staged snapshot file names — complete only when both
+exist; (2) the manifest'd source files are deleted; (3) the staged files
+move into the partition dir; (4) the manifest is removed LAST.  A re-run
 resumes from whichever step crashed by comparing the manifest against
-the current file listing.
+the current file listing; the recorded staged names let it tell an
+already-moved snapshot file from a genuine late append, so no crash
+window leaves the sole copy of any row invisible or double-counted.
 
 Single-writer discipline: like the extenders themselves, compaction must
 not race concurrent appends to the same partition (an append landing
@@ -88,23 +91,32 @@ def compact_partition_files(
             if max_rows_per_file:
                 w = w.option("maxRecordsPerFile", max_rows_per_file)
             w.parquet(dest)
-            # manifest LAST: its presence marks the snapshot complete
+            # manifest written after the data: its presence marks the
+            # snapshot complete.  It names BOTH sides — the source files
+            # it covers and the staged file names it produced — so a
+            # resume can tell a moved snapshot file from a late append.
             with open(os.path.join(dest, MANIFEST), "w") as f:
-                json.dump(sorted(covers), f)
+                json.dump(
+                    {"covers": sorted(covers), "staged": _data_files(dest)},
+                    f,
+                )
 
         def finish(covered: list[str]) -> None:
             # staged snapshot holds every covered row; the deletes and
-            # moves below can crash at any point — a re-run resumes here
+            # moves below can crash at any point — a re-run resumes here.
+            # Order matters: sources out, staged files in, manifest
+            # removed LAST, so an interrupted finish always leaves a
+            # complete staging dir (never a manifest-less sole copy).
             for name in covered:
                 fp = os.path.join(pd, name)
                 if os.path.exists(fp):
                     os.remove(fp)
                     stats["files_removed"] += 1
-            os.remove(os.path.join(staging, MANIFEST))
             for name in _data_files(staging):
                 os.replace(
                     os.path.join(staging, name), os.path.join(pd, name)
                 )
+            os.remove(os.path.join(staging, MANIFEST))
             shutil.rmtree(staging)
             stats["dirs_compacted"] += 1
 
@@ -119,14 +131,25 @@ def compact_partition_files(
         current = _data_files(pd)
         if _staging_complete(staging):
             with open(os.path.join(staging, MANIFEST)) as f:
-                covered = json.load(f)
-            new_files = sorted(set(current) - set(covered))
+                manifest = json.load(f)
+            # legacy manifests are a bare list of covered sources; under
+            # the legacy protocol the manifest was removed before any
+            # move, so its presence implies no staged file has moved yet
+            if isinstance(manifest, list):
+                covered, staged_names = manifest, []
+            else:
+                covered = manifest["covers"]
+                staged_names = manifest.get("staged", [])
+            moved = sorted(set(staged_names) & set(current))
+            new_files = sorted(
+                set(current) - set(covered) - set(staged_names)
+            )
             deleted = sorted(set(covered) - set(current))
-            if new_files and not deleted:
+            if new_files and not deleted and not moved:
                 # crash before any deletion: sources intact, snapshot
                 # stale but redundant — discard, restart fresh below
                 shutil.rmtree(staging)
-            elif new_files:
+            elif new_files and not moved:
                 # snapshot is the sole copy of `deleted`: fold the
                 # surviving new files in via a new generation, then swap
                 write_snapshot(
@@ -139,6 +162,9 @@ def compact_partition_files(
                 finish(sorted(covered + new_files))
                 continue
             else:
+                # no late appends, or moves already started (deletes
+                # complete, every covered row lives in staging + moved):
+                # finish is idempotent from any interruption point
                 finish(covered)
                 continue
         current = _data_files(pd)

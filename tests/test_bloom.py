@@ -281,3 +281,39 @@ def test_bloomless_append_detected_as_stale_sidecar(spark, tmp_path):
                               bloom_path=bloom_path, bloom_shards=4,
                               bloom_bits=1 << 12)
     assert m4["n_kept"] == 1 and m4["n_bloom_skipped"] == 1
+
+
+def test_equal_rowcount_rewrite_detected_by_build_id(spark, tmp_path):
+    """r9 advice: an external gold rewrite that changes CONTENT but lands
+    on the same row count slips past a count-only guard.  The build-id
+    handshake (gold `_ingest_build.json` vs sidecar `gold_build_id`)
+    must flag the sidecar stale, route the batch through the exact path,
+    and never re-append a doc gold already holds."""
+    from market_data_ingestion_scraper_spark.jobs import run_corpus_ingestion
+
+    gold = str(tmp_path / "gold")
+    bloom_path = str(tmp_path / "bloom")
+    l1 = _land(tmp_path, "bid1", [
+        {"doc_id": 1, "text": "alpha text", "lang": "en", "source": "a",
+         "n_chars": 10},
+    ])
+    run_corpus_ingestion(spark, l1, gold, incremental=True,
+                         bloom_path=bloom_path, bloom_shards=4,
+                         bloom_bits=1 << 12)
+    # non-incremental corrected re-ingest WITHOUT the sidecar: same row
+    # count (1), different content — the count check alone passes
+    l2 = _land(tmp_path, "bid2", [
+        {"doc_id": 2, "text": "beta text", "lang": "en", "source": "a",
+         "n_chars": 9},
+    ])
+    run_corpus_ingestion(spark, l2, gold, incremental=False)
+    assert spark.read.parquet(gold).count() == 1   # equal-sized rewrite
+    # re-deliver doc 2 WITH the sidecar: a trusted stale bloom would
+    # answer definitely-new and re-append a duplicate
+    m3 = run_corpus_ingestion(spark, l2, gold, incremental=True,
+                              bloom_path=bloom_path, bloom_shards=4,
+                              bloom_bits=1 << 12)
+    assert m3["n_kept"] == 0 and m3["n_seen_before"] == 1
+    assert m3["n_bloom_skipped"] == 0              # stale -> exact path
+    ids = sorted(r["doc_id"] for r in spark.read.parquet(gold).collect())
+    assert ids == [2]                              # no duplicate row

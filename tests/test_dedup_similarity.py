@@ -901,3 +901,65 @@ def test_extend_ann_index_rejects_minhash(spark, vectors, corpus, tmp_path):
     D.write_minhash_index(corpus, out)
     with _pytest.raises(ValueError, match="extend_band_index"):
         S.extend_ann_index(vectors, out)
+
+
+def test_legacy_monolithic_minhash_index_served_via_handle(
+    spark, corpus, tmp_path
+):
+    """r9 advice: a pre-split persisted minhash index (one table whose
+    band rows carry the full signature, no `layout: split` sidecar key)
+    must still serve through the AnnIndex handle — the sig table is
+    derived from the monolithic rows, not demanded from the caller."""
+    import json
+    import os
+
+    from market_data_ingestion_scraper_spark.operators.similarity import (
+        load_ann_index,
+    )
+
+    out = str(tmp_path / "mh_legacy")
+    sigs = D.minhash_table(corpus)
+    mono = D.band_keys_from_sigs(sigs, 8).join(sigs, "doc_id")
+    mono.write.partitionBy("band").parquet(out)
+    with open(os.path.join(out, "_quantizer.json"), "w") as f:
+        json.dump({"kind": "minhash", "n_bands": 8, "shingle_k": 3,
+                   "portable": False}, f)
+    handle = load_ann_index(spark, out)
+    assert handle.sigs is None  # monolithic: no companion sig table
+    new = spark.createDataFrame(
+        [(7, BASE.replace("quick", "speedy"))], "doc_id long, text string"
+    )
+    served = {
+        (r["doc_id"], r["corpus_id"]): r["est_jaccard"]
+        for r in D.near_duplicates_vs_index(
+            new, threshold=0.5, index=handle
+        ).collect()
+    }
+    direct = {
+        (r["doc_id"], r["corpus_id"]): r["est_jaccard"]
+        for r in D.near_duplicates_vs_index(
+            new, D.minhash_band_table(corpus, n_bands=8), threshold=0.5,
+            n_bands=8, corpus_sigs=D.minhash_table(corpus),
+        ).collect()
+    }
+    assert served == direct and (7, 0) in served
+
+
+def test_dedup_cache_generations_bounded(spark, corpus):
+    """r9 advice: repeated serving calls in a long-running driver must
+    not accumulate persisted blocks — each call releases the previous
+    generation, and release_dedup_caches() empties the registry."""
+    from market_data_ingestion_scraper_spark.operators.dedup import (
+        _CACHE_GENERATIONS,
+        release_dedup_caches,
+    )
+
+    release_dedup_caches()
+    for _ in range(3):
+        D.lsh_candidate_pairs(corpus).count()
+    assert len(_CACHE_GENERATIONS.get("lsh_candidate_pairs", [])) == 1
+    cached = _CACHE_GENERATIONS["lsh_candidate_pairs"][0]
+    assert cached.storageLevel.useMemory  # current generation cached
+    release_dedup_caches()
+    assert not _CACHE_GENERATIONS
+    assert not cached.storageLevel.useMemory

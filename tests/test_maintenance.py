@@ -189,6 +189,62 @@ def test_compact_merge_generation_keeps_sole_copy_and_late_append(
     assert len(_files(out)) == 1
 
 
+def test_compact_resume_after_crash_mid_move(spark, vectors, tmp_path):
+    """The r9-advice crash window: sources all deleted, SOME staged files
+    already moved into the partition dir, manifest still present.  The
+    resume must move only the remainder — no row lost, none duplicated —
+    even with a late append landed after the crash."""
+    out = str(tmp_path / "tbl")
+    vectors.limit(40).select("vec_id").repartition(4).write.parquet(out)
+    before = _rows(spark, out)
+    files = _files(out)
+    staging = os.path.join(out, "_compact_staging", os.path.basename(out))
+    # stage a 2-file snapshot so the move step has >1 file to crash between
+    spark.read.parquet(out).repartition(2).write.parquet(staging)
+    staged = _files(staging)
+    assert len(staged) == 2
+    with open(os.path.join(staging, MANIFEST), "w") as f:
+        json.dump({"covers": files, "staged": staged}, f)
+    for name in files:  # deletes completed
+        os.remove(os.path.join(out, name))
+    # crash mid-move: first staged file moved, second not
+    os.replace(os.path.join(staging, staged[0]), os.path.join(out, staged[0]))
+    # late append lands before the re-run
+    late_df = vectors.filter(F.col("vec_id") >= 400).select("vec_id")
+    late_df.repartition(1).write.mode("append").parquet(out)
+    late = sorted((r["vec_id"],) for r in late_df.collect())
+
+    compact_partition_files(spark, out, max_files=10)
+    assert _rows(spark, out) == sorted(before + late)
+    assert not os.path.exists(os.path.join(out, "_compact_staging"))
+
+
+def test_compact_interrupted_finish_never_leaves_manifestless_sole_copy(
+    spark, vectors, tmp_path
+):
+    """Protocol-order pin for the r9 advice: a staging dir whose covered
+    sources are gone must still carry its manifest (the manifest is
+    removed only after every staged file is moved), so a fresh run's
+    overwrite of the staging path can never destroy the sole copy."""
+    out = str(tmp_path / "tbl")
+    vectors.limit(30).select("vec_id").repartition(3).write.parquet(out)
+    before = _rows(spark, out)
+    files = _files(out)
+    staging = os.path.join(out, "_compact_staging", os.path.basename(out))
+    spark.read.parquet(out).repartition(1).write.parquet(staging)
+    with open(os.path.join(staging, MANIFEST), "w") as f:
+        json.dump({"covers": files, "staged": _files(staging)}, f)
+    for name in files:  # crash right after the deletes, before any move
+        os.remove(os.path.join(out, name))
+
+    # the old protocol's fatal state was manifest-gone + data staged;
+    # simulate a full re-run (which starts a fresh generation if the
+    # staging looks incomplete) and assert recovery instead
+    compact_partition_files(spark, out)
+    assert _rows(spark, out) == before
+    assert len(_files(out)) == 1
+
+
 def test_compact_respects_max_files_threshold(spark, vectors, tmp_path):
     out = str(tmp_path / "tbl")
     vectors.limit(20).select("vec_id").repartition(3).write.parquet(out)
