@@ -4334,14 +4334,71 @@ def q_bigram_logprob_quality(spark: SparkSession, sf: str) -> DataFrame:
 # queries, and finally entries whose evidence already exists elsewhere
 # (rows-only demos pinned by pytest, long-stable double-green rows).
 GATE_PRIORITY: tuple[str, ...] = (
-    # r9 rotation (executes the hard commitment recorded here at r8): the
-    # 50 queries last checked green at r07 were parked in GATE_DEFERRED
-    # through r8 and hit the 2-round staleness limit this round — the
-    # entire list comes back into the window, except six demo duplicates
-    # retired to make room (see GATE_RETIRED, with per-query rationale)
-    # for the six r9-new queries' first oracle rows; a seventh
-    # (rollup_revenue) freed a DEFERRED slot for bigram_logprob_quality.
-    # The cycle stays at exactly two rounds.
+    # r10 rotation (executes the hard commitment recorded here at r9):
+    # the 50 queries last checked green at r08 parked in GATE_DEFERRED
+    # through r9 and hit the 2-round staleness limit this round — the
+    # entire list rotates back into the snapshot window.  This includes
+    # the five r9-new queries taking their FIRST gate row
+    # (bigram_logprob_quality, pivot_status_qty, cube_revenue,
+    # quantity_percentiles, top_part_per_brand_maxby).
+    "pq_topk_adc",
+    "series_topk_similar",
+    "bpe_corpus_stats",
+    "sketch_profile_check",
+    "unigram_logprob_quality",
+    "paragraph_dup_stats",
+    "centroid_assign",
+    "bigram_merge_candidates",
+    "collapse_repeated_paras",
+    "curation_pipeline",
+    "lsh_topk_ann",
+    "embedding_near_dups",
+    "ivf_topk_ann",
+    "repeat_vs_lapsed_custs",
+    "lexical_diversity",
+    "zipf_profile",
+    "split_leakage",
+    "sliding_hourly_avg",
+    "clicks_recent_purchase",
+    "asof_last_purchase",
+    "range_join_value_bands",
+    "scalar_date_scan",
+    "customers_without_orders",
+    "pricing_summary",
+    "priority_counts",
+    "count_data_rows",
+    "container_classification",
+    "completed_link_types",
+    "fully_covered_orders",
+    "sanitize_commodity_names",
+    "lineage_projection",
+    "parts_above_brand_avg",
+    "events_json_extract",
+    "events_daily_by_type",
+    "user_sessionization",
+    "tfidf_top_terms",
+    "text_quality",
+    "language_id",
+    "html_table_scan",
+    "stratified_sample_by_lang",
+    "repetition_scores",
+    "doc_chunks",
+    "pack_plan",
+    "benchmark_decontam",
+    "training_order",
+    "bigram_logprob_quality",
+    "pivot_status_qty",
+    "cube_revenue",
+    "quantity_percentiles",
+    "top_part_per_brand_maxby",
+)
+
+# The 50 queries checked green at r09 park outside the snapshot window
+# this round; they hit the 2-round staleness limit at r11, so the r11
+# rotation MUST move this entire list into GATE_PRIORITY (and park the
+# r10-green window here).  With 100 exported queries and a 50-row
+# snapshot the cycle is exactly two rounds — sustainable indefinitely.
+GATE_DEFERRED: tuple[str, ...] = (
     "bloom_dedup_filter",
     "kmeans_refine_step",
     "corpus_snapshot_diff",
@@ -4392,66 +4449,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "pack_efficiency",
     "image_near_dups",
     "duplicated_span_stats",
-)
-
-# The 50 queries checked green at r08 park outside the snapshot window
-# this round; they hit the 2-round staleness limit at r10, so the r10
-# rotation MUST move this entire list into GATE_PRIORITY (and park the
-# r9-green window here).  With 100 exported queries and a 50-row
-# snapshot the cycle is exactly two rounds — sustainable indefinitely.
-GATE_DEFERRED: tuple[str, ...] = (
-    "pq_topk_adc",
-    "series_topk_similar",
-    "bpe_corpus_stats",
-    "sketch_profile_check",
-    "unigram_logprob_quality",
-    "paragraph_dup_stats",
-    "centroid_assign",
-    "bigram_merge_candidates",
-    "collapse_repeated_paras",
-    "curation_pipeline",
-    "lsh_topk_ann",
-    "embedding_near_dups",
-    "ivf_topk_ann",
-    "repeat_vs_lapsed_custs",
-    "lexical_diversity",
-    "zipf_profile",
-    "split_leakage",
-    "sliding_hourly_avg",
-    "clicks_recent_purchase",
-    "asof_last_purchase",
-    "range_join_value_bands",
-    "scalar_date_scan",
-    "customers_without_orders",
-    "pricing_summary",
-    "priority_counts",
-    "count_data_rows",
-    "container_classification",
-    "completed_link_types",
-    "fully_covered_orders",
-    "sanitize_commodity_names",
-    "lineage_projection",
-    "parts_above_brand_avg",
-    "events_json_extract",
-    "events_daily_by_type",
-    "user_sessionization",
-    "tfidf_top_terms",
-    "text_quality",
-    "language_id",
-    "html_table_scan",
-    "stratified_sample_by_lang",
-    "repetition_scores",
-    "doc_chunks",
-    "pack_plan",
-    "benchmark_decontam",
-    "training_order",
-    # r9-new, first gate row due r10 when this deferred window rotates
-    # back in (takes the slot rollup_revenue's retirement freed)
-    "bigram_logprob_quality",
-    "pivot_status_qty",
-    "cube_revenue",
-    "quantity_percentiles",
-    "top_part_per_brand_maxby",
 )
 
 # Retired from the GATE EXPORT only (r8, on the r7 verdict's advice): each
