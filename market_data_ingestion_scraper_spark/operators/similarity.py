@@ -445,26 +445,6 @@ def ivf_cell_table(
     )
 
 
-def _adc_query_table(
-    queries: DataFrame, cw: DataFrame, dsub: int, id_col: str, vec_col: str
-) -> DataFrame:
-    """Per-(query, sub, code) exact squared distance of the query
-    subvector to every codebook entry — the m×k ADC lookup tables pq_topk
-    and ivfpq_topk both broadcast: ‖q_sub − c‖² = Σq² − 2Σq·c + ‖c‖²."""
-    qvals = _pq_subvals(queries, id_col, vec_col, "query_id", dsub)
-    return (
-        qvals.join(F.broadcast(cw), ["sub", "pos"])
-        .groupBy("query_id", "sub", "code")
-        .agg(
-            (
-                F.sum(F.col("vm") * F.col("vm"))
-                - 2 * F.sum(F.col("vm") * F.col("wm"))
-                + F.first("cn_m")
-            ).alias("qd_m")
-        )
-    )
-
-
 class AnnIndex:
     """A loaded ANN index: the partitioned bucket/cell relation PLUS the
     quantizer parameters it was built with, travelling as one handle so
@@ -814,35 +794,217 @@ def fit_pq_codebooks(
     return books
 
 
-def _pq_codebook_table(spark, codebooks):
-    """(sub, code, pos, wm, cn_m): micro-unit codebook weights with the
-    per-entry ‖c‖² riding along — one broadcastable table serves encode
-    and ADC alike."""
-    rows = [
-        (j, c, p, int(round(w * 1e6)))
-        for j, book in enumerate(codebooks)
-        for c, cvec in enumerate(book)
-        for p, w in enumerate(cvec)
-    ]
-    cw = spark.createDataFrame(rows, "sub int, code int, pos int, wm long")
-    cn = cw.groupBy("sub", "code").agg(
-        F.sum(F.col("wm") * F.col("wm")).alias("cn_m")
+def _mu(vec: Column) -> Column:
+    """array<long> micro-units — the house exact int64 embedding form
+    (identical per-element arithmetic to the old posexplode path:
+    round(x·10⁶) on the double-cast value)."""
+    return F.transform(_dbl(vec), lambda x: F.round(x * 1e6).cast("long"))
+
+
+def _ldot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ over int64 arrays — exact, order-free."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
     )
-    return cw.join(cn, ["sub", "code"])
 
 
-def _pq_subvals(df: DataFrame, id_col: str, vec_col: str, out_id: str, dsub: int):
-    """(id, sub, pos, vm): one posexplode splits each vector into its
-    subspace components in micro-units; ``pos`` is the within-subspace
-    position codebook rows join on."""
-    return df.select(
-        F.col(id_col).alias(out_id),
-        F.posexplode(_dbl(F.col(vec_col))).alias("_p", "_val"),
-    ).select(
-        out_id,
-        (F.col("_p") / dsub).cast("int").alias("sub"),
-        (F.col("_p") % dsub).alias("pos"),
-        F.round(F.col("_val") * 1e6).cast("long").alias("vm"),
+def _pq_codebook_lits(codebooks) -> tuple[Column, Column]:
+    """(CB, CN) literal columns folded into the plan: CB[j+1][c+1] is
+    codebook j entry c as an array<long> of micro-units, CN[j+1][c+1] is
+    its exact ‖c‖² in micro²-units (computed in Python ints — identical
+    to an int64 Σ wm²).  m·k·dsub longs — a few KB even at production
+    codebook sizes, so the 'broadcast' is plan-literal and every
+    consumer is pure whole-stage-codegen projection, no join."""
+    mu = [
+        [[int(round(w * 1e6)) for w in cvec] for cvec in book]
+        for book in codebooks
+    ]
+    cb = F.array(
+        *[
+            F.array(
+                *[
+                    F.array(*[F.lit(w).cast("long") for w in cvec])
+                    for cvec in book
+                ]
+            )
+            for book in mu
+        ]
+    )
+    cn = F.array(
+        *[
+            F.array(
+                *[
+                    F.lit(sum(w * w for w in cvec)).cast("long")
+                    for cvec in book
+                ]
+            )
+            for book in mu
+        ]
+    )
+    return cb, cn
+
+
+def _pq_codes_expr(vec: Column, codebooks) -> Column:
+    """Per-row PQ code assignment as ONE expression (array<int> length
+    m): per subspace, score every codebook entry ‖·‖²−2·dot in exact
+    int64 micro-units and take the (score, code)-lexicographic min —
+    bit-identical to the old broadcast-join/groupBy/min_by pipeline,
+    with zero shuffles.  All shared subtrees (the micro-unit vector, the
+    codebook literals, each subvector slice) are let-bound so the tree
+    stays linear in m·k."""
+    from .dedup import _let
+
+    m, k = len(codebooks), len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    cb_l, cn_l = _pq_codebook_lits(codebooks)
+
+    def with_vm(vm: Column) -> Column:
+        def with_cb(cb: Column) -> Column:
+            def with_cn(cn: Column) -> Column:
+                def per_sub(j: Column) -> Column:
+                    def with_sub(sub: Column) -> Column:
+                        scores = F.transform(
+                            F.sequence(F.lit(0), F.lit(k - 1)),
+                            lambda c: F.struct(
+                                (
+                                    F.element_at(F.element_at(cn, j + 1), c + 1)
+                                    - F.lit(2).cast("long")
+                                    * _ldot(
+                                        sub,
+                                        F.element_at(
+                                            F.element_at(cb, j + 1), c + 1
+                                        ),
+                                    )
+                                ).alias("score"),
+                                c.alias("code"),
+                            ),
+                        )
+                        return F.array_min(scores)["code"]
+
+                    return _let(
+                        F.slice(vm, j * F.lit(dsub) + 1, F.lit(dsub)), with_sub
+                    )
+
+                return F.transform(F.sequence(F.lit(0), F.lit(m - 1)), per_sub)
+
+            return _let(cn_l, with_cn)
+
+        return _let(cb_l, with_cb)
+
+    return _let(_mu(vec), with_vm)
+
+
+def _adc_table_expr(vec: Column, codebooks) -> Column:
+    """Per-query ADC lookup tables as ONE expression — array[m] of
+    array[k] longs: ‖q_sub − c‖² = Σq² − 2Σq·c + ‖c‖² in exact
+    micro²-units, same arithmetic as the old relational
+    ``_adc_query_table`` row set."""
+    from .dedup import _let
+
+    m, k = len(codebooks), len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    cb_l, cn_l = _pq_codebook_lits(codebooks)
+
+    def with_vm(vm: Column) -> Column:
+        def with_cb(cb: Column) -> Column:
+            def with_cn(cn: Column) -> Column:
+                def per_sub(j: Column) -> Column:
+                    def with_sub(sub: Column) -> Column:
+                        def with_ssq(ssq: Column) -> Column:
+                            return F.transform(
+                                F.sequence(F.lit(0), F.lit(k - 1)),
+                                lambda c: ssq
+                                - F.lit(2).cast("long")
+                                * _ldot(
+                                    sub,
+                                    F.element_at(F.element_at(cb, j + 1), c + 1),
+                                )
+                                + F.element_at(F.element_at(cn, j + 1), c + 1),
+                            )
+
+                        return _let(_ldot(sub, sub), with_ssq)
+
+                    return _let(
+                        F.slice(vm, j * F.lit(dsub) + 1, F.lit(dsub)), with_sub
+                    )
+
+                return F.transform(F.sequence(F.lit(0), F.lit(m - 1)), per_sub)
+
+            return _let(cn_l, with_cn)
+
+        return _let(cb_l, with_cb)
+
+    return _let(_mu(vec), with_vm)
+
+
+def _ivf_scores_expr(vec: Column, centroids) -> Column:
+    """array<struct<score,cell>> of exact micro-unit cell scores
+    (‖c‖² − 2·v·c — ‖v‖² dropped, constant per row) with the centroid
+    table folded in as literals: the expression twin of
+    ``_cell_scores``'s broadcast-join/groupBy rows, bit-identical
+    arithmetic."""
+    from .dedup import _let
+
+    mu = [[int(round(w * 1e6)) for w in cvec] for cvec in centroids]
+    cw_l = F.array(
+        *[F.array(*[F.lit(w).cast("long") for w in cvec]) for cvec in mu]
+    )
+    cn_l = F.array(
+        *[F.lit(sum(w * w for w in cvec)).cast("long") for cvec in mu]
+    )
+    n_lists = len(centroids)
+
+    def with_vm(vm: Column) -> Column:
+        def with_cw(cw: Column) -> Column:
+            def with_cn(cn: Column) -> Column:
+                return F.transform(
+                    F.sequence(F.lit(0), F.lit(n_lists - 1)),
+                    lambda c: F.struct(
+                        (
+                            F.element_at(cn, c + 1)
+                            - F.lit(2).cast("long")
+                            * _ldot(vm, F.element_at(cw, c + 1))
+                        ).alias("score"),
+                        c.alias("cell"),
+                    ),
+                )
+
+            return _let(cn_l, with_cn)
+
+        return _let(cw_l, with_cw)
+
+    return _let(_mu(vec), with_vm)
+
+
+def _ivf_cell_expr(vec: Column, centroids) -> Column:
+    """argmin cell, ties to the lower cell — ≡ min_by(cell,
+    struct(score, cell)) on the relational path."""
+    return F.array_min(_ivf_scores_expr(vec, centroids))["cell"]
+
+
+def _ivf_probe_cells_expr(vec: Column, centroids, n_probe: int) -> Column:
+    """The n_probe nearest cells as array<int> — ≡ the relational
+    row_number-over-(score, cell) ≤ n_probe filter (array_sort on the
+    struct is the same lexicographic order)."""
+    return F.transform(
+        F.slice(F.array_sort(_ivf_scores_expr(vec, centroids)), 1, n_probe),
+        lambda s: s["cell"],
+    )
+
+
+def _adc_pair_dist() -> Column:
+    """d_m for one (corpus, query) pair: Σ_j qtab[j][codes[j]] — m int64
+    table lookups on the pair's ``codes``/``_qtab`` columns."""
+    return F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("_qtab"),
+            lambda c, tab_j: F.element_at(tab_j, c + 1),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
     )
 
 
@@ -858,30 +1020,15 @@ def pq_encode(
     is the PQ index: at scale it is written out partitioned and the raw
     vectors are never read again for scoring.
 
-    Fully relational, same shape as IVF cell assignment: broadcast
-    codebook join on (sub, pos), one codegen'd aggregate per
-    (row, sub, code), min_by argmin, then an ordered array pack."""
-    spark = embeddings.sparkSession
-    dsub = len(codebooks[0][0])
-    cw = _pq_codebook_table(spark, codebooks)
-    vals = _pq_subvals(_spread(embeddings), id_col, vec_col, "_id", dsub)
-    scores = (
-        vals.join(F.broadcast(cw), ["sub", "pos"])
-        .groupBy("_id", "sub", "code")
-        .agg((F.first("cn_m") - 2 * F.sum(F.col("vm") * F.col("wm"))).alias("score"))
-    )
-    best = scores.groupBy("_id", "sub").agg(
-        F.min_by("code", F.struct("score", "code")).alias("code")
-    )
-    return (
-        best.groupBy("_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("sub", "code"))),
-                lambda s: s["code"],
-            ).alias("codes")
-        )
-        .select(F.col("_id").alias(id_col), "codes")
+    One shuffle-free whole-stage-codegen projection (r10): the codebook
+    is folded into the plan as int64 micro-unit literals and the
+    per-subspace argmin is a let-bound higher-order expression — the
+    corpus is read once and never exchanged (the r8 form was a broadcast
+    join + three groupBys; the arithmetic, tie-breaks, and therefore
+    every persisted code and oracle hash are unchanged)."""
+    return _spread(embeddings).select(
+        F.col(id_col),
+        _pq_codes_expr(F.col(vec_col), codebooks).alias("codes"),
     )
 
 
@@ -903,33 +1050,32 @@ def pq_topk(
     approximate squared L2 distance is the sum of m table lookups on its
     codes — the raw corpus vectors are never touched.
 
-    Scale shape: the per-query tables are |Q|·m·``n_codes`` rows —
-    broadcast; the corpus side is the (id, sub, code) explode of the
-    ENCODED index (m small ints per vector, the whole point of PQ), so
-    the scoring shuffle carries code-sums, not vectors.  Exhaustive ADC
-    scans every encoded row per query — the production composition is
-    IVF-PQ (probe cells first, ADC within), which this function's
-    ``encoded=`` parameter makes a straightforward join-reduction.
+    Scale shape (r10, expression form): each query precomputes its m×k
+    table as ONE let-bound expression column and broadcasts with it; the
+    corpus side reads only the ENCODED index (m small ints per vector,
+    the whole point of PQ) and scores each pair with m int64 array
+    lookups — the same broadcast-the-tiny-side exhaustive scan as
+    :func:`brute_force_topk`, with zero corpus shuffles before the
+    per-query top-k.  Exhaustive ADC scans every encoded row per query —
+    the production composition is IVF-PQ (probe cells first, ADC
+    within), which this function's ``encoded=`` parameter makes a
+    straightforward join-reduction.
     Returns squared-L2 distances (on unit vectors, d² = 2 - 2·cos)."""
-    spark = embeddings.sparkSession
     if codebooks is None:
         codebooks = fit_pq_codebooks(
             embeddings, m=m, k=n_codes, seed=seed, vec_col=vec_col
         )
-    dsub = len(codebooks[0][0])
     if encoded is None:
         encoded = pq_encode(embeddings, codebooks, id_col=id_col, vec_col=vec_col)
-    cw = _pq_codebook_table(spark, codebooks)
-    qtab = _adc_query_table(queries, cw, dsub, id_col, vec_col)
-    corpus_codes = encoded.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.posexplode("codes").alias("sub", "code"),
+    qtab = queries.select(
+        F.col(id_col).alias("query_id"),
+        _adc_table_expr(F.col(vec_col), codebooks).alias("_qtab"),
     )
     scored = (
-        corpus_codes.join(F.broadcast(qtab), ["sub", "code"])
+        encoded.withColumnsRenamed({id_col: "neighbor_id"})
+        .crossJoin(F.broadcast(qtab))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.sum("qd_m").alias("d_m"))
+        .select("query_id", "neighbor_id", _adc_pair_dist().alias("d_m"))
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("d_m"), F.asc("neighbor_id"))
     return (
@@ -973,8 +1119,17 @@ def ivfpq_topk(
     cells' files — the candidate join below is the in-memory equivalent.
 
     Returns squared-L2 distances like :func:`pq_topk` (on unit vectors
-    d² = 2 - 2·cos)."""
-    spark = embeddings.sparkSession
+    d² = 2 - 2·cos).
+
+    r10 expression form: both quantizer halves fold into the plan as
+    int64 micro-unit literals, so the corpus side is ONE projection
+    (cell + codes per row — or a join of the two persisted index
+    relations when both are supplied), the query side is one |Q|-row
+    projection (probe cells + ADC table) exploded to |Q|·n_probe
+    broadcast rows, and scoring is a broadcast equi-join on ``cell``
+    plus m array lookups per candidate.  The only exchange in the whole
+    serve is the per-query top-k window; the arithmetic (and every
+    oracle hash) is unchanged from the relational r8 form."""
     if centroids is None:
         centroids = fit_ivf_centroids(
             embeddings, n_lists=n_lists, seed=seed, vec_col=vec_col
@@ -983,38 +1138,49 @@ def ivfpq_topk(
         codebooks = fit_pq_codebooks(
             embeddings, m=m, k=n_codes, seed=seed, vec_col=vec_col
         )
-    dsub = len(codebooks[0][0])
-    if encoded is None:
-        encoded = pq_encode(embeddings, codebooks, id_col=id_col, vec_col=vec_col)
 
-    # --- IVF side: shared relational micro-unit assignment (or the
-    # persisted (id, cell) index — both halves of IndexIVFPQ are then
-    # prebuilt relations: corpus_cells + encoded)
-    cweights = _ivf_weight_table(spark, centroids)
-    if corpus_cells is not None:
-        c_cell = corpus_cells.withColumnsRenamed({id_col: "neighbor_id"})
-        q_cell = _ivf_query_cells(queries, cweights, n_probe, id_col, vec_col)
-    else:
-        c_cell, q_cell = _ivf_assign(
-            embeddings, queries, cweights, n_probe, id_col, vec_col
+    # --- corpus side: (neighbor_id, cell, codes) — from the persisted
+    # index relations when given, else computed in the scan projection
+    if encoded is not None and corpus_cells is not None:
+        c_side = encoded.withColumnsRenamed({id_col: "neighbor_id"}).join(
+            corpus_cells.withColumnsRenamed({id_col: "neighbor_id"}),
+            "neighbor_id",
         )
+    else:
+        base = _spread(embeddings).select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v")
+        )
+        if corpus_cells is not None:
+            base = base.join(
+                corpus_cells.withColumnsRenamed({id_col: "neighbor_id"}),
+                "neighbor_id",
+            )
+        else:
+            base = base.withColumn("_cell", _ivf_cell_expr(F.col("_v"), centroids))
+            base = base.withColumnRenamed("_cell", "cell")
+        if encoded is not None:
+            base = base.join(
+                encoded.withColumnsRenamed({id_col: "neighbor_id"}),
+                "neighbor_id",
+            )
+        else:
+            base = base.withColumn(
+                "codes", _pq_codes_expr(F.col("_v"), codebooks)
+            )
+        c_side = base.drop("_v")
 
-    # --- PQ side: ADC restricted to candidates from the probed cells
-    cand = c_cell.join(F.broadcast(q_cell), "cell").select(
-        "query_id", "neighbor_id"
-    )
-    cmw = _pq_codebook_table(spark, codebooks)
-    qtab = _adc_query_table(queries, cmw, dsub, id_col, vec_col)
-    corpus_codes = encoded.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.posexplode("codes").alias("sub", "code"),
+    # --- query side: n_probe cells + the ADC table, |Q|·n_probe rows
+    q_side = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(
+            _ivf_probe_cells_expr(F.col(vec_col), centroids, n_probe)
+        ).alias("cell"),
+        _adc_table_expr(F.col(vec_col), codebooks).alias("_qtab"),
     )
     scored = (
-        corpus_codes.join(cand, "neighbor_id")
+        c_side.join(F.broadcast(q_side), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .join(F.broadcast(qtab), ["query_id", "sub", "code"])
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.sum("qd_m").alias("d_m"))
+        .select("query_id", "neighbor_id", _adc_pair_dist().alias("d_m"))
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("d_m"), F.asc("neighbor_id"))
     return (

@@ -81,15 +81,35 @@ def znormalize_series(series: Column | str = "series") -> Column:
     """Z-normalize one series per row: (x - mean) / std, constant series →
     all-zero (guarded std).  Pure higher-order arithmetic — per-row,
     shuffle-free, and scale/offset invariant by construction: the classic
-    preprocessing that makes cosine-on-series behave like correlation."""
+    preprocessing that makes cosine-on-series behave like correlation.
+
+    ``mean`` and ``std`` are let-bound (single-element ``transform`` —
+    the house `_let` pattern): Catalyst inlines repeated expression
+    references TEXTUALLY, so the naive form re-evaluates the mean fold
+    inside every element of the variance fold and the output transform —
+    a multiplicative expression blowup that showed up as seconds of
+    planning/codegen per composed consumer (r10: series_topk_similar
+    spent most of its 5 s there).  Let-binding keeps the tree linear;
+    the float arithmetic (and thus every oracle hash) is unchanged."""
+    from .dedup import _let
+
     s = F.col(series) if isinstance(series, str) else series
     n = F.size(s)
-    mean = F.aggregate(s, F.lit(0.0), lambda a, x: a + x) / n
-    var = F.aggregate(s, F.lit(0.0), lambda a, x: a + (x - mean) * (x - mean)) / n
-    std = F.sqrt(var)
-    return F.when(std <= 1e-12, F.transform(s, lambda x: F.lit(0.0))).otherwise(
-        F.transform(s, lambda x: (x - mean) / std)
-    )
+
+    def with_mean(mean: Column) -> Column:
+        var = (
+            F.aggregate(s, F.lit(0.0), lambda a, x: a + (x - mean) * (x - mean))
+            / n
+        )
+
+        def with_std(std: Column) -> Column:
+            return F.when(
+                std <= 1e-12, F.transform(s, lambda x: F.lit(0.0))
+            ).otherwise(F.transform(s, lambda x: (x - mean) / std))
+
+        return _let(F.sqrt(var), with_std)
+
+    return _let(F.aggregate(s, F.lit(0.0), lambda a, x: a + x) / n, with_mean)
 
 
 def subsequence_topk(
@@ -201,16 +221,14 @@ def series_topk_similar(
     vecs = user_value_series(events, n_days, id_col=id_col).select(
         F.col(id_col).alias("vec_id"), znormalize_series().alias("embedding")
     )
-    # Materialize the normalized series BEFORE the norm filter and the
-    # search: composing further lambda expressions (the zero-norm fold,
-    # the cosine) over the nested z-norm/grid-assembly HOF tree sent
-    # Catalyst's analysis cost through the roof — measured 42 s at sf0.1
-    # for a 1 500-row series table, of which ~38 s was planning the norm
-    # filter alone; ~7 s total with the cut.  The table is users × grid
-    # — the persistable embedding artifact a production pipeline would
-    # write out anyway — so truncating lineage here is the scale design,
-    # not a workaround.
-    vecs = vecs.localCheckpoint(eager=True)
+    # No lineage cut needed (r10): with `mean`/`std` let-bound inside
+    # znormalize_series the composed plan (zero-norm filter + cosine)
+    # stays linear — the r8 localCheckpoint here was working around the
+    # expression blowup at its symptom (42 s of planning), not its cause.
+    # Both search sides derive from the same aggregation, so Spark's
+    # exchange reuse serves the corpus and query scans from one shuffle.
+    # A production pipeline would still WRITE the series table out as its
+    # embedding artifact — that is a sink decision, not a plan necessity.
     vecs = vecs.filter(
         F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x) > 0
     )

@@ -419,33 +419,46 @@ def test_duplicated_span_stats_plan_shape(spark):
     assert rep.has_partial_agg, rep.summary()
 
 
-def test_pq_topk_adc_gate_plan_no_cartesian(spark):
-    """The r8 PQ gate query end-to-end: codebook and ADC-table joins are
-    broadcasts, candidate scoring is an equi-join + aggregate — no
-    cartesian/BNL anywhere, and map-side combine on the code sums."""
+def test_pq_topk_adc_gate_plan_shape(spark):
+    """The PQ gate query end-to-end (r10 expression form): the corpus
+    side reads the encoded codes in ONE pass with no exchange before
+    scoring — the per-query ADC tables ride a broadcast (the
+    brute_force_topk exhaustive-scan shape), and the only shuffle is the
+    per-query top-k window."""
     df = _plan(spark, "pq_topk_adc")
     txt = explain_str(df)
     assert "CartesianProduct" not in txt
-    assert "BroadcastNestedLoopJoin" not in txt
-    rep = plan_report(df)
-    assert rep.n_broadcast_joins >= 2, rep.summary()
-    assert rep.has_partial_agg, rep.summary()
+    assert "SortMergeJoin" not in txt
+    with aqe_disabled(spark):
+        rep = plan_report(_plan(spark, "pq_topk_adc"))
+    # the deliberate spread-scan repartition, the broadcast build of the
+    # |Q|-row ADC side, and the top-k window hash partition — nothing
+    # else may exchange (the r8 relational form had 6+)
+    assert rep.n_shuffles <= 4, rep.summary()
 
 
-def test_ivfpq_gate_plan_no_cartesian(spark):
-    """IVF-PQ composition: probe-cell candidate join + candidate-bounded
-    ADC — equi-joins only; the raw-vector side appears ONLY in the
-    bounded encode/probe stages, never in scoring."""
+def test_ivfpq_gate_plan_shape(spark):
+    """IVF-PQ composition (r10 expression form): cell assignment and
+    encode fold into the corpus scan projection, candidates come from a
+    broadcast EQUI-join on cell (never BNL/cartesian — probing must
+    prune, not cross), and the only shuffle is the top-k window."""
     df = _plan(spark, "ivfpq_topk_adc")
     txt = explain_str(df)
     assert "CartesianProduct" not in txt
     assert "BroadcastNestedLoopJoin" not in txt
+    assert "SortMergeJoin" not in txt
+    assert "BroadcastHashJoin" in txt  # the cell candidate join
+    with aqe_disabled(spark):
+        rep = plan_report(_plan(spark, "ivfpq_topk_adc"))
+    # spread repartition + broadcast build + top-k window (r8 form: 8+)
+    assert rep.n_shuffles <= 4, rep.summary()
 
 
-def test_pq_encode_is_broadcast_join_only(spark):
-    """PQ encoding must never shuffle the corpus against the codebook:
-    the codebook join is a broadcast, argmin is an aggregate — no
-    cartesian, no sort-merge join of the corpus side."""
+def test_pq_encode_is_shuffle_free_projection(spark):
+    """PQ encoding must be a single corpus pass: the codebook folds into
+    the plan as literals and the per-subspace argmin is expression-level
+    — no join, no aggregate, no exchange of any kind (the r8 form paid a
+    broadcast join + three groupBys for the same bits)."""
     from market_data_ingestion_scraper_spark.operators.similarity import (
         fit_pq_codebooks,
         pq_encode,
@@ -454,10 +467,12 @@ def test_pq_encode_is_broadcast_join_only(spark):
 
     vecs = load_table(spark, SF, "embeddings")
     books = fit_pq_codebooks(vecs, m=8, k=16)
+    rep = plan_report(pq_encode(vecs, books))
+    # only the deliberate spread-scan repartition may exchange (AQE's
+    # shuffle-read wrapper makes it count twice in the plan text)
+    assert rep.n_shuffles <= 2, rep.summary()
     txt = explain_str(pq_encode(vecs, books))
-    assert "CartesianProduct" not in txt
-    assert "BroadcastNestedLoopJoin" not in txt
-    assert "BroadcastHashJoin" in txt
+    assert "Join" not in txt and "Aggregate" not in txt
 
 
 def test_timeseries_series_shuffles_bounded_by_grid(spark):
