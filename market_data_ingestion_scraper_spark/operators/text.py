@@ -808,3 +808,110 @@ def token_count_histogram(documents: DataFrame, text_col: str = "text") -> DataF
         "max_tokens",
         F.round(F.col("n_docs") / F.sum("n_docs").over(total), 6).alias("share"),
     )
+
+
+def tfidf_vectors_m(
+    documents: DataFrame,
+    max_df: int | None = None,
+    max_df_frac: float | None = 0.25,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    idf_scale: int = 1000,
+) -> DataFrame:
+    """(id, term, w_m): the sparse TF-IDF vector table in exact int64
+    milli-units — w_m = tf · round(idf_scale · ln(N/df)).  Terms above
+    the df ceiling — ``max_df`` absolute, or ``max_df_frac`` of the
+    corpus (the scale-invariant default: an absolute cut that keeps
+    discriminative terms at one corpus size prunes everything at 10×) —
+    are pruned from the vectors entirely (the standard stopword/
+    boilerplate cut that also bounds the similarity self-join's fan-out:
+    a term can pair at most ceiling² documents).
+
+    Integer weights make every downstream dot product an ORDER-FREE
+    int64 sum — the house micro-unit discipline — so pairwise cosine is
+    bit-reproducible in a SQL oracle; the single float op (the ln) is
+    rounded to milli-units immediately.  The milli scale bounds
+    Σ w_m² ≪ 2⁶³ for any realistic document (tf ≤ ~10⁴, ln ≤ ~30)."""
+    tf = (
+        documents.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    n_docs = documents.count()  # scalar: one number to the driver
+    if max_df is None:
+        if max_df_frac is None:
+            raise ValueError("one of max_df / max_df_frac is required")
+        import math
+
+        max_df = math.ceil(max_df_frac * n_docs)
+    return (
+        tf.join(F.broadcast(df.filter(F.col("df") <= max_df)), "term")
+        .select(
+            id_col,
+            "term",
+            (
+                F.col("tf")
+                * F.round(
+                    F.lit(float(idf_scale))
+                    * F.log(F.lit(float(n_docs)) / F.col("df")),
+                    0,
+                ).cast("long")
+            ).alias("w_m"),
+        )
+    )
+
+
+def tfidf_cosine_pairs(
+    documents: DataFrame,
+    threshold: float = 0.4,
+    max_df: int | None = None,
+    max_df_frac: float | None = 0.25,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sparse-vector similarity self-join (X17): document pairs with
+    TF-IDF cosine ≥ ``threshold`` — the sparse complement of the dense
+    ANN family (no embeddings needed) and of the shingle/MinHash near-dup
+    family (bag-of-words similarity survives clause reordering that kills
+    shingles).
+
+    Relational sparse algebra, never all-pairs: the inverted (term →
+    docs) self-join pairs only documents SHARING a surviving term, the
+    numerator is one map-side-combined int64 sum per pair, and norms
+    join back from a per-document aggregate.  The df ceiling bounds both
+    index size and join fan-out — the same candidate-bounding role the
+    banding plays for MinHash.  Output (doc_a, doc_b, cos_sim) with
+    doc_a < doc_b, cosine rounded to 6dp from exact integer operands."""
+    w = tfidf_vectors_m(
+        documents, max_df=max_df, max_df_frac=max_df_frac,
+        id_col=id_col, text_col=text_col,
+    )
+    norms = w.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("w_m") * F.col("w_m"))).alias("norm")
+    )
+    l, r = w.alias("l"), w.alias("r")
+    num = (
+        l.join(
+            r,
+            (F.col("l.term") == F.col("r.term"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"l.{id_col}").alias("doc_a"),
+            F.col(f"r.{id_col}").alias("doc_b"),
+        )
+        .agg(F.sum(F.col("l.w_m") * F.col("r.w_m")).alias("num_m"))
+    )
+    return (
+        num.join(norms.withColumnsRenamed({id_col: "doc_a", "norm": "norm_a"}), "doc_a")
+        .join(norms.withColumnsRenamed({id_col: "doc_b", "norm": "norm_b"}), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("num_m") / (F.col("norm_a") * F.col("norm_b")), 6
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
