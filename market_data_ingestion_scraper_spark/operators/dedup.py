@@ -584,9 +584,10 @@ def exact_jaccard_pairs(
     docs = documents.join(cand_ids, id_col, "left_semi")
     # Shingle each candidate document once — the pair join references this
     # table twice (sh_a and sh_b sides).
-    sh = _spread(docs).select(
-        F.col(id_col), shingles("text", k).alias("sh")
-    ).persist()
+    sh = _persist_generation(
+        "exact_jaccard_pairs.sh",
+        _spread(docs).select(F.col(id_col), shingles("text", k).alias("sh")),
+    )
     out = (
         candidates.join(sh.withColumnsRenamed({id_col: "doc_a", "sh": "sh_a"}), "doc_a")
         .join(sh.withColumnsRenamed({id_col: "doc_b", "sh": "sh_b"}), "doc_b")
@@ -605,12 +606,14 @@ def near_duplicates(
 ) -> DataFrame:
     """End-to-end near-dup detection: LSH candidates → exact Jaccard filter.
 
-    The candidate table is persisted because verification references it
+    The candidate table is cached because verification references it
     twice (the semi-join's id set and the pair join) — without it the whole
     LSH pipeline would execute twice.  It holds only (doc_a, doc_b) pairs,
-    a vanishing fraction of the corpus; Spark's ContextCleaner reclaims it
-    when the plan is garbage-collected."""
-    cands = lsh_candidate_pairs(documents, id_col=id_col).persist()
+    a vanishing fraction of the corpus; the generation registry (r10)
+    releases it on the next call or via ``release_dedup_caches``."""
+    cands = _persist_generation(
+        "near_duplicates.cands", lsh_candidate_pairs(documents, id_col=id_col)
+    )
     return exact_jaccard_pairs(documents, cands, id_col=id_col).filter(
         F.col("jaccard") >= threshold
     )
@@ -687,7 +690,7 @@ def jaccard_similarity_join(
     # Materialize the inverted index once: both self-join sides (and the
     # max_df df-count) otherwise recompute the full shingling pipeline.
     # A production 100 TB run writes this table out instead of caching.
-    ex = ex.persist()
+    ex = _persist_generation("jaccard_ssjoin.index", ex)
     l, r = ex.alias("l"), ex.alias("r")
     pairs = (
         l.join(
@@ -895,10 +898,10 @@ def _propagate_components(
     of :func:`near_duplicate_clusters`, factored out so the loop's
     storage discipline is directly testable on a raw edge list): (id,
     label) with label = component min."""
-    edges = (
+    edges = _persist_generation(
+        "components.edges",
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
-        .persist()
+        .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))),
     )
     labels = (
         edges.select(F.col("u").alias("id"))
@@ -1120,7 +1123,10 @@ def simhash_near_duplicates(
         n_blocks = max_hamming + 1  # minimal pigeonhole: 1-block keys
     # One SimHash pass, not three: distinct_sh and both expansion sides
     # reference this table — one long per document, tiny to cache.
-    sh = simhash_table(documents, id_col=id_col, portable=portable).persist()
+    sh = _persist_generation(
+        "simhash_near_dups.sh",
+        simhash_table(documents, id_col=id_col, portable=portable),
+    )
     distinct_sh = sh.select("sh").distinct()
     chunked = distinct_sh.select(
         "sh",
@@ -1562,18 +1568,21 @@ def minhash_estimate_calibration(
     # and the verify join) — without the marker the band self-join +
     # pair-dedup re-executes per reference (the signature stage is cached
     # inside lsh_candidate_pairs, but not the join above it).
-    cand = lsh_candidate_pairs(
-        documents, n_bands, id_col=id_col, text_col=text_col, portable=True
-    ).persist()
+    cand = _persist_generation(
+        "calibration.cand",
+        lsh_candidate_pairs(
+            documents, n_bands, id_col=id_col, text_col=text_col, portable=True
+        ),
+    )
     ids = (
         cand.select(F.col("doc_a").alias(id_col))
         .union(cand.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
-    sh = (
+    sh = _persist_generation(
+        "calibration.sh",
         documents.join(ids, id_col, "left_semi")
-        .select(F.col(id_col), string_shingles(text_col, k).alias("sh"))
-        .persist()
+        .select(F.col(id_col), string_shingles(text_col, k).alias("sh")),
     )
     joined = cand.join(
         sh.withColumnsRenamed({id_col: "doc_a", "sh": "sh_a"}), "doc_a"

@@ -482,7 +482,11 @@ def image_near_duplicates(
 
     if n_blocks is None:
         n_blocks = max_hamming + 1  # minimal pigeonhole: 1-block keys
-    ah = image_average_hash(media).persist()
+    from .dedup import _persist_generation
+
+    ah = _persist_generation(
+        "image_near_dups.ahash", image_average_hash(media)
+    )
     chunks = ah.select(
         "media_id",
         "ahash",

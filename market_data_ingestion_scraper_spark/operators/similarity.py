@@ -1222,9 +1222,14 @@ def embedding_near_duplicates(
     if corpus_buckets is not None:
         banded = corpus_buckets
     else:
-        banded = bucket_table(
-            corpus, id_col, vec_col, n_planes, n_tables, dim, seed_base
-        ).persist()
+        from .dedup import _persist_generation
+
+        banded = _persist_generation(
+            "embedding_near_dups.buckets",
+            bucket_table(
+                corpus, id_col, vec_col, n_planes, n_tables, dim, seed_base
+            ),
+        )
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
         l.join(
@@ -1399,10 +1404,12 @@ def semantic_dedup(
     # unpersisted frame would re-run the whole prototype pipeline per
     # side (2 id+label columns per corpus row — tiny to cache; the same
     # inline-index precedent as embedding_near_duplicates' bucket table).
-    asg = (
+    from .dedup import _persist_generation
+
+    asg = _persist_generation(
+        "semdedup.assign",
         centroid_assign(corpus, label_col, vec_col, id_col)
-        .select(F.col("vec_id"), F.col("pred_label"))
-        .persist()
+        .select(F.col("vec_id"), F.col("pred_label")),
     )
     a = asg.select(F.col("vec_id").alias("vec_a"), "pred_label")
     b = asg.select(F.col("vec_id").alias("vec_b"), "pred_label")

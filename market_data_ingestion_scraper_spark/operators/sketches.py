@@ -40,9 +40,16 @@ def shard_token_sketches(
     of fixed size — the shard's profile artifact, persisted alongside
     the data at scale.  One scan, one groupBy on the shard key; the
     shuffle carries partial sketches (KBs), not tokens."""
-    staged = documents.select(
-        F.col(shard_col).alias("shard"), tokens("text").alias("_toks")
-    ).persist()  # tokenization feeds both the token and the length sketch
+    from .dedup import _persist_generation
+
+    # tokenization feeds both the token and the length sketch; one cached
+    # generation per operator, released by the next call (r10)
+    staged = _persist_generation(
+        "shard_sketches.toks",
+        documents.select(
+            F.col(shard_col).alias("shard"), tokens("text").alias("_toks")
+        ),
+    )
     tok = staged.select("shard", F.explode("_toks").alias("tok"))
     tok_sketches = tok.groupBy("shard").agg(
         F.count(F.lit(1)).alias("n_token_instances"),

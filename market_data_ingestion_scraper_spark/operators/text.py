@@ -812,20 +812,25 @@ def token_count_histogram(documents: DataFrame, text_col: str = "text") -> DataF
 
 def tfidf_vectors_m(
     documents: DataFrame,
-    max_df: int | None = None,
-    max_df_frac: float | None = 0.25,
+    max_df: int = 300,
     id_col: str = "doc_id",
     text_col: str = "text",
     idf_scale: int = 1000,
 ) -> DataFrame:
     """(id, term, w_m): the sparse TF-IDF vector table in exact int64
-    milli-units — w_m = tf · round(idf_scale · ln(N/df)).  Terms above
-    the df ceiling — ``max_df`` absolute, or ``max_df_frac`` of the
-    corpus (the scale-invariant default: an absolute cut that keeps
-    discriminative terms at one corpus size prunes everything at 10×) —
-    are pruned from the vectors entirely (the standard stopword/
-    boilerplate cut that also bounds the similarity self-join's fan-out:
-    a term can pair at most ceiling² documents).
+    milli-units — w_m = tf · round(idf_scale · ln(N/df)).  Terms with
+    df > ``max_df`` (ABSOLUTE — see below) are pruned from the vectors
+    entirely: the standard stopword/boilerplate cut that also bounds the
+    similarity self-join's fan-out to C(max_df, 2) pairs per term.
+
+    The ceiling is deliberately absolute, not a corpus fraction.  The r10
+    scale probe measured the fractional form degenerating quadratically:
+    at 10× corpus a df≤25% ceiling ADMITS the boilerplate vocabulary it
+    pruned at 1× (within-template df grows with the corpus), and every
+    template-sharing pair is then a genuine above-threshold result —
+    3 699× output pairs and 606× wall for 10× data.  An absolute ceiling
+    keeps "discriminative term" meaning the same thing at every corpus
+    size, and the measured growth is exactly linear (10.0×).
 
     Integer weights make every downstream dot product an ORDER-FREE
     int64 sum — the house micro-unit discipline — so pairwise cosine is
@@ -839,12 +844,6 @@ def tfidf_vectors_m(
     )
     df = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
     n_docs = documents.count()  # scalar: one number to the driver
-    if max_df is None:
-        if max_df_frac is None:
-            raise ValueError("one of max_df / max_df_frac is required")
-        import math
-
-        max_df = math.ceil(max_df_frac * n_docs)
     return (
         tf.join(F.broadcast(df.filter(F.col("df") <= max_df)), "term")
         .select(
@@ -865,8 +864,7 @@ def tfidf_vectors_m(
 def tfidf_cosine_pairs(
     documents: DataFrame,
     threshold: float = 0.4,
-    max_df: int | None = None,
-    max_df_frac: float | None = 0.25,
+    max_df: int = 300,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -884,8 +882,7 @@ def tfidf_cosine_pairs(
     banding plays for MinHash.  Output (doc_a, doc_b, cos_sim) with
     doc_a < doc_b, cosine rounded to 6dp from exact integer operands."""
     w = tfidf_vectors_m(
-        documents, max_df=max_df, max_df_frac=max_df_frac,
-        id_col=id_col, text_col=text_col,
+        documents, max_df=max_df, id_col=id_col, text_col=text_col
     )
     norms = w.groupBy(id_col).agg(
         F.sqrt(F.sum(F.col("w_m") * F.col("w_m"))).alias("norm")

@@ -4410,7 +4410,7 @@ def q_bipartite_pagerank(spark: SparkSession, sf: str) -> DataFrame:
              tf.tf * CAST(ROUND(1000.0 * ln(n.n_docs / dfreq.df), 0)
                           AS BIGINT) AS w_m
       FROM tf JOIN dfreq USING (term) CROSS JOIN n
-      WHERE dfreq.df <= CEIL(0.25 * n.n_docs)
+      WHERE dfreq.df <= 300
     ),
     norms AS (
       SELECT doc_id, sqrt(CAST(SUM(w_m * w_m) AS DOUBLE)) AS norm
@@ -4431,16 +4431,19 @@ def q_bipartite_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     """,
     doc="X17 sparse-vector similarity join: document pairs with TF-IDF "
     "cosine ≥ 0.4 — bag-of-words similarity via an inverted-index "
-    "self-join (pairs only documents sharing a term with df ≤ 25% of "
-    "the corpus — a scale-invariant ceiling), int64 milli-unit weights "
-    "so the dot products are order-free and the oracle is bit-exact "
+    "self-join (pairs only documents sharing a term with df ≤ 300 — an "
+    "ABSOLUTE ceiling: the r10 scale probe measured a fractional "
+    "ceiling admitting boilerplate as the corpus grows, 3 699× output "
+    "at 10× data; the absolute cut keeps per-term fan-out ≤ C(300,2) "
+    "and measured growth exactly linear), int64 milli-unit weights so "
+    "the dot products are order-free and the oracle is bit-exact "
     "modulo one rounded ln per term.",
 )
 def q_tfidf_doc_pairs(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.text import tfidf_cosine_pairs
 
     return tfidf_cosine_pairs(
-        _t(spark, sf, "documents"), threshold=0.4, max_df_frac=0.25
+        _t(spark, sf, "documents"), threshold=0.4, max_df=300
     )
 
 

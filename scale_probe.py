@@ -84,6 +84,20 @@ def main() -> None:
     # so serve cost vs index size is the only variable
     shard = docs.filter(F.col("doc_id") < 50)
 
+    # r10: base shipment graph for the PageRank probe (distinct
+    # supplier→customer edges; replicated with per-replica id offsets)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    base_edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("l_suppkey").alias("src"),
+            (F.col("o_custkey") + F.lit(1_000_000)).alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
     results: dict[str, dict[int, dict[str, float]]] = {}
     for factor in (1, k):
         d = replicate_corpus(docs, factor)
@@ -232,6 +246,80 @@ def main() -> None:
             results.setdefault(op, {})[factor] = {"pairs": n2, "sec": sec}
             print(json.dumps({"op": op, "factor": factor, "rows": n2,
                               "sec": sec}), flush=True)
+        # r10: PageRank over K disjoint replicas of the shipment graph
+        # (node ids offset per replica): rank rows = nodes × K, each
+        # iteration is one edge-bounded join + groupBy — wall must grow
+        # ≲ K, and structure (per-replica top node) is preserved.
+        from market_data_ingestion_scraper_spark.operators.graph import (
+            pagerank,
+        )
+        from market_data_ingestion_scraper_spark.operators.similarity import (
+            ivfpq_topk,
+        )
+        from market_data_ingestion_scraper_spark.operators.text import (
+            tfidf_cosine_pairs,
+        )
+
+        rep_edges = (
+            base_edges.crossJoin(
+                spark.range(factor).select(F.col("id").alias("_r"))
+            )
+            .select(
+                (F.col("src") + F.col("_r") * 10_000_000).alias("src"),
+                (F.col("dst") + F.col("_r") * 10_000_000).alias("dst"),
+            )
+        )
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        n_rows = pagerank(rep_edges, n_iter=3).count()
+        sec = round(time.perf_counter() - t0, 2)
+        results.setdefault("pagerank_3iter", {})[factor] = {
+            "pairs": n_rows, "sec": sec,
+        }
+        print(json.dumps({"op": "pagerank_3iter", "factor": factor,
+                          "rank_rows": n_rows, "sec": sec}), flush=True)
+        # r10: sparse TF-IDF cosine self-join — replicas are
+        # content-distinct (tagged tokens), so pairs must grow exactly K
+        # (zero cross-replica pairs) and wall ≲ K.  The ABSOLUTE df
+        # ceiling is the point under test: the first probe run measured
+        # the fractional form at 3 699× pairs / 606× wall (boilerplate
+        # admitted as N grows), which forced the redesign.
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        n2 = tfidf_cosine_pairs(d, threshold=0.4, max_df=300).count()
+        sec = round(time.perf_counter() - t0, 2)
+        results.setdefault("tfidf_doc_pairs", {})[factor] = {
+            "pairs": n2, "sec": sec,
+        }
+        print(json.dumps({"op": "tfidf_doc_pairs", "factor": factor,
+                          "pairs": n2, "sec": sec}), flush=True)
+        # r10: IVF-PQ serve of 8 fixed queries against the K× corpus with
+        # frozen quantizers and PREBUILT index relations (cells + codes —
+        # the amortized artifacts, untimed, same discipline as
+        # near_dup_vs_index): result rows fixed (queries × k), serve wall
+        # must grow ≲ the probed-cell fraction of K.
+        from market_data_ingestion_scraper_spark.operators.similarity import (
+            _ivf_cell_expr,
+        )
+
+        enc = pq_encode(e, codebooks).persist()
+        cells = e.select(
+            "vec_id", _ivf_cell_expr(F.col("embedding"), cents).alias("cell")
+        ).persist()
+        enc.count(), cells.count()  # warm index IS the point
+        t0 = time.perf_counter()
+        n2 = ivfpq_topk(
+            e, emb.filter(F.col("vec_id") < 8), k=5,
+            centroids=cents, codebooks=codebooks,
+            encoded=enc, corpus_cells=cells,
+        ).count()
+        sec = round(time.perf_counter() - t0, 2)
+        enc.unpersist(), cells.unpersist()
+        results.setdefault("ivfpq_serve", {})[factor] = {
+            "pairs": n2, "sec": sec,
+        }
+        print(json.dumps({"op": "ivfpq_serve", "factor": factor,
+                          "rows": n2, "sec": sec}), flush=True)
 
     summary = {
         name: {
