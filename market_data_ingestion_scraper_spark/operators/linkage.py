@@ -1,0 +1,164 @@
+"""Record linkage / entity resolution (extension X18): blocked fuzzy
+matching with Fellegi-Sunter-style log-odds scoring.
+
+A training-data pipeline constantly reconciles records that SHOULD be
+one entity but aren't byte-equal — product listings scraped from
+different pages, author/source records with formatting drift, near-equal
+catalog rows.  The published framework (Fellegi & Sunter 1969) runs in
+three relational stages, each of which maps to one Spark primitive:
+
+1. **Blocking** — only compare record pairs sharing a cheap exact key
+   (here ``(p_brand, p_size)``): one equi-self-join whose fan-out is
+   Σ C(|block|, 2), bounded by the blocking key's cardinality profile,
+   never |records|².  A skewed block is an AQE skew-join case; a
+   pathological key (one giant block) is detectable up front with one
+   groupBy count.
+2. **Agreement vector** — per candidate pair, a small fixed set of field
+   comparators: exact equality, numeric proximity, and set-overlap
+   (token Jaccard) — all built-in column expressions, no UDFs.
+3. **Score + decision** — the Fellegi-Sunter match weight: each field
+   contributes a fixed agree/disagree log-odds weight; the sum is
+   thresholded into match / possible / non_match.  Weights are integer
+   milli-units so the score — and the decision boundary — is exact at
+   any parallelism and in a SQL oracle.
+
+Scale shape: the only shuffles are the blocking join (hash-partitioned
+on the blocking key) and the attribute re-joins (key-partitioned on the
+record id); tokens are compared via ``array_intersect`` on per-row
+DISTINCT token arrays carried on the row — no token-level explode ever
+reaches a shuffle.  At 100 TB the blocking index (key → ids) is the
+artifact a production linkage pipeline writes out and reuses per
+increment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Fellegi-Sunter field weights in integer milli-units (agree, disagree):
+#: log-odds-shaped constants — a field whose agreement is rare among
+#: non-matches (the name tokens) earns more than one that agrees often
+#: by chance (type: 6 values).
+WEIGHTS_M = {
+    "name": (4000, -2000),
+    "type": (1500, -500),
+    "price": (800, -300),
+}
+MATCH_M = 5000  #: score ≥ → ``match``
+POSSIBLE_M = 1500  #: score ≥ → ``possible`` (else ``non_match``)
+
+
+def _tokens(col: str) -> F.Column:
+    """Sorted distinct lowercase name tokens — the set the Jaccard
+    comparator runs on (sorted so the carried array is deterministic)."""
+    return F.array_sort(
+        F.array_distinct(
+            F.filter(
+                F.split(F.lower(F.col(col)), "[^a-z0-9]+"),
+                lambda t: t != F.lit(""),
+            )
+        )
+    )
+
+
+def linked_record_pairs(
+    part: DataFrame,
+    name_jaccard_min: float = 0.5,
+    price_tol: float = 50.0,
+    id_col: str = "p_partkey",
+) -> DataFrame:
+    """(id_a, id_b, name_jac, name_agree, type_agree, price_close,
+    score_m, decision) for every blocked candidate pair, id_a < id_b.
+
+    Exactness discipline: Jaccard is computed from integer intersection /
+    union counts of distinct token sets (round 6dp at the end); the
+    price comparator snaps both prices to milli-units before the
+    difference so the tolerance test is integer; the score is an int64
+    sum of literal milli-weights — every column is bit-reproducible in
+    the DuckDB twin."""
+    recs = part.select(
+        F.col(id_col).alias("rid"),
+        F.col("p_brand").alias("bk1"),
+        F.col("p_size").alias("bk2"),
+        _tokens("p_name").alias("toks"),
+        F.col("p_type").alias("ptype"),
+        F.round(F.col("p_retailprice").cast("double") * 1000)
+        .cast("long")
+        .alias("price_m"),
+    )
+    a, b = recs.alias("a"), recs.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bk1") == F.col("b.bk1"))
+        & (F.col("a.bk2") == F.col("b.bk2"))
+        & (F.col("a.rid") < F.col("b.rid")),
+    )
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    union = F.size(F.col("a.toks")) + F.size(F.col("b.toks")) - inter
+    name_jac = F.when(union > 0, inter / union.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    jac_m = F.round(name_jac * 1e6).cast("long")  # exact comparator operand
+    name_agree = jac_m >= F.lit(int(round(name_jaccard_min * 1e6)))
+    type_agree = F.col("a.ptype") == F.col("b.ptype")
+    price_close = F.abs(F.col("a.price_m") - F.col("b.price_m")) <= F.lit(
+        int(round(price_tol * 1000))
+    )
+    score = (
+        F.when(name_agree, F.lit(WEIGHTS_M["name"][0])).otherwise(
+            F.lit(WEIGHTS_M["name"][1])
+        )
+        + F.when(type_agree, F.lit(WEIGHTS_M["type"][0])).otherwise(
+            F.lit(WEIGHTS_M["type"][1])
+        )
+        + F.when(price_close, F.lit(WEIGHTS_M["price"][0])).otherwise(
+            F.lit(WEIGHTS_M["price"][1])
+        )
+    ).cast("long")
+    return pairs.select(
+        F.col("a.rid").alias("id_a"),
+        F.col("b.rid").alias("id_b"),
+        F.round(name_jac, 6).alias("name_jac"),
+        name_agree.alias("name_agree"),
+        type_agree.alias("type_agree"),
+        price_close.alias("price_close"),
+        score.alias("score_m"),
+        F.when(score >= MATCH_M, F.lit("match"))
+        .when(score >= POSSIBLE_M, F.lit("possible"))
+        .otherwise(F.lit("non_match"))
+        .alias("decision"),
+    )
+
+
+def linkage_summary(pairs: DataFrame) -> DataFrame:
+    """(decision, n_pairs, avg_score_m) — the linkage quality dashboard
+    row per decision class (one tiny post-join aggregation)."""
+    return (
+        pairs.groupBy("decision")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(
+                F.sum("score_m").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_score_m"),
+        )
+        .orderBy("decision")
+    )
+
+
+def block_profile(
+    part: DataFrame, id_col: str = "p_partkey"
+) -> DataFrame:
+    """(bk1, bk2, n_records, n_pairs) per block — the up-front skew probe
+    a production run checks BEFORE launching the pair join (one groupBy;
+    a block whose C(n,2) dwarfs the rest is the salting/AQE signal)."""
+    n = F.count(F.lit(1))
+    return (
+        part.groupBy(
+            F.col("p_brand").alias("bk1"), F.col("p_size").alias("bk2")
+        )
+        .agg(
+            n.alias("n_records"),
+            (n * (n - 1) / 2).cast("long").alias("n_pairs"),
+        )
+    )

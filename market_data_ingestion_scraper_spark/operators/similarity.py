@@ -1528,3 +1528,97 @@ def norm_outliers(embeddings: DataFrame, z_thresh: float = 2.0) -> DataFrame:
         F.round(z, 6).alias("z_score"),
         (F.abs(z) > F.lit(z_thresh)).alias("is_outlier"),
     )
+
+
+# ------------------------------------------------- random projection (X19)
+#
+# Johnson-Lindenstrauss sketching (Achlioptas 2001: a ±1 sign matrix is a
+# valid JL projection) — the cheapest dimensionality reduction that
+# preserves pairwise angles to within the JL distortion, used to shrink
+# embedding tables before a brute-force or ANN pass (a 64→16 reduction
+# cuts every downstream dot product, norm, and shuffle byte 4×).
+
+
+def rp_signs(out_dim: int, dim: int, seed: int = 2026) -> list[list[int]]:
+    """The ±1 projection matrix (out_dim × dim), seeded — THE single
+    source of truth shared by the Spark plan and the SQL oracle twin
+    (same discipline as :func:`_micro_weights`)."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        [1 if rng.random() < 0.5 else -1 for _ in range(dim)]
+        for _ in range(out_dim)
+    ]
+
+
+def rp_signs_sql(out_dim: int, dim: int, seed: int = 2026) -> str:
+    """DuckDB ``VALUES`` literal of the EXACT sign matrix —
+    ``(j, s)`` rows, 1-based j, ``s`` a ``dim``-element ±1 list."""
+    rows = ", ".join(
+        f"({j + 1}, {row})" for j, row in enumerate(rp_signs(out_dim, dim, seed))
+    )
+    return f"(VALUES {rows}) AS signs(j, s)"
+
+
+def rp_project(
+    embeddings: DataFrame,
+    out_dim: int = 16,
+    dim: int = 64,
+    seed: int = 2026,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "rvec",
+) -> DataFrame:
+    """(id, rvec: array<double>) — the JL-reduced vector table,
+    shuffle-free (the same FileScan → Project → 1-row-broadcast shape as
+    :func:`bucket_table`: the sign matrix travels as DATA in one
+    broadcast row, each output component is a codegen'd higher-order
+    ``aggregate(zip_with(...))`` dot, zero exchanges).
+
+    Arithmetic is exact: inputs snap to int64 micro-units and each
+    component is an int64 signed sum (order-free), then converts to
+    double LOSSLESSLY (|component| ≤ dim·1e6·|v| ≪ 2^53) — so the
+    reduced table, and every cosine computed from it, is bit-identical
+    at any parallelism and in the DuckDB twin (:func:`rp_signs_sql`).
+    Null/empty vectors are dropped, matching :func:`bucket_table`;
+    shorter vectors contribute the overlapping prefix (nulls → 0)."""
+    spark = embeddings.sparkSession
+    stab = spark.createDataFrame(
+        [(rp_signs(out_dim, dim, seed),)], "s array<array<int>>"
+    )
+    vm = F.transform(
+        _dbl(F.col(vec_col)), lambda x: F.round(x * 1e6).cast("long")
+    )
+    rvec = F.expr(
+        "transform(s, row -> CAST(aggregate(zip_with(_vm, row, "
+        " (x, y) -> coalesce(x * CAST(y AS BIGINT), CAST(0 AS BIGINT))), "
+        " CAST(0 AS BIGINT), (a, x) -> a + x) AS DOUBLE))"
+    )
+    return (
+        embeddings.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
+        .select(F.col(id_col), vm.alias("_vm"))
+        .join(F.broadcast(stab))
+        .select(id_col, rvec.alias(out_col))
+    )
+
+
+def rp_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    out_dim: int = 16,
+    dim: int = 64,
+    seed: int = 2026,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k in the reduced space: project both sides
+    with the SAME sign matrix, then the existing exact scorer runs
+    unchanged over ``out_dim``-wide vectors — every pair costs
+    ``out_dim/dim`` of the full-width scan.  Same contract as
+    :func:`lsh_topk`/:func:`ivf_topk`, so :func:`recall_vs_exact`
+    evaluates it against full-width brute force directly."""
+    c = rp_project(embeddings, out_dim, dim, seed, id_col, vec_col)
+    q = rp_project(queries, out_dim, dim, seed, id_col, vec_col)
+    return brute_force_topk(c, q, k=k, id_col=id_col, vec_col="rvec")

@@ -1940,6 +1940,159 @@ def q_ivf_recall(spark: SparkSession, sf: str) -> DataFrame:
     return recall_vs_exact(approx, brute_force_topk(emb, queries_df, k=5), 5)
 
 
+def _rp_recall_oracle(out_dim: int = 16, dim: int = 64, seed: int = 2026) -> str:
+    """DuckDB twin of the JL random-projection recall eval: project with
+    the EXACT ±1 sign-matrix literal (:func:`similarity.rp_signs_sql` —
+    same single source of truth as the Spark plan), score cosine in the
+    reduced space, and measure recall@5 against full-width brute force.
+    The reduced components are int64 sums of micro-unit inputs, so both
+    engines score from bit-identical operands."""
+    from .operators.similarity import rp_signs_sql
+
+    return f"""
+    WITH em AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(ROUND(x * 1000000) AS BIGINT)) AS vm
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) > 0
+    ),
+    proj AS (
+      SELECT vec_id, j,
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(range(1, len(vm) + 1),
+                                   i -> vm[i] * CAST(s[i] AS BIGINT))),
+                    (a, x) -> a + x) AS BIGINT) AS r
+      FROM em, {rp_signs_sql(out_dim, dim, seed)}
+    ),
+    rv AS (
+      SELECT vec_id, list(CAST(r AS DOUBLE) ORDER BY j) AS v
+      FROM proj GROUP BY vec_id
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM rv WHERE vec_id < 8),
+    c AS (SELECT vec_id AS neighbor_id, v AS nv FROM rv),
+    rp_scored AS (
+      SELECT query_id, neighbor_id,
+             round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list_transform(range(1, len(qv) + 1), i -> qv[i] * nv[i])),
+                     (a, x) -> a + x)
+                   / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                        list_transform(qv, x -> x * x)), (a, x) -> a + x))
+                    * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                        list_transform(nv, x -> x * x)), (a, x) -> a + x))), 6)
+               AS cos_sim
+      FROM c, q WHERE neighbor_id <> query_id
+    ),
+    rp AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        FROM rp_scored
+      ) WHERE rnk <= 5
+    ),
+    exact AS ({_BRUTE_TOPK_SQL})
+    SELECT e.query_id AS query_id,
+           COUNT(i.neighbor_id) AS n_hits,
+           ROUND(COUNT(i.neighbor_id) / 5.0, 6) AS recall_at_5
+    FROM exact e LEFT JOIN rp i
+      ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """
+
+
+@register(
+    "rp_recall_eval",
+    _rp_recall_oracle(),
+    doc="X19 Johnson-Lindenstrauss random projection (Achlioptas 2001 ±1 "
+    "signs): recall@5 of brute-force cosine in the 16-dim reduced space "
+    "against exact 64-dim brute force — the dimensionality-reduction "
+    "tuning view (symmetric with ann_recall_eval / ivf_recall_eval).  "
+    "The projection is shuffle-free (sign matrix broadcast as one data "
+    "row, codegen'd higher-order dots — the bucket_table shape) and "
+    "exact (int64 micro-unit sums), so both engines rank from "
+    "bit-identical reduced vectors.",
+)
+def q_rp_recall(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.similarity import (
+        brute_force_topk,
+        recall_vs_exact,
+        rp_topk,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    approx = rp_topk(emb, queries_df, k=5, out_dim=16, dim=64)
+    return recall_vs_exact(approx, brute_force_topk(emb, queries_df, k=5), 5)
+
+
+# ------------------------------------------------- record linkage (X18)
+
+_LINKAGE_ORACLE = """
+    WITH recs AS (
+      SELECT p_partkey AS rid, p_brand AS bk1, p_size AS bk2,
+             list_sort(list_distinct(list_filter(
+               string_split_regex(lower(p_name), '[^a-z0-9]+'),
+               t -> t <> ''))) AS toks,
+             p_type AS ptype,
+             CAST(ROUND(CAST(p_retailprice AS DOUBLE) * 1000) AS BIGINT)
+               AS price_m
+      FROM part
+    ),
+    pairs AS (
+      SELECT a.rid AS id_a, b.rid AS id_b,
+             len(list_intersect(a.toks, b.toks)) AS inter,
+             len(a.toks) + len(b.toks)
+               - len(list_intersect(a.toks, b.toks)) AS un,
+             a.ptype = b.ptype AS type_agree,
+             abs(a.price_m - b.price_m) <= 50000 AS price_close
+      FROM recs a JOIN recs b
+        ON a.bk1 = b.bk1 AND a.bk2 = b.bk2 AND a.rid < b.rid
+    ),
+    feat AS (
+      SELECT id_a, id_b,
+             CASE WHEN un > 0 THEN CAST(inter AS DOUBLE) / un
+                  ELSE 0.0 END AS jac_raw,
+             CAST(ROUND((CASE WHEN un > 0 THEN CAST(inter AS DOUBLE) / un
+                              ELSE 0.0 END) * 1000000) AS BIGINT) AS jac_m,
+             type_agree, price_close
+      FROM pairs
+    ),
+    scored AS (
+      SELECT id_a, id_b, ROUND(jac_raw, 6) AS name_jac,
+             jac_m >= 500000 AS name_agree, type_agree, price_close,
+             CAST((CASE WHEN jac_m >= 500000 THEN 4000 ELSE -2000 END)
+                + (CASE WHEN type_agree THEN 1500 ELSE -500 END)
+                + (CASE WHEN price_close THEN 800 ELSE -300 END)
+               AS BIGINT) AS score_m
+      FROM feat
+    )
+    SELECT id_a, id_b, name_jac, name_agree, type_agree, price_close,
+           score_m,
+           CASE WHEN score_m >= 5000 THEN 'match'
+                WHEN score_m >= 1500 THEN 'possible'
+                ELSE 'non_match' END AS decision
+    FROM scored
+    """
+
+
+@register(
+    "record_linkage",
+    _LINKAGE_ORACLE,
+    doc="X18 Fellegi-Sunter record linkage over the part catalog: "
+    "candidate pairs blocked on (brand, size) — fan-out Σ C(|block|, 2), "
+    "never |records|² — then a per-pair agreement vector (name-token "
+    "Jaccard from integer intersection/union counts of distinct token "
+    "sets carried ON the row via array_intersect, type equality, "
+    "milli-unit price proximity) scored with literal integer log-odds "
+    "weights and thresholded into match/possible/non_match.  No UDFs, "
+    "no token-level shuffle; every column bit-reproducible.",
+)
+def q_record_linkage(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.linkage import linked_record_pairs
+
+    return linked_record_pairs(_t(spark, sf, "part"))
+
+
 @register(
     "embedding_near_dups",
     _lsh_pair_oracle(n_planes=8, n_tables=6, seed_base=7000, threshold=0.45),
@@ -4464,21 +4617,24 @@ GATE_PRIORITY: tuple[str, ...] = (
     # quantity_percentiles, top_part_per_brand_maxby).  Two r10-new
     # queries (bipartite_pagerank, tfidf_doc_pairs) take the slots freed
     # by the r10 retirements (lsh_topk_ann, repeat_vs_lapsed_custs —
-    # rationale in GATE_RETIRED).
+    # rationale in GATE_RETIRED); two more r10-new families
+    # (record_linkage, rp_recall_eval) take the slots freed by retiring
+    # centroid_assign and ivf_topk_ann (both re-verified every cycle
+    # inside still-gated pipelines — rationale in GATE_RETIRED).
     "bipartite_pagerank",
     "tfidf_doc_pairs",
+    "record_linkage",
+    "rp_recall_eval",
     "pq_topk_adc",
     "series_topk_similar",
     "bpe_corpus_stats",
     "sketch_profile_check",
     "unigram_logprob_quality",
     "paragraph_dup_stats",
-    "centroid_assign",
     "bigram_merge_candidates",
     "collapse_repeated_paras",
     "curation_pipeline",
     "embedding_near_dups",
-    "ivf_topk_ann",
     "lexical_diversity",
     "zipf_profile",
     "split_leakage",
@@ -4635,6 +4791,16 @@ GATE_RETIRED: tuple[str, ...] = (
     # queries including retired ones.
     "lsh_topk_ann",
     "repeat_vs_lapsed_custs",
+    # r10, swapped for record_linkage + rp_recall_eval: centroid_assign
+    # runs VERBATIM inside semdedup_drop (semantic_dedup persists
+    # centroid_assign's (vec_id, pred_label) as its cluster table — the
+    # oracle differentials that assignment every cycle) and inside
+    # label_centroids/kmeans_refine_step's prototype math, all of which
+    # stay gated; ivf_topk_ann's full pipeline is nested as the approx
+    # CTE of ivf_recall_eval (same precedent as the r10 lsh_topk_ann
+    # retirement).  Both remain registered and oracle-parity-tested.
+    "centroid_assign",
+    "ivf_topk_ann",
 )
 
 

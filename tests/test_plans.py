@@ -513,3 +513,22 @@ def test_bpe_stats_join_not_nested_loop(spark):
     assert "CartesianProduct" not in txt, txt
     assert "BroadcastNestedLoopJoin" not in txt, txt
     assert "MapInPandas" in txt, txt
+
+
+def test_record_linkage_blocked_equi_join(spark):
+    # X18: the blocking join MUST plan as a hash/sort-merge EQUI-join on
+    # the (brand, size) key with the rid inequality as a post-join
+    # filter — a nested-loop/cartesian here would be the n² all-pairs
+    # comparison blocking exists to prevent.  The token Jaccard runs on
+    # arrays carried by the row: no explode-side exchange may appear.
+    from market_data_ingestion_scraper_spark.operators.linkage import (
+        linked_record_pairs,
+    )
+    from market_data_ingestion_scraper_spark.sources import load_table
+
+    part = load_table(spark, SF, "part")
+    with aqe_disabled(spark):
+        txt = explain_str(linked_record_pairs(part), "simple")
+    assert "CartesianProduct" not in txt, txt
+    assert "BroadcastNestedLoopJoin" not in txt, txt
+    assert "Generate" not in txt, txt  # no token explode reaches the plan
