@@ -67,6 +67,7 @@ def linked_record_pairs(
     name_jaccard_min: float = 0.5,
     price_tol: float = 50.0,
     id_col: str = "p_partkey",
+    max_block: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, name_jac, name_agree, type_agree, price_close,
     score_m, decision) for every blocked candidate pair, id_a < id_b.
@@ -76,7 +77,19 @@ def linked_record_pairs(
     price comparator snaps both prices to milli-units before the
     difference so the tolerance test is integer; the score is an int64
     sum of literal milli-weights — every column is bit-reproducible in
-    the DuckDB twin."""
+    the DuckDB twin.
+
+    ``max_block`` is the oversized-block guard blocking NEEDS at scale:
+    a blocking key whose cardinality does not grow with the data (here
+    brand × size = 1 250 values forever) means block sizes — and the
+    Σ C(|block|, 2) fan-out — grow LINEARLY-then-QUADRATICALLY with the
+    corpus.  The standard production move (Christen 2012's survey of
+    indexing techniques) is to exclude (or re-block on a finer key)
+    blocks above a size cap and report them: with the cap, fan-out is
+    bounded by n_blocks · C(max_block, 2) regardless of corpus size,
+    and the excluded blocks are exactly :func:`block_profile`'s top
+    rows, so nothing is silently dropped.  ``None`` (default) keeps the
+    uncapped demo semantics the gate oracle mirrors."""
     recs = part.select(
         F.col(id_col).alias("rid"),
         F.col("p_brand").alias("bk1"),
@@ -87,6 +100,16 @@ def linked_record_pairs(
         .cast("long")
         .alias("price_m"),
     )
+    if max_block is not None:
+        ok = (
+            recs.groupBy("bk1", "bk2")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_block)
+            .select("bk1", "bk2")
+        )
+        # one extra key-bounded aggregation + a slim semi-join; the
+        # excluded keys are block_profile's > max_block rows
+        recs = recs.join(ok, ["bk1", "bk2"], "left_semi")
     a, b = recs.alias("a"), recs.alias("b")
     pairs = a.join(
         b,

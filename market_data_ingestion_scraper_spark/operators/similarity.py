@@ -821,27 +821,33 @@ def _pq_codebook_lits(codebooks) -> tuple[Column, Column]:
         [[int(round(w * 1e6)) for w in cvec] for cvec in book]
         for book in codebooks
     ]
-    cb = F.array(
-        *[
-            F.array(
-                *[
-                    F.array(*[F.lit(w).cast("long") for w in cvec])
-                    for cvec in book
-                ]
+    # Rendered as ONE SQL text each and parsed in a single F.expr call:
+    # the element-wise F.array(F.lit(...)) form issued one py4j
+    # round-trip per literal (~800 for an m=8, k=10 quantizer), and the
+    # r10 bench measured that chatter as ~4 s of DRIVER-side plan
+    # construction per query — pure overhead the executors never see.
+    cb = F.expr(
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(
+                "array(" + ",".join(f"{w}L" for w in cvec) + ")"
+                for cvec in book
             )
+            + ")"
             for book in mu
-        ]
+        )
+        + ")"
     )
-    cn = F.array(
-        *[
-            F.array(
-                *[
-                    F.lit(sum(w * w for w in cvec)).cast("long")
-                    for cvec in book
-                ]
-            )
+    cn = F.expr(
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(f"{sum(w * w for w in cvec)}L" for cvec in book)
+            + ")"
             for book in mu
-        ]
+        )
+        + ")"
     )
     return cb, cn
 
@@ -948,11 +954,18 @@ def _ivf_scores_expr(vec: Column, centroids) -> Column:
     from .dedup import _let
 
     mu = [[int(round(w * 1e6)) for w in cvec] for cvec in centroids]
-    cw_l = F.array(
-        *[F.array(*[F.lit(w).cast("long") for w in cvec]) for cvec in mu]
+    # single-parse literal arrays — see _pq_codebook_lits for why
+    cw_l = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{w}L" for w in cvec) + ")" for cvec in mu
+        )
+        + ")"
     )
-    cn_l = F.array(
-        *[F.lit(sum(w * w for w in cvec)).cast("long") for cvec in mu]
+    cn_l = F.expr(
+        "array("
+        + ",".join(f"{sum(w * w for w in cvec)}L" for cvec in mu)
+        + ")"
     )
     n_lists = len(centroids)
 

@@ -228,3 +228,20 @@ def test_rp_project_plan_has_no_exchange(spark):
     )
     plan = rp_project(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_linkage_max_block_excludes_giant_blocks(spark):
+    """The oversized-block guard: a planted giant block contributes ZERO
+    pairs under the cap while every small block's pairs are unchanged —
+    fan-out becomes n_blocks · C(max_block, 2)-bounded."""
+    giant = [
+        (100 + i, f"mega item {i}", "Brand#9", "ECONOMY", 1, 100.0 + i)
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(PARTS + giant, PART_SCHEMA)
+    uncapped = linked_record_pairs(df)
+    capped = linked_record_pairs(df, max_block=5)
+    base = linked_record_pairs(spark.createDataFrame(PARTS, PART_SCHEMA))
+    assert uncapped.count() == base.count() + 45  # C(10,2) giant pairs
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert got == {(r.id_a, r.id_b) for r in base.collect()}
