@@ -62,6 +62,61 @@ def _tokens(col: str) -> F.Column:
     )
 
 
+def record_side(part: DataFrame, id_col: str = "p_partkey") -> DataFrame:
+    """One comparison side: (rid, bk1, bk2, toks, ptype, price_m) — the
+    blocking key, the distinct-token array, and the milli-unit price,
+    all per-row projections (stream-legal; shared by the batch self-join
+    and the streaming admission filter)."""
+    return part.select(
+        F.col(id_col).alias("rid"),
+        F.col("p_brand").alias("bk1"),
+        F.col("p_size").alias("bk2"),
+        _tokens("p_name").alias("toks"),
+        F.col("p_type").alias("ptype"),
+        F.round(F.col("p_retailprice").cast("double") * 1000)
+        .cast("long")
+        .alias("price_m"),
+    )
+
+
+def pair_score_cols(
+    name_jaccard_min: float = 0.5, price_tol: float = 50.0
+) -> dict[str, F.Column]:
+    """The per-pair agreement vector + Fellegi-Sunter score over two
+    :func:`record_side` aliases ``a`` and ``b`` — the single source of
+    the comparator arithmetic for every consumer (batch pair join,
+    streaming admission)."""
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    union = F.size(F.col("a.toks")) + F.size(F.col("b.toks")) - inter
+    name_jac = F.when(union > 0, inter / union.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    jac_m = F.round(name_jac * 1e6).cast("long")  # exact comparator operand
+    name_agree = jac_m >= F.lit(int(round(name_jaccard_min * 1e6)))
+    type_agree = F.col("a.ptype") == F.col("b.ptype")
+    price_close = F.abs(F.col("a.price_m") - F.col("b.price_m")) <= F.lit(
+        int(round(price_tol * 1000))
+    )
+    score = (
+        F.when(name_agree, F.lit(WEIGHTS_M["name"][0])).otherwise(
+            F.lit(WEIGHTS_M["name"][1])
+        )
+        + F.when(type_agree, F.lit(WEIGHTS_M["type"][0])).otherwise(
+            F.lit(WEIGHTS_M["type"][1])
+        )
+        + F.when(price_close, F.lit(WEIGHTS_M["price"][0])).otherwise(
+            F.lit(WEIGHTS_M["price"][1])
+        )
+    ).cast("long")
+    return {
+        "name_jac": F.round(name_jac, 6),
+        "name_agree": name_agree,
+        "type_agree": type_agree,
+        "price_close": price_close,
+        "score_m": score,
+    }
+
+
 def linked_record_pairs(
     part: DataFrame,
     name_jaccard_min: float = 0.5,
@@ -90,16 +145,7 @@ def linked_record_pairs(
     and the excluded blocks are exactly :func:`block_profile`'s top
     rows, so nothing is silently dropped.  ``None`` (default) keeps the
     uncapped demo semantics the gate oracle mirrors."""
-    recs = part.select(
-        F.col(id_col).alias("rid"),
-        F.col("p_brand").alias("bk1"),
-        F.col("p_size").alias("bk2"),
-        _tokens("p_name").alias("toks"),
-        F.col("p_type").alias("ptype"),
-        F.round(F.col("p_retailprice").cast("double") * 1000)
-        .cast("long")
-        .alias("price_m"),
-    )
+    recs = record_side(part, id_col)
     if max_block is not None:
         ok = (
             recs.groupBy("bk1", "bk2")
@@ -117,35 +163,15 @@ def linked_record_pairs(
         & (F.col("a.bk2") == F.col("b.bk2"))
         & (F.col("a.rid") < F.col("b.rid")),
     )
-    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
-    union = F.size(F.col("a.toks")) + F.size(F.col("b.toks")) - inter
-    name_jac = F.when(union > 0, inter / union.cast("double")).otherwise(
-        F.lit(0.0)
-    )
-    jac_m = F.round(name_jac * 1e6).cast("long")  # exact comparator operand
-    name_agree = jac_m >= F.lit(int(round(name_jaccard_min * 1e6)))
-    type_agree = F.col("a.ptype") == F.col("b.ptype")
-    price_close = F.abs(F.col("a.price_m") - F.col("b.price_m")) <= F.lit(
-        int(round(price_tol * 1000))
-    )
-    score = (
-        F.when(name_agree, F.lit(WEIGHTS_M["name"][0])).otherwise(
-            F.lit(WEIGHTS_M["name"][1])
-        )
-        + F.when(type_agree, F.lit(WEIGHTS_M["type"][0])).otherwise(
-            F.lit(WEIGHTS_M["type"][1])
-        )
-        + F.when(price_close, F.lit(WEIGHTS_M["price"][0])).otherwise(
-            F.lit(WEIGHTS_M["price"][1])
-        )
-    ).cast("long")
+    sc = pair_score_cols(name_jaccard_min, price_tol)
+    score = sc["score_m"]
     return pairs.select(
         F.col("a.rid").alias("id_a"),
         F.col("b.rid").alias("id_b"),
-        F.round(name_jac, 6).alias("name_jac"),
-        name_agree.alias("name_agree"),
-        type_agree.alias("type_agree"),
-        price_close.alias("price_close"),
+        sc["name_jac"].alias("name_jac"),
+        sc["name_agree"].alias("name_agree"),
+        sc["type_agree"].alias("type_agree"),
+        sc["price_close"].alias("price_close"),
         score.alias("score_m"),
         F.when(score >= MATCH_M, F.lit("match"))
         .when(score >= POSSIBLE_M, F.lit("possible"))
@@ -184,4 +210,34 @@ def block_profile(
             n.alias("n_records"),
             (n * (n - 1) / 2).cast("long").alias("n_pairs"),
         )
+    )
+
+
+def entity_ids(
+    part: DataFrame,
+    id_col: str = "p_partkey",
+    max_block: int | None = None,
+    max_iter: int = 20,
+) -> DataFrame:
+    """(rid, entity_id): canonical entity assignment — the end of the
+    entity-resolution pipeline.  Pairs whose Fellegi-Sunter decision is
+    ``match`` form an undirected "same entity" graph; connected
+    components (the SAME min-label propagation machinery the near-dup
+    clustering family uses — one edge-bounded join per round, plan depth
+    O(1) via checkpoints) collapse transitive matches, and every record
+    keeps its own id as a singleton entity otherwise.  entity_id =
+    smallest member rid, deterministic at any parallelism."""
+    from .dedup import _propagate_components
+
+    pairs = (
+        linked_record_pairs(part, id_col=id_col, max_block=max_block)
+        .filter(F.col("decision") == "match")
+        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    )
+    comp = _propagate_components(pairs, max_iter).select(
+        F.col("id").alias("rid"), F.col("label").alias("entity_id")
+    )
+    all_ids = part.select(F.col(id_col).alias("rid"))
+    return all_ids.join(comp, "rid", "left").select(
+        "rid", F.coalesce("entity_id", "rid").alias("entity_id")
     )

@@ -411,6 +411,62 @@ def stream_quality_filter(
     )
 
 
+def stream_record_match_filter(
+    rows: DataFrame,
+    catalog: DataFrame,
+    id_col: str = "p_partkey",
+    name_jaccard_min: float = 0.5,
+    price_tol: float = 50.0,
+    match_m: int | None = None,
+) -> DataFrame:
+    """Streaming record-linkage ADMISSION: drop incoming catalog records
+    that MATCH (Fellegi-Sunter score ≥ ``match_m``) an entry already in
+    the static reference catalog — the entity-resolution counterpart of
+    `stream_near_dup_filter`, run in front of the catalog sink so
+    re-scraped / reformatted product listings never land twice.
+
+    Stream-legal composition, same shape as the embedding filter: the
+    incoming record's comparison columns are per-row projections
+    (``linkage.record_side`` — no state), candidates come from a LEFT
+    stream-static equi-join on the (brand, size) blocking key (LEFT so
+    records with an empty block must survive — a stream cannot re-join
+    itself to recover dropped rows), the pair score is the SAME
+    ``pair_score_cols`` arithmetic the oracle-gated batch query uses,
+    and a streaming aggregation per incoming record keeps rows whose
+    best catalog score stays below the match threshold.
+
+    Returns admitted rows (rid, bk1, bk2, max_catalog_score_m);
+    identical code runs in batch, which is how the test cross-checks
+    stream ≡ batch."""
+    from ..operators.linkage import MATCH_M, pair_score_cols, record_side
+
+    if match_m is None:
+        match_m = MATCH_M
+    inc = record_side(rows, id_col).alias("a")
+    cat = record_side(catalog, id_col).alias("b")
+    scored = inc.join(
+        cat, (F.col("a.bk1") == F.col("b.bk1")) & (F.col("a.bk2") == F.col("b.bk2")), "left"
+    ).select(
+        F.col("a.rid").alias("rid"),
+        F.col("a.bk1").alias("bk1"),
+        F.col("a.bk2").alias("bk2"),
+        # a disagreeing-on-everything pair scores -2800, NOT null, so an
+        # empty block must be detected via the join key itself (CASE over
+        # null agreement flags would silently take every .otherwise())
+        F.when(
+            F.col("b.rid").isNotNull(),
+            pair_score_cols(name_jaccard_min, price_tol)["score_m"],
+        )
+        .otherwise(F.lit(-(10**9)))
+        .alias("_score_m"),
+    )
+    return (
+        scored.groupBy("rid", "bk1", "bk2")
+        .agg(F.max("_score_m").alias("max_catalog_score_m"))
+        .filter(F.col("max_catalog_score_m") < match_m)
+    )
+
+
 def run_to_memory(
     df: DataFrame, name: str, spark: SparkSession, mode: str = "complete"
 ) -> DataFrame:

@@ -320,6 +320,39 @@ def main() -> None:
         }
         print(json.dumps({"op": "ivfpq_serve", "factor": factor,
                           "rows": n2, "sec": sec}), flush=True)
+        # r10: record linkage — the WORST CASE for blocking by design:
+        # replicating parts K× keeps the (brand, size) key cardinality
+        # FIXED, so blocks grow K× and uncapped pair fan-out grows ~K².
+        # The probe measures that honestly, then shows the max_block
+        # guard restoring a corpus-independent bound (capped pairs must
+        # NOT grow once blocks exceed the cap).
+        from market_data_ingestion_scraper_spark.operators.linkage import (
+            linked_record_pairs,
+        )
+
+        part = load_table(spark, sf_dir, "part")
+        rep_part = (
+            part.crossJoin(
+                spark.range(factor).select(F.col("id").alias("_r"))
+            )
+            .select(
+                (F.col("p_partkey") + F.col("_r") * 10_000_000).alias(
+                    "p_partkey"
+                ),
+                "p_name", "p_brand", "p_type", "p_size", "p_retailprice",
+            )
+        )
+        for op, kw in (
+            ("record_linkage_uncapped", {}),
+            ("record_linkage_cap32", {"max_block": 32}),
+        ):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            n2 = linked_record_pairs(rep_part, **kw).count()
+            sec = round(time.perf_counter() - t0, 2)
+            results.setdefault(op, {})[factor] = {"pairs": n2, "sec": sec}
+            print(json.dumps({"op": op, "factor": factor, "pairs": n2,
+                              "sec": sec}), flush=True)
 
     summary = {
         name: {

@@ -245,3 +245,31 @@ def test_linkage_max_block_excludes_giant_blocks(spark):
     assert uncapped.count() == base.count() + 45  # C(10,2) giant pairs
     got = {(r.id_a, r.id_b) for r in capped.collect()}
     assert got == {(r.id_a, r.id_b) for r in base.collect()}
+
+
+def test_entity_ids_collapse_transitive_matches(spark):
+    """End-to-end entity resolution: A≈B and B≈C (each a pairwise match)
+    must land in ONE entity even if A-C alone would not match; unmatched
+    records stay singleton entities under their own id."""
+    from market_data_ingestion_scraper_spark.operators.linkage import (
+        entity_ids,
+    )
+
+    rows = [
+        # name chain: 1-2 Jaccard 3/5=0.6, 2-3 Jaccard 3/5=0.6, but
+        # 1-3 only 2/6=0.33 < 0.5 — the direct pair fails on name
+        (1, "alpha beta gamma delta", "Brand#1", "ECONOMY", 5, 900.0),
+        (2, "alpha beta gamma kappa", "Brand#1", "ECONOMY", 5, 920.0),
+        (3, "beta gamma kappa mu", "Brand#1", "ECONOMY", 5, 930.0),
+        (7, "yellow cap", "Brand#1", "ECONOMY", 5, 100.0),
+        (8, "lone item", "Brand#3", "SMALL", 9, 50.0),
+    ]
+    df = spark.createDataFrame(rows, PART_SCHEMA)
+    pairs = {
+        (r.id_a, r.id_b): r.decision
+        for r in linked_record_pairs(df).collect()
+    }
+    assert pairs[(1, 2)] == "match" and pairs[(2, 3)] == "match"
+    assert pairs[(1, 3)] != "match"
+    ents = {r.rid: r.entity_id for r in entity_ids(df).collect()}
+    assert ents == {1: 1, 2: 1, 3: 1, 7: 7, 8: 8}

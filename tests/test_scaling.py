@@ -170,3 +170,39 @@ def test_lloyd_refine_output_bounded_by_k_times_dim(spark, scaled_docs):
     b = {(r["cell"], r["pos"]): r["n_vecs"] for r in base_rows.collect()}
     s = {(r["cell"], r["pos"]): r["n_vecs"] for r in scaled_rows.collect()}
     assert s == {k2: K * v for k2, v in b.items()}
+
+
+def test_linkage_cap_bounds_replicated_blocks(spark, sf_smoke):
+    """X18 scale guard: replicating the part table K× keeps the (brand,
+    size) blocking-key cardinality FIXED, so uncapped pair fan-out grows
+    ~K² — and the max_block guard must hold capped output at the 1×
+    level once blocks exceed the cap (corpus-independent bound)."""
+    from market_data_ingestion_scraper_spark.operators.linkage import (
+        linked_record_pairs,
+    )
+    from market_data_ingestion_scraper_spark.sources.tables import load_table
+
+    part = load_table(spark, sf_smoke, "part")
+    base_max = (
+        part.groupBy("p_brand", "p_size").count().agg(F.max("count"))
+    ).collect()[0][0]
+    k = 3
+    rep = (
+        part.crossJoin(spark.range(k).select(F.col("id").alias("_r")))
+        .select(
+            (F.col("p_partkey") + F.col("_r") * 10_000_000).alias("p_partkey"),
+            "p_name", "p_brand", "p_type", "p_size", "p_retailprice",
+        )
+    )
+    n1 = linked_record_pairs(part).count()
+    nk = linked_record_pairs(rep).count()
+    # every base block of size n becomes size k·n: C(kn,2) ≥ k²·C(n,2),
+    # so uncapped growth must exceed k× (the quadratic regime, measured)
+    assert nk > k * n1
+    # the cap restores a corpus-independent bound: every replicated
+    # block exceeds base_max ⇒ capped pairs can only come from blocks
+    # that stayed small enough — with cap < k·min-block-size, zero
+    capped = linked_record_pairs(rep, max_block=base_max).count()
+    uncapped_small = linked_record_pairs(part, max_block=base_max).count()
+    assert capped <= uncapped_small * k * k
+    assert capped < nk  # the guard actually bit

@@ -555,3 +555,46 @@ def test_stream_quality_filter_admission(spark, tmp_path):
         mode="append",
     )
     assert {r["doc_id"]: r["quality_logit"] for r in out.collect()} == got
+
+
+def test_stream_record_match_filter_admission(spark, sf_smoke, tmp_path):
+    """X18 streaming admission: an incoming product record that MATCHES
+    a catalog entry (same block, same name/type, near price) is
+    rejected; a record in an empty block survives the LEFT join; a
+    blocked-but-non-matching record is admitted.  Stream ≡ batch."""
+    catalog = spark.createDataFrame(
+        [
+            (1, "red copper widget", "Brand#1", "ECONOMY", 5, 900.0),
+            (2, "blue bolt", "Brand#1", "ECONOMY", 5, 100.0),
+        ],
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    )
+    incoming = spark.createDataFrame(
+        [
+            # re-scrape of catalog #1 (extra whitespace, price drift):
+            # match score 4000+1500+800 >= 5000 -> rejected
+            (9001, "red  copper widget", "Brand#1", "ECONOMY", 5, 910.0),
+            # same block as #1/#2 but nothing agrees -> admitted
+            (9002, "green ring", "Brand#1", "SMALL", 5, 400.0),
+            # empty block: LEFT join must keep it -> admitted
+            (9003, "yellow cap", "Brand#7", "ECONOMY", 40, 200.0),
+        ],
+        catalog.schema,
+    )
+    batch = P.stream_record_match_filter(incoming, catalog)
+    got = {r["rid"]: r["max_catalog_score_m"] for r in batch.collect()}
+    assert set(got) == {9002, 9003}
+    assert got[9003] == -(10**9)  # no candidate at all
+    assert got[9002] < 5000
+
+    qdir = str(tmp_path / "inc_records")
+    incoming.write.parquet(qdir)
+    stream = spark.readStream.schema(incoming.schema).parquet(qdir)
+    out = P.run_to_memory(
+        P.stream_record_match_filter(stream, catalog),
+        "t_record_admission", spark, mode="complete",
+    )
+    assert {
+        r["rid"]: r["max_catalog_score_m"] for r in out.collect()
+    } == got
