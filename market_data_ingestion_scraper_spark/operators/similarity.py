@@ -1391,6 +1391,11 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    method: str = "exact",
+    n_planes: int = 8,
+    n_tables: int = 6,
+    dim: int = 64,
+    seed_base: int = 7000,
 ) -> DataFrame:
     """Semantic deduplication (the SemDeDup recipe, Abbas et al. 2023,
     arXiv:2303.09540 — public paper): cluster the embedding space, then
@@ -1406,12 +1411,24 @@ def semantic_dedup(
     Scale notes: the pair join is keyed on the cluster id, so pair cost
     is Σ|cluster|² — the SemDeDup design point: with k ≈ √n clusters the
     quadratic term is bounded at n·√n ≪ n², and clusters are processed
-    independently (perfectly parallel).  The corpus never crossJoins; for
-    very tight thresholds at extreme scale the LSH-bucketed
-    :func:`embedding_near_duplicates` is the alternative candidate
-    generator.  Demo threshold on the random-vector fixtures is lower
-    than the paper's 0.95+ production setting (fixtures have no true
-    semantic dups; tests plant them)."""
+    independently (perfectly parallel).  The corpus never crossJoins.
+    Demo threshold on the random-vector fixtures is lower than the
+    paper's 0.95+ production setting (fixtures have no true semantic
+    dups; tests plant them).
+
+    ``method="lsh"`` is the IMPLEMENTED escape hatch for the regime
+    where even n·√n is too much (mega-clusters at 10⁹⁺ vectors):
+    candidates must share a hyperplane-LSH bucket IN ADDITION to the
+    cluster — pair cost drops from Σ|cluster|² to Σ over
+    (cluster × table × bucket) cells, ~|cluster|²/2^n_planes per table.
+    The trade is recall: an exact duplicate hashes identically in every
+    table and is ALWAYS caught, near-dups at cos ≥ threshold are caught
+    at the (n_planes, n_tables) bucketing recall — the same math as
+    :func:`embedding_near_duplicates`, whose bucket construction this
+    reuses verbatim.  Exact cosine still verifies every candidate, so
+    ``method`` can only shrink the dropped set, never corrupt it."""
+    if method not in ("exact", "lsh"):
+        raise ValueError(f"method={method!r}: expected 'exact' or 'lsh'")
     corpus = _spread(embeddings)
     # Persist the assignment: both pair-join sides reference it, and an
     # unpersisted frame would re-run the whole prototype pipeline per
@@ -1426,7 +1443,30 @@ def semantic_dedup(
     )
     a = asg.select(F.col("vec_id").alias("vec_a"), "pred_label")
     b = asg.select(F.col("vec_id").alias("vec_b"), "pred_label")
-    cand = a.join(b, "pred_label").filter(F.col("vec_a") < F.col("vec_b"))
+    if method == "lsh":
+        # bucket-refined candidates: join key (pred_label, t, bucket)
+        # instead of pred_label alone — the bucket table is the exact
+        # embedding_near_duplicates construction (shuffle-free build)
+        from .dedup import _persist_generation as _pg
+
+        bk = _pg(
+            "semdedup.buckets",
+            bucket_table(
+                corpus, id_col, vec_col, n_planes, n_tables, dim, seed_base
+            ),
+        )
+        a = a.join(bk.withColumnsRenamed({id_col: "vec_a"}), "vec_a")
+        b = b.join(bk.withColumnsRenamed({id_col: "vec_b"}), "vec_b")
+        cand = (
+            a.join(b, ["pred_label", "t", "bucket"])
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b")
+            .distinct()  # a pair may collide in several tables
+        )
+    else:
+        cand = a.join(b, "pred_label").filter(
+            F.col("vec_a") < F.col("vec_b")
+        )
     va = _scoring_side(corpus, id_col, vec_col, "vec_a", "q")
     vb = _scoring_side(corpus, id_col, vec_col, "vec_b", "n")
     dropped = (

@@ -963,3 +963,38 @@ def test_dedup_cache_generations_bounded(spark, corpus):
     release_dedup_caches()
     assert not _CACHE_GENERATIONS
     assert not cached.storageLevel.useMemory
+
+
+def test_semantic_dedup_lsh_method_catches_exact_dups(spark):
+    """The method='lsh' escape hatch: exact duplicates hash into
+    identical buckets in EVERY table, so they are always caught; the
+    LSH candidate set is a subset of the exact all-pairs set, so 'lsh'
+    can only shrink the dropped set (never drop something 'exact'
+    keeps); dims here are 4, so pass dim=4."""
+    from market_data_ingestion_scraper_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0], 0),
+        (2, [1.0, 0.0, 0.0, 0.0], 0),   # exact copy of 1 — must drop
+        (10, [0.7, 0.5, 0.0, 0.2], 0),
+        (20, [0.0, 0.0, 1.0, 0.0], 1),
+        (21, [0.0, 0.0, 1.0, 0.0], 1),  # exact copy of 20 — must drop
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    exact = {r["vec_id"]: r["kept"]
+             for r in semantic_dedup(emb, threshold=0.95, dim=4).collect()}
+    lsh = {r["vec_id"]: r["kept"]
+           for r in semantic_dedup(
+               emb, threshold=0.95, method="lsh", dim=4
+           ).collect()}
+    assert lsh == exact == {1: True, 2: False, 10: True, 20: True, 21: False}
+    # lsh may only ADD keeps relative to exact, never drop more
+    assert all(lsh[k] or not exact[k] for k in exact)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        semantic_dedup(emb, method="nope")
