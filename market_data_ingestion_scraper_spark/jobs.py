@@ -116,12 +116,18 @@ def _gold_hashes(spark: SparkSession, gold_path: str):
 GOLD_BUILD_MARKER = "_ingest_build.json"
 
 
-def _write_gold_build_id(gold_path: str) -> str:
+def _write_gold_build_id(gold_path: str) -> str | None:
     """Stamp a fresh unique generation id inside the gold directory and
-    return it.  The bloom sidecar records the id of the gold write it
-    covers; a mismatch on load means gold changed without the sidecar
-    (stale filter → rebuild).  Local paths only — a cluster deployment
-    writes the same marker through the Hadoop FileSystem API."""
+    return it, or None when the marker cannot be written (non-local gold
+    URI).  The bloom sidecar records the id of the gold write it covers;
+    a mismatch on load means gold changed without the sidecar (stale
+    filter → rebuild).  The failure path MUST return None, not the
+    unwritten id: recording an id the marker doesn't carry makes every
+    later load read back None ≠ sidecar_id and permanently defeats the
+    bloom fast path (r10 review) — with None on both sides the row-count
+    check governs, the intended degraded mode.  Local paths only — a
+    cluster deployment writes the same marker through the Hadoop
+    FileSystem API."""
     import json as _json
     import os as _os
     import uuid as _uuid
@@ -131,7 +137,7 @@ def _write_gold_build_id(gold_path: str) -> str:
         with open(_os.path.join(gold_path, GOLD_BUILD_MARKER), "w") as f:
             _json.dump({"build_id": build_id}, f)
     except OSError:
-        pass  # non-local gold URI: the row-count check still applies
+        return None  # non-local gold URI: the row-count check still applies
     return build_id
 
 

@@ -79,13 +79,23 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n_nodes = nodes.count()  # scalar: one number to the driver
+
+    def _detach(result: DataFrame) -> DataFrame:
+        # early returns: materialize the (tiny) result, then release the
+        # nodes checkpoint it was derived from — without this the
+        # long-running-driver discipline the loop path follows leaks one
+        # nodes-sized checkpoint per degenerate call (r10 review)
+        result = result.localCheckpoint(eager=True)
+        _release_checkpoint(nodes)
+        return result
+
     if n_nodes == 0:
-        return nodes.withColumn("rank_m", F.lit(0).cast("long"))
+        return _detach(nodes.withColumn("rank_m", F.lit(0).cast("long")))
     unit = TOTAL_MASS_M // n_nodes
     teleport = ((100 - damping_pct) * unit) // 100  # exact, loop-invariant
     if n_iter <= 0:
-        return nodes.select(
-            "node", F.lit(unit).cast("long").alias("rank_m")
+        return _detach(
+            nodes.select("node", F.lit(unit).cast("long").alias("rank_m"))
         )
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
     # contributions only need (src, rank) for nodes WITH out-edges;

@@ -195,9 +195,7 @@ def linkage_summary(pairs: DataFrame) -> DataFrame:
     )
 
 
-def block_profile(
-    part: DataFrame, id_col: str = "p_partkey"
-) -> DataFrame:
+def block_profile(part: DataFrame) -> DataFrame:
     """(bk1, bk2, n_records, n_pairs) per block — the up-front skew probe
     a production run checks BEFORE launching the pair join (one groupBy;
     a block whose C(n,2) dwarfs the rest is the salting/AQE signal)."""

@@ -810,6 +810,23 @@ def _ldot(a: Column, b: Column) -> Column:
     )
 
 
+def _long_array_lit(nested) -> Column:
+    """Arbitrarily-nested int list → ONE ``array(...)`` SQL text parsed
+    by a single ``F.expr`` call (int64 elements).  The single source of
+    the literal-rendering trick both quantizer families rely on: the
+    element-wise ``F.array(F.lit(...))`` form issues one py4j round-trip
+    per literal (~800 for an m=8, k=10 quantizer), which the r10 bench
+    measured as ~4 s of DRIVER-side plan construction per query — pure
+    overhead the executors never see."""
+
+    def render(x) -> str:
+        if isinstance(x, int):
+            return f"{x}L"
+        return "array(" + ",".join(render(e) for e in x) + ")"
+
+    return F.expr(render(nested))
+
+
 def _pq_codebook_lits(codebooks) -> tuple[Column, Column]:
     """(CB, CN) literal columns folded into the plan: CB[j+1][c+1] is
     codebook j entry c as an array<long> of micro-units, CN[j+1][c+1] is
@@ -821,33 +838,9 @@ def _pq_codebook_lits(codebooks) -> tuple[Column, Column]:
         [[int(round(w * 1e6)) for w in cvec] for cvec in book]
         for book in codebooks
     ]
-    # Rendered as ONE SQL text each and parsed in a single F.expr call:
-    # the element-wise F.array(F.lit(...)) form issued one py4j
-    # round-trip per literal (~800 for an m=8, k=10 quantizer), and the
-    # r10 bench measured that chatter as ~4 s of DRIVER-side plan
-    # construction per query — pure overhead the executors never see.
-    cb = F.expr(
-        "array("
-        + ",".join(
-            "array("
-            + ",".join(
-                "array(" + ",".join(f"{w}L" for w in cvec) + ")"
-                for cvec in book
-            )
-            + ")"
-            for book in mu
-        )
-        + ")"
-    )
-    cn = F.expr(
-        "array("
-        + ",".join(
-            "array("
-            + ",".join(f"{sum(w * w for w in cvec)}L" for cvec in book)
-            + ")"
-            for book in mu
-        )
-        + ")"
+    cb = _long_array_lit(mu)
+    cn = _long_array_lit(
+        [[sum(w * w for w in cvec) for cvec in book] for book in mu]
     )
     return cb, cn
 
@@ -954,19 +947,8 @@ def _ivf_scores_expr(vec: Column, centroids) -> Column:
     from .dedup import _let
 
     mu = [[int(round(w * 1e6)) for w in cvec] for cvec in centroids]
-    # single-parse literal arrays — see _pq_codebook_lits for why
-    cw_l = F.expr(
-        "array("
-        + ",".join(
-            "array(" + ",".join(f"{w}L" for w in cvec) + ")" for cvec in mu
-        )
-        + ")"
-    )
-    cn_l = F.expr(
-        "array("
-        + ",".join(f"{sum(w * w for w in cvec)}L" for cvec in mu)
-        + ")"
-    )
+    cw_l = _long_array_lit(mu)
+    cn_l = _long_array_lit([sum(w * w for w in cvec) for cvec in mu])
     n_lists = len(centroids)
 
     def with_vm(vm: Column) -> Column:
@@ -1038,10 +1020,21 @@ def pq_encode(
     per-subspace argmin is a let-bound higher-order expression — the
     corpus is read once and never exchanged (the r8 form was a broadcast
     join + three groupBys; the arithmetic, tie-breaks, and therefore
-    every persisted code and oracle hash are unchanged)."""
-    return _spread(embeddings).select(
-        F.col(id_col),
-        _pq_codes_expr(F.col(vec_col), codebooks).alias("codes"),
+    every persisted code and oracle hash are unchanged).
+
+    Null/empty vectors are DROPPED, matching the r8 relational form
+    (posexplode emitted no rows for them) and every sibling index build
+    (``bucket_table``, ``rp_project``): an un-encodable vector must
+    never be served — the un-filtered expression would score a null
+    slice against every code, pick code 0, and surface the row as a
+    phantom neighbor with a finite ADC distance (r10 review repro)."""
+    return (
+        _spread(embeddings)
+        .filter(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
+        .select(
+            F.col(id_col),
+            _pq_codes_expr(F.col(vec_col), codebooks).alias("codes"),
+        )
     )
 
 
@@ -1160,8 +1153,16 @@ def ivfpq_topk(
             "neighbor_id",
         )
     else:
-        base = _spread(embeddings).select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v")
+        # null/empty vectors dropped — same un-encodable policy as
+        # pq_encode (a null slice would land in cell 0 with codes [0…]
+        # and serve as a phantom neighbor)
+        base = (
+            _spread(embeddings)
+            .filter(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
+            .select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("_v"),
+            )
         )
         if corpus_cells is not None:
             base = base.join(
@@ -1447,9 +1448,7 @@ def semantic_dedup(
         # bucket-refined candidates: join key (pred_label, t, bucket)
         # instead of pred_label alone — the bucket table is the exact
         # embedding_near_duplicates construction (shuffle-free build)
-        from .dedup import _persist_generation as _pg
-
-        bk = _pg(
+        bk = _persist_generation(
             "semdedup.buckets",
             bucket_table(
                 corpus, id_col, vec_col, n_planes, n_tables, dim, seed_base

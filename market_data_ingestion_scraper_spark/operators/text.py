@@ -881,8 +881,17 @@ def tfidf_cosine_pairs(
     index size and join fan-out — the same candidate-bounding role the
     banding plays for MinHash.  Output (doc_a, doc_b, cos_sim) with
     doc_a < doc_b, cosine rounded to 6dp from exact integer operands."""
-    w = tfidf_vectors_m(
-        documents, max_df=max_df, id_col=id_col, text_col=text_col
+    from .dedup import _persist_generation
+
+    # the vector table feeds FOUR plan branches (both self-join sides +
+    # the norms joined back twice) — materialize it once, same house
+    # discipline as jaccard_similarity_join's inverted index (a
+    # production run writes this table out: it IS the sparse index)
+    w = _persist_generation(
+        "tfidf.vectors",
+        tfidf_vectors_m(
+            documents, max_df=max_df, id_col=id_col, text_col=text_col
+        ),
     )
     norms = w.groupBy(id_col).agg(
         F.sqrt(F.sum(F.col("w_m") * F.col("w_m"))).alias("norm")

@@ -317,3 +317,22 @@ def test_equal_rowcount_rewrite_detected_by_build_id(spark, tmp_path):
     assert m3["n_bloom_skipped"] == 0              # stale -> exact path
     ids = sorted(r["doc_id"] for r in spark.read.parquet(gold).collect())
     assert ids == [2]                              # no duplicate row
+
+
+def test_gold_build_id_write_failure_returns_none(tmp_path):
+    """r10 review: when the marker cannot be written, the id must NOT be
+    returned (the sidecar would record an id the marker doesn't carry,
+    permanently failing the staleness handshake and defeating the bloom
+    fast path); None on both sides lets the row-count check govern."""
+    from market_data_ingestion_scraper_spark.jobs import (
+        _read_gold_build_id,
+        _write_gold_build_id,
+    )
+
+    ok_dir = tmp_path / "gold"
+    ok_dir.mkdir()
+    bid = _write_gold_build_id(str(ok_dir))
+    assert bid is not None and _read_gold_build_id(str(ok_dir)) == bid
+    missing = tmp_path / "nope" / "gold"  # parent absent: open() fails
+    assert _write_gold_build_id(str(missing)) is None
+    assert _read_gold_build_id(str(missing)) is None

@@ -998,3 +998,42 @@ def test_semantic_dedup_lsh_method_catches_exact_dups(spark):
 
     with _pytest.raises(ValueError):
         semantic_dedup(emb, method="nope")
+
+
+def test_pq_encode_drops_null_and_empty_vectors(spark):
+    """r10 review repro: an un-encodable vector must never be served.
+    The unfiltered expression encoded NULL/[] as codes [0,...] (null
+    slice scores -> array_min picks code 0) and surfaced them as phantom
+    neighbors with finite ADC distances."""
+    from market_data_ingestion_scraper_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_encode,
+        pq_topk,
+    )
+
+    cb = [[[1.0, 0.0], [0.0, 1.0]], [[1.0, 0.0], [0.0, 1.0]]]
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0]]
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, None),
+        (3, []),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    enc = pq_encode(emb, cb)
+    assert {r.vec_id for r in enc.collect()} == {0, 1}
+    served = {
+        r.neighbor_id
+        for r in pq_topk(
+            emb, emb.filter(F.col("vec_id") == 0), k=4, codebooks=cb
+        ).collect()
+    }
+    assert served == {1}  # phantom 2/3 never appear
+    served_ivfpq = {
+        r.neighbor_id
+        for r in ivfpq_topk(
+            emb, emb.filter(F.col("vec_id") == 0), k=4, n_probe=2,
+            centroids=cents, codebooks=cb,
+        ).collect()
+    }
+    assert served_ivfpq == {1}
