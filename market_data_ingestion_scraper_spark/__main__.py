@@ -62,13 +62,16 @@ def main(argv: list[str] | None = None) -> int:
 
     ann = sub.add_parser(
         "ann-index",
-        help="build a persistable ANN index (LSH bucket table or IVF cell "
-        "assignment) from an embeddings parquet, partitioned for serving",
+        help="build a persistable ANN index (LSH bucket table, IVF cell "
+        "assignment, or IVF-PQ codes+cells) from an embeddings parquet, "
+        "partitioned for serving",
     )
     ann.add_argument("--embeddings", required=True,
                      help="parquet with (vec_id, embedding) columns")
     ann.add_argument("--out", required=True)
-    ann.add_argument("--kind", choices=("lsh", "ivf"), default="lsh")
+    ann.add_argument("--kind", choices=("lsh", "ivf", "ivfpq"), default="lsh")
+    ann.add_argument("--pq-m", type=int, default=8)
+    ann.add_argument("--pq-codes", type=int, default=16)
     ann.add_argument("--n-planes", type=int, default=4)
     ann.add_argument("--n-tables", type=int, default=8)
     ann.add_argument("--n-lists", type=int, default=16)
@@ -242,6 +245,19 @@ def main(argv: list[str] | None = None) -> int:
 
         require_local_path(args.out)  # the sidecar write is an os-level op
         emb = spark.read.parquet(args.embeddings)
+        if args.kind == "ivfpq":
+            # both quantizers fitted + recorded by the writer; the index
+            # relation is (id, codes, cell) partitioned by cell so a
+            # serving probe reads only its cells' files
+            n = S.write_ivfpq_index(
+                emb, args.out, n_lists=args.n_lists, m=args.pq_m,
+                n_codes=args.pq_codes, seed=args.seed,
+            )
+            print(
+                f"kind=ivfpq rows={n} out={args.out} partition_by=cell "
+                f"quantizer=_quantizer.json"
+            )
+            return 0
         if args.kind == "lsh":
             idx = S.bucket_table(
                 emb, "vec_id", "embedding", args.n_planes, args.n_tables,

@@ -512,6 +512,82 @@ def load_ann_index(spark, path: str) -> AnnIndex:
     return AnnIndex(spark.read.parquet(path), quantizer)
 
 
+def ivfpq_index_rows(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes, cell) — the complete IVF-PQ index relation as ONE
+    shuffle-free scan projection (both quantizer halves are plan
+    literals; null/empty vectors dropped per the un-encodable policy).
+    Persisted partitioned BY CELL, this is the faiss-style on-disk
+    layout: a probe reads only its cells' files."""
+    return (
+        _spread(embeddings)
+        .filter(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
+        .select(
+            F.col(id_col),
+            _pq_codes_expr(F.col(vec_col), codebooks).alias("codes"),
+            _ivf_cell_expr(F.col(vec_col), centroids).alias("cell"),
+        )
+    )
+
+
+def write_ivfpq_index(
+    embeddings: DataFrame,
+    path: str,
+    n_lists: int = 16,
+    m: int = 8,
+    n_codes: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+) -> int:
+    """Build + persist the IVF-PQ index (the IndexIVFPQ artifact): fit
+    both quantizers (sample-bounded) unless given, write the (id, codes,
+    cell) relation partitioned by ``cell`` — so serving probes prune to
+    their cells' files at the parquet listing level — and record BOTH
+    quantizers in the authoritative ``_quantizer.json`` sidecar
+    (serving with re-fit centroids or re-fit codebooks silently corrupts
+    distances, the exact mismatch the handle discipline exists to
+    prevent).  Returns the number of index rows written."""
+    import json
+    import os
+
+    from ..util import require_local_path
+
+    require_local_path(path)
+    if centroids is None:
+        centroids = fit_ivf_centroids(
+            embeddings, n_lists=n_lists, seed=seed, vec_col=vec_col
+        )
+    if codebooks is None:
+        codebooks = fit_pq_codebooks(
+            embeddings, m=m, k=n_codes, seed=seed, vec_col=vec_col
+        )
+    rows = ivfpq_index_rows(
+        embeddings, centroids, codebooks, id_col=id_col, vec_col=vec_col
+    )
+    rows.write.mode("overwrite").partitionBy("cell").parquet(path)
+    quantizer = {
+        "kind": "ivfpq",
+        "n_lists": len(centroids),
+        "m": len(codebooks),
+        "n_codes": len(codebooks[0]),
+        "seed": seed,
+        "centroids": centroids,
+        "codebooks": codebooks,
+    }
+    with open(os.path.join(path, "_quantizer.json"), "w") as f:
+        json.dump(quantizer, f)
+    # metadata-only count of the WRITTEN files doubles as a read check
+    return embeddings.sparkSession.read.parquet(path).count()
+
+
 def extend_ann_index(
     new_vectors: DataFrame,
     index_path: str,
@@ -558,9 +634,16 @@ def extend_ann_index(
             vec_col=vec_col,
         )
         part = "cell"
+    elif handle.kind == "ivfpq":
+        q = handle.quantizer
+        rows = ivfpq_index_rows(
+            new_vectors, q["centroids"], q["codebooks"],
+            id_col=id_col, vec_col=vec_col,
+        )
+        part = "cell"
     else:
         raise ValueError(
-            f"extend_ann_index handles lsh/ivf indexes, got "
+            f"extend_ann_index handles lsh/ivf/ivfpq indexes, got "
             f"{handle.kind!r} (minhash indexes grow via extend_band_index)"
         )
     # shard-bounded; compute once for both the append and the count
@@ -1111,6 +1194,7 @@ def ivfpq_topk(
     codebooks: list[list[list[float]]] | None = None,
     encoded: DataFrame | None = None,
     corpus_cells: DataFrame | None = None,
+    index: "AnnIndex | None" = None,
 ) -> DataFrame:
     """IVF-PQ: the production ANN composition (faiss's IndexIVFPQ shape)
     — IVF cell probing bounds WHICH vectors are scored
@@ -1135,7 +1219,29 @@ def ivfpq_topk(
     broadcast rows, and scoring is a broadcast equi-join on ``cell``
     plus m array lookups per candidate.  The only exchange in the whole
     serve is the per-query top-k window; the arithmetic (and every
-    oracle hash) is unchanged from the relational r8 form."""
+    oracle hash) is unchanged from the relational r8 form.
+
+    ``index=`` (an :class:`AnnIndex`, kind ``ivfpq`` from
+    :func:`write_ivfpq_index`) supplies the persisted (id, codes, cell)
+    relation AND both quantizers — and enables the on-disk probe prune:
+    the query batch's probed cells (≤ |Q|·n_probe distinct values,
+    always ≤ n_lists — a bounded driver collect) become a STATIC
+    partition filter on the cell-partitioned parquet, so the serve
+    lists and reads ONLY the probed cells' files, the faiss read
+    pattern the layout exists for."""
+    if index is not None:
+        q = index.require("ivfpq")
+        centroids, codebooks = q["centroids"], q["codebooks"]
+        qcells = queries.select(
+            F.explode(
+                _ivf_probe_cells_expr(F.col(vec_col), centroids, n_probe)
+            ).alias("cell")
+        ).distinct()
+        probed = [r["cell"] for r in qcells.collect()]  # ≤ n_lists values
+        c_side = (
+            index.df.filter(F.col("cell").isin(probed))
+            .withColumnsRenamed({id_col: "neighbor_id"})
+        )
     if centroids is None:
         centroids = fit_ivf_centroids(
             embeddings, n_lists=n_lists, seed=seed, vec_col=vec_col
@@ -1147,7 +1253,9 @@ def ivfpq_topk(
 
     # --- corpus side: (neighbor_id, cell, codes) — from the persisted
     # index relations when given, else computed in the scan projection
-    if encoded is not None and corpus_cells is not None:
+    if index is not None:
+        pass  # c_side already probe-pruned from the handle above
+    elif encoded is not None and corpus_cells is not None:
         c_side = encoded.withColumnsRenamed({id_col: "neighbor_id"}).join(
             corpus_cells.withColumnsRenamed({id_col: "neighbor_id"}),
             "neighbor_id",

@@ -1037,3 +1037,59 @@ def test_pq_encode_drops_null_and_empty_vectors(spark):
         ).collect()
     }
     assert served_ivfpq == {1}
+
+
+def test_ivfpq_index_roundtrip_prunes_and_serves(spark, sf_smoke, tmp_path):
+    """X13/X14 lifecycle closure: write_ivfpq_index -> load_ann_index ->
+    ivfpq_topk(index=) must (a) equal the inline quantizer serve
+    bit-for-bit, (b) read ONLY the probed cells' parquet files (the
+    partitioned-by-cell layout is the point), and (c) grow by append via
+    extend_ann_index with sidecar-frozen quantizers."""
+    from market_data_ingestion_scraper_spark.operators.similarity import (
+        extend_ann_index,
+        fit_ivf_centroids,
+        fit_pq_codebooks,
+        ivfpq_topk,
+        load_ann_index,
+        write_ivfpq_index,
+    )
+    from market_data_ingestion_scraper_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    path = str(tmp_path / "ivfpq_idx")
+    n = write_ivfpq_index(emb, path, n_lists=16, m=8, n_codes=8, seed=5)
+    assert n == emb.count()
+    handle = load_ann_index(spark, path)
+    assert handle.kind == "ivfpq"
+    qs = emb.filter(F.col("vec_id") < 2)
+    served = ivfpq_topk(emb, qs, k=3, n_probe=2, index=handle)
+    inline = ivfpq_topk(
+        emb, qs, k=3, n_probe=2,
+        centroids=handle.quantizer["centroids"],
+        codebooks=handle.quantizer["codebooks"],
+    )
+    key = lambda df: sorted(
+        (r.query_id, r.neighbor_id, r.approx_dist2, r.rnk)
+        for r in df.collect()
+    )
+    assert key(served) == key(inline)
+    # file pruning: the serve's corpus scan must carry the probed cells
+    # as a STATIC PartitionFilter on the cell-partitioned parquet (the
+    # listing-level prune the layout exists for).  inputFiles() reports
+    # the unpruned FileIndex, so pin the physical plan instead.
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan
+    import re as _re
+
+    pf = _re.search(r"PartitionFilters: \[[^\]]*cell[^\]]*IN \(([^)]*)\)", plan)
+    assert pf, plan
+    assert len(pf.group(1).split(",")) <= 2 * 2  # |Q| * n_probe cells
+    # append: new vectors land in existing cell partitions, no rebuild
+    extra = emb.filter(F.col("vec_id") < 6).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    appended = extend_ann_index(extra, path)
+    assert appended == 6
+    assert load_ann_index(spark, path).df.count() == n + 6
