@@ -1782,3 +1782,54 @@ def rp_topk(
     c = rp_project(embeddings, out_dim, dim, seed, id_col, vec_col)
     q = rp_project(queries, out_dim, dim, seed, id_col, vec_col)
     return brute_force_topk(c, q, k=k, id_col=id_col, vec_col="rvec")
+
+
+def write_rp_index(
+    embeddings: DataFrame,
+    path: str,
+    out_dim: int = 16,
+    dim: int = 64,
+    seed: int = 2026,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Persist the JL-reduced vector table — the RP index artifact: at
+    100 TB the 4× narrower (id, rvec) relation is what every downstream
+    similarity pass scans instead of the full-width embeddings.  The
+    sidecar records (out_dim, dim, seed); the sign matrix is a pure
+    function of them (:func:`rp_signs`), so serving re-derives it
+    exactly — same authoritative-parameters discipline as every other
+    index family.  Returns rows written."""
+    import json
+    import os
+
+    from ..util import require_local_path
+
+    require_local_path(path)
+    rp_project(
+        embeddings, out_dim, dim, seed, id_col, vec_col
+    ).write.mode("overwrite").parquet(path)
+    with open(os.path.join(path, "_quantizer.json"), "w") as f:
+        json.dump(
+            {"kind": "rp", "out_dim": out_dim, "dim": dim, "seed": seed}, f
+        )
+    return embeddings.sparkSession.read.parquet(path).count()
+
+
+def rp_topk_vs_index(
+    index: "AnnIndex",
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve top-k against a persisted RP index: queries are projected
+    with the sidecar's EXACT (out_dim, dim, seed) — re-guessing a
+    different seed would compare vectors projected through different
+    matrices, cosine soup — and scored against the stored reduced corpus
+    by the standard brute-force ranker."""
+    q = index.require("rp")
+    qr = rp_project(
+        queries, q["out_dim"], q["dim"], q["seed"], id_col, vec_col
+    )
+    return brute_force_topk(index.df, qr, k=k, id_col=id_col, vec_col="rvec")

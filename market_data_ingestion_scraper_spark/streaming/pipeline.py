@@ -294,6 +294,73 @@ def ann_enrich_stream(
     )
 
 
+def ivfpq_enrich_stream(
+    queries: DataFrame,
+    index,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Streaming IVF-PQ serving: each micro-batch of query vectors is
+    enriched with its approximate top-k from the PERSISTED
+    cell-partitioned index (``similarity.write_ivfpq_index`` →
+    ``load_ann_index``) — the memory-bound production counterpart of
+    :func:`ann_enrich_stream` (codes, never raw corpus vectors).
+
+    Stream-legal composition: the query side computes its probe cells
+    AND its per-query ADC lookup table as per-row expressions (both
+    quantizers are plan literals from the sidecar — no state, no
+    collect; the batch path's static-partition prune needs a driver
+    collect of the probed cells, which a stream cannot do, so the prune
+    here happens in the stream-static equi-join on ``cell`` instead —
+    same rows read per micro-batch, pruned by the join rather than the
+    listing); candidates join the static (id, codes, cell) relation,
+    each costs m int64 array lookups, and the per-query top-k is the
+    same streaming collect-sort-slice aggregation as the LSH server.
+
+    Returns (query_id, topk: array<struct<neighbor_id, approx_dist2>>).
+    """
+    from ..operators.similarity import (
+        _adc_pair_dist,
+        _adc_table_expr,
+        _ivf_probe_cells_expr,
+    )
+
+    q = index.require("ivfpq")
+    centroids, codebooks = q["centroids"], q["codebooks"]
+    q_side = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(
+            _ivf_probe_cells_expr(F.col(vec_col), centroids, n_probe)
+        ).alias("cell"),
+        _adc_table_expr(F.col(vec_col), codebooks).alias("_qtab"),
+    )
+    scored = (
+        q_side.join(
+            index.df.withColumnsRenamed({id_col: "neighbor_id"}), "cell"
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", _adc_pair_dist().alias("d_m"))
+    )
+    topk = F.slice(
+        F.array_sort(
+            F.collect_set(F.struct(
+                F.col("d_m").alias("_d"),
+                F.col("neighbor_id").alias("neighbor_id"),
+                F.round(F.col("d_m") / 1e12, 6).alias("approx_dist2"),
+            ))
+        ),
+        1,
+        k,
+    )
+    return scored.groupBy("query_id").agg(
+        F.transform(
+            topk, lambda s: F.struct(s.neighbor_id, s.approx_dist2)
+        ).alias("topk")
+    )
+
+
 def stream_near_dup_filter(
     rows: DataFrame,
     corpus_buckets: DataFrame | None = None,

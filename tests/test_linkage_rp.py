@@ -273,3 +273,39 @@ def test_entity_ids_collapse_transitive_matches(spark):
     assert pairs[(1, 3)] != "match"
     ents = {r.rid: r.entity_id for r in entity_ids(df).collect()}
     assert ents == {1: 1, 2: 1, 3: 1, 7: 7, 8: 8}
+
+
+def test_rp_index_roundtrip_serves_identically(spark, tmp_path):
+    """X19 lifecycle: write_rp_index -> load_ann_index -> rp_topk_vs_index
+    must equal the inline rp_topk bit-for-bit (the sidecar's seed drives
+    the projection, so the matrices are identical); kind mismatch raises."""
+    import pytest as _pytest
+
+    from market_data_ingestion_scraper_spark.operators.similarity import (
+        load_ann_index,
+        rp_topk,
+        rp_topk_vs_index,
+        write_rp_index,
+    )
+
+    rng = random.Random(5)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "rp_idx")
+    assert write_rp_index(df, path, out_dim=16, seed=9) == 60
+    handle = load_ann_index(spark, path)
+    assert handle.kind == "rp"
+    qs = df.filter(F.col("vec_id") < 3)
+    served = sorted(
+        (r.query_id, r.neighbor_id, r.cos_sim, r.rnk)
+        for r in rp_topk_vs_index(handle, qs, k=4).collect()
+    )
+    inline = sorted(
+        (r.query_id, r.neighbor_id, r.cos_sim, r.rnk)
+        for r in rp_topk(df, qs, k=4, out_dim=16, seed=9).collect()
+    )
+    assert served == inline
+    with _pytest.raises(ValueError):
+        rp_topk_vs_index(
+            type(handle)(handle.df, {"kind": "lsh"}), qs
+        )

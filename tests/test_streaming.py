@@ -598,3 +598,42 @@ def test_stream_record_match_filter_admission(spark, sf_smoke, tmp_path):
     assert {
         r["rid"]: r["max_catalog_score_m"] for r in out.collect()
     } == got
+
+
+def test_ivfpq_enrich_stream_matches_batch(spark, sf_smoke, tmp_path):
+    """Streaming IVF-PQ serving against the persisted cell-partitioned
+    index must equal the batch ivfpq_topk(index=) results bit-for-bit
+    (same quantizer literals, same ADC arithmetic, same tie-break)."""
+    from market_data_ingestion_scraper_spark.operators.similarity import (
+        ivfpq_topk,
+        load_ann_index,
+        write_ivfpq_index,
+    )
+
+    emb = load_table(spark, sf_smoke, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    path = str(tmp_path / "ivfpq_stream_idx")
+    write_ivfpq_index(emb, path, n_lists=8, m=8, n_codes=8, seed=5)
+    handle = load_ann_index(spark, path)
+    queries = emb.filter(F.col("vec_id") < 4)
+    batch = ivfpq_topk(emb, queries, k=3, n_probe=2, index=handle)
+    want = {}
+    for r in batch.collect():
+        want.setdefault(r.query_id, []).append(
+            (r.rnk, r.neighbor_id, r.approx_dist2)
+        )
+    want = {q: [(n, d) for _, n, d in sorted(v)] for q, v in want.items()}
+
+    qdir = str(tmp_path / "queries")
+    queries.write.parquet(qdir)
+    stream = spark.readStream.schema(queries.schema).parquet(qdir)
+    out = P.run_to_memory(
+        P.ivfpq_enrich_stream(stream, handle, k=3, n_probe=2),
+        "t_ivfpq_serve", spark, mode="complete",
+    )
+    got = {
+        r["query_id"]: [(s["neighbor_id"], s["approx_dist2"]) for s in r["topk"]]
+        for r in out.collect()
+    }
+    assert got == want
