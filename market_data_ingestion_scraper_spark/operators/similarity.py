@@ -641,14 +641,21 @@ def extend_ann_index(
             id_col=id_col, vec_col=vec_col,
         )
         part = "cell"
+    elif handle.kind == "rp":
+        q = handle.quantizer
+        rows = rp_project(
+            new_vectors, q["out_dim"], q["dim"], q["seed"], id_col, vec_col
+        )
+        part = None  # the reduced table is written flat
     else:
         raise ValueError(
-            f"extend_ann_index handles lsh/ivf/ivfpq indexes, got "
+            f"extend_ann_index handles lsh/ivf/ivfpq/rp indexes, got "
             f"{handle.kind!r} (minhash indexes grow via extend_band_index)"
         )
     # shard-bounded; compute once for both the append and the count
     rows = rows.localCheckpoint(eager=True)
-    rows.write.mode("append").partitionBy(part).parquet(index_path)
+    w = rows.write.mode("append")
+    (w.partitionBy(part) if part else w).parquet(index_path)
     return rows.count()
 
 

@@ -305,6 +305,16 @@ def test_rp_index_roundtrip_serves_identically(spark, tmp_path):
         for r in rp_topk(df, qs, k=4, out_dim=16, seed=9).collect()
     )
     assert served == inline
+    # append symmetry: new vectors project with the sidecar's seed
+    from market_data_ingestion_scraper_spark.operators.similarity import (
+        extend_ann_index,
+    )
+
+    extra = df.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1_000).alias("vec_id"), "embedding"
+    )
+    assert extend_ann_index(extra, path) == 5
+    assert load_ann_index(spark, path).df.count() == 65
     with _pytest.raises(ValueError):
         rp_topk_vs_index(
             type(handle)(handle.df, {"kind": "lsh"}), qs
