@@ -7,7 +7,9 @@ Layout:
 - ``sources``    — table loaders (parquet fixtures) + raw CSV ingest boundary.
 - ``functions``  — scalar/aggregate helper columns (sanitize, revenue, exact sums).
 - ``operators``  — ingest/normalize, state/idempotency, analytics, dedup,
-                   similarity, text analysis, multimodal, sketches.
+                   similarity (ANN/PQ/RP index lifecycles), text analysis,
+                   multimodal, sketches, graph (PageRank), record linkage,
+                   time-series, BPE, classifier, bloom, versioning.
 - ``streaming``  — Structured Streaming pipelines over the events feed.
 - ``plans``      — explain/plan-audit utilities.
 
