@@ -9,7 +9,8 @@ Layout:
 - ``operators``  — ingest/normalize, state/idempotency, analytics, dedup,
                    similarity (ANN/PQ/RP index lifecycles), text analysis,
                    multimodal, sketches, graph (PageRank), record linkage,
-                   time-series, BPE, classifier, bloom, versioning.
+                   time-series, BPE, classifier, bloom, versioning,
+                   importance resampling (DSIR).
 - ``streaming``  — Structured Streaming pipelines over the events feed.
 - ``plans``      — explain/plan-audit utilities.
 
