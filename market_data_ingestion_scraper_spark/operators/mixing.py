@@ -239,3 +239,100 @@ def curation_pipeline(documents: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(tokens("text"))).alias("n_tokens"),
     )
+
+
+def hash_budget_fill(
+    documents: DataFrame,
+    total_token_budget: int,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    seed: str = "fill",
+) -> DataFrame:
+    """Turn :func:`temperature_mixture` weights into an ACTUAL selection:
+    per-source token budgets ``B_s = half_up(T · w_s)`` filled by a
+    deterministic hash threshold — select every doc whose portable-hash
+    uniform ``u = (h(seed ':' doc_id)+1)/(HASH_P+1)`` falls below
+    ``min(1, B_s / tokens_s)``.
+
+    This is the SCALE-CORRECT shape for budgeted sampling: the obvious
+    per-source running-sum window sorts each source on a single partition
+    (parallel across sources only — one web-scale source serializes the
+    job); the hash threshold needs NO ordering at all — one broadcast
+    join of a |sources|-row cutoff table against the corpus, then a
+    map-side-combined per-source aggregate.  Token-count concentration
+    does the rest: the selected token mass is within O(√N) of the budget
+    at any real corpus size (binomial tails), which is exactly the
+    precision a mixture spec means.
+
+    Determinism/exactness: budgets derive from the mixture's integer ppm
+    weights via the half-up DIV identity; the threshold compare runs on
+    identically-derived doubles in both engines; doc hashes are the
+    portable md5 hash, so the SELECTED SET is bit-stable across engines,
+    partitionings, and re-runs (and decoupled from `training_order`'s
+    epoch salt by the ``seed`` prefix).
+
+    Returns one row per source: ``(source, budget_tokens, n_docs,
+    n_tokens, fill_rate)`` — ``fill_rate`` is round-6 ``n_tokens /
+    budget_tokens`` (NULL for a zero budget).
+    """
+    from .dedup import HASH_P, portable_token_hash
+
+    t = int(total_token_budget)
+    mix = temperature_mixture(documents, alpha, source_col)
+    budgets = (
+        mix.select(
+            source_col,
+            F.col("n_tokens").alias("_src_tokens"),
+            F.round(F.col("sample_weight") * 1e6).cast("long").alias("_ppm"),
+        )
+        .withColumn(
+            "budget_tokens",
+            F.expr(
+                f"(CAST(_ppm AS DECIMAL(38,0)) * {t} + 500000) DIV 1000000"
+            ).cast("long"),
+        )
+        .withColumn(
+            "_frac",
+            F.least(
+                F.lit(1.0),
+                F.col("budget_tokens").cast("double") / F.col("_src_tokens"),
+            ),
+        )
+    )
+    u = (
+        portable_token_hash(
+            F.concat(F.lit(str(seed) + ":"), F.col("doc_id").cast("string"))
+        )
+        + 1
+    ).cast("double") / float(HASH_P + 1)
+    scored = documents.select(
+        source_col,
+        F.size(tokens("text")).alias("_n_tok"),
+        u.alias("_u"),
+    )
+    picked = (
+        scored.join(F.broadcast(budgets), source_col)
+        .filter(F.col("_u") < F.col("_frac"))
+        .groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_n_tok").cast("long").alias("n_tokens"),
+        )
+    )
+    return (
+        budgets.join(F.broadcast(picked), source_col, "left")
+        .select(
+            source_col,
+            "budget_tokens",
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.when(
+                F.col("budget_tokens") > 0,
+                F.round(
+                    F.coalesce("n_tokens", F.lit(0))
+                    / F.col("budget_tokens").cast("double"),
+                    6,
+                ),
+            ).alias("fill_rate"),
+        )
+    )

@@ -251,3 +251,112 @@ def test_bm25_topk_is_take_ordered_not_global_window(spark, sf_smoke):
     )
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
+
+
+# ---------------------------------------------------------------- budget fill
+
+def _py_budget_fill(rows, total_budget, seed="fill"):
+    """Independent pure-Python twin of hash_budget_fill (alpha=0.5):
+    integer-ppm mixture math (half-up DIV identities), half-up round-6
+    sqrt, portable md5 uniforms, hash-threshold selection."""
+    import hashlib
+    import math
+
+    P = 2_147_483_647
+
+    def half_up_ppm(a, b):  # round(a/b * 1e6) in exact ints
+        return (a * 2_000_000 + b) // (2 * b)
+
+    def rnd6(x):  # HALF_UP to 6 decimals (Spark/DuckDB ROUND)
+        return math.floor(x * 1e6 + 0.5) / 1e6 if x >= 0 else -math.floor(-x * 1e6 + 0.5) / 1e6
+
+    def toks(text):
+        import re
+
+        return [t for t in re.split(r"[^a-z0-9]+", (text or "").lower()) if t]
+
+    per = {}
+    for _doc_id, src, text in rows:
+        per[src] = per.get(src, 0) + len(toks(text))
+    tot = sum(per.values())
+    share = {s: half_up_ppm(n, tot) / 1e6 for s, n in per.items()}
+    sm = {s: round(rnd6(math.sqrt(v)) * 1e6) for s, v in share.items()}
+    tot_sm = sum(sm.values())
+    w_ppm = {s: half_up_ppm(v, tot_sm) for s, v in sm.items()}
+    budget = {s: (p * total_budget + 500_000) // 1_000_000 for s, p in w_ppm.items()}
+    frac = {s: min(1.0, budget[s] / per[s]) for s in per}
+    out = {s: [budget[s], 0, 0] for s in per}
+    for doc_id, src, text in rows:
+        h = int(hashlib.md5(f"{seed}:{doc_id}".encode()).hexdigest()[:8], 16) % P
+        if (h + 1) / (P + 1) < frac[src]:
+            out[src][1] += 1
+            out[src][2] += len(toks(text))
+    return {
+        s: (b, nd, nt, rnd6(nt / b) if b > 0 else None)
+        for s, (b, nd, nt) in out.items()
+    }
+
+
+_FILL_ROWS = [
+    # a heavy source (many tokens) and a light one — alpha=0.5 upsamples
+    # the tail, so the light source's budget exceeds its raw share
+    *[(i, "big", "alpha beta gamma delta epsilon zeta " * 3) for i in range(40)],
+    *[(100 + i, "small", "one two three") for i in range(6)],
+]
+
+
+def test_budget_fill_matches_python_twin(spark):
+    from market_data_ingestion_scraper_spark.operators.mixing import (
+        hash_budget_fill,
+    )
+
+    docs = spark.createDataFrame(_FILL_ROWS, "doc_id long, source string, text string")
+    got = {
+        r["source"]: (
+            r["budget_tokens"],
+            r["n_docs"],
+            r["n_tokens"],
+            r["fill_rate"],
+        )
+        for r in hash_budget_fill(docs, 300).collect()
+    }
+    assert got == _py_budget_fill(_FILL_ROWS, 300)
+    # partial selection on the heavy source (threshold actually bites)
+    assert 0 < got["big"][1] < 40
+
+
+def test_budget_fill_deterministic_and_clamped(spark):
+    from market_data_ingestion_scraper_spark.operators.mixing import (
+        hash_budget_fill,
+    )
+
+    docs = spark.createDataFrame(_FILL_ROWS, "doc_id long, source string, text string")
+    a = sorted(tuple(r) for r in hash_budget_fill(docs, 300).collect())
+    b = sorted(
+        tuple(r) for r in hash_budget_fill(docs.repartition(7), 300).collect()
+    )
+    assert a == b
+    # a budget far above the corpus clamps frac to 1: everything selected
+    full = {
+        r["source"]: r["n_docs"]
+        for r in hash_budget_fill(docs, 10_000_000).collect()
+    }
+    assert full == {"big": 40, "small": 6}
+
+
+def test_budget_fill_plan_broadcasts_cutoffs(spark):
+    from market_data_ingestion_scraper_spark.operators.mixing import (
+        hash_budget_fill,
+    )
+
+    docs = spark.createDataFrame(_FILL_ROWS, "doc_id long, source string, text string")
+    plan = (
+        hash_budget_fill(docs, 300)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the corpus joins the |sources|-row cutoff table by broadcast; the
+    # corpus itself is never sort-merge-joined or globally sorted
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
