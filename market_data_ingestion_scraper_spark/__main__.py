@@ -120,6 +120,30 @@ def main(argv: list[str] | None = None) -> int:
                     help="existing index directory (ann-index or "
                     "near-dup-index layout with _quantizer.json)")
 
+    sc = sub.add_parser(
+        "select-corpus",
+        help="domain-targeted data selection over a documents parquet: "
+        "DSIR importance resampling toward a target corpus, or budgeted "
+        "per-source mixture fill; writes the selected documents",
+    )
+    sc.add_argument("--documents", required=True,
+                    help="pool parquet with (doc_id, text, source) columns")
+    sc.add_argument("--out", required=True,
+                    help="output parquet of selected documents")
+    sc.add_argument("--method", choices=("dsir", "budget"), default="dsir")
+    sc.add_argument("--target", default=None,
+                    help="target-domain documents parquet (dsir)")
+    sc.add_argument("--k", type=int, default=1000,
+                    help="documents to select (dsir)")
+    sc.add_argument("--n-buckets", type=int, default=4096)
+    sc.add_argument("--temperature", type=float, default=1.0)
+    sc.add_argument("--token-budget", type=int, default=None,
+                    help="total token budget across sources (budget)")
+    sc.add_argument("--alpha", type=float, default=0.5,
+                    help="mixture temperature exponent (budget)")
+    sc.add_argument("--seed", default=None,
+                    help="selection salt (defaults per method)")
+
     ic = sub.add_parser(
         "index-compact",
         help="fold an append-grown index's small files into one per "
@@ -338,6 +362,47 @@ def main(argv: list[str] | None = None) -> int:
         else:
             n = extend_ann_index(shard, args.index)
         print(f"kind={kind} appended_rows={n} index={args.index}")
+        return 0
+
+    if args.cmd == "select-corpus":
+        from pyspark.sql.functions import broadcast as F_broadcast
+
+        docs = spark.read.parquet(args.documents)
+        if args.method == "dsir":
+            if not args.target:
+                print("--target is required for --method dsir", file=sys.stderr)
+                return 2
+            from .operators.importance import dsir_select
+
+            target = spark.read.parquet(args.target)
+            sel = dsir_select(
+                docs,
+                target,
+                args.k,
+                n_buckets=args.n_buckets,
+                temperature=args.temperature,
+                seed=args.seed or "dsir",
+            )
+            # join back for the full rows; the k-row selection broadcasts
+            out = docs.join(
+                F_broadcast(sel.select("doc_id", "logratio")), "doc_id"
+            )
+        else:
+            if args.token_budget is None:
+                print(
+                    "--token-budget is required for --method budget",
+                    file=sys.stderr,
+                )
+                return 2
+            from .operators.mixing import budget_fill_docs
+
+            out = budget_fill_docs(
+                docs, args.token_budget, alpha=args.alpha,
+                seed=args.seed or "fill",
+            )
+        out.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+        print(f"method={args.method} selected={n} out={args.out}")
         return 0
 
     if args.cmd == "index-compact":

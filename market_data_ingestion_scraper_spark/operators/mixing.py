@@ -241,6 +241,78 @@ def curation_pipeline(documents: DataFrame) -> DataFrame:
     )
 
 
+def _budget_cutoffs(
+    documents: DataFrame,
+    total_token_budget: int,
+    alpha: float,
+    source_col: str,
+) -> DataFrame:
+    """Per-source cutoff table ``(source, _src_tokens, budget_tokens,
+    _frac)``: integer-ppm budgets from :func:`temperature_mixture` via
+    the half-up DIV identity, and the hash-threshold fraction
+    ``min(1, budget/src_tokens)``.  |sources| rows — always broadcast."""
+    t = int(total_token_budget)
+    mix = temperature_mixture(documents, alpha, source_col)
+    return (
+        mix.select(
+            source_col,
+            F.col("n_tokens").alias("_src_tokens"),
+            F.round(F.col("sample_weight") * 1e6).cast("long").alias("_ppm"),
+        )
+        .withColumn(
+            "budget_tokens",
+            F.expr(
+                f"(CAST(_ppm AS DECIMAL(38,0)) * {t} + 500000) DIV 1000000"
+            ).cast("long"),
+        )
+        .withColumn(
+            "_frac",
+            F.least(
+                F.lit(1.0),
+                F.col("budget_tokens").cast("double") / F.col("_src_tokens"),
+            ),
+        )
+    )
+
+
+def _threshold_filter(
+    documents: DataFrame, budgets: DataFrame, source_col: str, seed: str
+) -> DataFrame:
+    """Documents surviving the hash threshold: original columns plus
+    ``_n_tok``.  One broadcast join, no ordering anywhere."""
+    from .dedup import HASH_P, portable_token_hash
+
+    u = (
+        portable_token_hash(
+            F.concat(F.lit(str(seed) + ":"), F.col("doc_id").cast("string"))
+        )
+        + 1
+    ).cast("double") / float(HASH_P + 1)
+    return (
+        documents.withColumn("_n_tok", F.size(tokens("text")))
+        .withColumn("_u", u)
+        .join(
+            F.broadcast(budgets.select(source_col, "_frac")), source_col
+        )
+        .filter(F.col("_u") < F.col("_frac"))
+        .drop("_u", "_frac")
+    )
+
+
+def budget_fill_docs(
+    documents: DataFrame,
+    total_token_budget: int,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    seed: str = "fill",
+) -> DataFrame:
+    """The selected documents themselves (original columns, plus
+    ``_n_tok``) under the same cutoffs :func:`hash_budget_fill` reports
+    on — the materialization half of the budgeted-mixture pair."""
+    budgets = _budget_cutoffs(documents, total_token_budget, alpha, source_col)
+    return _threshold_filter(documents, budgets, source_col, seed)
+
+
 def hash_budget_fill(
     documents: DataFrame,
     total_token_budget: int,
@@ -273,46 +345,12 @@ def hash_budget_fill(
 
     Returns one row per source: ``(source, budget_tokens, n_docs,
     n_tokens, fill_rate)`` — ``fill_rate`` is round-6 ``n_tokens /
-    budget_tokens`` (NULL for a zero budget).
+    budget_tokens`` (NULL for a zero budget).  :func:`budget_fill_docs`
+    returns the selected DOCUMENTS themselves under the same cutoffs.
     """
-    from .dedup import HASH_P, portable_token_hash
-
-    t = int(total_token_budget)
-    mix = temperature_mixture(documents, alpha, source_col)
-    budgets = (
-        mix.select(
-            source_col,
-            F.col("n_tokens").alias("_src_tokens"),
-            F.round(F.col("sample_weight") * 1e6).cast("long").alias("_ppm"),
-        )
-        .withColumn(
-            "budget_tokens",
-            F.expr(
-                f"(CAST(_ppm AS DECIMAL(38,0)) * {t} + 500000) DIV 1000000"
-            ).cast("long"),
-        )
-        .withColumn(
-            "_frac",
-            F.least(
-                F.lit(1.0),
-                F.col("budget_tokens").cast("double") / F.col("_src_tokens"),
-            ),
-        )
-    )
-    u = (
-        portable_token_hash(
-            F.concat(F.lit(str(seed) + ":"), F.col("doc_id").cast("string"))
-        )
-        + 1
-    ).cast("double") / float(HASH_P + 1)
-    scored = documents.select(
-        source_col,
-        F.size(tokens("text")).alias("_n_tok"),
-        u.alias("_u"),
-    )
+    budgets = _budget_cutoffs(documents, total_token_budget, alpha, source_col)
     picked = (
-        scored.join(F.broadcast(budgets), source_col)
-        .filter(F.col("_u") < F.col("_frac"))
+        _threshold_filter(documents, budgets, source_col, seed)
         .groupBy(source_col)
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

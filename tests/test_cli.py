@@ -305,3 +305,31 @@ def test_cli_corpus_profile_from_sketch_artifact(tmp_path):
     assert "n_token_instances=5" in r2.stdout
     assert "distinct_tokens_hll=4.0" in r2.stdout
     assert "doc_len_quartiles=" in r2.stdout
+
+
+def test_cli_select_corpus_both_methods(tmp_path, spark):
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    # dsir: carve a tiny target from the fixture
+    target = str(tmp_path / "target.parquet")
+    spark.read.parquet(docs).limit(8).write.parquet(target)
+
+    out1 = str(tmp_path / "dsir_out")
+    r = _run("select-corpus", "--documents", docs, "--target", target,
+             "--method", "dsir", "--k", "10", "--out", out1)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "method=dsir selected=10" in r.stdout
+    sel = spark.read.parquet(out1)
+    assert sel.count() == 10 and "logratio" in sel.columns
+
+    out2 = str(tmp_path / "budget_out")
+    r = _run("select-corpus", "--documents", docs, "--method", "budget",
+             "--token-budget", "500", "--out", out2)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "method=budget selected=" in r.stdout
+    sel2 = spark.read.parquet(out2)
+    assert 0 < sel2.count() <= spark.read.parquet(docs).count()
+
+    # missing required per-method args exit 2 with a message
+    r = _run("select-corpus", "--documents", docs, "--method", "dsir",
+             "--out", str(tmp_path / "x"))
+    assert r.returncode == 2 and "--target is required" in r.stderr
