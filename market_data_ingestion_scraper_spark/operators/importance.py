@@ -41,7 +41,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import HASH_P, PORTABLE_HASH_SQL, portable_token_hash
+from .dedup import (
+    HASH_P,
+    PORTABLE_HASH_SQL,
+    _persist_generation,
+    portable_token_hash,
+)
 from .text import tokens
 
 __all__ = [
@@ -155,7 +160,13 @@ def importance_weights(
     the raw coalesce never fires in practice — it exists so the operator
     also accepts a pre-fit raw model over a superset corpus.
     """
-    pool_feats = hashed_ngram_buckets(pool, n_buckets, portable=portable)
+    # The pool featurization (explode + per-feature hash — the expensive
+    # pass) feeds BOTH the raw-model fit and the scoring join; without a
+    # persist Spark evaluates that subtree twice.  Generation-cached so a
+    # long-running driver never accumulates stale blocks (dedup.py:48).
+    pool_feats = _persist_generation(
+        "dsir_pool_feats", hashed_ngram_buckets(pool, n_buckets, portable=portable)
+    )
     tgt_feats = hashed_ngram_buckets(target, n_buckets, portable=portable)
     raw_model, raw_floor = fit_bucket_model(pool_feats, n_buckets, alpha)
     tgt_model, tgt_floor = fit_bucket_model(tgt_feats, n_buckets, alpha)
