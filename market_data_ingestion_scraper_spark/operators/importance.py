@@ -54,6 +54,10 @@ __all__ = [
     "fit_bucket_model",
     "importance_weights",
     "dsir_select",
+    "fit_dsir_model",
+    "save_dsir_model",
+    "load_dsir_model",
+    "score_with_literal_model",
 ]
 
 
@@ -259,3 +263,146 @@ def dsir_select(
 #: DuckDB twin of the bucket expression in portable mode — substitute
 #: ``{w}`` (feature string expression) and ``{b}`` (bucket count literal).
 PORTABLE_BUCKET_SQL = "(" + PORTABLE_HASH_SQL + " % {b})"
+
+
+# ---------------------------------------------------------------- lifecycle
+#
+# Fit once offline, serve anywhere: the fitted model is TWO ≤ n_buckets
+# log-prob tables, which collapse to ONE ≤ n_buckets delta map
+# (lpt − lpr per bucket).  That is small enough to fold into the plan as
+# a literal map (the PQ/IVF plan-literal precedent), making serving a
+# STATELESS per-row projection — identical in batch and Structured
+# Streaming (no explode, no join, no aggregation state).
+
+MODEL_KIND = "dsir-hashed-ngram"
+
+
+def fit_dsir_model(
+    pool: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+    *,
+    portable: bool = False,
+) -> dict:
+    """Materialize the DSIR model driver-side: per-bucket int64
+    micro-unit delta ``lp_target − lp_raw`` for every bucket observed in
+    EITHER corpus, plus the floor delta for never-observed buckets.
+    The collect is bounded by ``2 · n_buckets`` rows — the same bounded
+    pattern as IVF centroids and PQ codebooks.  Scoring with this model
+    is bit-equal to :func:`importance_weights` on the same corpora
+    (pytest-pinned)."""
+    pool_feats = hashed_ngram_buckets(pool, n_buckets, portable=portable)
+    tgt_feats = hashed_ngram_buckets(target, n_buckets, portable=portable)
+    raw_model, raw_floor = fit_bucket_model(pool_feats, n_buckets, alpha)
+    tgt_model, tgt_floor = fit_bucket_model(tgt_feats, n_buckets, alpha)
+    ft = int(tgt_floor.head()[0])
+    fr = int(raw_floor.head()[0])
+    t = {int(r["bucket"]): int(r["lp_micro"]) for r in tgt_model.collect()}
+    r = {int(r["bucket"]): int(r["lp_micro"]) for r in raw_model.collect()}
+    delta = {
+        b: t.get(b, ft) - r.get(b, fr) for b in sorted(set(t) | set(r))
+    }
+    return {
+        "kind": MODEL_KIND,
+        "n_buckets": int(n_buckets),
+        "alpha": float(alpha),
+        "portable": bool(portable),
+        "floor_delta_micro": ft - fr,
+        "delta_micro": delta,
+    }
+
+
+def save_dsir_model(model: dict, path: str, meta: dict | None = None) -> None:
+    """Persist a fitted model as a JSON artifact — the `_quantizer.json`
+    lesson: serving derives its parameters (bucket count, hash family)
+    from the artifact, never from caller memory."""
+    import json
+
+    if model.get("kind") != MODEL_KIND:
+        raise ValueError(f"not a {MODEL_KIND} model: {model.get('kind')!r}")
+    doc = dict(model)
+    # JSON objects key on strings; keep buckets sorted for diffability
+    doc["delta_micro"] = {
+        str(k): int(v) for k, v in sorted(model["delta_micro"].items())
+    }
+    if meta:
+        doc["meta"] = dict(meta)
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=1, sort_keys=True)
+
+
+def load_dsir_model(path: str) -> dict:
+    """Load a `save_dsir_model` artifact, validating kind and shape —
+    scoring with a model fitted under a different hash family or bucket
+    count is silent garbage, so mismatch raises."""
+    import json
+
+    with open(path) as f:
+        doc = json.load(f)
+    if doc.get("kind") != MODEL_KIND:
+        raise ValueError(f"not a {MODEL_KIND} artifact: {doc.get('kind')!r}")
+    for key in ("n_buckets", "portable", "floor_delta_micro", "delta_micro"):
+        if key not in doc:
+            raise ValueError(f"artifact missing {key!r}")
+    b = int(doc["n_buckets"])
+    delta = {int(k): int(v) for k, v in doc["delta_micro"].items()}
+    bad = [k for k in delta if not (0 <= k < b)]
+    if bad:
+        raise ValueError(f"bucket ids outside [0, {b}): {sorted(bad)[:5]}")
+    doc["delta_micro"] = delta
+    return doc
+
+
+def score_with_literal_model(
+    documents: DataFrame, model: dict, keep: tuple[str, ...] = ()
+) -> DataFrame:
+    """Score documents against a fitted model as a stateless per-row
+    projection: the ≤ n_buckets delta map folds into the plan as a
+    LITERAL (the PQ/IVF plan-literal precedent), each feature does one
+    map lookup, and the per-row sum runs in exact int64 micro-units —
+    bit-equal to the relational :func:`importance_weights` fit+score on
+    the model's own corpora.  No explode, no join, no shuffle: legal in
+    Structured Streaming at any rate.
+
+    Documents whose text yields no features (null/empty) score NULL —
+    callers decide the policy (the streaming filter drops them, matching
+    `stream_quality_filter`).  Returns
+    ``(doc_id, *keep, n_feats, lw_micro, logratio)``."""
+    if model.get("kind") != MODEL_KIND:
+        raise ValueError(f"not a {MODEL_KIND} model: {model.get('kind')!r}")
+    n_buckets = int(model["n_buckets"])
+    delta = model["delta_micro"]
+    keys = sorted(delta)
+    lit_map = F.map_from_arrays(
+        F.array(*[F.lit(int(k)) for k in keys]),
+        F.array(*[F.lit(int(delta[k])) for k in keys]),
+    )
+    floor = F.lit(int(model["floor_delta_micro"]))
+
+    def bucket(f: Column) -> Column:
+        if model["portable"]:
+            return F.pmod(portable_token_hash(f), F.lit(n_buckets))
+        return F.pmod(F.xxhash64(f), F.lit(n_buckets))
+
+    feats = _feature_array(F.col("text"))
+    staged = documents.select(
+        "doc_id", *keep, feats.alias("_f")
+    ).withColumn(
+        "_lw",
+        F.aggregate(
+            F.col("_f"),
+            F.lit(0).cast("long"),
+            lambda acc, f: acc
+            + F.coalesce(F.element_at(lit_map, bucket(f)), floor),
+        ),
+    )
+    return staged.select(
+        "doc_id",
+        *keep,
+        F.when(F.size("_f") > 0, F.size("_f")).cast("long").alias("n_feats"),
+        F.when(F.size("_f") > 0, F.col("_lw")).alias("lw_micro"),
+        F.when(F.size("_f") > 0, F.round(F.col("_lw") / 1e6, 6)).alias(
+            "logratio"
+        ),
+    )

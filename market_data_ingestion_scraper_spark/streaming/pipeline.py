@@ -478,6 +478,32 @@ def stream_quality_filter(
     )
 
 
+def stream_dsir_filter(
+    rows: DataFrame,
+    model: dict,
+    min_logratio: float,
+    keep_cols: tuple[str, ...] = ("text",),
+) -> DataFrame:
+    """Streaming DOMAIN admission: score each incoming document's DSIR
+    importance log-ratio against a fitted hashed-ngram model
+    (operators/importance.fit_dsir_model — fit offline on a pool/target
+    pair, persisted via save_dsir_model) and admit only documents that
+    look at least ``min_logratio`` more target-like than raw.  The
+    ≤ n_buckets delta map folds into the plan as a literal, so the whole
+    filter is a stateless per-row projection — no explode, no join, no
+    state; batch ≡ stream bit-for-bit (pytest-pinned).
+
+    Returns (doc_id, *keep_cols, logratio).  POLICY: rows whose text
+    yields no features score NULL and are DROPPED (the
+    `stream_quality_filter` un-scoreable policy — quarantine first)."""
+    from ..operators.importance import score_with_literal_model
+
+    scored = score_with_literal_model(rows, model, keep=keep_cols)
+    return scored.where(F.col("logratio") >= float(min_logratio)).select(
+        "doc_id", *keep_cols, "logratio"
+    )
+
+
 def stream_record_match_filter(
     rows: DataFrame,
     catalog: DataFrame,

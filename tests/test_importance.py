@@ -195,3 +195,74 @@ def test_select_plan_is_topk_with_broadcast_models(spark):
     assert "BroadcastHashJoin" in plan  # model tables broadcast
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan  # corpus never shuffles against a model
+
+
+# -------------------------------------------------------------- model lifecycle
+
+def test_literal_model_scoring_matches_relational(spark):
+    """The plan-literal delta-map serving path is bit-equal to the
+    relational fit+score (importance_weights) on the model's own pool."""
+    from market_data_ingestion_scraper_spark.operators.importance import (
+        fit_dsir_model,
+        score_with_literal_model,
+    )
+
+    pool = spark.createDataFrame(POOL, DOC_SCHEMA)
+    tgt = spark.createDataFrame(TARGET, DOC_SCHEMA)
+    model = fit_dsir_model(pool, tgt, B, ALPHA, portable=True)
+    rel = {
+        r["doc_id"]: (r["n_feats"], r["lw_micro"], r["logratio"])
+        for r in importance_weights(pool, tgt, B, ALPHA, portable=True).collect()
+    }
+    lit = {
+        r["doc_id"]: (r["n_feats"], r["lw_micro"], r["logratio"])
+        for r in score_with_literal_model(pool, model).collect()
+        if r["n_feats"] is not None
+    }
+    assert lit == rel
+    # featureless docs score NULL through the literal path (policy: the
+    # caller decides; the relational path emits no row at all)
+    nulls = {
+        r["doc_id"]
+        for r in score_with_literal_model(pool, model).collect()
+        if r["n_feats"] is None
+    }
+    assert nulls == {7, 8}
+
+
+def test_dsir_model_artifact_round_trip(tmp_path, spark):
+    from market_data_ingestion_scraper_spark.operators.importance import (
+        fit_dsir_model,
+        load_dsir_model,
+        save_dsir_model,
+        score_with_literal_model,
+    )
+
+    pool = spark.createDataFrame(POOL, DOC_SCHEMA)
+    tgt = spark.createDataFrame(TARGET, DOC_SCHEMA)
+    model = fit_dsir_model(pool, tgt, B, ALPHA, portable=True)
+    path = str(tmp_path / "dsir.json")
+    save_dsir_model(model, path, meta={"note": "test"})
+    loaded = load_dsir_model(path)
+    assert loaded["delta_micro"] == model["delta_micro"]
+    assert loaded["n_buckets"] == B and loaded["portable"] is True
+    a = score_with_literal_model(pool, model).collect()
+    b = score_with_literal_model(pool, loaded).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    # kind / shape validation refuses garbage
+    import json
+
+    import pytest as _pytest
+
+    bad = str(tmp_path / "bad.json")
+    with open(bad, "w") as f:
+        json.dump({"kind": "other"}, f)
+    with _pytest.raises(ValueError, match="not a dsir"):
+        load_dsir_model(bad)
+    doc = dict(model)
+    doc["delta_micro"] = {str(B + 5): 1}
+    with open(bad, "w") as f:
+        json.dump({**doc, "kind": "dsir-hashed-ngram"}, f)
+    with _pytest.raises(ValueError, match="outside"):
+        load_dsir_model(bad)

@@ -637,3 +637,51 @@ def test_ivfpq_enrich_stream_matches_batch(spark, sf_smoke, tmp_path):
         for r in out.collect()
     }
     assert got == want
+
+
+def test_stream_dsir_filter_admission(spark, tmp_path):
+    """X20 streaming admission: fit the DSIR model offline, serve it as
+    a plan-literal stateless filter — target-like docs admitted,
+    off-target and null-text docs dropped.  Stream ≡ batch."""
+    from market_data_ingestion_scraper_spark.operators.importance import (
+        fit_dsir_model,
+        load_dsir_model,
+        save_dsir_model,
+    )
+
+    tgt_text = "spark shuffle partition join broadcast join pruning"
+    off_text = "banana smoothie recipe with oat milk and honey"
+    pool = spark.createDataFrame(
+        [(i, tgt_text) for i in range(5)]
+        + [(10 + i, off_text) for i in range(5)],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(100, tgt_text), (101, "partition pruning and broadcast join")],
+        "doc_id long, text string",
+    )
+    model = fit_dsir_model(pool, target, 64, portable=True)
+    path = str(tmp_path / "dsir.json")
+    save_dsir_model(model, path)
+    served = load_dsir_model(path)
+
+    incoming = spark.createDataFrame(
+        [(1, tgt_text), (2, off_text), (3, None)],
+        "doc_id long, text string",
+    )
+    # the tiny smoothed target model makes every ratio negative (add-1
+    # over 64 buckets eats most target mass); what matters is the GAP:
+    # target-like ~ -2.1, off-target ~ -16.1 — threshold between them
+    batch = P.stream_dsir_filter(incoming, served, min_logratio=-5.0)
+    got = {r["doc_id"]: r["logratio"] for r in batch.collect()}
+    assert set(got) == {1}  # target-like admitted; off-target + null dropped
+    assert got[1] > -5.0
+
+    ddir = str(tmp_path / "ddocs")
+    incoming.write.parquet(ddir)
+    stream = spark.readStream.schema(incoming.schema).parquet(ddir)
+    out = P.run_to_memory(
+        P.stream_dsir_filter(stream, served, min_logratio=-5.0),
+        "t_dsir_adm", spark, mode="append",
+    )
+    assert {r["doc_id"]: r["logratio"] for r in out.collect()} == got
