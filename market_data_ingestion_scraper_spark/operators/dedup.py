@@ -88,6 +88,21 @@ def portable_token_hash(w: Column) -> Column:
 PORTABLE_HASH_SQL = "(('0x' || substring(md5({w}), 1, 8))::BIGINT % 2147483647)"
 
 
+def portable_uniform(prefix: str, id_col: Column) -> Column:
+    """Deterministic seeded uniform in the OPEN interval (0, 1) from the
+    portable hash of ``prefix ':' id`` — ``u = (h + 1) / (HASH_P + 1)``,
+    engine-reproducible bit-for-bit (DuckDB twin:
+    ``((PORTABLE_HASH_SQL + 1) / 2147483648.0)`` over the same string).
+    The +1 / open-interval convention matters: ``ln(-ln(u))`` consumers
+    (Gumbel keys) need u strictly inside (0, 1).  Shared by every
+    hash-threshold / seeded-sampling operator so the convention cannot
+    drift between them."""
+    h = portable_token_hash(
+        F.concat(F.lit(str(prefix) + ":"), id_col.cast("string"))
+    )
+    return (h + 1).cast("double") / float(HASH_P + 1)
+
+
 def _let(value: Column, body) -> Column:
     """Bind ``value`` once per row, evaluate ``body`` on the bound variable
     — ``transform`` over a single-element array.  Catalyst inlines repeated

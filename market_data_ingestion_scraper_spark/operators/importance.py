@@ -42,10 +42,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import (
-    HASH_P,
-    PORTABLE_HASH_SQL,
     _persist_generation,
     portable_token_hash,
+    portable_uniform,
 )
 from .text import tokens
 
@@ -233,10 +232,7 @@ def dsir_select(
     w = importance_weights(
         pool, target, n_buckets, alpha, portable=portable
     )
-    h = portable_token_hash(
-        F.concat(F.lit(str(seed) + ":"), F.col("doc_id").cast("string"))
-    )
-    u = (h + 1).cast("double") / float(HASH_P + 1)
+    u = portable_uniform(str(seed), F.col("doc_id"))
     g_micro = F.round(-F.log(-F.log(u)) * 1e6).cast("long")
     if float(temperature) == 1.0:
         scaled = F.col("lw_micro")
@@ -258,11 +254,6 @@ def dsir_select(
             F.round(F.col("_key_micro") / 1e6, 6).alias("key"),
         )
     )
-
-
-#: DuckDB twin of the bucket expression in portable mode — substitute
-#: ``{w}`` (feature string expression) and ``{b}`` (bucket count literal).
-PORTABLE_BUCKET_SQL = "(" + PORTABLE_HASH_SQL + " % {b})"
 
 
 # ---------------------------------------------------------------- lifecycle
@@ -292,8 +283,18 @@ def fit_dsir_model(
     pattern as IVF centroids and PQ codebooks.  Scoring with this model
     is bit-equal to :func:`importance_weights` on the same corpora
     (pytest-pinned)."""
-    pool_feats = hashed_ngram_buckets(pool, n_buckets, portable=portable)
-    tgt_feats = hashed_ngram_buckets(target, n_buckets, portable=portable)
+    # Four driver actions (two head(), two collect()) consume these
+    # subtrees, and each model's broadcast-total crossJoin re-reads its
+    # featurization — persist both so the expensive explode+hash pass
+    # over each corpus runs once (same reason as importance_weights).
+    pool_feats = _persist_generation(
+        "dsir_fit_pool_feats",
+        hashed_ngram_buckets(pool, n_buckets, portable=portable),
+    )
+    tgt_feats = _persist_generation(
+        "dsir_fit_tgt_feats",
+        hashed_ngram_buckets(target, n_buckets, portable=portable),
+    )
     raw_model, raw_floor = fit_bucket_model(pool_feats, n_buckets, alpha)
     tgt_model, tgt_floor = fit_bucket_model(tgt_feats, n_buckets, alpha)
     ft = int(tgt_floor.head()[0])

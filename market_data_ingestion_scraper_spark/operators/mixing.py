@@ -250,27 +250,43 @@ def _budget_cutoffs(
     """Per-source cutoff table ``(source, _src_tokens, budget_tokens,
     _frac)``: integer-ppm budgets from :func:`temperature_mixture` via
     the half-up DIV identity, and the hash-threshold fraction
-    ``min(1, budget/src_tokens)``.  |sources| rows — always broadcast."""
+    ``min(1, budget/src_tokens)``.  |sources| rows — always broadcast.
+
+    POLICY (review r10): documents with a NULL source are EXCLUDED from
+    both budgeting and selection (the threshold join would drop them
+    anyway; excluding them here keeps them from consuming budget share
+    — route unattributed docs through quarantine first).  A source whose
+    documents tokenize to zero tokens gets ``_frac = 0`` explicitly —
+    the naive division crashes under ANSI (divide by zero) or, for an
+    all-NULL-text source, NULL-propagates into ``least`` and selects the
+    whole zero-budget source."""
     t = int(total_token_budget)
-    mix = temperature_mixture(documents, alpha, source_col)
+    mix = temperature_mixture(
+        documents.filter(F.col(source_col).isNotNull()), alpha, source_col
+    )
+    src_tokens = F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long")
+    budget = F.coalesce(
+        F.expr(
+            f"(CAST(_ppm AS DECIMAL(38,0)) * {t} + 500000) DIV 1000000"
+        ).cast("long"),
+        F.lit(0),
+    )
     return (
         mix.select(
             source_col,
-            F.col("n_tokens").alias("_src_tokens"),
+            src_tokens.alias("_src_tokens"),
             F.round(F.col("sample_weight") * 1e6).cast("long").alias("_ppm"),
         )
-        .withColumn(
-            "budget_tokens",
-            F.expr(
-                f"(CAST(_ppm AS DECIMAL(38,0)) * {t} + 500000) DIV 1000000"
-            ).cast("long"),
-        )
+        .withColumn("budget_tokens", budget)
         .withColumn(
             "_frac",
-            F.least(
-                F.lit(1.0),
-                F.col("budget_tokens").cast("double") / F.col("_src_tokens"),
-            ),
+            F.when(F.col("_src_tokens") > 0,
+                   F.least(
+                       F.lit(1.0),
+                       F.col("budget_tokens").cast("double")
+                       / F.col("_src_tokens"),
+                   ))
+            .otherwise(F.lit(0.0)),
         )
     )
 
@@ -280,17 +296,11 @@ def _threshold_filter(
 ) -> DataFrame:
     """Documents surviving the hash threshold: original columns plus
     ``_n_tok``.  One broadcast join, no ordering anywhere."""
-    from .dedup import HASH_P, portable_token_hash
+    from .dedup import portable_uniform
 
-    u = (
-        portable_token_hash(
-            F.concat(F.lit(str(seed) + ":"), F.col("doc_id").cast("string"))
-        )
-        + 1
-    ).cast("double") / float(HASH_P + 1)
     return (
         documents.withColumn("_n_tok", F.size(tokens("text")))
-        .withColumn("_u", u)
+        .withColumn("_u", portable_uniform(str(seed), F.col("doc_id")))
         .join(
             F.broadcast(budgets.select(source_col, "_frac")), source_col
         )

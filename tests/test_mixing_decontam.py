@@ -360,3 +360,33 @@ def test_budget_fill_plan_broadcasts_cutoffs(spark):
     # corpus itself is never sort-merge-joined or globally sorted
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_budget_fill_degenerate_sources(spark):
+    """Review r10 regressions: a zero-token source must not crash the
+    ANSI division (frac pinned to 0, nothing selected); an all-NULL-text
+    source must not NULL-propagate into frac=1 (whole source selected on
+    a zero budget); NULL-source docs are excluded from budgets AND
+    selection."""
+    from market_data_ingestion_scraper_spark.operators.mixing import (
+        budget_fill_docs,
+        hash_budget_fill,
+    )
+
+    rows = [
+        (1, "good", "alpha beta gamma delta epsilon zeta"),
+        (2, "good", "alpha beta gamma delta"),
+        (3, "empty", ""),          # tokenizes to zero tokens
+        (4, "empty", "!!! ???"),   # punctuation-only: zero tokens too
+        (5, "nulls", None),        # SUM(len) is NULL for this source
+        (6, None, "some unattributed text here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    rep = {r["source"]: tuple(r)[1:] for r in hash_budget_fill(docs, 100).collect()}
+    # no crash; degenerate sources report zero selection on a zero-ish budget
+    assert rep["empty"][1:3] == (0, 0)
+    assert rep["nulls"][1:3] == (0, 0)
+    assert None not in rep  # NULL source consumes no budget row
+    assert rep["good"][1] > 0  # the real source still fills
+    sel = budget_fill_docs(docs, 100).collect()
+    assert {r["doc_id"] for r in sel} <= {1, 2}

@@ -66,6 +66,6 @@ def test_gate_window_ordering():
     assert not missing, f"priority queries outside gate window: {missing}"
     assert set(GATE_PRIORITY) & set(GATE_DEFERRED) == set()
     # two-round rotation invariant: window is exactly the priority list
-    # and the parked list fits the next round's window (≤ 50)
-    assert len(GATE_PRIORITY) == 50 and len(GATE_DEFERRED) <= 50
+    # and the parked list fills the next round's window exactly
+    assert len(GATE_PRIORITY) == 50 and len(GATE_DEFERRED) == 50
     assert set(oracle_sql()) <= set(names)
