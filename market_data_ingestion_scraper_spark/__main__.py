@@ -143,6 +143,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="mixture temperature exponent (budget)")
     sc.add_argument("--seed", default=None,
                     help="selection salt (defaults per method)")
+    sc.add_argument("--save-model", default=None,
+                    help="also persist the fitted DSIR model as a JSON "
+                    "artifact here (dsir method) — the input to "
+                    "stream_dsir_filter / score_with_literal_model")
 
     ic = sub.add_parser(
         "index-compact",
@@ -383,6 +387,20 @@ def main(argv: list[str] | None = None) -> int:
                 temperature=args.temperature,
                 seed=args.seed or "dsir",
             )
+            if args.save_model:
+                from .operators.importance import (
+                    fit_dsir_model,
+                    save_dsir_model,
+                )
+                from .util import require_local_path
+
+                require_local_path(args.save_model)
+                save_dsir_model(
+                    fit_dsir_model(docs, target, n_buckets=args.n_buckets),
+                    args.save_model,
+                    meta={"k": args.k, "temperature": args.temperature},
+                )
+                print(f"model={args.save_model}")
             # join back for the full rows; the k-row selection broadcasts
             out = docs.join(
                 F_broadcast(sel.select("doc_id", "logratio")), "doc_id"

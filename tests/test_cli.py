@@ -314,12 +314,23 @@ def test_cli_select_corpus_both_methods(tmp_path, spark):
     spark.read.parquet(docs).limit(8).write.parquet(target)
 
     out1 = str(tmp_path / "dsir_out")
+    mpath = str(tmp_path / "dsir_model.json")
     r = _run("select-corpus", "--documents", docs, "--target", target,
-             "--method", "dsir", "--k", "10", "--out", out1)
+             "--method", "dsir", "--k", "10", "--out", out1,
+             "--save-model", mpath)
     assert r.returncode == 0, r.stderr[-2000:]
     assert "method=dsir selected=10" in r.stdout
+    assert f"model={mpath}" in r.stdout
     sel = spark.read.parquet(out1)
     assert sel.count() == 10 and "logratio" in sel.columns
+    from market_data_ingestion_scraper_spark.operators.importance import (
+        load_dsir_model,
+        score_with_literal_model,
+    )
+    served = load_dsir_model(mpath)  # artifact loads and serves
+    assert score_with_literal_model(
+        spark.read.parquet(docs), served
+    ).count() == spark.read.parquet(docs).count()
 
     out2 = str(tmp_path / "budget_out")
     r = _run("select-corpus", "--documents", docs, "--method", "budget",
