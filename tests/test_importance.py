@@ -266,3 +266,30 @@ def test_dsir_model_artifact_round_trip(tmp_path, spark):
         json.dump({**doc, "kind": "dsir-hashed-ngram"}, f)
     with _pytest.raises(ValueError, match="outside"):
         load_dsir_model(bad)
+
+
+def test_importance_caches_are_generation_bounded(spark):
+    """The DSIR featurization persists ride the shared generation
+    registry: a repeat call replaces (not accumulates) its generation,
+    and release_dedup_caches() frees them — the r9 leak discipline."""
+    from market_data_ingestion_scraper_spark.operators.dedup import (
+        _CACHE_GENERATIONS,
+        release_dedup_caches,
+    )
+    from market_data_ingestion_scraper_spark.operators.importance import (
+        fit_dsir_model,
+    )
+
+    release_dedup_caches()
+    pool = spark.createDataFrame(POOL, DOC_SCHEMA)
+    tgt = spark.createDataFrame(TARGET, DOC_SCHEMA)
+    importance_weights(pool, tgt, B, ALPHA, portable=True).collect()
+    assert len(_CACHE_GENERATIONS.get("dsir_pool_feats", [])) == 1
+    importance_weights(pool, tgt, B, ALPHA, portable=True).collect()
+    assert len(_CACHE_GENERATIONS.get("dsir_pool_feats", [])) == 1
+    fit_dsir_model(pool, tgt, B, ALPHA, portable=True)
+    assert len(_CACHE_GENERATIONS.get("dsir_fit_pool_feats", [])) == 1
+    assert len(_CACHE_GENERATIONS.get("dsir_fit_tgt_feats", [])) == 1
+    release_dedup_caches()
+    assert "dsir_pool_feats" not in _CACHE_GENERATIONS
+    assert "dsir_fit_pool_feats" not in _CACHE_GENERATIONS
