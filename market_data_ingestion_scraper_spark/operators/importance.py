@@ -163,13 +163,16 @@ def importance_weights(
     the raw coalesce never fires in practice — it exists so the operator
     also accepts a pre-fit raw model over a superset corpus.
     """
-    # The pool featurization (explode + per-feature hash — the expensive
-    # pass) feeds BOTH the raw-model fit and the scoring join; without a
-    # persist Spark evaluates that subtree twice.  Generation-cached so a
-    # long-running driver never accumulates stale blocks (dedup.py:48).
-    pool_feats = _persist_generation(
-        "dsir_pool_feats", hashed_ngram_buckets(pool, n_buckets, portable=portable)
-    )
+    # The pool featurization feeds BOTH the raw-model fit and the scoring
+    # join, so this ONE plan evaluates it twice.  Measured A/B (sf0.1):
+    # persisting it wins at low parallelism (local[8]: 2.7 vs 3.0 s) but
+    # LOSES at high parallelism (local[32]: 3.3 vs 1.8 s) — the persist
+    # barrier + block-manager round trip costs more than the pipelined
+    # recompute.  Single-plan scoring therefore recomputes; a production
+    # 100 TB run (where two extra corpus scans dwarf any barrier) should
+    # fit the model ONCE via fit_dsir_model — whose multi-action fit does
+    # persist — and serve with score_with_literal_model.
+    pool_feats = hashed_ngram_buckets(pool, n_buckets, portable=portable)
     tgt_feats = hashed_ngram_buckets(target, n_buckets, portable=portable)
     raw_model, raw_floor = fit_bucket_model(pool_feats, n_buckets, alpha)
     tgt_model, tgt_floor = fit_bucket_model(tgt_feats, n_buckets, alpha)

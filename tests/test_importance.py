@@ -283,13 +283,15 @@ def test_importance_caches_are_generation_bounded(spark):
     release_dedup_caches()
     pool = spark.createDataFrame(POOL, DOC_SCHEMA)
     tgt = spark.createDataFrame(TARGET, DOC_SCHEMA)
+    # single-plan scoring does NOT persist (measured slower at high
+    # parallelism — see importance_weights); only the multi-action fit does
     importance_weights(pool, tgt, B, ALPHA, portable=True).collect()
-    assert len(_CACHE_GENERATIONS.get("dsir_pool_feats", [])) == 1
-    importance_weights(pool, tgt, B, ALPHA, portable=True).collect()
-    assert len(_CACHE_GENERATIONS.get("dsir_pool_feats", [])) == 1
+    assert "dsir_pool_feats" not in _CACHE_GENERATIONS
     fit_dsir_model(pool, tgt, B, ALPHA, portable=True)
     assert len(_CACHE_GENERATIONS.get("dsir_fit_pool_feats", [])) == 1
     assert len(_CACHE_GENERATIONS.get("dsir_fit_tgt_feats", [])) == 1
+    fit_dsir_model(pool, tgt, B, ALPHA, portable=True)
+    assert len(_CACHE_GENERATIONS.get("dsir_fit_pool_feats", [])) == 1
     release_dedup_caches()
-    assert "dsir_pool_feats" not in _CACHE_GENERATIONS
     assert "dsir_fit_pool_feats" not in _CACHE_GENERATIONS
+    assert "dsir_fit_tgt_feats" not in _CACHE_GENERATIONS
