@@ -4774,82 +4774,14 @@ def q_mixture_budget_fill(spark: SparkSession, sf: str) -> DataFrame:
 # queries, and finally entries whose evidence already exists elsewhere
 # (rows-only demos pinned by pytest, long-stable double-green rows).
 GATE_PRIORITY: tuple[str, ...] = (
-    # r10 rotation (executes the hard commitment recorded here at r9):
-    # the 50 queries last checked green at r08 parked in GATE_DEFERRED
-    # through r9 and hit the 2-round staleness limit this round — the
+    # r11 rotation (executes the hard commitment recorded here at r10):
+    # the 50 queries last checked green at r09 parked in GATE_DEFERRED
+    # through r10 and hit the 2-round staleness limit this round — the
     # entire list rotates back into the snapshot window.  This includes
-    # the five r9-new queries taking their FIRST gate row
-    # (bigram_logprob_quality, pivot_status_qty, cube_revenue,
-    # quantity_percentiles, top_part_per_brand_maxby).  Two r10-new
-    # queries (bipartite_pagerank, tfidf_doc_pairs) take the slots freed
-    # by the r10 retirements (lsh_topk_ann, repeat_vs_lapsed_custs —
-    # rationale in GATE_RETIRED); two more r10-new families
-    # (record_linkage, rp_recall_eval) take the slots freed by retiring
-    # centroid_assign and ivf_topk_ann (both re-verified every cycle
-    # inside still-gated pipelines — rationale in GATE_RETIRED).
-    "bipartite_pagerank",
-    "tfidf_doc_pairs",
-    "record_linkage",
-    "rp_recall_eval",
-    "pq_topk_adc",
-    "series_topk_similar",
-    "bpe_corpus_stats",
-    "sketch_profile_check",
-    "unigram_logprob_quality",
-    "paragraph_dup_stats",
-    "bigram_merge_candidates",
-    "collapse_repeated_paras",
-    "curation_pipeline",
-    "embedding_near_dups",
-    "lexical_diversity",
-    "zipf_profile",
-    "split_leakage",
-    "sliding_hourly_avg",
-    "clicks_recent_purchase",
-    "asof_last_purchase",
-    "range_join_value_bands",
-    "scalar_date_scan",
-    "customers_without_orders",
-    "pricing_summary",
-    "priority_counts",
-    "count_data_rows",
-    "container_classification",
-    "completed_link_types",
-    "fully_covered_orders",
-    "sanitize_commodity_names",
-    "lineage_projection",
-    "parts_above_brand_avg",
-    "events_json_extract",
-    "events_daily_by_type",
-    "user_sessionization",
-    "tfidf_top_terms",
-    "text_quality",
-    "language_id",
-    "html_table_scan",
-    "stratified_sample_by_lang",
-    "repetition_scores",
-    "doc_chunks",
-    "pack_plan",
-    "benchmark_decontam",
-    "training_order",
-    "bigram_logprob_quality",
-    "pivot_status_qty",
-    "cube_revenue",
-    "quantity_percentiles",
-    "top_part_per_brand_maxby",
-)
-
-# The queries checked green at r09 park outside the snapshot window
-# this round; they hit the 2-round staleness limit at r11, so the r11
-# rotation MUST move this entire list into GATE_PRIORITY (and park the
-# r10-green window here).  With 100 exported queries and a 50-row
-# snapshot the cycle is exactly two rounds — sustainable indefinitely.
-# `dsir_select` and `mixture_budget_fill` (registered r10 into this
-# window, the bigram_logprob_quality precedent) take their FIRST gate
-# rows at r11; their SQL twins were verified green at registration and
-# both are pinned against independent Python twins meanwhile
-# (test_importance.py, test_mixing_decontam.py).
-GATE_DEFERRED: tuple[str, ...] = (
+    # `dsir_select` and `mixture_budget_fill` (registered r10) taking
+    # their FIRST gate rows; their SQL twins were verified green at
+    # registration and both are pinned against independent Python twins
+    # meanwhile (test_importance.py, test_mixing_decontam.py).
     "dsir_select",
     "mixture_budget_fill",
     "bloom_dedup_filter",
@@ -4900,6 +4832,67 @@ GATE_DEFERRED: tuple[str, ...] = (
     "embedding_norm_outliers",
     "image_near_dups",
     "duplicated_span_stats",
+)
+
+# The queries checked green at r10 park outside the snapshot window
+# this round; they hit the 2-round staleness limit at r12, so the r12
+# rotation MUST move this entire list into GATE_PRIORITY (and park the
+# r11-green window here).  With 100 exported queries and a 50-row
+# snapshot the cycle is exactly two rounds — sustainable indefinitely.
+# Queries newly registered at r11 join the head of this window (the
+# dsir_select precedent): their SQL twins are verified green at
+# registration time and they take their first driver gate rows at r12.
+GATE_DEFERRED: tuple[str, ...] = (
+    "bipartite_pagerank",
+    "tfidf_doc_pairs",
+    "record_linkage",
+    "rp_recall_eval",
+    "pq_topk_adc",
+    "series_topk_similar",
+    "bpe_corpus_stats",
+    "sketch_profile_check",
+    "unigram_logprob_quality",
+    "paragraph_dup_stats",
+    "bigram_merge_candidates",
+    "collapse_repeated_paras",
+    "curation_pipeline",
+    "embedding_near_dups",
+    "lexical_diversity",
+    "zipf_profile",
+    "split_leakage",
+    "sliding_hourly_avg",
+    "clicks_recent_purchase",
+    "asof_last_purchase",
+    "range_join_value_bands",
+    "scalar_date_scan",
+    "customers_without_orders",
+    "pricing_summary",
+    "priority_counts",
+    "count_data_rows",
+    "container_classification",
+    "completed_link_types",
+    "fully_covered_orders",
+    "sanitize_commodity_names",
+    "lineage_projection",
+    "parts_above_brand_avg",
+    "events_json_extract",
+    "events_daily_by_type",
+    "user_sessionization",
+    "tfidf_top_terms",
+    "text_quality",
+    "language_id",
+    "html_table_scan",
+    "stratified_sample_by_lang",
+    "repetition_scores",
+    "doc_chunks",
+    "pack_plan",
+    "benchmark_decontam",
+    "training_order",
+    "bigram_logprob_quality",
+    "pivot_status_qty",
+    "cube_revenue",
+    "quantity_percentiles",
+    "top_part_per_brand_maxby",
 )
 
 # Retired from the GATE EXPORT only (r8, on the r7 verdict's advice): each
