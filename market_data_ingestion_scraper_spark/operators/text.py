@@ -670,6 +670,246 @@ def bigram_logprob(documents: DataFrame, lam: float = 0.75) -> DataFrame:
     )
 
 
+def trigram_backoff_logprob(
+    documents: DataFrame, alpha: float = 0.4, salt: str = "tri-v1"
+) -> DataFrame:
+    """Stupid-backoff trigram LM scoring (Brants et al. 2007, "Large
+    Language Models in Machine Translation" — the public web-scale LM
+    recipe: no normalization, a fixed backoff penalty ``alpha``): the
+    corpus splits deterministically on a content hash (md5 prefix of the
+    salted doc_id, the :mod:`sampling` idiom) into a ~50% TRAIN half that
+    builds unigram/bigram/trigram counts and a held-out EVAL half whose
+    documents are scored under that model.  Scoring held-out text is the
+    production shape (CCNet-style perplexity filtering scores NEW data
+    under a reference-corpus model) and means every backoff branch —
+    unseen trigram, unseen bigram, OOV token — genuinely fires.
+
+    Score per eval occurrence::
+
+        pos 1:  S(w) = cu(w)/N                (OOV floor: 0.5/N)
+        pos 2:  S(w2|w1)    = cb(w1,w2)/cu(w1)        if bigram seen
+                            = alpha * S(w2)            otherwise
+        pos 3+: S(w3|w1,w2) = ct(w1,w2,w3)/cb(w1,w2)  if trigram seen
+                            = alpha * cb(w2,w3)/cu(w2) elif bigram seen
+                            = alpha * alpha * S(w3)    otherwise
+
+    Exactness: per-occurrence log-scores snap to int64 micro-units before
+    the per-doc mean (the house pattern — order-independent sums); only
+    the round-6-stable ``ln`` touches floating point.
+
+    Scale shape: bigrams/trigrams derive SHUFFLE-FREE from the token
+    array (``arrays_zip`` of slices — no occurrence self-join); the model
+    count tables are n-gram-vocabulary-bounded (trigram vocab is the big
+    one, ~1e9+ rows at web scale — a real but partitionable shuffle);
+    eval occurrences LEFT-join them by key, so every join is
+    key-partitioned and the backoff CASE is a per-row projection.  The
+    1-row total broadcasts.  Like the sibling scorers, deriving the model
+    and scoring in ONE plan costs two corpus passes; production persists
+    the count tables once and scores single-pass."""
+    alpha = float(alpha)
+    staged = documents.select("doc_id", tokens("text").alias("_t")).where(
+        F.size("_t") > 0
+    )
+    is_train = (
+        F.substring(
+            F.md5(
+                F.concat(F.lit(salt), F.col("doc_id").cast("string")).cast("binary")
+            ),
+            1,
+            1,
+        )
+        < F.lit("8")
+    )
+    train = staged.where(is_train)
+    ev = staged.where(~is_train)
+    n_tok = F.size("_t")
+
+    def _pairs(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("_t", 1, n_tok - 1).alias("w1"),
+                    F.slice("_t", 2, n_tok - 1).alias("w2"),
+                )
+            ).alias("_p"),
+        ).select("doc_id", F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+
+    def _tris(df: DataFrame) -> DataFrame:
+        return (
+            df.where(F.size("_t") >= 3)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.arrays_zip(
+                        F.slice("_t", 1, n_tok - 2).alias("w1"),
+                        F.slice("_t", 2, n_tok - 2).alias("w2"),
+                        F.slice("_t", 3, n_tok - 2).alias("w3"),
+                    )
+                ).alias("_p"),
+            )
+            .select(
+                "doc_id",
+                F.col("_p.w1").alias("w1"),
+                F.col("_p.w2").alias("w2"),
+                F.col("_p.w3").alias("w3"),
+            )
+        )
+
+    cu = (
+        train.select(F.explode("_t").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    total = cu.agg(F.sum("cu").alias("total"))
+    cb = _pairs(train).groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    ct = _tris(train).groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("ct"))
+
+    def _p_uni(cu_col: str) -> Column:
+        # OOV floor 0.5/N: deterministic, engine-portable, never log(0)
+        return F.when(
+            F.col(cu_col).isNotNull(),
+            F.col(cu_col).cast("double") / F.col("total"),
+        ).otherwise(F.lit(0.5) / F.col("total"))
+
+    def _micro(score: Column) -> Column:
+        return F.round(F.log(score) * 1e6).cast("long").alias("lp_micro")
+
+    first_s = (
+        ev.select("doc_id", F.element_at("_t", 1).alias("_k1"))
+        .join(
+            cu.select(F.col("term").alias("_k1"), F.col("cu").alias("cu1")),
+            "_k1",
+            "left",
+        )
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", _micro(_p_uni("cu1")))
+    )
+    second_s = (
+        ev.where(F.size("_t") >= 2)
+        .select(
+            "doc_id",
+            F.element_at("_t", 1).alias("w1"),
+            F.element_at("_t", 2).alias("w2"),
+        )
+        .join(cb, ["w1", "w2"], "left")
+        .join(
+            cu.select(F.col("term").alias("w1"), F.col("cu").alias("cu_w1")),
+            "w1",
+            "left",
+        )
+        .join(
+            cu.select(F.col("term").alias("w2"), F.col("cu").alias("cu_w2")),
+            "w2",
+            "left",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            _micro(
+                F.when(
+                    F.col("cb").isNotNull(),
+                    F.col("cb").cast("double") / F.col("cu_w1"),
+                ).otherwise(F.lit(alpha) * _p_uni("cu_w2"))
+            ),
+        )
+    )
+    cb_back = cb.select(
+        F.col("w1").alias("w2"), F.col("w2").alias("w3"), F.col("cb").alias("cbb")
+    )
+    third_s = (
+        _tris(ev)
+        .join(ct, ["w1", "w2", "w3"], "left")
+        .join(cb.select("w1", "w2", F.col("cb").alias("cbp")), ["w1", "w2"], "left")
+        .join(cb_back, ["w2", "w3"], "left")
+        .join(
+            cu.select(F.col("term").alias("w2"), F.col("cu").alias("cu_w2")),
+            "w2",
+            "left",
+        )
+        .join(
+            cu.select(F.col("term").alias("w3"), F.col("cu").alias("cu_w3")),
+            "w3",
+            "left",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            _micro(
+                F.when(
+                    F.col("ct").isNotNull(),
+                    F.col("ct").cast("double") / F.col("cbp"),
+                )
+                .when(
+                    F.col("cbb").isNotNull(),
+                    F.lit(alpha) * (F.col("cbb").cast("double") / F.col("cu_w2")),
+                )
+                .otherwise(F.lit(alpha) * F.lit(alpha) * _p_uni("cu_w3"))
+            ),
+        )
+    )
+    return (
+        first_s.unionByName(second_s)
+        .unionByName(third_s)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("lp_micro") / F.count(F.lit(1)) / 1e6, 6).alias(
+                "avg_logprob"
+            ),
+        )
+    )
+
+
+def perplexity_buckets(documents: DataFrame) -> DataFrame:
+    """CCNet-style head/middle/tail perplexity terciles PER LANGUAGE
+    (Wenzek et al. 2020 — their pipeline buckets each language's documents
+    into thirds by LM perplexity and keeps the head/middle for training):
+    documents score under :func:`unigram_logprob`, then each language's
+    score distribution splits at ranks ceil(n/3) and ceil(2n/3).
+
+    Scale-correct construction: a naive ``ntile(3) OVER (PARTITION BY
+    lang ORDER BY score)`` serializes each language onto ONE partition —
+    at web scale English alone is billions of rows through a single
+    sorter.  Instead the corpus aggregates to a per-(lang, score)
+    HISTOGRAM first (map-side combined; cardinality = langs × distinct
+    rounded scores, tiny), and the tercile assignment runs as a window
+    over that histogram.  Score groups are atomic — a group belongs to
+    the bucket its FIRST rank falls in (ties never split across buckets,
+    which also makes the result order-independent and engine-portable
+    with no doc_id tie-break).
+
+    Output: one row per (lang, bucket) with doc counts and the score
+    range — the corpus-curation dashboard shape."""
+    lp = unigram_logprob(documents)
+    scored = documents.select("doc_id", "lang").join(lp, "doc_id")
+    hist = scored.groupBy("lang", "avg_logprob").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("avg_logprob"))
+    ranked = hist.select(
+        "lang",
+        "avg_logprob",
+        "n",
+        (F.sum("n").over(w) - F.col("n") + 1).alias("start_rank"),
+        F.sum("n").over(Window.partitionBy("lang")).alias("n_lang"),
+    )
+    k1 = F.ceil(F.col("n_lang") / 3)
+    k2 = F.ceil(F.col("n_lang") * 2 / 3)
+    bucket = (
+        F.when(F.col("start_rank") <= k1, "head")
+        .when(F.col("start_rank") > k2, "tail")
+        .otherwise("middle")
+    )
+    return (
+        ranked.select("lang", bucket.alias("ppl_bucket"), "avg_logprob", "n")
+        .groupBy("lang", "ppl_bucket")
+        .agg(
+            F.sum("n").cast("long").alias("n_docs"),
+            F.round(F.min("avg_logprob"), 6).alias("min_logprob"),
+            F.round(F.max("avg_logprob"), 6).alias("max_logprob"),
+        )
+    )
+
+
 def lexical_diversity(documents: DataFrame) -> DataFrame:
     """Per-document type-token ratio (distinct tokens / tokens) and
     hapax ratio (tokens occurring once / tokens) — the classic lexical
