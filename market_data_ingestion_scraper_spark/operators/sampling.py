@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .dedup import portable_uniform as _uniform
+
 
 def uniform_hash_sample(
     df: DataFrame,
@@ -53,6 +55,50 @@ def uniform_hash_sample(
         6,
     )
     return df.filter(h6 < F.lit(threshold))
+
+
+def weighted_reservoir_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str = "n_chars",
+    key_col: str = "doc_id",
+    seed: str = "wrs-v1",
+) -> DataFrame:
+    """X23 weighted sampling WITHOUT replacement via exponential keys
+    (Efraimidis & Spirakis 2006, Algorithm A-ES — the distributed
+    weighted-reservoir recipe): each row draws key ``ln(u)/w`` from a
+    deterministic seeded uniform and the sample is the n LARGEST keys
+    (equivalent to maximizing ``u^(1/w)``; heavier rows draw keys closer
+    to 0).  Inclusion probability is proportional to weight, the sample
+    is a pure function of (data, seed) — reproducible on any cluster,
+    any partitioning, any engine — and changing the seed draws an
+    independent sample.
+
+    Scale shape: the key is a per-row projection (no shuffle), and the
+    selection is ``orderBy(key).limit(n)`` — Spark plans
+    TakeOrderedAndProject: each partition keeps its local top-n, the
+    driver merges heaps.  That IS the distributed reservoir — no global
+    sort, no single-partition window, state bounded by n per partition.
+
+    Exactness: keys snap to int64 NANO-units (1e-9 — ``ln(u)/w`` lives
+    in (−40/w, 0), micro-units would collide too often) with the key
+    column as deterministic tie-break, so the selected set is bit-stable
+    across engines.  Non-positive or null weights are excluded (they
+    have zero inclusion probability in A-ES)."""
+    u = _uniform(seed, F.col(key_col))
+    key_nano = F.round(F.log(u) / F.col(weight_col).cast("double") * 1e9).cast(
+        "long"
+    )
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .select(
+            F.col(key_col),
+            F.col(weight_col).cast("long").alias("weight"),
+            key_nano.alias("key_nano"),
+        )
+        .orderBy(F.desc("key_nano"), F.col(key_col))
+        .limit(n)
+    )
 
 
 def stratified_sample(

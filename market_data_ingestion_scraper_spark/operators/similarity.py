@@ -116,6 +116,72 @@ def brute_force_topk(
     )
 
 
+def hard_negative_mining(
+    embeddings: DataFrame,
+    k: int = 5,
+    anchor_mod: int = 25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """X22 triplet hard-negative mining for contrastive/embedding training
+    (the miner behind triplet losses — Schroff et al. 2015 FaceNet
+    semi-hard mining; public): for each anchor, the top-k most-similar
+    vectors with a DIFFERENT label (the hard negatives), alongside the
+    anchor's nearest same-label similarity (the hardest positive) and the
+    triplet margin ``pos_cos − neg_cos`` — a negative margin is a triplet
+    violation, the rows a trainer actually wants in the batch.
+
+    Anchors are a deterministic modulus subset (mining runs per
+    batch/epoch over a bounded anchor set, never all-pairs).  Scale shape
+    mirrors :func:`brute_force_topk`: the anchor set broadcasts, the
+    corpus side streams through one scan, and per-anchor ranking is a
+    window keyed by query_id.  For corpus-wide mining swap the candidate
+    generator for the LSH-bucketed :func:`embedding_near_duplicates`
+    machinery — the scoring/margin stages here are unchanged.
+
+    Anchors with no same-label sibling in the corpus report a null
+    ``pos_cos``/``margin`` (LEFT join — the negatives are still valid)."""
+    corpus = _spread(embeddings)
+
+    def _side(df: DataFrame, out_id: str, suffix: str) -> DataFrame:
+        d = _dbl(F.col(vec_col))
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.col(label_col).alias(f"_l{suffix}"),
+            d.alias(f"_v{suffix}"),
+            l2_norm(d).alias(f"_n{suffix}"),
+        )
+
+    anchors = embeddings.filter(F.pmod(F.col(id_col), F.lit(anchor_mod)) == 0)
+    scored = (
+        _side(corpus, "neighbor_id", "n")
+        .crossJoin(F.broadcast(_side(anchors, "query_id", "q")))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "_lq", "_ln", _pair_cosine())
+    )
+    pos = (
+        scored.filter(F.col("_ln") == F.col("_lq"))
+        .groupBy("query_id")
+        .agg(F.max("cos_sim").alias("pos_cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.filter(F.col("_ln") != F.col("_lq"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .join(F.broadcast(pos), "query_id", "left")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cos_sim",
+            F.col("rnk").cast("int").alias("rnk"),
+            "pos_cos",
+            F.round(F.col("pos_cos") - F.col("cos_sim"), 6).alias("margin"),
+        )
+    )
+
+
 def hyperplanes(dim: int = 64, n_planes: int = 12, seed: int = 42) -> list[list[float]]:
     """Seeded Gaussian hyperplanes, folded into plans as literals."""
     rng = np.random.default_rng(seed)

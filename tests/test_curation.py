@@ -375,3 +375,55 @@ def test_approx_profile_within_sketch_error_bounds(spark):
     ]
     assert lo[0] <= row["price_p50"] <= hi[0]
     assert row["price_p50"] <= row["price_p95"] <= row["price_p99"]
+
+
+def _wrs_twin(rows, n, seed="wrs-v1"):
+    """Independent A-ES twin: hashlib md5 uniforms, half-up nano keys."""
+    import hashlib
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    HASH_P = 2_147_483_647
+    out = []
+    for doc_id, w in rows:
+        if w is None or w <= 0:
+            continue
+        h = int(hashlib.md5(f"{seed}:{doc_id}".encode()).hexdigest()[:8], 16) % HASH_P
+        u = (h + 1) / (HASH_P + 1)
+        key = math.log(u) / w * 1e9
+        key_nano = int(Decimal(repr(key)).quantize(Decimal(1), ROUND_HALF_UP))
+        out.append((doc_id, w, key_nano))
+    out.sort(key=lambda r: (-r[2], r[0]))
+    return out[:n]
+
+
+def test_weighted_reservoir_matches_independent_twin(spark):
+    rows = [(i, (i * 37) % 211 + 1) for i in range(60)] + [(60, 0), (61, None)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    got = [
+        (r["doc_id"], r["weight"], r["key_nano"])
+        for r in S.weighted_reservoir_sample(df, n=10).collect()
+    ]
+    want = _wrs_twin(rows, 10)
+    assert sorted(got) == sorted(want)
+
+
+def test_weighted_reservoir_seed_and_weight_behavior(spark):
+    rows = [(i, 10) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    a = {r["doc_id"] for r in S.weighted_reservoir_sample(df, n=8, seed="s1").collect()}
+    b = {r["doc_id"] for r in S.weighted_reservoir_sample(df, n=8, seed="s2").collect()}
+    assert a != b  # independent draws
+    # determinism across partitionings
+    c = {
+        r["doc_id"]
+        for r in S.weighted_reservoir_sample(df.repartition(7), n=8, seed="s1").collect()
+    }
+    assert a == c
+    # a massively heavier row is always selected over uniform-weight rows:
+    # its key ln(u)/w approaches 0 from below, beating any weight-10 key
+    heavy = spark.createDataFrame(
+        rows + [(99, 10_000_000_000)], "doc_id long, n_chars long"
+    )
+    sel = {r["doc_id"] for r in S.weighted_reservoir_sample(heavy, n=8).collect()}
+    assert 99 in sel

@@ -1093,3 +1093,47 @@ def test_ivfpq_index_roundtrip_prunes_and_serves(spark, sf_smoke, tmp_path):
     appended = extend_ann_index(extra, path)
     assert appended == 6
     assert load_ann_index(spark, path).df.count() == n + 6
+
+
+def test_hard_negative_mining_planted_violation(spark):
+    """X22: planted geometry — a different-label vector closer than the
+    nearest positive must rank first with a NEGATIVE margin (triplet
+    violation); values pinned against an independent math.cos twin."""
+    import math
+
+    rows = [
+        (0, [1.0, 0.0], 1),     # anchor (0 % 25 == 0)
+        (1, [0.95, 0.1], 1),    # nearest positive
+        (2, [0.99, 0.05], 2),   # hard negative — closer than the positive
+        (3, [-1.0, 0.0], 2),    # easy negative
+        (4, [0.9, 0.2], 3),     # mid negative
+        (25, [0.5, 0.5], 9),    # anchor with NO same-label sibling
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = S.hard_negative_mining(df, k=5, anchor_mod=25).collect()
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb), 6)
+
+    # float32 storage: twin must quantize through float32 like the table
+    import numpy as np
+
+    vec = {i: np.array(v, dtype=np.float32).astype(float).tolist() for i, v, _ in rows}
+    a0 = [r for r in out if r["query_id"] == 0]
+    a0.sort(key=lambda r: r["rnk"])
+    # every non-label-1 vector is a negative candidate, incl. anchor 25
+    assert [r["neighbor_id"] for r in a0] == [2, 4, 25, 3]
+    pos = cos(vec[0], vec[1])
+    for r, nid in zip(a0, (2, 4, 25, 3)):
+        assert r["cos_sim"] == cos(vec[0], vec[nid])
+        assert r["pos_cos"] == pos
+        assert r["margin"] == round(pos - cos(vec[0], vec[nid]), 6)
+    assert a0[0]["margin"] < 0  # planted violation
+    assert a0[1]["margin"] > 0
+    # anchor 25 has no positive: negatives still mined, margin null
+    a25 = [r for r in out if r["query_id"] == 25]
+    assert len(a25) == 5
+    assert all(r["pos_cos"] is None and r["margin"] is None for r in a25)
