@@ -532,3 +532,43 @@ def test_record_linkage_blocked_equi_join(spark):
     assert "CartesianProduct" not in txt, txt
     assert "BroadcastNestedLoopJoin" not in txt, txt
     assert "Generate" not in txt, txt  # no token explode reaches the plan
+
+
+def test_weighted_reservoir_is_take_ordered(spark):
+    # A-ES selection must be per-partition heaps + driver merge, never a
+    # global sort: TakeOrderedAndProject with NO range-partition exchange.
+    n_shuffle, n_bcast, txt = _shuffle_count(spark, "weighted_reservoir_sample")
+    assert "TakeOrderedAndProject" in txt, txt
+    assert "rangepartitioning" not in txt.lower(), txt
+
+
+def test_hard_negative_mining_broadcasts_anchors(spark):
+    # anchors and the per-anchor positive table broadcast; the corpus
+    # side never sorts or cartesians against itself
+    n_shuffle, n_bcast, txt = _shuffle_count(spark, "hard_negative_mining")
+    assert n_bcast >= 2, txt  # anchor side + pos aggregate
+    assert "CartesianProduct" not in txt, txt
+
+
+def test_trigram_backoff_no_cartesian_corpus(spark):
+    # the only nested-loop joins are the 1-row total broadcasts; every
+    # count-table join is key-partitioned (no corpus self-join: n-grams
+    # derive from the token array, so no Generate-side position join)
+    n_shuffle, n_bcast, txt = _shuffle_count(spark, "trigram_backoff_quality")
+    assert "CartesianProduct" not in txt, txt
+    import re as _re
+
+    # every BroadcastNestedLoopJoin in this plan must be a total-row join
+    # (BuildRight Cross, no condition) — the 1-row broadcast idiom
+    for m in _re.finditer(r"BroadcastNestedLoopJoin ([^\n]*)", txt):
+        assert "BuildRight, Cross" in m.group(1), txt
+
+
+def test_perplexity_buckets_window_over_histogram(spark):
+    # the tercile window must consume the (lang, score) HISTOGRAM, never
+    # per-document rows: exactly one Window operator, and it sits above
+    # a HashAggregate keyed by lang+avg_logprob
+    n_shuffle, n_bcast, txt = _shuffle_count(spark, "perplexity_buckets")
+    assert txt.count("Window") >= 1, txt
+    head = txt[: txt.index("Window")]
+    assert "HashAggregate" in head, txt  # aggregate feeds the window
