@@ -670,100 +670,86 @@ def bigram_logprob(documents: DataFrame, lam: float = 0.75) -> DataFrame:
     )
 
 
-def trigram_backoff_logprob(
-    documents: DataFrame, alpha: float = 0.4, salt: str = "tri-v1"
-) -> DataFrame:
-    """Stupid-backoff trigram LM scoring (Brants et al. 2007, "Large
-    Language Models in Machine Translation" — the public web-scale LM
-    recipe: no normalization, a fixed backoff penalty ``alpha``): the
-    corpus splits deterministically on a content hash (md5 prefix of the
-    salted doc_id, the :mod:`sampling` idiom) into a ~50% TRAIN half that
-    builds unigram/bigram/trigram counts and a held-out EVAL half whose
-    documents are scored under that model.  Scoring held-out text is the
-    production shape (CCNet-style perplexity filtering scores NEW data
-    under a reference-corpus model) and means every backoff branch —
-    unseen trigram, unseen bigram, OOV token — genuinely fires.
-
-    Score per eval occurrence::
-
-        pos 1:  S(w) = cu(w)/N                (OOV floor: 0.5/N)
-        pos 2:  S(w2|w1)    = cb(w1,w2)/cu(w1)        if bigram seen
-                            = alpha * S(w2)            otherwise
-        pos 3+: S(w3|w1,w2) = ct(w1,w2,w3)/cb(w1,w2)  if trigram seen
-                            = alpha * cb(w2,w3)/cu(w2) elif bigram seen
-                            = alpha * alpha * S(w3)    otherwise
-
-    Exactness: per-occurrence log-scores snap to int64 micro-units before
-    the per-doc mean (the house pattern — order-independent sums); only
-    the round-6-stable ``ln`` touches floating point.
-
-    Scale shape: bigrams/trigrams derive SHUFFLE-FREE from the token
-    array (``arrays_zip`` of slices — no occurrence self-join); the model
-    count tables are n-gram-vocabulary-bounded (trigram vocab is the big
-    one, ~1e9+ rows at web scale — a real but partitionable shuffle);
-    eval occurrences LEFT-join them by key, so every join is
-    key-partitioned and the backoff CASE is a per-row projection.  The
-    1-row total broadcasts.  Like the sibling scorers, deriving the model
-    and scoring in ONE plan costs two corpus passes; production persists
-    the count tables once and scores single-pass."""
-    alpha = float(alpha)
-    staged = documents.select("doc_id", tokens("text").alias("_t")).where(
+def _staged_tokens(documents: DataFrame) -> DataFrame:
+    """(doc_id, _t) for documents with at least one token."""
+    return documents.select("doc_id", tokens("text").alias("_t")).where(
         F.size("_t") > 0
     )
-    is_train = (
-        F.substring(
-            F.md5(
-                F.concat(F.lit(salt), F.col("doc_id").cast("string")).cast("binary")
-            ),
-            1,
-            1,
-        )
-        < F.lit("8")
-    )
-    train = staged.where(is_train)
-    ev = staged.where(~is_train)
-    n_tok = F.size("_t")
 
-    def _pairs(df: DataFrame) -> DataFrame:
-        return df.select(
+
+def _ngram_pairs(df: DataFrame) -> DataFrame:
+    """Adjacent (w1, w2) pairs, shuffle-free from the token array."""
+    n_tok = F.size("_t")
+    return df.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("_t", 1, n_tok - 1).alias("w1"),
+                F.slice("_t", 2, n_tok - 1).alias("w2"),
+            )
+        ).alias("_p"),
+    ).select("doc_id", F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+
+
+def _ngram_tris(df: DataFrame) -> DataFrame:
+    """Adjacent (w1, w2, w3) triples, shuffle-free from the token array."""
+    n_tok = F.size("_t")
+    return (
+        df.where(F.size("_t") >= 3)
+        .select(
             "doc_id",
             F.explode(
                 F.arrays_zip(
-                    F.slice("_t", 1, n_tok - 1).alias("w1"),
-                    F.slice("_t", 2, n_tok - 1).alias("w2"),
+                    F.slice("_t", 1, n_tok - 2).alias("w1"),
+                    F.slice("_t", 2, n_tok - 2).alias("w2"),
+                    F.slice("_t", 3, n_tok - 2).alias("w3"),
                 )
             ).alias("_p"),
-        ).select("doc_id", F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
-
-    def _tris(df: DataFrame) -> DataFrame:
-        return (
-            df.where(F.size("_t") >= 3)
-            .select(
-                "doc_id",
-                F.explode(
-                    F.arrays_zip(
-                        F.slice("_t", 1, n_tok - 2).alias("w1"),
-                        F.slice("_t", 2, n_tok - 2).alias("w2"),
-                        F.slice("_t", 3, n_tok - 2).alias("w3"),
-                    )
-                ).alias("_p"),
-            )
-            .select(
-                "doc_id",
-                F.col("_p.w1").alias("w1"),
-                F.col("_p.w2").alias("w2"),
-                F.col("_p.w3").alias("w3"),
-            )
         )
+        .select(
+            "doc_id",
+            F.col("_p.w1").alias("w1"),
+            F.col("_p.w2").alias("w2"),
+            F.col("_p.w3").alias("w3"),
+        )
+    )
 
+
+def trigram_counts(
+    staged: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """(cu, cb, ct, total) count tables from a staged token corpus.  Each
+    is a map-side-combined groupBy bounded by the n-gram vocabulary, not
+    corpus size; ``total`` is the 1-row unigram sum."""
     cu = (
-        train.select(F.explode("_t").alias("term"))
+        staged.select(F.explode("_t").alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("cu"))
     )
     total = cu.agg(F.sum("cu").alias("total"))
-    cb = _pairs(train).groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
-    ct = _tris(train).groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("ct"))
+    cb = _ngram_pairs(staged).groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    ct = (
+        _ngram_tris(staged)
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    return cu, cb, ct, total
+
+
+def _score_trigram_staged(
+    ev: DataFrame,
+    cu: DataFrame,
+    cb: DataFrame,
+    ct: DataFrame,
+    total: DataFrame,
+    alpha: float,
+) -> DataFrame:
+    """Stupid-backoff scoring of a staged token corpus against count
+    tables — the single-pass serving plan.  Per-occurrence log-scores
+    snap to int64 micro-units before the per-doc mean (the house exact
+    pattern); every join keys on a vocabulary-bounded table; the 1-row
+    total broadcasts; the backoff CASE is a per-row projection."""
+    alpha = float(alpha)
 
     def _p_uni(cu_col: str) -> Column:
         # OOV floor 0.5/N: deterministic, engine-portable, never log(0)
@@ -818,7 +804,7 @@ def trigram_backoff_logprob(
         F.col("w1").alias("w2"), F.col("w2").alias("w3"), F.col("cb").alias("cbb")
     )
     third_s = (
-        _tris(ev)
+        _ngram_tris(ev)
         .join(ct, ["w1", "w2", "w3"], "left")
         .join(cb.select("w1", "w2", F.col("cb").alias("cbp")), ["w1", "w2"], "left")
         .join(cb_back, ["w2", "w3"], "left")
@@ -859,6 +845,282 @@ def trigram_backoff_logprob(
             ),
         )
     )
+
+
+def trigram_backoff_logprob(
+    documents: DataFrame, alpha: float = 0.4, salt: str = "tri-v1"
+) -> DataFrame:
+    """Stupid-backoff trigram LM scoring (Brants et al. 2007, "Large
+    Language Models in Machine Translation" — the public web-scale LM
+    recipe: no normalization, a fixed backoff penalty ``alpha``): the
+    corpus splits deterministically on a content hash (md5 prefix of the
+    salted doc_id, the :mod:`sampling` idiom) into a ~50% TRAIN half that
+    builds unigram/bigram/trigram counts and a held-out EVAL half whose
+    documents are scored under that model.  Scoring held-out text is the
+    production shape (CCNet-style perplexity filtering scores NEW data
+    under a reference-corpus model) and means every backoff branch —
+    unseen trigram, unseen bigram, OOV token — genuinely fires.
+
+    Score per eval occurrence::
+
+        pos 1:  S(w) = cu(w)/N                (OOV floor: 0.5/N)
+        pos 2:  S(w2|w1)    = cb(w1,w2)/cu(w1)        if bigram seen
+                            = alpha * S(w2)            otherwise
+        pos 3+: S(w3|w1,w2) = ct(w1,w2,w3)/cb(w1,w2)  if trigram seen
+                            = alpha * cb(w2,w3)/cu(w2) elif bigram seen
+                            = alpha * alpha * S(w3)    otherwise
+
+    Scale shape: bigrams/trigrams derive SHUFFLE-FREE from the token
+    array (``arrays_zip`` of slices — no occurrence self-join); the model
+    count tables are n-gram-vocabulary-bounded (trigram vocab is the big
+    one, ~1e9+ rows at web scale — a real but partitionable shuffle).
+    Deriving the model and scoring in ONE plan costs two corpus passes;
+    production fits ONCE via :func:`fit_trigram_model` and scores
+    single-pass via :func:`score_with_trigram_model`."""
+    staged = _staged_tokens(documents)
+    is_train = (
+        F.substring(
+            F.md5(
+                F.concat(F.lit(salt), F.col("doc_id").cast("string")).cast("binary")
+            ),
+            1,
+            1,
+        )
+        < F.lit("8")
+    )
+    cu, cb, ct, total = trigram_counts(staged.where(is_train))
+    return _score_trigram_staged(staged.where(~is_train), cu, cb, ct, total, alpha)
+
+
+TRIGRAM_MODEL_KIND = "trigram-stupid-backoff-v1"
+
+
+def fit_trigram_model(
+    documents: DataFrame, path: str, alpha: float = 0.4
+) -> dict:
+    """Fit the reference-corpus trigram model ONCE and persist it: the
+    ``cu``/``cb``/``ct`` count tables land as parquet under ``path`` and
+    a ``_model.json`` sidecar records kind/total/alpha (the validated-
+    artifact convention every persisted index here follows).  Scoring
+    runs thereafter are single-pass joins against these tables — the
+    production amortization the inline scorer's docstring promises.
+
+    The caller supplies the reference corpus (e.g. a curated high-quality
+    subset); no hash split happens here."""
+    import json as _json
+    import os as _os
+
+    staged = _staged_tokens(documents)
+    cu, cb, ct, total = trigram_counts(staged)
+    cu.write.mode("overwrite").parquet(_os.path.join(path, "cu"))
+    cb.write.mode("overwrite").parquet(_os.path.join(path, "cb"))
+    ct.write.mode("overwrite").parquet(_os.path.join(path, "ct"))
+    n_total = total.collect()[0]["total"]  # 1-row aggregate
+    meta = {
+        "kind": TRIGRAM_MODEL_KIND,
+        "total": int(n_total),
+        "alpha": float(alpha),
+    }
+    with open(_os.path.join(path, "_model.json"), "w") as f:
+        _json.dump(meta, f)
+    return meta
+
+
+def load_trigram_model(spark, path: str) -> dict:
+    """Load a persisted trigram model; refuses artifacts whose sidecar is
+    missing, malformed, or of the wrong kind (the `_quantizer.json`
+    lesson: a silent schema mismatch serves garbage scores)."""
+    import json as _json
+    import os as _os
+
+    sidecar = _os.path.join(path, "_model.json")
+    try:
+        with open(sidecar) as f:
+            meta = _json.load(f)
+    except (OSError, ValueError) as e:
+        raise ValueError(f"unreadable trigram model sidecar {sidecar}: {e}")
+    if meta.get("kind") != TRIGRAM_MODEL_KIND:
+        raise ValueError(
+            f"artifact at {path} is {meta.get('kind')!r}, "
+            f"expected {TRIGRAM_MODEL_KIND!r}"
+        )
+    if not isinstance(meta.get("total"), int) or meta["total"] <= 0:
+        raise ValueError(f"trigram model at {path} has invalid total: {meta}")
+    return {
+        "cu": spark.read.parquet(_os.path.join(path, "cu")),
+        "cb": spark.read.parquet(_os.path.join(path, "cb")),
+        "ct": spark.read.parquet(_os.path.join(path, "ct")),
+        "total": meta["total"],
+        "alpha": float(meta["alpha"]),
+    }
+
+
+def score_with_trigram_model(documents: DataFrame, model: dict) -> DataFrame:
+    """Single-pass scoring against a fitted/loaded model — ONE corpus
+    scan; all joins key on the persisted vocabulary-bounded count
+    tables.  Output matches :func:`trigram_backoff_logprob` bit-for-bit
+    when the model was fitted on the same train half (pytest-pinned)."""
+    spark = documents.sparkSession
+    total = spark.createDataFrame([(int(model["total"]),)], "total long")
+    return _score_trigram_staged(
+        _staged_tokens(documents),
+        model["cu"],
+        model["cb"],
+        model["ct"],
+        total,
+        model["alpha"],
+    )
+
+
+def trigram_literal_model(
+    model: dict,
+    max_unigrams: int = 1500,
+    max_bigrams: int = 1500,
+    max_trigrams: int = 1000,
+) -> dict:
+    """Cap a trigram model to its top-count n-grams and pull it to the
+    driver as plain dicts — the plan-literal serving form (the DSIR
+    delta-map precedent): folded into a per-row expression it scores
+    STATELESSLY, stream-legal with no explode, no join, no state.
+
+    Capping only moves unseen mass onto branches the scoring contract
+    already defines (backoff / OOV floor), so the capped score is the
+    exact score under the capped model.  Hierarchical consistency is
+    enforced so no branch ever divides by a missing denominator: kept
+    bigrams require both unigrams kept; kept trigrams require their
+    prefix bigram kept.  Ties break on the n-gram key, so the cap is
+    deterministic."""
+    cu_rows = model["cu"].orderBy(F.desc("cu"), "term").limit(int(max_unigrams))
+    u = {r["term"]: r["cu"] for r in cu_rows.collect()}
+    if u:
+        b_rows = (
+            model["cb"]
+            .filter(F.col("w1").isin(*u) & F.col("w2").isin(*u))
+            .orderBy(F.desc("cb"), "w1", "w2")
+            .limit(int(max_bigrams))
+            .collect()
+        )
+    else:
+        b_rows = []
+    b = {(r["w1"], r["w2"]): r["cb"] for r in b_rows}
+    if b:
+        kept_pairs = list(b)
+        t_rows = (
+            model["ct"]
+            .join(
+                model["ct"].sparkSession.createDataFrame(
+                    kept_pairs, "w1 string, w2 string"
+                ),
+                ["w1", "w2"],
+            )
+            .orderBy(F.desc("ct"), "w1", "w2", "w3")
+            .limit(int(max_trigrams))
+            .collect()
+        )
+    else:
+        t_rows = []
+    t = {(r["w1"], r["w2"], r["w3"]): r["ct"] for r in t_rows}
+    return {
+        "u": u,
+        "b": b,
+        "t": t,
+        "total": int(model["total"]),
+        "alpha": float(model["alpha"]),
+    }
+
+
+_SEP = "\x01"
+
+
+def score_with_literal_trigram(
+    rows: DataFrame, lit_model: dict, keep: tuple[str, ...] = ("text",)
+) -> DataFrame:
+    """Stateless per-row stupid-backoff scoring against a plan-literal
+    capped model (:func:`trigram_literal_model`): the three count maps
+    fold into the plan as map literals bound once per row, and the score
+    is one ``aggregate`` over token positions — no explode, no join, no
+    state, so the identical plan is stream-legal (batch ≡ stream
+    pytest-pinned).  Rows with no tokens score NULL (quarantine-first
+    policy, shared with the sibling admission filters)."""
+    alpha = float(lit_model["alpha"])
+    n_total = float(lit_model["total"])
+
+    def _map_lit(d: dict, keyfn) -> Column:
+        if not d:
+            # empty literal maps need explicit types
+            return F.map_from_arrays(
+                F.array().cast("array<string>"), F.array().cast("array<long>")
+            )
+        items = []
+        for k, v in d.items():
+            items.extend([F.lit(keyfn(k)), F.lit(int(v))])
+        return F.create_map(*items)
+
+    staged = rows.withColumns(
+        {
+            "_t": tokens("text"),
+            "_mu": _map_lit(lit_model["u"], lambda k: k),
+            "_mb": _map_lit(lit_model["b"], lambda k: _SEP.join(k)),
+            "_mt": _map_lit(lit_model["t"], lambda k: _SEP.join(k)),
+        }
+    )
+    t, mu, mb, mt = F.col("_t"), F.col("_mu"), F.col("_mb"), F.col("_mt")
+
+    def p_uni(w: Column) -> Column:
+        c = F.element_at(mu, w)
+        return F.when(
+            c.isNotNull(), c.cast("double") / F.lit(n_total)
+        ).otherwise(F.lit(0.5) / F.lit(n_total))
+
+    def lp_at(i: Column) -> Column:
+        w3 = F.element_at(t, i)
+        w2 = F.element_at(t, i - 1)  # null at i=1 (ANSI-safe: guarded below)
+        w1 = F.element_at(t, i - 2)
+        bi = F.element_at(mb, F.concat_ws(_SEP, w2, w3))
+        tri = F.element_at(mt, F.concat_ws(_SEP, w1, w2, w3))
+        prefix = F.element_at(mb, F.concat_ws(_SEP, w1, w2))
+        first_bi = F.element_at(mb, F.concat_ws(_SEP, w2, w3))
+        score = (
+            F.when(
+                i == 1,
+                p_uni(w3),
+            )
+            .when(
+                i == 2,
+                F.when(
+                    first_bi.isNotNull(),
+                    first_bi.cast("double")
+                    / F.element_at(mu, w2).cast("double"),
+                ).otherwise(F.lit(alpha) * p_uni(w3)),
+            )
+            .otherwise(
+                F.when(
+                    tri.isNotNull(),
+                    tri.cast("double") / prefix.cast("double"),
+                )
+                .when(
+                    bi.isNotNull(),
+                    F.lit(alpha)
+                    * (bi.cast("double") / F.element_at(mu, w2).cast("double")),
+                )
+                .otherwise(F.lit(alpha) * F.lit(alpha) * p_uni(w3))
+            )
+        )
+        return F.round(F.log(score) * 1e6).cast("long")
+
+    n = F.size(t)
+    sum_micro = F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc + lp_at(i),
+    )
+    scored = staged.select(
+        "doc_id",
+        *keep,
+        F.when(n > 0, n).alias("n_tokens"),
+        F.when(n > 0, F.round(sum_micro / n / 1e6, 6)).alias("avg_logprob"),
+    )
+    return scored
 
 
 def perplexity_buckets(documents: DataFrame) -> DataFrame:

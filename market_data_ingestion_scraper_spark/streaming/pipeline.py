@@ -504,6 +504,34 @@ def stream_dsir_filter(
     )
 
 
+def stream_perplexity_filter(
+    rows: DataFrame,
+    lit_model: dict,
+    min_avg_logprob: float,
+    keep_cols: tuple[str, ...] = ("text",),
+) -> DataFrame:
+    """Streaming FLUENCY admission (the CCNet perplexity gate as an
+    online filter): score each incoming document under a plan-literal
+    capped stupid-backoff trigram model
+    (operators/text.trigram_literal_model — fitted offline on a
+    reference corpus via fit_trigram_model, capped top-count n-grams
+    pulled into the plan) and admit only documents whose mean token
+    log-prob clears ``min_avg_logprob``.  The maps fold into the plan as
+    literals and the score is one per-row ``aggregate`` over token
+    positions — no explode, no join, no state; batch ≡ stream
+    bit-for-bit (pytest-pinned).
+
+    Returns (doc_id, *keep_cols, n_tokens, avg_logprob).  POLICY: rows
+    with no tokens score NULL and are DROPPED (the shared un-scoreable
+    policy — quarantine first)."""
+    from ..operators.text import score_with_literal_trigram
+
+    scored = score_with_literal_trigram(rows, lit_model, keep=keep_cols)
+    return scored.where(F.col("avg_logprob") >= float(min_avg_logprob)).select(
+        "doc_id", *keep_cols, "n_tokens", "avg_logprob"
+    )
+
+
 def stream_record_match_filter(
     rows: DataFrame,
     catalog: DataFrame,

@@ -155,3 +155,136 @@ def test_perplexity_buckets_atomic_groups(spark):
         b for b, (nd, lo, hi) in en.items() if nd >= 2 and lo <= hi
     ]
     assert tie_buckets  # at least one bucket absorbed the 2-doc group
+
+
+def test_trigram_model_lifecycle_single_pass_parity(spark, tmp_path):
+    """fit → persist → load → score must reproduce the inline split
+    scorer bit-for-bit when fitted on the same train half; loading a
+    wrong-kind artifact must refuse."""
+    import json
+    import pytest
+    from market_data_ingestion_scraper_spark.operators.text import (
+        fit_trigram_model,
+        load_trigram_model,
+        score_with_trigram_model,
+    )
+
+    rows = [(i, f"w{i % 7} common words here w{i % 5} tail w{(i * 3) % 11}")
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    train = df.filter(F_is_train_col())
+    inline = {
+        (r["doc_id"]): (r["n_tokens"], r["avg_logprob"])
+        for r in trigram_backoff_logprob(df).collect()
+    }
+    path = str(tmp_path / "trigram")
+    meta = fit_trigram_model(train, path)
+    assert meta["kind"].startswith("trigram-stupid-backoff")
+    model = load_trigram_model(spark, path)
+    ev = df.filter(~F_is_train_col())
+    served = {
+        r["doc_id"]: (r["n_tokens"], r["avg_logprob"])
+        for r in score_with_trigram_model(ev, model).collect()
+    }
+    assert served == inline
+    # wrong-kind sidecar refused
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    (bad / "_model.json").write_text(json.dumps({"kind": "rp", "total": 5}))
+    with pytest.raises(ValueError, match="expected"):
+        load_trigram_model(spark, str(bad))
+
+
+def F_is_train_col():
+    from pyspark.sql import functions as F
+
+    return (
+        F.substring(
+            F.md5(F.concat(F.lit(SALT), F.col("doc_id").cast("string")).cast("binary")),
+            1,
+            1,
+        )
+        < "8"
+    )
+
+
+def test_literal_trigram_matches_relational_when_uncapped(spark, tmp_path):
+    from market_data_ingestion_scraper_spark.operators.text import (
+        fit_trigram_model,
+        load_trigram_model,
+        score_with_literal_trigram,
+        score_with_trigram_model,
+        trigram_literal_model,
+    )
+
+    ref = spark.createDataFrame(
+        [(i, f"alpha beta w{i % 6} gamma delta w{i % 4}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "m")
+    fit_trigram_model(ref, path)
+    model = load_trigram_model(spark, path)
+    lit = trigram_literal_model(
+        model, max_unigrams=10_000, max_bigrams=10_000, max_trigrams=10_000
+    )
+    incoming = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),          # seen path
+            (2, "alpha zebra beta unseen"),   # backoff + OOV paths
+            (3, "zzz"),                       # pure OOV
+            (4, ""),                          # no tokens -> null score
+        ],
+        "doc_id long, text string",
+    )
+    rel = {
+        r["doc_id"]: (r["n_tokens"], r["avg_logprob"])
+        for r in score_with_trigram_model(incoming, model).collect()
+    }
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["avg_logprob"])
+        for r in score_with_literal_trigram(incoming, lit).collect()
+    }
+    # relational scorer drops no-token rows; literal scorer nulls them
+    assert got[4] == (None, None)
+    for k in (1, 2, 3):
+        assert got[k] == rel[k], (k, got[k], rel[k])
+
+
+def test_stream_perplexity_filter_admission(spark, tmp_path):
+    """Streaming fluency gate: fluent-looking (model-like) docs admitted,
+    gibberish dropped, no-token rows dropped.  Stream ≡ batch."""
+    from market_data_ingestion_scraper_spark.operators.text import (
+        fit_trigram_model,
+        load_trigram_model,
+        trigram_literal_model,
+    )
+    from market_data_ingestion_scraper_spark.streaming import pipeline as P
+
+    ref = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(10)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "m")
+    fit_trigram_model(ref, path)
+    lit = trigram_literal_model(load_trigram_model(spark, path))
+    incoming = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),
+            (2, "zxqv wvut qqqq pzzt"),
+            (3, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    batch = P.stream_perplexity_filter(incoming, lit, min_avg_logprob=-6.0)
+    got = {r["doc_id"]: r["avg_logprob"] for r in batch.collect()}
+    assert set(got) == {1}
+    ddir = str(tmp_path / "docs")
+    incoming.write.parquet(ddir)
+    stream = spark.readStream.schema(incoming.schema).parquet(ddir)
+    out = P.run_to_memory(
+        P.stream_perplexity_filter(stream, lit, min_avg_logprob=-6.0),
+        "t_ppl_adm",
+        spark,
+        mode="append",
+    )
+    assert {r["doc_id"]: r["avg_logprob"] for r in out.collect()} == got
