@@ -148,6 +148,30 @@ def main(argv: list[str] | None = None) -> int:
                     "artifact here (dsir method) — the input to "
                     "stream_dsir_filter / score_with_literal_model")
 
+    lm = sub.add_parser(
+        "lm-model",
+        help="reference-corpus trigram LM lifecycle: fit persists the "
+        "count tables + sidecar, score runs the single-pass scorer, "
+        "filter applies the CCNet-style fluency admission gate",
+    )
+    lm.add_argument("--action", choices=("fit", "score", "filter"),
+                    required=True)
+    lm.add_argument("--documents", required=True,
+                    help="documents parquet with (doc_id, text) columns")
+    lm.add_argument("--model", required=True,
+                    help="trigram model directory (written by fit)")
+    lm.add_argument("--out", default=None,
+                    help="output parquet (score/filter)")
+    lm.add_argument("--alpha", type=float, default=0.4,
+                    help="stupid-backoff penalty (fit)")
+    lm.add_argument("--min-logprob", type=float, default=None,
+                    help="admission threshold on avg token log-prob "
+                    "(filter)")
+    lm.add_argument("--literal", action="store_true",
+                    help="filter via the capped plan-literal model "
+                    "(the streaming-admission plan) instead of the "
+                    "count-table joins")
+
     ic = sub.add_parser(
         "index-compact",
         help="fold an append-grown index's small files into one per "
@@ -421,6 +445,52 @@ def main(argv: list[str] | None = None) -> int:
         out.write.mode("overwrite").parquet(args.out)
         n = spark.read.parquet(args.out).count()
         print(f"method={args.method} selected={n} out={args.out}")
+        return 0
+
+    if args.cmd == "lm-model":
+        from .operators.text import (
+            fit_trigram_model,
+            load_trigram_model,
+            score_with_literal_trigram,
+            score_with_trigram_model,
+            trigram_literal_model,
+        )
+
+        docs = spark.read.parquet(args.documents)
+        if args.action == "fit":
+            from .util import require_local_path
+
+            require_local_path(args.model)
+            meta = fit_trigram_model(docs, args.model, alpha=args.alpha)
+            print(f"kind={meta['kind']} total={meta['total']} "
+                  f"alpha={meta['alpha']} model={args.model}")
+            return 0
+        if not args.out:
+            print("--out is required for score/filter", file=sys.stderr)
+            return 2
+        model = load_trigram_model(spark, args.model)
+        if args.action == "score":
+            scored = score_with_trigram_model(docs, model)
+        else:
+            if args.min_logprob is None:
+                print("--min-logprob is required for filter", file=sys.stderr)
+                return 2
+            if args.literal:
+                scored = score_with_literal_trigram(
+                    docs, trigram_literal_model(model)
+                )
+            else:
+                scored = score_with_trigram_model(docs, model)
+            scored = scored.filter(
+                scored["avg_logprob"] >= float(args.min_logprob)
+            )
+        # join the scores back for the full document rows
+        out = docs.join(
+            scored.select("doc_id", "n_tokens", "avg_logprob"), "doc_id"
+        )
+        out.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+        print(f"action={args.action} rows={n} out={args.out}")
         return 0
 
     if args.cmd == "index-compact":

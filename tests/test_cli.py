@@ -344,3 +344,41 @@ def test_cli_select_corpus_both_methods(tmp_path, spark):
     r = _run("select-corpus", "--documents", docs, "--method", "dsir",
              "--out", str(tmp_path / "x"))
     assert r.returncode == 2 and "--target is required" in r.stderr
+
+
+def test_cli_lm_model_fit_score_filter(tmp_path, spark):
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    model = str(tmp_path / "trigram_model")
+    r = _run("lm-model", "--action", "fit", "--documents", docs,
+             "--model", model)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "kind=trigram-stupid-backoff" in r.stdout
+
+    out = str(tmp_path / "scored")
+    r = _run("lm-model", "--action", "score", "--documents", docs,
+             "--model", model, "--out", out)
+    assert r.returncode == 0, r.stderr[-2000:]
+    scored = spark.read.parquet(out)
+    n_docs = spark.read.parquet(docs).count()
+    assert scored.count() == n_docs  # fixture has no empty-token docs
+    assert {"n_tokens", "avg_logprob"} <= set(scored.columns)
+
+    # filter at the median-ish threshold drops some and keeps some
+    med = scored.approxQuantile("avg_logprob", [0.5], 0.0)[0]
+    fout = str(tmp_path / "kept")
+    r = _run("lm-model", "--action", "filter", "--documents", docs,
+             "--model", model, "--out", fout, "--min-logprob", str(med))
+    assert r.returncode == 0, r.stderr[-2000:]
+    kept = spark.read.parquet(fout).count()
+    assert 0 < kept < n_docs
+
+    # literal-plan filter agrees with the relational filter at a
+    # threshold the capped model can honor (scores shift under capping,
+    # so just pin behavior: runs, admits a nonempty strict subset)
+    lout = str(tmp_path / "kept_lit")
+    r = _run("lm-model", "--action", "filter", "--documents", docs,
+             "--model", model, "--out", lout, "--min-logprob", str(med),
+             "--literal")
+    assert r.returncode == 0, r.stderr[-2000:]
+    kept_lit = spark.read.parquet(lout).count()
+    assert 0 < kept_lit < n_docs
