@@ -15,7 +15,7 @@ is a pure per-row filter with NO shuffle at all — the 100 TB default.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import portable_uniform as _uniform
@@ -57,6 +57,16 @@ def uniform_hash_sample(
     return df.filter(h6 < F.lit(threshold))
 
 
+def aes_key_nano(
+    seed: str, key_col: str = "doc_id", weight_col: str = "n_chars"
+) -> Column:
+    """A-ES exponential key ``ln(u)/w`` snapped to int64 nano-units — the
+    shared expression between the batch reservoir and the streaming
+    candidate filter, so the two paths cannot drift."""
+    u = _uniform(seed, F.col(key_col))
+    return F.round(F.log(u) / F.col(weight_col).cast("double") * 1e9).cast("long")
+
+
 def weighted_reservoir_sample(
     df: DataFrame,
     n: int,
@@ -85,10 +95,7 @@ def weighted_reservoir_sample(
     column as deterministic tie-break, so the selected set is bit-stable
     across engines.  Non-positive or null weights are excluded (they
     have zero inclusion probability in A-ES)."""
-    u = _uniform(seed, F.col(key_col))
-    key_nano = F.round(F.log(u) / F.col(weight_col).cast("double") * 1e9).cast(
-        "long"
-    )
+    key_nano = aes_key_nano(seed, key_col, weight_col)
     return (
         df.filter(F.col(weight_col) > 0)
         .select(

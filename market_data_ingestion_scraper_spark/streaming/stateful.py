@@ -21,8 +21,10 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -115,6 +117,112 @@ def session_fn(
     elif state.exists:
         state.remove()
     yield from out if out else iter(())
+
+
+RESERVOIR_OUTPUT = StructType(
+    [
+        StructField("shard", LongType()),
+        StructField("doc_id", LongType()),
+        StructField("weight", LongType()),
+        StructField("key_nano", LongType()),
+    ]
+)
+
+RESERVOIR_STATE = StructType(
+    [StructField("keys", ArrayType(LongType()))]  # sorted ascending, ≤ n
+)
+
+
+def make_reservoir_fn(n: int):
+    """Per-shard A-ES candidate admission: keep the running top-``n``
+    keys as fixed-width state; EMIT every row that enters the shard's
+    reservoir.  Emission is monotone (a row once admitted is never
+    retracted), so the operator is append-mode-legal; evictions happen at
+    the batch finalize step instead (``orderBy(key).limit(n)`` over the
+    emitted candidates — exactly :func:`...sampling.weighted_reservoir_sample`'s
+    selection, which the parity test pins).  Admission uses ``>=`` against
+    the shard threshold so key ties cannot exclude a row the batch
+    tie-break (ascending doc_id) would have selected — the candidate set
+    is a strict superset of the final sample by construction."""
+
+    def reservoir_fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import bisect
+
+        (shard,) = key
+        keys: list[int] = list(state.get[0]) if state.exists else []
+        out: list[tuple[int, int, int, int]] = []
+        for pdf in pdfs:
+            for doc_id, w, k in zip(
+                pdf["doc_id"], pdf["weight"], pdf["key_nano"]
+            ):
+                k = int(k)
+                if len(keys) < n:
+                    bisect.insort(keys, k)
+                    out.append((int(shard), int(doc_id), int(w), k))
+                elif k >= keys[0]:
+                    keys.pop(0)
+                    bisect.insort(keys, k)
+                    out.append((int(shard), int(doc_id), int(w), k))
+        state.update((keys,))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["shard", "doc_id", "weight", "key_nano"]
+            )
+
+    return reservoir_fn
+
+
+def stream_weighted_reservoir(
+    rows: DataFrame,
+    n: int,
+    n_shards: int = 32,
+    seed: str = "wrs-v1",
+    weight_col: str = "n_chars",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming A-ES weighted reservoir (§2.10 custom state × X23): each
+    of ``n_shards`` hash shards maintains its own top-``n`` key state and
+    streams out ADMITTED candidates; the exact global sample is the batch
+    reduction ``orderBy(key_nano desc, doc_id).limit(n)`` over everything
+    emitted (any global-top-n row is inside its shard's top-n, so the
+    union of shard candidates always covers the final sample).
+
+    Scale: state is ``n_shards × n`` int64 keys — fixed width, sharded by
+    key hash across executors; the candidate stream is the classic
+    reservoir bound, expected O(n·log(N/n)) emissions per shard, a
+    vanishing fraction of the input at web scale.  The key expression is
+    the SHARED :func:`...sampling.aes_key_nano`, so stream and batch
+    cannot drift."""
+    from ..operators.sampling import aes_key_nano
+
+    keyed = (
+        rows.filter(F.col(weight_col) > 0)
+        .select(
+            F.pmod(F.col(key_col), F.lit(int(n_shards))).alias("shard"),
+            F.col(key_col).alias("doc_id"),
+            F.col(weight_col).cast("long").alias("weight"),
+            aes_key_nano(seed, key_col, weight_col).alias("key_nano"),
+        )
+    )
+    return keyed.groupBy("shard").applyInPandasWithState(
+        make_reservoir_fn(int(n)),
+        RESERVOIR_OUTPUT,
+        RESERVOIR_STATE,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def finalize_reservoir(candidates: DataFrame, n: int) -> DataFrame:
+    """Exact top-n over streamed candidates — the same
+    TakeOrderedAndProject selection the batch reservoir plans."""
+    return (
+        candidates.select("doc_id", "weight", "key_nano")
+        .orderBy(F.desc("key_nano"), F.col("doc_id"))
+        .limit(int(n))
+    )
 
 
 def purchase_sessions(

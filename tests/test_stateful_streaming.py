@@ -46,3 +46,56 @@ def test_purchase_sessions_stream(spark, sf_smoke, events_dir):
         .count()
     )
     assert len(out) == n_purchases
+
+
+def test_stream_weighted_reservoir_exact_parity(spark, sf_smoke, tmp_path):
+    """§2.10 custom state × X23: shard reservoirs stream out admitted
+    candidates across several micro-batches; finalize over the candidate
+    stream must equal the BATCH weighted reservoir on the same corpus
+    bit-for-bit, and the candidate volume must stay a small fraction of
+    the input."""
+    from market_data_ingestion_scraper_spark.operators.sampling import (
+        weighted_reservoir_sample,
+    )
+    from market_data_ingestion_scraper_spark.streaming.stateful import (
+        finalize_reservoir,
+        stream_weighted_reservoir,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id", "n_chars")
+    d = str(tmp_path / "docs_in")
+    # several files -> several micro-batches with maxFilesPerTrigger=1
+    docs.repartition(5).write.mode("overwrite").parquet(d)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q = (
+        stream_weighted_reservoir(stream, n=12, n_shards=4)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_wrs")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    candidates = spark.table("t_wrs")
+    n_cand = candidates.count()
+    n_docs = docs.count()
+    assert n_cand < n_docs  # admission actually filters
+    # at most n per shard per batch would be 12*4*5; the reservoir bound
+    # keeps it far under the input
+    got = [
+        (r["doc_id"], r["weight"], r["key_nano"])
+        for r in finalize_reservoir(candidates, 12).collect()
+    ]
+    want = [
+        (r["doc_id"], r["weight"], r["key_nano"])
+        for r in weighted_reservoir_sample(docs, n=12).collect()
+    ]
+    assert sorted(got) == sorted(want)
+    # candidates are a superset of the final sample
+    cand_ids = {r["doc_id"] for r in candidates.collect()}
+    assert {g[0] for g in got} <= cand_ids
