@@ -7,10 +7,12 @@ Layout:
 - ``sources``    — table loaders (parquet fixtures) + raw CSV ingest boundary.
 - ``functions``  — scalar/aggregate helper columns (sanitize, revenue, exact sums).
 - ``operators``  — ingest/normalize, state/idempotency, analytics, dedup,
-                   similarity (ANN/PQ/RP index lifecycles), text analysis,
-                   multimodal, sketches, graph (PageRank), record linkage,
-                   time-series, BPE, classifier, bloom, versioning,
-                   importance resampling (DSIR).
+                   similarity (ANN/PQ/RP index lifecycles, hard-negative
+                   mining), text analysis (incl. trigram-LM lifecycle +
+                   perplexity curation), multimodal, sketches, graph
+                   (PageRank), record linkage, time-series, BPE,
+                   classifier, bloom, versioning, importance resampling
+                   (DSIR), weighted reservoir sampling.
 - ``streaming``  — Structured Streaming pipelines over the events feed.
 - ``plans``      — explain/plan-audit utilities.
 
