@@ -288,3 +288,77 @@ def test_stream_perplexity_filter_admission(spark, tmp_path):
         mode="append",
     )
     assert {r["doc_id"]: r["avg_logprob"] for r in out.collect()} == got
+
+
+def test_literal_trigram_capped_matches_capped_twin(spark, tmp_path):
+    """Capping must only move mass through the DEFINED branches: an
+    independent Python twin that applies the same hierarchical caps must
+    reproduce the capped scores exactly."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from market_data_ingestion_scraper_spark.operators.text import (
+        fit_trigram_model,
+        load_trigram_model,
+        score_with_literal_trigram,
+        trigram_literal_model,
+    )
+
+    ref_rows = [
+        (i, "aa bb cc dd " * 3 + f"rare{i} aa bb") for i in range(12)
+    ]
+    ref = spark.createDataFrame(ref_rows, "doc_id long, text string")
+    path = str(tmp_path / "m")
+    fit_trigram_model(ref, path)
+    model = load_trigram_model(spark, path)
+    # tiny caps: only the hottest n-grams survive -> backoff fires a lot
+    lit = trigram_literal_model(
+        model, max_unigrams=4, max_bigrams=3, max_trigrams=2
+    )
+    assert len(lit["u"]) == 4 and len(lit["b"]) == 3 and len(lit["t"]) == 2
+    # hierarchical consistency invariants
+    for (w1, w2) in lit["b"]:
+        assert w1 in lit["u"] and w2 in lit["u"]
+    for (w1, w2, w3) in lit["t"]:
+        assert (w1, w2) in lit["b"]
+
+    incoming = spark.createDataFrame(
+        [(1, "aa bb cc dd aa"), (2, "rare3 aa zz bb cc")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["avg_logprob"])
+        for r in score_with_literal_trigram(incoming, lit).collect()
+    }
+
+    def twin(ts):
+        import math
+
+        n_total, a = lit["total"], lit["alpha"]
+        u, b, t = lit["u"], lit["b"], lit["t"]
+
+        def p_uni(w):
+            return u[w] / n_total if w in u else 0.5 / n_total
+
+        lps = []
+        for pos, w in enumerate(ts):
+            if pos == 0:
+                s = p_uni(w)
+            elif pos == 1:
+                w1 = ts[0]
+                s = b[(w1, w)] / u[w1] if (w1, w) in b else a * p_uni(w)
+            else:
+                w1, w2 = ts[pos - 2], ts[pos - 1]
+                if (w1, w2, w) in t:
+                    s = t[(w1, w2, w)] / b[(w1, w2)]
+                elif (w2, w) in b:
+                    s = a * (b[(w2, w)] / u[w2])
+                else:
+                    s = a * a * p_uni(w)
+            k = math.log(s) * 1e6
+            lps.append(int(Decimal(repr(k)).quantize(Decimal(1), ROUND_HALF_UP)))
+        return (len(lps), float(round(sum(lps) / len(lps) / 1e6, 6)))
+
+    for doc_id, text in [(1, "aa bb cc dd aa"), (2, "rare3 aa zz bb cc")]:
+        want = twin(_toks(text))
+        assert got[doc_id][0] == want[0]
+        assert abs(got[doc_id][1] - want[1]) <= 2e-6, (doc_id, got[doc_id], want)
