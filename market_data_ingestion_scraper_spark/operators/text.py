@@ -916,6 +916,12 @@ def fit_trigram_model(
     cb.write.mode("overwrite").parquet(_os.path.join(path, "cb"))
     ct.write.mode("overwrite").parquet(_os.path.join(path, "ct"))
     n_total = total.collect()[0]["total"]  # 1-row aggregate
+    if n_total is None or int(n_total) <= 0:
+        raise ValueError(
+            "fit_trigram_model: reference corpus has no tokens — refusing "
+            "to persist an empty model (scoring under it would put every "
+            "document on the OOV floor)"
+        )
     meta = {
         "kind": TRIGRAM_MODEL_KIND,
         "total": int(n_total),

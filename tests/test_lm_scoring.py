@@ -362,3 +362,15 @@ def test_literal_trigram_capped_matches_capped_twin(spark, tmp_path):
         want = twin(_toks(text))
         assert got[doc_id][0] == want[0]
         assert abs(got[doc_id][1] - want[1]) <= 2e-6, (doc_id, got[doc_id], want)
+
+
+def test_fit_trigram_model_refuses_empty_corpus(spark, tmp_path):
+    import pytest
+    from market_data_ingestion_scraper_spark.operators.text import (
+        fit_trigram_model,
+    )
+
+    empty = spark.createDataFrame([(1, "   "), (2, "!!!")],
+                                  "doc_id long, text string")
+    with pytest.raises(ValueError, match="no tokens"):
+        fit_trigram_model(empty, str(tmp_path / "m"))
