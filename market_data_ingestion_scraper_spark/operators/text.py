@@ -952,6 +952,10 @@ def load_trigram_model(spark, path: str) -> dict:
         )
     if not isinstance(meta.get("total"), int) or meta["total"] <= 0:
         raise ValueError(f"trigram model at {path} has invalid total: {meta}")
+    if not isinstance(meta.get("alpha"), (int, float)) or not (
+        0 < float(meta["alpha"]) <= 1
+    ):
+        raise ValueError(f"trigram model at {path} has invalid alpha: {meta}")
     return {
         "cu": spark.read.parquet(_os.path.join(path, "cu")),
         "cb": spark.read.parquet(_os.path.join(path, "cb")),

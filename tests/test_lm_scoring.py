@@ -374,3 +374,20 @@ def test_fit_trigram_model_refuses_empty_corpus(spark, tmp_path):
                                   "doc_id long, text string")
     with pytest.raises(ValueError, match="no tokens"):
         fit_trigram_model(empty, str(tmp_path / "m"))
+
+
+def test_load_trigram_model_refuses_bad_alpha(spark, tmp_path):
+    import json
+    import pytest
+    from market_data_ingestion_scraper_spark.operators.text import (
+        TRIGRAM_MODEL_KIND,
+        load_trigram_model,
+    )
+
+    bad = tmp_path / "bad_alpha"
+    bad.mkdir()
+    (bad / "_model.json").write_text(
+        json.dumps({"kind": TRIGRAM_MODEL_KIND, "total": 100, "alpha": 0})
+    )
+    with pytest.raises(ValueError, match="alpha"):
+        load_trigram_model(spark, str(bad))
