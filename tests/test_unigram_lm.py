@@ -65,3 +65,60 @@ def test_fit_is_deterministic(spark):
     lp1 = fit_unigram_lm(df, vocab_size=40)
     lp2 = fit_unigram_lm(df.repartition(9), vocab_size=40)
     assert lp1 == lp2
+
+
+def test_viterbi_is_optimal_vs_bruteforce():
+    """Property: for short words, Viterbi's segmentation must achieve the
+    maximum total score over ALL possible segmentations, and apply the
+    spec'd tie-breaks (fewer pieces, then longest final piece)."""
+    import itertools
+
+    lp = {
+        "a": -120, "b": -90, "c": -200, "ab": -150, "bc": -140,
+        "abc": -310, "ca": -100, "aa": -230,
+    }
+
+    def all_segmentations(w):
+        n = len(w)
+        for cuts in itertools.product([0, 1], repeat=n - 1):
+            pieces, start = [], 0
+            for i, cut in enumerate(cuts, 1):
+                if cut:
+                    pieces.append(w[start:i])
+                    start = i
+            pieces.append(w[start:])
+            yield pieces
+
+    floor = min(lp.values()) - 1_000_000
+
+    def score(pieces):
+        s = 0
+        for p in pieces:
+            v = lp.get(p)
+            if v is None:
+                if len(p) > 1:
+                    return None  # unseen multi-char: not a legal path
+                v = floor
+            s += v
+        return s
+
+    from market_data_ingestion_scraper_spark.operators.unigram_lm import (
+        viterbi_pieces,
+    )
+
+    for w in ["abc", "abca", "aabbcc", "cabcab", "zabz", "a", "zz"]:
+        got = viterbi_pieces(w, lp, 3)
+        assert "".join(got) == w
+        got_score = score(got)
+        legal = [
+            (p, score(p)) for p in all_segmentations(w) if score(p) is not None
+        ]
+        best = max(s for _, s in legal)
+        assert got_score == best, (w, got, got_score, best)
+        # tie-breaks: among max-score segmentations, fewest pieces; among
+        # those, the longest final piece
+        tied = [p for p, s in legal if s == best]
+        min_len = min(len(p) for p in tied)
+        assert len(got) == min_len, (w, got, tied)
+        finalists = [p for p in tied if len(p) == min_len]
+        assert len(got[-1]) == max(len(p[-1]) for p in finalists), (w, got)
