@@ -5025,6 +5025,7 @@ def _ulm_reference_encoded_vocab(sf_dir: str) -> list[tuple[str, int]]:
         ") GROUP BY w ORDER BY n DESC, w ASC"
     ).fetchall()
     con.close()
+    assert len(vocab) < 100_000  # the Spark side's max_vocab cap is inert
 
     def lp_table(cnt: dict) -> dict:
         tot = sum(cnt.values())
