@@ -572,3 +572,15 @@ def test_perplexity_buckets_window_over_histogram(spark):
     assert txt.count("Window") >= 1, txt
     head = txt[: txt.index("Window")]
     assert "HashAggregate" in head, txt  # aggregate feeds the window
+
+
+def test_unigram_lm_pieces_vocab_bounded_python(spark):
+    # the only Python stage is the Arrow encode over DISTINCT words
+    # (one ArrowEvalPython/MapInPandas over a deduplicated input); the
+    # occurrence table joins relationally — no cartesian, no per-row UDF
+    n_shuffle, n_bcast, txt = _shuffle_count(spark, "unigram_lm_pieces")
+    assert "CartesianProduct" not in txt, txt
+    assert txt.count("MapInPandas") == 1, txt
+    # dedup before Python: an aggregate (distinct) must appear BELOW the
+    # MapInPandas operator in the plan tree (later in explain text)
+    assert "HashAggregate" in txt[txt.index("MapInPandas"):], txt
