@@ -5169,79 +5169,15 @@ def q_unigram_lm_pieces(spark: SparkSession, sf: str) -> DataFrame:
 # queries, and finally entries whose evidence already exists elsewhere
 # (rows-only demos pinned by pytest, long-stable double-green rows).
 GATE_PRIORITY: tuple[str, ...] = (
-    # r11 rotation (executes the hard commitment recorded here at r10):
-    # the 50 queries last checked green at r09 parked in GATE_DEFERRED
-    # through r10 and hit the 2-round staleness limit this round — the
+    # r12 rotation (executes the hard commitment recorded here at r11):
+    # the 50 queries last checked green at r10 parked in GATE_DEFERRED
+    # through r11 and hit the 2-round staleness limit this round — the
     # entire list rotates back into the snapshot window.  This includes
-    # `dsir_select` and `mixture_budget_fill` (registered r10) taking
-    # their FIRST gate rows; their SQL twins were verified green at
-    # registration and both are pinned against independent Python twins
-    # meanwhile (test_importance.py, test_mixing_decontam.py).  Three
-    # r11-new queries take the slots freed by the r11 retirements
-    # (gopher_quality_rules, dedup_content_hash, validate_documents —
-    # rationale in GATE_RETIRED) and get their first gate rows
-    # immediately.
-    "trigram_backoff_quality",
-    "hard_negative_mining",
-    "perplexity_buckets",
-    "dsir_select",
-    "mixture_budget_fill",
-    "bloom_dedup_filter",
-    "kmeans_refine_step",
-    "corpus_snapshot_diff",
-    "quality_classifier_scores",
-    "temperature_mixture",
-    "bm25_ranking",
-    "shipping_lead_time",
-    "top3_parts_per_brand",
-    "revenue_rank_tiers",
-    "cumulative_monthly_volume",
-    "daily_price_delta",
-    "indexed_commodity_groups",
-    "union_day_slices",
-    "link_text_filter",
-    "commodity_lookup",
-    "brands_never_shipped_1998",
-    "grouped_pandas_price_stats",
-    "approx_profile",
-    "boilerplate_grams",
-    "label_centroids",
-    "top5_commodities",
-    "revenue_by_region",
-    "pii_scrub",
-    "doc_fingerprints",
-    "uniform_hash_sample",
-    "ngram_jaccard_near_dups",
-    "near_dup_clusters",
-    "jaccard_ssjoin_near_dups",
-    "simhash_near_dups",
-    "ivfpq_topk_adc",
-    "salted_qty_by_flag",
-    "quality_funnel",
-    "multimodal_features",
-    "video_frame_sample",
-    "source_language_mix",
-    "semdedup_drop",
-    "cross_doc_gram_overlap",
-    "minhash_est_calibration",
-    "ann_recall_eval",
-    "ivf_recall_eval",
-    "dedup_rate_by_source",
-    "token_count_histogram",
-    "embedding_norm_outliers",
-    "image_near_dups",
-    "duplicated_span_stats",
-)
-
-# The queries checked green at r10 park outside the snapshot window
-# this round; they hit the 2-round staleness limit at r12, so the r12
-# rotation MUST move this entire list into GATE_PRIORITY (and park the
-# r11-green window here).  With 100 exported queries and a 50-row
-# snapshot the cycle is exactly two rounds — sustainable indefinitely.
-# Queries newly registered at r11 join the head of this window (the
-# dsir_select precedent): their SQL twins are verified green at
-# registration time and they take their first driver gate rows at r12.
-GATE_DEFERRED: tuple[str, ...] = (
+    # `unigram_lm_pieces` (X24) and `weighted_reservoir_sample` (X23),
+    # registered r11, taking their FIRST driver gate rows; their SQL
+    # twins were verified green at registration and both are pinned
+    # against independent Python reference differentials meanwhile
+    # (test_unigram_lm.py, test_sampling.py).
     "unigram_lm_pieces",
     "weighted_reservoir_sample",
     "bipartite_pagerank",
@@ -5292,6 +5228,68 @@ GATE_DEFERRED: tuple[str, ...] = (
     "cube_revenue",
     "quantity_percentiles",
     "top_part_per_brand_maxby",
+)
+
+# The queries checked green at r11 park outside the snapshot window
+# this round; they hit the 2-round staleness limit at r13, so the r13
+# rotation MUST move this entire list into GATE_PRIORITY (and park the
+# r12-green window here).  With 100 exported queries and a 50-row
+# snapshot the cycle is exactly two rounds — sustainable indefinitely.
+# Queries newly registered at r12 join the head of this window (the
+# dsir_select / unigram_lm_pieces precedent): their SQL twins are
+# verified green at registration time and they take their first driver
+# gate rows at r13.
+GATE_DEFERRED: tuple[str, ...] = (
+    "trigram_backoff_quality",
+    "hard_negative_mining",
+    "perplexity_buckets",
+    "dsir_select",
+    "mixture_budget_fill",
+    "bloom_dedup_filter",
+    "kmeans_refine_step",
+    "corpus_snapshot_diff",
+    "quality_classifier_scores",
+    "temperature_mixture",
+    "bm25_ranking",
+    "shipping_lead_time",
+    "top3_parts_per_brand",
+    "revenue_rank_tiers",
+    "cumulative_monthly_volume",
+    "daily_price_delta",
+    "indexed_commodity_groups",
+    "union_day_slices",
+    "link_text_filter",
+    "commodity_lookup",
+    "brands_never_shipped_1998",
+    "grouped_pandas_price_stats",
+    "approx_profile",
+    "boilerplate_grams",
+    "label_centroids",
+    "top5_commodities",
+    "revenue_by_region",
+    "pii_scrub",
+    "doc_fingerprints",
+    "uniform_hash_sample",
+    "ngram_jaccard_near_dups",
+    "near_dup_clusters",
+    "jaccard_ssjoin_near_dups",
+    "simhash_near_dups",
+    "ivfpq_topk_adc",
+    "salted_qty_by_flag",
+    "quality_funnel",
+    "multimodal_features",
+    "video_frame_sample",
+    "source_language_mix",
+    "semdedup_drop",
+    "cross_doc_gram_overlap",
+    "minhash_est_calibration",
+    "ann_recall_eval",
+    "ivf_recall_eval",
+    "dedup_rate_by_source",
+    "token_count_histogram",
+    "embedding_norm_outliers",
+    "image_near_dups",
+    "duplicated_span_stats",
 )
 
 # Retired from the GATE EXPORT only (r8, on the r7 verdict's advice): each
@@ -5407,6 +5405,43 @@ GATE_RETIRED: tuple[str, ...] = (
 )
 
 
+# Retirement ledger: name -> (round retired from the gate export, latest
+# round with a green driver gate row at retirement time).  The r11 verdict
+# ("What's wrong #3") asked that retirement discipline be retire-on-green:
+# a query retired at round N must have been green at N or N-1, so the
+# carrier-containment argument is made against fresh evidence, not stale
+# rows.  `_check_gate_lists` enforces that rule for every retirement from
+# r12 onward; pre-r12 entries are recorded faithfully (several were
+# retired on older evidence — the judge reviewed and accepted each
+# carrier rationale, so they are grandfathered, not rewritten).
+_RETIRE_ON_GREEN_SINCE = 12
+GATE_RETIREMENT_LEDGER: dict[str, tuple[int, int]] = {
+    "html_table_scan_datasource": (8, 6),
+    "dedup_survivors": (8, 6),
+    "token_counts": (8, 6),
+    "dup_paragraph_docs": (8, 6),
+    "embedding_norms": (8, 7),
+    "cosine_topk_bruteforce": (9, 7),
+    "dedup_exact_groups": (9, 7),
+    "doc_length_histogram": (9, 7),
+    "minhash_lsh_candidates": (9, 7),
+    "per_doc_term_counts": (9, 7),
+    "term_frequencies": (9, 7),
+    "rollup_revenue": (9, 6),
+    "lsh_topk_ann": (10, 6),
+    "repeat_vs_lapsed_custs": (10, 6),
+    "centroid_assign": (10, 6),
+    "ivf_topk_ann": (10, 6),
+    "source_mix": (10, 9),
+    "pack_efficiency": (10, 9),
+    "unigram_logprob_quality": (11, 10),
+    "language_id": (11, 10),
+    "gopher_quality_rules": (11, 9),
+    "dedup_content_hash": (11, 9),
+    "validate_documents": (11, 9),
+}
+
+
 def _check_gate_lists() -> None:
     """Import-time structural guard (r6 review): the gate lists (plus the
     retired list) must PARTITION the registry exactly.  A typo'd or
@@ -5430,6 +5465,27 @@ def _check_gate_lists() -> None:
         raise KeyError(
             f"registered queries missing from the gate lists: {sorted(unlisted)}"
         )
+    # Retire-on-green (r11 verdict #3): every retired query must appear in
+    # the ledger, and any retirement from r12 onward must cite a green gate
+    # row from the retirement round or the round before it.
+    unledgered = retired - set(GATE_RETIREMENT_LEDGER)
+    if unledgered:
+        raise KeyError(
+            f"GATE_RETIRED entries missing from GATE_RETIREMENT_LEDGER: "
+            f"{sorted(unledgered)}"
+        )
+    phantom = set(GATE_RETIREMENT_LEDGER) - retired
+    if phantom:
+        raise KeyError(
+            f"GATE_RETIREMENT_LEDGER entries not in GATE_RETIRED: {sorted(phantom)}"
+        )
+    for name, (retired_round, last_green) in GATE_RETIREMENT_LEDGER.items():
+        if retired_round >= _RETIRE_ON_GREEN_SINCE and last_green < retired_round - 1:
+            raise ValueError(
+                f"stale retirement: {name!r} retired at r{retired_round} with "
+                f"latest green row r{last_green}; retire-on-green requires "
+                f"r{retired_round - 1} or newer"
+            )
 
 
 def _gate_order() -> list[str]:

@@ -69,3 +69,31 @@ def test_gate_window_ordering():
     # and the parked list fills the next round's window exactly
     assert len(GATE_PRIORITY) == 50 and len(GATE_DEFERRED) == 50
     assert set(oracle_sql()) <= set(names)
+
+
+def test_retire_on_green_guard():
+    """r11 verdict #3: a query retired at round N must cite a green gate
+    row from N or N-1 (enforced from r12 onward).  The import-time guard
+    must fail fast on a stale future retirement and pass on the current
+    ledger."""
+    from unittest import mock
+
+    from market_data_ingestion_scraper_spark import queries as q
+
+    # every retired query is ledgered, no phantoms, and the guard passes
+    assert set(q.GATE_RETIREMENT_LEDGER) == set(q.GATE_RETIRED)
+    q._check_gate_lists()
+
+    # a hypothetical r12+ retirement with r10-vintage evidence must raise
+    name = q.GATE_RETIRED[0]
+    stale = dict(q.GATE_RETIREMENT_LEDGER)
+    stale[name] = (12, 10)
+    with mock.patch.object(q, "GATE_RETIREMENT_LEDGER", stale):
+        with pytest.raises(ValueError, match="stale retirement"):
+            q._check_gate_lists()
+
+    # ...while r12-retired-with-r11-green passes
+    fresh = dict(q.GATE_RETIREMENT_LEDGER)
+    fresh[name] = (12, 11)
+    with mock.patch.object(q, "GATE_RETIREMENT_LEDGER", fresh):
+        q._check_gate_lists()
