@@ -37,23 +37,27 @@ INDEX_BACKED: set[str] = {"lsh_topk_ann", "ann_recall_eval"}
 
 def _wait_for_quiet_box() -> list[float]:
     """Round-over-round comparability gate (r7 review: BENCH_r07 was
-    recorded at load avg 7.4 and read as a phantom 1.12x regression):
-    refuse to start timing while the 1-min load average exceeds the
-    threshold, retrying for up to SPARK_GRAFT_LOAD_WAIT seconds.  If the
-    box never quiets down, proceed anyway — a late number beats no
-    number — but the recorded load_avg_start makes the contamination
-    visible to the reader."""
+    recorded at load avg 7.4 and read as a phantom 1.12x regression; r11
+    review: a run passing at 1-min 1.88 but 5-min 3.24 read as a phantom
+    1.21x — recently-finished work still steals cache/IO even when the
+    instantaneous load has decayed): refuse to start timing while EITHER
+    the 1-min or the 5-min load average exceeds the threshold, retrying
+    for up to SPARK_GRAFT_LOAD_WAIT seconds.  If the box never quiets
+    down, proceed anyway — a late number beats no number — but the
+    recorded load_avg_start makes the contamination visible to the
+    reader."""
     threshold = float(os.environ.get("SPARK_GRAFT_LOAD_MAX", "2.0"))
     deadline = time.monotonic() + float(
         os.environ.get("SPARK_GRAFT_LOAD_WAIT", "600")
     )
     while True:
         load = os.getloadavg()
-        if load[0] <= threshold or time.monotonic() >= deadline:
+        if max(load[0], load[1]) <= threshold or time.monotonic() >= deadline:
             return list(load)
         print(
-            f"load avg {load} > {threshold}: waiting for a quiet box "
-            "(SPARK_GRAFT_LOAD_MAX / SPARK_GRAFT_LOAD_WAIT to override)",
+            f"load avg {load} > {threshold} (1- AND 5-min gated): waiting "
+            "for a quiet box (SPARK_GRAFT_LOAD_MAX / SPARK_GRAFT_LOAD_WAIT "
+            "to override)",
             file=sys.stderr,
             flush=True,
         )

@@ -172,6 +172,54 @@ def main(argv: list[str] | None = None) -> int:
                     "(the streaming-admission plan) instead of the "
                     "count-table joins")
 
+    sc2 = sub.add_parser(
+        "sample-corpus",
+        help="deterministic weighted sample (Efraimidis-Spirakis A-ES "
+        "exponential keys, without replacement) over a documents parquet; "
+        "writes the sampled documents — same (data, seed) always draws "
+        "the same sample on any cluster",
+    )
+    sc2.add_argument("--documents", required=True,
+                     help="parquet with (doc_id, text) columns")
+    sc2.add_argument("--out", required=True,
+                     help="output parquet of sampled documents")
+    sc2.add_argument("--n", type=int, required=True,
+                     help="sample size")
+    sc2.add_argument("--weight", default="chars",
+                     help="'chars' (length(text)), 'tokens' (word count), "
+                     "or the name of an existing numeric column")
+    sc2.add_argument("--seed", default="wrs-v1",
+                     help="sampling salt; changing it draws an "
+                     "independent sample")
+    sc2.add_argument("--key-col", default="doc_id")
+
+    tk = sub.add_parser(
+        "tokenizer",
+        help="learned subword tokenizer lifecycle (bpe or unigram-lm): "
+        "fit persists the kind-validated JSON artifact, encode scores a "
+        "documents parquet with per-doc piece accounting",
+    )
+    tk.add_argument("--action", choices=("fit", "encode"), required=True)
+    tk.add_argument("--kind", choices=("bpe", "unigram"), default=None,
+                    help="required for fit; on encode the artifact is "
+                    "authoritative and a mismatching --kind errors")
+    tk.add_argument("--documents", required=True,
+                    help="documents parquet with (doc_id, text) columns")
+    tk.add_argument("--model", required=True,
+                    help="tokenizer artifact path (written by fit)")
+    tk.add_argument("--out", default=None,
+                    help="output parquet of per-doc piece stats (encode)")
+    tk.add_argument("--n-merges", type=int, default=100,
+                    help="BPE merge count (fit, kind=bpe)")
+    tk.add_argument("--vocab-size", type=int, default=200,
+                    help="unigram piece vocabulary (fit, kind=unigram)")
+    tk.add_argument("--max-piece-len", type=int, default=4,
+                    help="unigram max piece length (fit, kind=unigram)")
+    tk.add_argument("--em-rounds", type=int, default=2,
+                    help="unigram hard-EM rounds (fit, kind=unigram)")
+    tk.add_argument("--max-vocab", type=int, default=100_000,
+                    help="word-table cap consumed by either trainer")
+
     ic = sub.add_parser(
         "index-compact",
         help="fold an append-grown index's small files into one per "
@@ -491,6 +539,110 @@ def main(argv: list[str] | None = None) -> int:
         out.write.mode("overwrite").parquet(args.out)
         n = spark.read.parquet(args.out).count()
         print(f"action={args.action} rows={n} out={args.out}")
+        return 0
+
+    if args.cmd == "sample-corpus":
+        from pyspark.sql import functions as F
+
+        from .operators.sampling import weighted_reservoir_sample
+        from .operators.text import tokens
+
+        docs = spark.read.parquet(args.documents)
+        # weight resolution: derived measures for the common cases, else
+        # an existing numeric column by name
+        if args.weight == "chars":
+            weighted = docs.withColumn("_w", F.length("text"))
+        elif args.weight == "tokens":
+            weighted = docs.withColumn("_w", F.size(tokens("text")))
+        elif args.weight in docs.columns:
+            weighted = docs.withColumn("_w", F.col(args.weight))
+        else:
+            print(
+                f"--weight {args.weight!r} is not a derived measure "
+                "(chars/tokens) or an existing column",
+                file=sys.stderr,
+            )
+            return 2
+        sel = weighted_reservoir_sample(
+            weighted, args.n, weight_col="_w", key_col=args.key_col,
+            seed=args.seed,
+        )
+        # join back for the full rows; the n-row selection broadcasts
+        from pyspark.sql.functions import broadcast as F_broadcast
+
+        out = docs.join(
+            F_broadcast(sel.select(args.key_col, "weight")), args.key_col
+        )
+        out.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+        print(f"method=aes n={n} weight={args.weight} seed={args.seed} "
+              f"out={args.out}")
+        return 0
+
+    if args.cmd == "tokenizer":
+        from .operators.tokenizers import load_tokenizer, save_tokenizer
+        from .util import require_local_path
+
+        docs = spark.read.parquet(args.documents)
+        if args.action == "fit":
+            if args.kind is None:
+                print("--kind is required for fit", file=sys.stderr)
+                return 2
+            require_local_path(args.model)
+            if args.kind == "bpe":
+                from .operators.bpe import fit_bpe_merges
+
+                merges = fit_bpe_merges(
+                    docs, n_merges=args.n_merges, max_vocab=args.max_vocab
+                )
+                artifact = {"kind": "bpe", "merges": merges}
+                size = len(merges)
+                meta = {"n_merges": args.n_merges, "max_vocab": args.max_vocab}
+            else:
+                from .operators.unigram_lm import fit_unigram_lm
+
+                lp = fit_unigram_lm(
+                    docs,
+                    vocab_size=args.vocab_size,
+                    max_piece_len=args.max_piece_len,
+                    em_rounds=args.em_rounds,
+                    max_vocab=args.max_vocab,
+                )
+                artifact = {"kind": "unigram", "lp_micro": lp}
+                size = len(lp)
+                meta = {
+                    "vocab_size": args.vocab_size,
+                    "max_piece_len": args.max_piece_len,
+                    "em_rounds": args.em_rounds,
+                    "max_vocab": args.max_vocab,
+                }
+            save_tokenizer(artifact, args.model, meta=meta)
+            print(f"kind={args.kind} vocab={size} model={args.model}")
+            return 0
+        # encode: the artifact names the kind; --kind only cross-checks
+        if not args.out:
+            print("--out is required for encode", file=sys.stderr)
+            return 2
+        artifact = load_tokenizer(args.model)
+        if args.kind is not None and args.kind != artifact["kind"]:
+            print(
+                f"artifact is kind={artifact['kind']!r}, not {args.kind!r}",
+                file=sys.stderr,
+            )
+            return 2
+        if artifact["kind"] == "bpe":
+            from .operators.bpe import bpe_token_stats
+
+            stats = bpe_token_stats(docs, artifact["merges"])
+        else:
+            from .operators.unigram_lm import unigram_token_stats
+
+            stats = unigram_token_stats(docs, artifact["lp_micro"])
+        out = docs.join(stats, "doc_id")
+        out.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+        print(f"action=encode kind={artifact['kind']} rows={n} "
+              f"out={args.out}")
         return 0
 
     if args.cmd == "index-compact":

@@ -1,4 +1,5 @@
 from .scalar import (
+    bounded_window,
     exact_avg,
     exact_sum,
     is_summary_row,
@@ -6,4 +7,11 @@ from .scalar import (
     sanitize_name,
 )
 
-__all__ = ["exact_avg", "exact_sum", "is_summary_row", "revenue", "sanitize_name"]
+__all__ = [
+    "bounded_window",
+    "exact_avg",
+    "exact_sum",
+    "is_summary_row",
+    "revenue",
+    "sanitize_name",
+]

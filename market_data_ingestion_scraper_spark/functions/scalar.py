@@ -6,8 +6,34 @@ whole-stage-codegen'd, no Python in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, Window, WindowSpec
 from pyspark.sql import functions as F
+
+
+def bounded_window(anchor: Column | str, *order_cols: Column | str) -> WindowSpec:
+    """Single-partition window for PROVABLY BOUNDED post-aggregation grains
+    (dimension enumerations, per-source/per-bucket share denominators,
+    calendar-grain lag frames — dozens to thousands of rows at ANY corpus
+    size, never fact-table cardinality).
+
+    Partitions by a constant-0 key derived from ``anchor`` (any column of
+    the frame) instead of an empty spec: the physical plan is the same
+    single-partition exchange either way, but Spark's ``WindowExec: No
+    Partition Defined`` WARN — which exists to flag ACCIDENTAL global
+    windows over unbounded data — no longer fires, so the bench/driver
+    logs only warn where a warning is meaningful.  The key must be
+    derived from a column because Catalyst folds literal partition keys
+    back to the empty spec, and must resist simplification for
+    NON-NULLABLE anchors too (``anchor * 0`` folds once nullability is
+    known): ``pmod(_, 1)`` is always 0 but has no rewrite rule, and the
+    ``coalesce`` pins NULL anchors into the same single group.  Every
+    call site must state why its input grain is bounded; if a grain ever
+    becomes data-sized, restructure (two-phase numbering, aggregate+join)
+    instead of widening this."""
+    a = F.col(anchor) if isinstance(anchor, str) else anchor
+    key = F.pmod(F.coalesce(F.length(a.cast("string")), F.lit(0)), F.lit(1))
+    w = Window.partitionBy(key)
+    return w.orderBy(*order_cols) if order_cols else w
 
 
 def sanitize_name(c: Column | str) -> Column:

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import exact_sum, is_summary_row, revenue
+from ..functions import bounded_window, exact_sum, is_summary_row, revenue
 
 
 def top_commodities(lineitem: DataFrame, part: DataFrame, k: int = 5) -> DataFrame:
@@ -143,13 +143,12 @@ def indexed_dimension(df: DataFrame, col: str, alias: str = "commodity_group") -
     ``div_link_handler.py:477-497``): distinct values, deterministically
     ordered, with a 1-based index — the `<select>` option list as a table.
 
-    The unpartitioned window serializes one task, which is safe ONLY
-    because its input is post-DISTINCT dimension values (dozens of rows —
-    the reference's dropdown options).  Never apply this to a fact-table
-    cardinality; if the dimension ever explodes, switch to
-    zipWithIndex-style two-phase numbering (per-partition counts + offset
-    join) which stays parallel."""
-    w = Window.orderBy(alias)
+    The single-partition window is safe ONLY because its input is
+    post-DISTINCT dimension values (dozens of rows — the reference's
+    dropdown options).  Never apply this to a fact-table cardinality; if
+    the dimension ever explodes, switch to zipWithIndex-style two-phase
+    numbering (per-partition counts + offset join) which stays parallel."""
+    w = bounded_window(alias, alias)
     return (
         df.select(F.col(col).alias(alias))
         .distinct()
@@ -196,7 +195,7 @@ def cumulative_monthly_volume(lineitem: DataFrame, part: DataFrame) -> DataFrame
 def daily_price_delta(lineitem: DataFrame) -> DataFrame:
     """Day-over-day average-price delta via lag (§2.8).
 
-    The lag window is unpartitioned but runs over POST-AGGREGATION rows —
+    The lag window runs single-partition but over POST-AGGREGATION rows —
     one per day, bounded by the calendar (~2.5k rows for 7 years of TPC-H
     dates), not by fact volume, so the single task is a few KB at any data
     scale.  If the grain ever became (day, key), partition the window by
@@ -205,7 +204,7 @@ def daily_price_delta(lineitem: DataFrame) -> DataFrame:
     daily = lineitem.groupBy(
         F.date_trunc("day", "l_shipdate").cast("date").alias("day")
     ).agg(F.round(sum_price / F.count(F.lit(1)), 6).alias("avg_price"))
-    w = Window.orderBy("day")
+    w = bounded_window("day", "day")
     return daily.withColumn(
         "delta", F.round(F.col("avg_price") - F.lag("avg_price").over(w), 6)
     )

@@ -138,11 +138,12 @@ def pagerank(
 def top_ranked(ranks: DataFrame, k: int = 20) -> DataFrame:
     """(node, rank_m, rnk): global top-k by rank (ties → lower node id)
     via TakeOrderedAndProject, then ranked under a constant partition
-    key over the k survivors."""
-    from pyspark.sql.window import Window
+    key over the k survivors (bounded_window — a literal key would fold
+    back to the empty spec)."""
+    from ..functions import bounded_window
 
     topk = ranks.orderBy(F.desc("rank_m"), F.asc("node")).limit(k)
-    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("rank_m"), F.asc("node"))
+    w = bounded_window("node", F.desc("rank_m"), F.asc("node"))
     return topk.withColumn(
         "rnk", F.row_number().over(w).cast("int")
     ).select("node", "rank_m", "rnk")

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions import bounded_window
 from .text import tokens
 
 
@@ -42,7 +43,7 @@ def source_mix(documents: DataFrame, source_col: str = "source") -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(tokens("text"))).alias("n_tokens"),
     )
-    w = Window.partitionBy()
+    w = bounded_window(source_col)
     totals = per_source.select(
         source_col,
         "n_docs",
@@ -102,7 +103,7 @@ def temperature_mixture(
         "token_share",
         F.round(F.col("_scaled") * 1e6).cast("long").alias("_sm"),
     )
-    w = Window.partitionBy()
+    w = bounded_window(source_col)
     t = scaled.select(
         source_col,
         "n_tokens",

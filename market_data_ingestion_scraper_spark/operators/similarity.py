@@ -123,6 +123,7 @@ def hard_negative_mining(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    max_anchors: int | None = 10_000,
 ) -> DataFrame:
     """X22 triplet hard-negative mining for contrastive/embedding training
     (the miner behind triplet losses — Schroff et al. 2015 FaceNet
@@ -133,12 +134,23 @@ def hard_negative_mining(
     violation, the rows a trainer actually wants in the batch.
 
     Anchors are a deterministic modulus subset (mining runs per
-    batch/epoch over a bounded anchor set, never all-pairs).  Scale shape
-    mirrors :func:`brute_force_topk`: the anchor set broadcasts, the
-    corpus side streams through one scan, and per-anchor ranking is a
-    window keyed by query_id.  For corpus-wide mining swap the candidate
-    generator for the LSH-bucketed :func:`embedding_near_duplicates`
-    machinery — the scoring/margin stages here are unchanged.
+    batch/epoch over a bounded anchor set, never all-pairs), then capped
+    ABSOLUTELY at ``max_anchors``: the modulus subset alone grows
+    linearly with the corpus (corpus/25 at the default — far past any
+    broadcast threshold at 100 TB), so the broadcast side must be bounded
+    by a constant, not a rate.  The cap keeps the ``max_anchors`` anchors
+    with the lexicographically-lowest ``md5(salt ∥ id)`` digests (the
+    `uniform_hash_sample` idiom — a deterministic pseudo-random draw,
+    engine-portable, no RNG state), compiled by Spark to
+    TakeOrderedAndProject: per-partition heaps of ``max_anchors`` rows,
+    never a full sort.  At the default cap the broadcast is ≤10 k × dim
+    doubles (~5 MB at dim=64) regardless of corpus size; ``None``
+    disables the cap for bounded inputs.  Scale shape otherwise mirrors
+    :func:`brute_force_topk`: the anchor set broadcasts, the corpus side
+    streams through one scan, and per-anchor ranking is a window keyed by
+    query_id.  For corpus-wide mining swap the candidate generator for
+    the LSH-bucketed :func:`embedding_near_duplicates` machinery — the
+    scoring/margin stages here are unchanged.
 
     Anchors with no same-label sibling in the corpus report a null
     ``pos_cos``/``margin`` (LEFT join — the negatives are still valid)."""
@@ -154,6 +166,18 @@ def hard_negative_mining(
         )
 
     anchors = embeddings.filter(F.pmod(F.col(id_col), F.lit(anchor_mod)) == 0)
+    if max_anchors is not None:
+        digest = F.md5(
+            F.concat(F.lit("hard-neg-anchors-v1"), F.col(id_col).cast("string")).cast(
+                "binary"
+            )
+        )
+        anchors = (
+            anchors.withColumn("_adigest", digest)
+            .orderBy("_adigest", id_col)
+            .limit(max_anchors)
+            .drop("_adigest")
+        )
     scored = (
         _side(corpus, "neighbor_id", "n")
         .crossJoin(F.broadcast(_side(anchors, "query_id", "q")))

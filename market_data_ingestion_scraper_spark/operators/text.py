@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions import bounded_window
+
 # Modulus for rolling hashes: largest 31-bit prime.  Keeps every
 # intermediate product < 2^63 so ANSI-mode arithmetic cannot overflow.
 HASH_P = 2_147_483_647
@@ -545,10 +547,10 @@ def bigram_merge_candidates(
         .filter(F.col("n") >= min_count)
     )
     topk = counted.orderBy(F.desc("n"), F.asc("pair")).limit(k)
-    # rank over the k surviving rows only (constant partition key: the
-    # input is k rows by construction, and an empty partition spec would
-    # be a WindowExec warning + a scale trap if k ever grew)
-    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("n"), F.asc("pair"))
+    # rank over the k surviving rows only — bounded by construction
+    # (a literal lit(0) key folds back to the empty spec; see
+    # functions.bounded_window)
+    w = bounded_window("pair", F.desc("n"), F.asc("pair"))
     return topk.withColumn("rnk", F.row_number().over(w).cast("int"))
 
 
@@ -1233,7 +1235,7 @@ def zipf_profile(documents: DataFrame, top_n: int = 100) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     topk = counted.orderBy(F.desc("n"), F.asc("term")).limit(top_n)
-    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("n"), F.asc("term"))
+    w = bounded_window("term", F.desc("n"), F.asc("term"))
     ranked = topk.withColumn("rank", F.row_number().over(w).cast("long"))
     return ranked.select(
         "term",
@@ -1266,7 +1268,7 @@ def length_histogram(documents: DataFrame, text_col: str = "text") -> DataFrame:
         F.min(F.length(text_col)).alias("min_chars"),
         F.max(F.length(text_col)).alias("max_chars"),
     )
-    total = Window.partitionBy()
+    total = bounded_window("len_bucket")
     return grouped.select(
         "len_bucket",
         "n_docs",
@@ -1312,7 +1314,7 @@ def token_count_histogram(documents: DataFrame, text_col: str = "text") -> DataF
         F.min(F.size(tokens(text_col))).alias("min_tokens"),
         F.max(F.size(tokens(text_col))).alias("max_tokens"),
     )
-    total = Window.partitionBy()
+    total = bounded_window("tok_bucket")
     return grouped.select(
         "tok_bucket",
         "n_docs",

@@ -382,3 +382,108 @@ def test_cli_lm_model_fit_score_filter(tmp_path, spark):
     assert r.returncode == 0, r.stderr[-2000:]
     kept_lit = spark.read.parquet(lout).count()
     assert 0 < kept_lit < n_docs
+
+
+def test_cli_sample_corpus_aes(tmp_path, spark):
+    """sample-corpus: deterministic A-ES draw — fixed n, reproducible
+    across runs, seed-sensitive, and the selection matches the library
+    operator exactly (the CLI is a thin join-back shell)."""
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    out1 = str(tmp_path / "s1")
+    r = _run("sample-corpus", "--documents", docs, "--out", out1,
+             "--n", "12", "--weight", "chars", "--seed", "cli-a")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "method=aes n=12" in r.stdout
+    s1 = spark.read.parquet(out1)
+    assert s1.count() == 12 and "weight" in s1.columns
+
+    # rerun with the same seed: identical selection
+    out2 = str(tmp_path / "s2")
+    r = _run("sample-corpus", "--documents", docs, "--out", out2,
+             "--n", "12", "--weight", "chars", "--seed", "cli-a")
+    assert r.returncode == 0, r.stderr[-2000:]
+    ids = lambda p: {x["doc_id"] for x in
+                     spark.read.parquet(p).select("doc_id").collect()}
+    assert ids(out1) == ids(out2)
+
+    # library parity: the CLI draw IS weighted_reservoir_sample
+    from pyspark.sql import functions as F
+
+    from market_data_ingestion_scraper_spark.operators.sampling import (
+        weighted_reservoir_sample,
+    )
+
+    lib = weighted_reservoir_sample(
+        spark.read.parquet(docs).withColumn("_w", F.length("text")),
+        12, weight_col="_w", key_col="doc_id", seed="cli-a",
+    )
+    assert ids(out1) == {x["doc_id"] for x in lib.select("doc_id").collect()}
+
+    # different seed draws a different sample; bad weight exits 2
+    out3 = str(tmp_path / "s3")
+    r = _run("sample-corpus", "--documents", docs, "--out", out3,
+             "--n", "12", "--weight", "chars", "--seed", "cli-b")
+    assert r.returncode == 0 and ids(out3) != ids(out1)
+    r = _run("sample-corpus", "--documents", docs,
+             "--out", str(tmp_path / "x"), "--n", "5",
+             "--weight", "no_such_col")
+    assert r.returncode == 2 and "not a derived measure" in r.stderr
+
+
+def test_cli_tokenizer_fit_encode_both_kinds(tmp_path, spark):
+    """tokenizer: fit persists a kind-validated artifact, encode derives
+    everything from it, and per-doc stats match the library operators."""
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    n_docs = spark.read.parquet(docs).count()
+
+    for kind, fit_args in (
+        ("bpe", ["--n-merges", "40"]),
+        ("unigram", ["--vocab-size", "80", "--em-rounds", "1"]),
+    ):
+        model = str(tmp_path / f"{kind}.json")
+        r = _run("tokenizer", "--action", "fit", "--kind", kind,
+                 "--documents", docs, "--model", model, *fit_args)
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert f"kind={kind} vocab=" in r.stdout
+
+        out = str(tmp_path / f"{kind}_enc")
+        r = _run("tokenizer", "--action", "encode", "--documents", docs,
+                 "--model", model, "--out", out)
+        assert r.returncode == 0, r.stderr[-2000:]
+        enc = spark.read.parquet(out)
+        assert enc.count() == n_docs
+        assert {"n_words", "n_pieces", "pieces_per_word"} <= set(enc.columns)
+        row = enc.orderBy("doc_id").first()
+        assert row["n_pieces"] >= row["n_words"] > 0
+
+    # artifact parity: the persisted unigram stats equal the in-memory fit
+    from market_data_ingestion_scraper_spark.operators.tokenizers import (
+        load_tokenizer,
+    )
+    from market_data_ingestion_scraper_spark.operators.unigram_lm import (
+        fit_unigram_lm,
+        unigram_token_stats,
+    )
+
+    art = load_tokenizer(str(tmp_path / "unigram.json"))
+    direct = fit_unigram_lm(
+        spark.read.parquet(docs), vocab_size=80, em_rounds=1
+    )
+    assert art["lp_micro"] == direct
+    lib = unigram_token_stats(spark.read.parquet(docs), direct)
+    cli = spark.read.parquet(str(tmp_path / "unigram_enc")).select(
+        "doc_id", "n_words", "n_pieces", "pieces_per_word"
+    )
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(cli) == key(lib)
+
+    # kind cross-check: encoding a unigram artifact as --kind bpe exits 2
+    r = _run("tokenizer", "--action", "encode", "--kind", "bpe",
+             "--documents", docs, "--model", str(tmp_path / "unigram.json"),
+             "--out", str(tmp_path / "x"))
+    assert r.returncode == 2 and "kind='unigram'" in r.stderr
+
+    # fit without --kind exits 2
+    r = _run("tokenizer", "--action", "fit", "--documents", docs,
+             "--model", str(tmp_path / "y.json"))
+    assert r.returncode == 2 and "--kind is required" in r.stderr

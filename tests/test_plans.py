@@ -584,3 +584,77 @@ def test_unigram_lm_pieces_vocab_bounded_python(spark):
     # dedup before Python: an aggregate (distinct) must appear BELOW the
     # MapInPandas operator in the plan tree (later in explain text)
     assert "HashAggregate" in txt[txt.index("MapInPandas"):], txt
+
+
+def test_bounded_window_survives_optimizer_and_silences_warn(spark):
+    """functions.bounded_window (r11 verdict #4): the constant partition
+    key must survive Catalyst for BOTH nullable and non-nullable anchors
+    (lit(0) keys and `anchor * 0` over non-nullable columns fold back to
+    the empty spec, re-triggering the `No Partition Defined` WARN), and
+    all rows — including NULL anchors — must land in ONE group."""
+    from pyspark.sql import functions as F
+
+    from market_data_ingestion_scraper_spark.functions import bounded_window
+
+    # non-nullable anchor: explode of split produces non-null strings —
+    # the case where multiply-by-zero keys fold away
+    nn = spark.createDataFrame([("a b c",)], "text string").select(
+        F.explode(F.split("text", " ")).alias("term")
+    )
+    out = nn.withColumn(
+        "r", F.row_number().over(bounded_window("term", "term"))
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    win = [l for l in plan.split("\n") if "windowspecdefinition" in l]
+    assert win and "_w0" in win[0], plan  # partition key survived
+    assert [r["r"] for r in out.orderBy("term").collect()] == [1, 2, 3]
+
+    # nullable anchor incl. an actual NULL: single group, shared total
+    nul = spark.createDataFrame([(None, 5), ("a", 1), ("b", 2)], "s string, x int")
+    tot = nul.withColumn("tot", F.sum("x").over(bounded_window("s")))
+    assert {r["tot"] for r in tot.collect()} == {8}
+
+
+def test_registered_queries_emit_no_windowexec_warn(spark):
+    """Every registered query's PHYSICAL plan must have a partition spec
+    on every Window node (r11 verdict #4: the bench stderr was
+    wall-to-wall `WindowExec: No Partition Defined`).  Checking the plan
+    text is equivalent to checking the log line — WindowExec warns
+    exactly when its partitionSpec is empty — and runs without
+    executing."""
+    import re
+
+    from market_data_ingestion_scraper_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    offenders = []
+    for name, spec in REGISTRY.items():
+        plan = spec.fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        # WindowExec prints `Window [funcs], [partSpec], [orderSpec]`,
+        # omitting empty specs: 3 groups = fully specified, 2 groups =
+        # either (funcs, partition) — fine — or (funcs, order) — the
+        # warning case.  Order specs always carry ASC/DESC markers;
+        # partition specs never do.
+        for line in plan.split("\n"):
+            m = re.search(r"\bWindow (\[.*)$", line.strip())
+            if not m:
+                continue
+            depth, groups, cur = 0, [], []
+            for ch in m.group(1):
+                if ch == "[":
+                    if depth == 0:
+                        cur = []
+                    depth += 1
+                elif ch == "]":
+                    depth -= 1
+                    if depth == 0:
+                        groups.append("".join(cur))
+                cur.append(ch)
+            empty_part = len(groups) < 2 or (
+                len(groups) == 2
+                and (" ASC" in groups[1] or " DESC" in groups[1])
+            )
+            if empty_part:
+                offenders.append((name, line.strip()[:120]))
+                break
+    assert not offenders, offenders
