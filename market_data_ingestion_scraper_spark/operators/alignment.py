@@ -1,0 +1,167 @@
+"""Cross-lingual document alignment by margin-scored embedding similarity
+(SURVEY X25) — the bitext/parallel-corpus mining step of a multilingual
+training-data pipeline.
+
+Algorithm: Artetxe & Schwenk 2019, "Margin-based Parallel Corpus Mining
+with Multilingual Sentence Embeddings" (arXiv:1811.01136; public), the
+``ratio`` margin: a candidate pair (x, y) scores
+
+    margin(x, y) = cos(x, y) / ((avgTopK_x + avgTopK_y) / 2)
+
+where ``avgTopK_x`` is the mean cosine of x's k nearest candidates on the
+OTHER side (and symmetrically for y).  Dividing by the neighborhood
+average cancels hubness — vectors that are near everything score high raw
+cosine against everything, and raw-cosine thresholding mines them into
+thousands of false pairs.  An aligned pair is one that is (a) the
+margin-best match of BOTH its endpoints (mutual best) and (b) above the
+margin threshold.
+
+Exactness (the oracle contract): cosines are the house sequential-fold
+double rounded to 6dp, then snapped to int64 MICRO-units, so every
+downstream comparison is integer.  The margin itself is computed with the
+half-up integer-ppm identity on all-integer operands:
+
+    margin_ppm = (2·N + D) DIV (2·D),   N = 1e6 · 2·c·n_x·n_y,
+                                        D = sum_x·n_y + sum_y·n_x
+
+(the algebraic form of 2c / (sum_x/n_x + sum_y/n_y) — micro-units cancel
+between N and D).  Non-positive cosines are excluded up front: they are
+never translation candidates, and keeping every operand strictly positive
+makes integer division identical across engines (truncation == floor).
+
+Scale design (100 TB): the scoring frame is driven by a CANDIDATE pair
+set, not a cross product.  ``xlingual_candidates_lsh`` buckets both sides
+with the SAME hyperplanes (``similarity.bucket_table`` — zero-exchange
+signature scan) and equi-joins on (table, bucket), so candidate volume is
+bucket-bounded.  Everything after is equi-joins plus per-key windows
+(top-k neighborhoods, mutual-best ranks) — shuffles keyed on src/tgt ids,
+never a global window, never a corpus-sized broadcast.  The brute-force
+path (``candidates=None``) broadcasts side A and is for EVALUATION and
+bounded sides only — mirror of ``brute_force_topk``; at corpus scale
+always pass candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .similarity import _pair_cosine, _scoring_side, bucket_table
+from .spread import spread_scan as _spread
+
+
+def xlingual_candidates_lsh(
+    side_a: DataFrame,
+    side_b: DataFrame,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    dim: int = 64,
+    seed_base: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(src_id, tgt_id) candidate pairs: both sides bucketed under the SAME
+    seeded hyperplanes, equi-joined on (table, bucket).  Collision
+    probability rises with cosine, so true translations survive with
+    tunable recall while the pair volume stays bucket-bounded — the 100 TB
+    candidate generator for :func:`xlingual_margin_align`."""
+    ba = bucket_table(side_a, id_col, vec_col, n_planes, n_tables, dim, seed_base)
+    bb = bucket_table(side_b, id_col, vec_col, n_planes, n_tables, dim, seed_base)
+    return (
+        ba.select(F.col(id_col).alias("src_id"), "t", "bucket")
+        .join(bb.select(F.col(id_col).alias("tgt_id"), "t", "bucket"), ["t", "bucket"])
+        .select("src_id", "tgt_id")
+        .distinct()
+    )
+
+
+def xlingual_margin_align(
+    side_a: DataFrame,
+    side_b: DataFrame,
+    k: int = 4,
+    threshold_ppm: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Mutual-best margin alignment between two embedding sides (X25):
+    (src_id, tgt_id, cos_sim, margin) for pairs that are each other's best
+    margin match with ``margin_ppm >= threshold_ppm`` (1e6 = margin 1.0,
+    i.e. better than the average of the two neighborhoods).
+
+    With ``candidates`` (the LSH generator above, or any (src_id, tgt_id)
+    relation) the plan is candidate-bounded equi-joins — the scale path.
+    Without it, side A broadcasts against side B (evaluation / bounded
+    sides only).  Neighborhood averages use the top-``k`` POSITIVE-cosine
+    candidates per endpoint; endpoints whose neighborhood sum is
+    non-positive have no defined margin and drop out."""
+    a = _scoring_side(side_a, id_col, vec_col, "src_id", "q")
+    b = _scoring_side(_spread(side_b), id_col, vec_col, "tgt_id", "n")
+    if candidates is None:
+        pairs = b.crossJoin(F.broadcast(a))
+    else:
+        pairs = (
+            candidates.select("src_id", "tgt_id")
+            .join(a, "src_id")
+            .join(b, "tgt_id")
+        )
+    scored = (
+        pairs.select("src_id", "tgt_id", _pair_cosine())
+        .withColumn("c", F.round(F.col("cos_sim") * 1e6).cast("long"))
+        .filter(F.col("c") > 0)
+        .select("src_id", "tgt_id", "c")
+    )
+
+    # Neighborhood sums as WINDOWED conditional aggregates over the scored
+    # frame instead of groupBy+join-back: a groupBy form references the
+    # scored subtree three times and Spark RE-EXECUTES it per reference —
+    # three full scoring passes (measured: 12 file scans / 3 broadcast
+    # joins on the brute-force plan).  The window form scores ONCE and
+    # pays four candidate-row exchanges (src, tgt, src, tgt); consecutive
+    # windows on the same key share their exchange.
+    w_src_rank = Window.partitionBy("src_id").orderBy(F.desc("c"), F.asc("tgt_id"))
+    w_tgt_rank = Window.partitionBy("tgt_id").orderBy(F.desc("c"), F.asc("src_id"))
+    w_src_all = Window.partitionBy("src_id")
+    w_tgt_all = Window.partitionBy("tgt_id")
+    in_a = F.when(F.row_number().over(w_src_rank) <= k, F.col("c"))
+    in_b = F.when(F.row_number().over(w_tgt_rank) <= k, F.col("c"))
+    withnb = (
+        scored.withColumn("_ca", in_a)
+        .withColumn("_cb", in_b)
+        .withColumn("sum_a", F.sum("_ca").over(w_src_all))
+        .withColumn("n_a", F.count("_ca").over(w_src_all))
+        .withColumn("sum_b", F.sum("_cb").over(w_tgt_all))
+        .withColumn("n_b", F.count("_cb").over(w_tgt_all))
+        .withColumn(
+            "d", F.col("sum_a") * F.col("n_b") + F.col("sum_b") * F.col("n_a")
+        )
+        .filter(F.col("d") > 0)
+        .withColumn(
+            "margin_ppm",
+            F.expr(
+                "(2 * (CAST(c AS DECIMAL(38,0)) * 2000000 * n_a * n_b) + d)"
+                " DIV (2 * d)"
+            ).cast("long"),
+        )
+    )
+    w_src = Window.partitionBy("src_id").orderBy(
+        F.desc("margin_ppm"), F.desc("c"), F.asc("tgt_id")
+    )
+    w_tgt = Window.partitionBy("tgt_id").orderBy(
+        F.desc("margin_ppm"), F.desc("c"), F.asc("src_id")
+    )
+    return (
+        withnb.withColumn("_rs", F.row_number().over(w_src))
+        .withColumn("_rt", F.row_number().over(w_tgt))
+        .filter(
+            (F.col("_rs") == 1)
+            & (F.col("_rt") == 1)
+            & (F.col("margin_ppm") >= threshold_ppm)
+        )
+        .select(
+            "src_id",
+            "tgt_id",
+            (F.col("c") / F.lit(1e6)).alias("cos_sim"),
+            (F.col("margin_ppm") / F.lit(1e6)).alias("margin"),
+        )
+    )

@@ -77,6 +77,53 @@ def pack_sequences(
     )
 
 
+def curriculum_pack_order(
+    documents: DataFrame,
+    ctx_tokens: int = 512,
+    strata_cols: str | list[str] = "lang",
+    id_col: str = "doc_id",
+    salt: str = "curriculum-0",
+) -> DataFrame:
+    """X26 sequence-length-warmup curriculum packing: the composition of
+    :func:`pack_sequences` with the deterministic-order discipline of
+    ``mixing.training_order``.  Within each stratum, documents are ordered
+    by (n_tokens ASC, md5(salt ∥ id), id) — short sequences first, the
+    curriculum that stabilizes early training (Li et al. 2022, "The
+    Stability-Efficiency Dilemma: Investigating Sequence Length Warmup
+    for Training GPT Models", arXiv:2108.06084; curriculum learning per
+    Bengio et al. 2009 — both public) — then the packing cumsum assigns
+    each document its (start_bin, start_offset) in the curriculum-ordered
+    token stream.  ``start_bin`` IS the training position of the context
+    window the document starts in: a reader consuming bins in order
+    replays the warmup.  The hash tie-break makes equal-length order a
+    pure function of (data, salt) — change the salt to redraw the
+    within-length shuffle per epoch, like the training-order epochs.
+
+    Scale shape is pack_sequences': ONE window per stratum (shuffle keyed
+    on the strata, running-integer state; rank and cumsum share the same
+    sort).  At 100 TB pass ``["lang", "shard"]`` so the stream packs
+    within partition-sized strata — a warmup ordering only needs to hold
+    WITHIN each reader's shard."""
+    cols = [strata_cols] if isinstance(strata_cols, str) else list(strata_cols)
+    n_tok = F.size(tokens("text"))
+    tb = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")).cast("binary"))
+    staged = documents.select(
+        id_col, *cols, n_tok.alias("n_tokens"), tb.alias("_tb")
+    )
+    w = Window.partitionBy(*cols).orderBy("n_tokens", "_tb", id_col)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = F.sum("n_tokens").over(wsum)
+    cum_before = cum - F.col("n_tokens")
+    return staged.select(
+        id_col,
+        *cols,
+        "n_tokens",
+        F.row_number().over(w).cast("long").alias("curriculum_rank"),
+        F.floor(cum_before / ctx_tokens).cast("long").alias("start_bin"),
+        (cum_before % ctx_tokens).cast("long").alias("start_offset"),
+    )
+
+
 def pack_efficiency(
     documents: DataFrame,
     ctx_tokens: int = 512,

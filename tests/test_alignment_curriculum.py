@@ -1,0 +1,264 @@
+"""X25 cross-lingual margin alignment + X26 curriculum packing: every
+value differentialed against independently-written pure-Python twins
+(math/hashlib — no Spark, no shared code), plus plan-shape pins."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from market_data_ingestion_scraper_spark.operators.alignment import (
+    xlingual_candidates_lsh,
+    xlingual_margin_align,
+)
+from market_data_ingestion_scraper_spark.operators.chunking import (
+    curriculum_pack_order,
+)
+
+
+# ---------------------------------------------------------------- X25
+
+
+def _py_margin_align(side_a, side_b, k=4, threshold_ppm=1_000_000):
+    """Independent twin of the Artetxe-Schwenk ratio-margin mutual-best
+    mining: float fold cosine -> 6dp round -> int micro-units -> integer
+    half-up ppm margin -> mutual best."""
+
+    def cos_micro(a, b):
+        dot = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return round(round(dot / (na * nb), 6) * 1e6)
+
+    scored = {}
+    for sid, sv in side_a:
+        for tid, tv in side_b:
+            c = cos_micro(sv, tv)
+            if c > 0:
+                scored[(sid, tid)] = c
+    nb_a, nb_b = {}, {}
+    for sid, _ in side_a:
+        cs = sorted(
+            ((c, t) for (s, t), c in scored.items() if s == sid),
+            key=lambda ct: (-ct[0], ct[1]),
+        )[:k]
+        if cs:
+            nb_a[sid] = (sum(c for c, _ in cs), len(cs))
+    for tid, _ in side_b:
+        cs = sorted(
+            ((c, s) for (s, t), c in scored.items() if t == tid),
+            key=lambda ct: (-ct[0], ct[1]),
+        )[:k]
+        if cs:
+            nb_b[tid] = (sum(c for c, _ in cs), len(cs))
+    margins = {}
+    for (sid, tid), c in scored.items():
+        sa, na = nb_a[sid]
+        sb, nbn = nb_b[tid]
+        d = sa * nbn + sb * na
+        if d <= 0:
+            continue
+        margins[(sid, tid)] = (2 * (c * 2_000_000 * na * nbn) + d) // (2 * d)
+    out = []
+    for (sid, tid), m in margins.items():
+        rank_s = sorted(
+            (kv for kv in margins.items() if kv[0][0] == sid),
+            key=lambda kv: (-kv[1], -scored[kv[0]], kv[0][1]),
+        )
+        rank_t = sorted(
+            (kv for kv in margins.items() if kv[0][1] == tid),
+            key=lambda kv: (-kv[1], -scored[kv[0]], kv[0][0]),
+        )
+        if rank_s[0][0] == (sid, tid) and rank_t[0][0] == (sid, tid) and m >= threshold_ppm:
+            out.append((sid, tid, scored[(sid, tid)] / 1e6, m / 1e6))
+    return sorted(out)
+
+
+def _sides(spark, rows_a, rows_b):
+    mk = lambda rows: spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    return mk(rows_a), mk(rows_b)
+
+
+def test_xlingual_align_matches_python_twin(spark):
+    """Planted geometry: every emitted (pair, cos, margin) equals the
+    independent twin bit-for-bit, hub vectors get margin-suppressed."""
+    # side A: two clusters + a hub-ish direction; side B: translations
+    # (slightly rotated copies) + distractors near the hub
+    rows_a = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0]),
+        (2, [0.7, 0.7, 0.1]),       # hub: near everything
+    ]
+    rows_b = [
+        (10, [0.98, 0.05, 0.0]),    # translation of 0
+        (11, [0.03, 0.99, 0.05]),   # translation of 1
+        (12, [0.72, 0.69, 0.05]),   # near the hub
+        (13, [0.6, 0.6, 0.2]),      # second hub-ish distractor
+    ]
+    a, b = _sides(spark, rows_a, rows_b)
+    got = sorted(
+        (r.src_id, r.tgt_id, r.cos_sim, r.margin)
+        for r in xlingual_margin_align(a, b, k=2).collect()
+    )
+    want = _py_margin_align(
+        [(i, v) for i, v, in rows_a], [(i, v) for i, v in rows_b], k=2
+    )
+    assert got == want
+    assert (0, 10) in {(s, t) for s, t, _, _ in got}  # planted translation
+    assert (1, 11) in {(s, t) for s, t, _, _ in got}
+
+
+def test_xlingual_align_candidates_path_equals_brute_force(spark):
+    """The candidate-driven plan (the 100 TB path) must reproduce the
+    brute-force result exactly when candidates cover all pairs, and stay
+    a subset under pruning."""
+    rows_a = [(i, [math.cos(i / 7.0), math.sin(i / 7.0), 0.1 * (i % 3)]) for i in range(8)]
+    rows_b = [(100 + i, [math.cos((i + 0.2) / 7.0), math.sin((i + 0.2) / 7.0), 0.05]) for i in range(10)]
+    a, b = _sides(spark, rows_a, rows_b)
+    key = lambda df: sorted(
+        (r.src_id, r.tgt_id, r.cos_sim, r.margin) for r in df.collect()
+    )
+    full = a.crossJoin(
+        b.select(F.col("vec_id").alias("tgt_id"))
+    ).select(F.col("vec_id").alias("src_id"), "tgt_id")
+    assert key(xlingual_margin_align(a, b, k=3, candidates=full)) == key(
+        xlingual_margin_align(a, b, k=3)
+    )
+    # pruned candidates: output is a subset of the brute-force pair pool
+    pruned = full.filter((F.col("src_id") + F.col("tgt_id")) % 2 == 0)
+    got = {
+        (r.src_id, r.tgt_id)
+        for r in xlingual_margin_align(a, b, k=3, candidates=pruned).collect()
+    }
+    pool = {(r.src_id, r.tgt_id) for r in pruned.collect()}
+    assert got <= pool
+
+
+def test_xlingual_lsh_candidates_recall_and_shape(spark):
+    """The LSH candidate generator must surface a planted near-identical
+    pair and emit only (src, tgt) pairs from the two sides."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((12, 64)).astype(float)
+    rows_a = [(i, base[i].tolist()) for i in range(12)]
+    # tgt 100 is a tiny perturbation of src 0 — same bucket in every table
+    rows_b = [(100, (base[0] + 1e-4).tolist())] + [
+        (101 + i, rng.standard_normal(64).tolist()) for i in range(8)
+    ]
+    a, b = _sides(spark, rows_a, rows_b)
+    cand = xlingual_candidates_lsh(a, b, n_planes=4, n_tables=8)
+    pairs = {(r.src_id, r.tgt_id) for r in cand.collect()}
+    assert (0, 100) in pairs
+    assert all(s < 100 <= t for s, t in pairs)
+    # end-to-end: margin alignment over LSH candidates recovers the plant
+    aligned = {
+        (r.src_id, r.tgt_id)
+        for r in xlingual_margin_align(a, b, k=2, candidates=cand).collect()
+    }
+    assert (0, 100) in aligned
+
+
+def test_xlingual_align_plan_is_candidate_bounded(spark):
+    """Plan pin: with candidates the plan has NO cartesian/nested-loop
+    join — everything is hash equi-joins + per-key windows."""
+    rows = [(i, [float(i % 5) + 1, 1.0]) for i in range(6)]
+    a, b = _sides(spark, rows, [(10 + i, v) for i, v in rows])
+    cand = spark.createDataFrame(
+        [(i, 10 + i) for i in range(6)], "src_id long, tgt_id long"
+    )
+    plan = (
+        xlingual_margin_align(a, b, k=2, candidates=cand)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------- X26
+
+
+def _py_curriculum(rows, ctx=512, salt="curriculum-0"):
+    """Independent twin: regex tokenize, per-lang (n_tokens, md5, id)
+    order, running-sum bin/offset."""
+    toks = lambda t: [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+    per_lang: dict[str, list] = {}
+    for doc_id, text, lang in rows:
+        h = hashlib.md5(f"{salt}{doc_id}".encode()).hexdigest()
+        per_lang.setdefault(lang, []).append((len(toks(text)), h, doc_id))
+    out = {}
+    for lang, docs in per_lang.items():
+        cum = 0
+        for rank, (n, _, doc_id) in enumerate(sorted(docs), start=1):
+            out[doc_id] = (lang, n, rank, cum // ctx, cum % ctx)
+            cum += n
+    return out
+
+
+def test_curriculum_pack_order_matches_python_twin(spark):
+    rows = [
+        (1, "a bb ccc dddd", "en"),
+        (2, "x", "en"),
+        (3, "one two three four five six", "en"),
+        (4, "kurz", "de"),
+        (5, "etwas laengerer deutscher text hier", "de"),
+        (6, "", "de"),          # zero tokens packs at the front
+        (7, "x", "en"),         # same length as doc 2 -> hash tie-break
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        r["doc_id"]: (
+            r["lang"], r["n_tokens"], r["curriculum_rank"],
+            r["start_bin"], r["start_offset"],
+        )
+        for r in curriculum_pack_order(df, ctx_tokens=8).collect()
+    }
+    assert got == _py_curriculum(rows, ctx=8)
+
+
+def test_curriculum_pack_order_properties(spark, documents_sf001):
+    """Fixture-scale invariants: within each lang, curriculum_rank is a
+    1..n permutation ordered by non-decreasing n_tokens, offsets stay
+    inside the context, and the packed stream is gap-free (each doc
+    starts exactly where the previous ended)."""
+    out = curriculum_pack_order(documents_sf001, ctx_tokens=512).collect()
+    by_lang: dict[str, list] = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r["curriculum_rank"])
+        assert [r["curriculum_rank"] for r in rs] == list(range(1, len(rs) + 1))
+        lens = [r["n_tokens"] for r in rs]
+        assert lens == sorted(lens)
+        cum = 0
+        for r in rs:
+            assert r["start_bin"] == cum // 512
+            assert r["start_offset"] == cum % 512
+            assert 0 <= r["start_offset"] < 512
+            cum += r["n_tokens"]
+
+    # epoch re-draw: a different salt permutes equal-length ties only
+    alt = {
+        r["doc_id"]: r["curriculum_rank"]
+        for r in curriculum_pack_order(
+            documents_sf001, ctx_tokens=512, salt="curriculum-1"
+        ).collect()
+    }
+    base = {r["doc_id"]: (r["lang"], r["n_tokens"], r["curriculum_rank"]) for r in out}
+    moved = [d for d, (lang, n, rk) in base.items() if alt[d] != rk]
+    assert moved, "salt change should redraw at least one tie"
+
+
+@pytest.fixture()
+def documents_sf001(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
