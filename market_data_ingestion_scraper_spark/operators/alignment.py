@@ -75,6 +75,48 @@ def xlingual_candidates_lsh(
     )
 
 
+def side_neighborhood_stats(
+    side: DataFrame,
+    other: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_id: str = "src_id",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """(out_id, sum_c, n_c): each ``side`` row's top-``k`` positive-cosine
+    micro-unit sum/count over ``other`` — the precomputed target-side
+    neighborhood statistics the STREAMING forward-mining margin consumes
+    (:func:`streaming.pipeline.stream_margin_align`).  Batch-only (uses a
+    rank window); compute once per reference-corpus snapshot and persist
+    like any other model artifact.  ``candidates`` as in
+    :func:`xlingual_margin_align`; without it ``side`` broadcasts."""
+    a = _scoring_side(side, id_col, vec_col, out_id, "q")
+    b = _scoring_side(_spread(other), id_col, vec_col, "_nb_id", "n")
+    if candidates is None:
+        pairs = b.crossJoin(F.broadcast(a))
+    else:
+        pairs = (
+            candidates.select(
+                F.col("src_id").alias(out_id), F.col("tgt_id").alias("_nb_id")
+            )
+            .join(a, out_id)
+            .join(b, "_nb_id")
+        )
+    scored = (
+        pairs.select(out_id, "_nb_id", _pair_cosine())
+        .withColumn("c", F.round(F.col("cos_sim") * 1e6).cast("long"))
+        .filter(F.col("c") > 0)
+    )
+    w = Window.partitionBy(out_id).orderBy(F.desc("c"), F.asc("_nb_id"))
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .groupBy(out_id)
+        .agg(F.sum("c").alias("sum_c"), F.count(F.lit(1)).alias("n_c"))
+    )
+
+
 def xlingual_margin_align(
     side_a: DataFrame,
     side_b: DataFrame,

@@ -361,6 +361,133 @@ def ivfpq_enrich_stream(
     )
 
 
+def stream_margin_align(
+    queries: DataFrame,
+    side_a_vectors: DataFrame,
+    stats_a: DataFrame,
+    k: int = 4,
+    threshold_ppm: int = 1_000_000,
+    corpus_buckets: DataFrame | None = None,
+    index=None,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    dim: int = 64,
+    seed_base: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Streaming FORWARD margin mining (X25 online half): each micro-batch
+    of incoming documents' embeddings is matched against a static aligned
+    corpus (side A) and admitted with its best ratio-margin candidate —
+    the Artetxe & Schwenk 2019 forward direction, where the target-side
+    neighborhood statistics are PRECOMPUTED
+    (:func:`operators.alignment.side_neighborhood_stats`) because a
+    stream cannot rank the static side against rows it has not seen.
+    Mutual-best (the batch :func:`~..operators.alignment.xlingual_margin_align`)
+    needs both directions and stays batch; this is the admission-control
+    form — "does this incoming doc have a margin-confident translation in
+    the reference corpus?".
+
+    Stream-legal composition, mirroring :func:`ann_enrich_stream`:
+    query-side bucket signatures are shuffle-free per-row projections
+    with scoring columns carried on-row, candidates come from a
+    stream-static (t, bucket) equi-join, side-A neighborhood stats join
+    as a broadcast static table, and the single streaming aggregation
+    collects each query's candidate set (sorted by cosine desc — the
+    first k entries ARE the query-side neighborhood).  The margin is
+    computed POST-agg with the same integer half-up ppm identity as the
+    batch operator — floor division runs as the exact
+    ``(n − pmod(n, d)) / d`` long trick (operands all positive and far
+    under 2^53, so the double division is exact).
+
+    Returns (query_id, src_id, cos_sim, margin) for admitted queries —
+    one row per stream doc whose best candidate clears ``threshold_ppm``.
+    """
+    from ..operators.similarity import _pair_cosine, _scoring_side, bucket_table
+
+    if index is not None:
+        qz = index.require("lsh")
+        corpus_buckets = index.df
+        n_planes, n_tables = qz["n_planes"], qz["n_tables"]
+        dim, seed_base = qz["dim"], qz["seed_base"]
+    if corpus_buckets is None:
+        corpus_buckets = bucket_table(
+            side_a_vectors, id_col, vec_col, n_planes, n_tables, dim, seed_base
+        )
+    q_b = (
+        _staged_query_buckets(
+            queries, id_col, vec_col, n_planes, n_tables, dim, seed_base
+        )
+        .drop(vec_col)
+        .withColumnsRenamed({id_col: "query_id"})
+    )
+    cand = q_b.join(
+        corpus_buckets.withColumnsRenamed({id_col: "src_id"}), ["t", "bucket"]
+    )
+    scored = (
+        cand.join(
+            _scoring_side(side_a_vectors, id_col, vec_col, "src_id", "n"),
+            "src_id",
+        )
+        .select("query_id", "src_id", _pair_cosine())
+        .withColumn("c", F.round(F.col("cos_sim") * 1e6).cast("long"))
+        .filter(F.col("c") > 0)
+        .join(F.broadcast(stats_a), "src_id")
+    )
+    # ONE streaming aggregation: the deduped candidate set (collect_set
+    # folds multi-table collisions), sorted (c desc, src_id asc) so the
+    # first k entries are the query-side top-k neighborhood.
+    cands = F.array_sort(
+        F.collect_set(
+            F.struct(
+                (-F.col("c")).alias("_negc"),
+                F.col("src_id").alias("src_id"),
+                F.col("c").alias("c"),
+                F.col("sum_c").alias("sum_a"),
+                F.col("n_c").alias("n_a"),
+            )
+        )
+    )
+    agg = scored.groupBy("query_id").agg(cands.alias("_cands"))
+    topk = F.slice(F.col("_cands"), 1, k)
+    staged = agg.select(
+        "query_id",
+        "_cands",
+        F.aggregate(
+            topk, F.lit(0).cast("long"), lambda acc, s: acc + s["c"]
+        ).alias("_sum_b"),
+        F.size(topk).cast("long").alias("_n_b"),
+    )
+
+    def _margin_ppm(s):
+        d = s["sum_a"] * F.col("_n_b") + F.col("_sum_b") * s["n_a"]
+        num = 2 * (s["c"] * F.lit(2_000_000) * s["n_a"] * F.col("_n_b")) + d
+        den = 2 * d
+        return ((num - F.pmod(num, den)) / den).cast("long")
+
+    best = F.array_max(
+        F.transform(
+            F.col("_cands"),
+            lambda s: F.struct(
+                _margin_ppm(s).alias("margin_ppm"),
+                s["c"].alias("c"),
+                (-s["src_id"]).alias("_negid"),
+                s["src_id"].alias("src_id"),
+            ),
+        )
+    )
+    return (
+        staged.select("query_id", best.alias("_best"))
+        .filter(F.col("_best.margin_ppm") >= threshold_ppm)
+        .select(
+            "query_id",
+            F.col("_best.src_id").alias("src_id"),
+            (F.col("_best.c") / F.lit(1e6)).alias("cos_sim"),
+            (F.col("_best.margin_ppm") / F.lit(1e6)).alias("margin"),
+        )
+    )
+
+
 def stream_near_dup_filter(
     rows: DataFrame,
     corpus_buckets: DataFrame | None = None,

@@ -262,3 +262,107 @@ def test_curriculum_pack_order_properties(spark, documents_sf001):
 @pytest.fixture()
 def documents_sf001(spark):
     return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+# ------------------------------------------------- X25 streaming form
+
+
+def test_stream_margin_align_forward_mining(spark, tmp_path):
+    """Streaming forward mining: admitted (query, src, cos, margin) rows
+    equal an independent pure-Python forward twin over the same LSH
+    candidate set, a planted near-copy is admitted against its source,
+    and the stream answer equals the same code run in batch."""
+    import numpy as np
+
+    from market_data_ingestion_scraper_spark.operators.alignment import (
+        side_neighborhood_stats,
+    )
+    from market_data_ingestion_scraper_spark.streaming import pipeline as P
+
+    rng = np.random.default_rng(11)
+    a_rows = [(i, rng.standard_normal(64).tolist()) for i in range(12)]
+    ref_rows = [(50 + i, rng.standard_normal(64).tolist()) for i in range(15)]
+    q_rows = [(100, (np.array(a_rows[0][1]) + 1e-4).tolist())] + [
+        (101 + i, rng.standard_normal(64).tolist()) for i in range(3)
+    ]
+    mk = lambda rows: spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    side_a, ref_b, q_batch = mk(a_rows), mk(ref_rows), mk(q_rows)
+    stats_a = side_neighborhood_stats(side_a, ref_b, k=3).persist()
+    stats_a.count()
+
+    kwargs = dict(k=3, threshold_ppm=1_000_000, n_planes=4, n_tables=8)
+    batch_out = P.stream_margin_align(q_batch, side_a, stats_a, **kwargs)
+    key = lambda df: sorted(
+        (r.query_id, r.src_id, r.cos_sim, r.margin) for r in df.collect()
+    )
+    got = key(batch_out)
+
+    # independent forward twin: candidates from the (already
+    # differentially-tested) LSH generator; cosines, neighborhood sums,
+    # and the half-up integer margin recomputed in pure Python
+    cand = {
+        (r.src_id, r.tgt_id)
+        for r in xlingual_candidates_lsh(
+            mk(q_rows), side_a, n_planes=4, n_tables=8
+        ).collect()
+    }
+    vec = dict(a_rows + ref_rows + q_rows)
+
+    def cos_micro(a, b):
+        dot = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+        return round(
+            round(dot / (math.sqrt(sum(x * x for x in a))
+                         * math.sqrt(sum(y * y for y in b))), 6) * 1e6
+        )
+
+    # twin of side_neighborhood_stats over the reference corpus
+    stats = {}
+    for sid, sv in a_rows:
+        cs = sorted(
+            (c for rid, rv in ref_rows if (c := cos_micro(sv, rv)) > 0),
+            reverse=True,
+        )[:3]
+        if cs:
+            stats[sid] = (sum(cs), len(cs))
+    want = []
+    for qid, qv in q_rows:
+        cs = sorted(
+            ((cos_micro(qv, vec[sid]), sid) for (q2, sid) in cand
+             if q2 == qid and sid in stats and cos_micro(qv, vec[sid]) > 0),
+            key=lambda t: (-t[0], t[1]),
+        )
+        if not cs:
+            continue
+        sum_b, n_b = sum(c for c, _ in cs[:3]), len(cs[:3])
+        best = max(
+            (((2 * (c * 2_000_000 * stats[sid][1] * n_b)
+               + (stats[sid][0] * n_b + sum_b * stats[sid][1]))
+              // (2 * (stats[sid][0] * n_b + sum_b * stats[sid][1]))),
+             c, -sid, sid)
+            for c, sid in cs
+        )
+        if best[0] >= 1_000_000:
+            want.append((qid, best[3], best[1] / 1e6, best[0] / 1e6))
+    assert got == sorted(want)
+    assert any(q == 100 and s == 0 for q, s, _, _ in got)  # planted copy
+
+    # stream ≡ batch: same code, two micro-batches through the memory sink
+    qdir = str(tmp_path / "q")
+    q_batch.repartition(2).write.parquet(qdir)
+    q_stream = (
+        spark.readStream.schema(q_batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(qdir)
+    )
+    out = P.run_to_memory(
+        P.stream_margin_align(q_stream, side_a, stats_a, **kwargs),
+        "t_margin_align",
+        spark,
+        mode="complete",
+    )
+    assert key(out) == got
+    stats_a.unpersist()
