@@ -220,6 +220,39 @@ def main(argv: list[str] | None = None) -> int:
     tk.add_argument("--max-vocab", type=int, default=100_000,
                     help="word-table cap consumed by either trainer")
 
+    ac = sub.add_parser(
+        "align-corpus",
+        help="cross-lingual document alignment (ratio-margin mutual-best "
+        "mining) between two embedding parquets; optionally persists the "
+        "side-A neighborhood-stats artifact that the streaming forward "
+        "miner serves against",
+    )
+    ac.add_argument("--side-a", required=True,
+                    help="parquet with (vec_id, embedding) — the source "
+                    "side (broadcast in brute-force mode)")
+    ac.add_argument("--side-b", required=True,
+                    help="parquet with (vec_id, embedding) — the target "
+                    "side")
+    ac.add_argument("--out", required=True,
+                    help="output parquet of (src_id, tgt_id, cos_sim, "
+                    "margin) aligned pairs")
+    ac.add_argument("--k", type=int, default=4,
+                    help="neighborhood size for the margin denominator")
+    ac.add_argument("--threshold-ppm", type=int, default=1_000_000,
+                    help="admission threshold in margin ppm (1e6 = 1.0)")
+    ac.add_argument("--lsh", action="store_true",
+                    help="generate candidates via the shared-hyperplane "
+                    "LSH bucket join (the corpus-scale path) instead of "
+                    "brute force")
+    ac.add_argument("--n-planes", type=int, default=8)
+    ac.add_argument("--n-tables", type=int, default=4)
+    ac.add_argument("--dim", type=int, default=64)
+    ac.add_argument("--seed", type=int, default=1000)
+    ac.add_argument("--stats-out", default=None,
+                    help="also persist side-A top-k neighborhood stats "
+                    "(parquet + kind-validated sidecar) for "
+                    "stream_margin_align serving")
+
     ic = sub.add_parser(
         "index-compact",
         help="fold an append-grown index's small files into one per "
@@ -643,6 +676,49 @@ def main(argv: list[str] | None = None) -> int:
         n = spark.read.parquet(args.out).count()
         print(f"action=encode kind={artifact['kind']} rows={n} "
               f"out={args.out}")
+        return 0
+
+    if args.cmd == "align-corpus":
+        from .operators.alignment import (
+            save_neighborhood_stats,
+            side_neighborhood_stats,
+            xlingual_candidates_lsh,
+            xlingual_margin_align,
+        )
+
+        side_a = spark.read.parquet(args.side_a)
+        side_b = spark.read.parquet(args.side_b)
+        cand = None
+        if args.lsh:
+            cand = xlingual_candidates_lsh(
+                side_a, side_b, n_planes=args.n_planes,
+                n_tables=args.n_tables, dim=args.dim, seed_base=args.seed,
+            )
+        aligned = xlingual_margin_align(
+            side_a, side_b, k=args.k, threshold_ppm=args.threshold_ppm,
+            candidates=cand,
+        )
+        aligned.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+        if args.stats_out:
+            ns = save_neighborhood_stats(
+                side_neighborhood_stats(
+                    side_a, side_b, k=args.k, candidates=cand
+                ),
+                args.stats_out,
+                k=args.k,
+                meta={
+                    "lsh": bool(args.lsh),
+                    "n_planes": args.n_planes,
+                    "n_tables": args.n_tables,
+                    "dim": args.dim,
+                    "seed_base": args.seed,
+                },
+            )
+            print(f"stats_rows={ns} stats={args.stats_out}")
+        mode = "lsh" if args.lsh else "brute"
+        print(f"aligned_pairs={n} mode={mode} k={args.k} "
+              f"threshold_ppm={args.threshold_ppm} out={args.out}")
         return 0
 
     if args.cmd == "index-compact":

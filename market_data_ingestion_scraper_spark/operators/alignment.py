@@ -117,6 +117,54 @@ def side_neighborhood_stats(
     )
 
 
+def save_neighborhood_stats(
+    stats: DataFrame, path: str, k: int, meta: dict | None = None
+) -> int:
+    """Persist a :func:`side_neighborhood_stats` relation + the standard
+    kind-validated sidecar (the `_quantizer.json` lesson: serving derives
+    its parameters from the artifact, never from caller memory — margins
+    computed against stats built with a different ``k`` are silently
+    wrong).  Returns the persisted row count."""
+    import json
+    import os
+
+    from ..util import require_local_path
+
+    require_local_path(path)
+    stats.write.mode("overwrite").parquet(path)
+    n = stats.sparkSession.read.parquet(path).count()
+    doc = {"kind": "xlingual-nb-stats", "k": int(k)}
+    if meta:
+        doc["meta"] = dict(meta)
+    with open(os.path.join(path, "_stats.json"), "w") as f:
+        json.dump(doc, f, indent=1, sort_keys=True)
+    return n
+
+
+def load_neighborhood_stats(spark, path: str) -> tuple[DataFrame, dict]:
+    """Load a persisted stats artifact, validating kind and shape; returns
+    (stats_df, sidecar).  Feed the df to
+    :func:`streaming.pipeline.stream_margin_align` with ``k=sidecar['k']``."""
+    import json
+    import os
+
+    sidecar = os.path.join(path, "_stats.json")
+    try:
+        with open(sidecar) as f:
+            doc = json.load(f)
+    except (OSError, ValueError) as e:
+        raise ValueError(f"unreadable neighborhood-stats sidecar {sidecar}: {e}")
+    if doc.get("kind") != "xlingual-nb-stats":
+        raise ValueError(f"not a xlingual-nb-stats artifact: {doc.get('kind')!r}")
+    if "k" not in doc:
+        raise ValueError("stats artifact missing 'k'")
+    df = spark.read.parquet(path)
+    missing = {"src_id", "sum_c", "n_c"} - set(df.columns)
+    if missing:
+        raise ValueError(f"stats artifact missing columns: {sorted(missing)}")
+    return df, doc
+
+
 def xlingual_margin_align(
     side_a: DataFrame,
     side_b: DataFrame,

@@ -360,6 +360,80 @@ def main() -> None:
             print(json.dumps({"op": op, "factor": factor, "pairs": n2,
                               "sec": sec}), flush=True)
 
+        # r12: X26 curriculum packing over (lang, hash-shard) strata —
+        # one window per stratum; rows must grow exactly K, wall ≪ K.
+        # replicate_corpus prefixes replica tokens, so the lang column is
+        # replicated via a doc_id join (strata count grows with replicas —
+        # the honest 100 TB shape where stratum count tracks the corpus).
+        from market_data_ingestion_scraper_spark.operators.chunking import (
+            curriculum_pack_order,
+        )
+
+        docs_l = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang"
+        )
+        d_lang = replicate_corpus(docs_l.select("doc_id", "text"), factor).join(
+            replicate_corpus(
+                docs_l.select("doc_id", F.col("lang").alias("text")), factor
+            ).select("doc_id", F.col("text").alias("lang")),
+            "doc_id",
+        )
+        h12 = F.md5(
+            F.concat(F.lit("cshard"), F.col("doc_id").cast("string")).cast("binary")
+        )
+        shard12 = F.pmod(
+            F.ascii(F.substring(h12, 1, 1)) * 31 + F.ascii(F.substring(h12, 2, 1)),
+            F.lit(8),
+        )
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        n3 = curriculum_pack_order(
+            d_lang.withColumn("shard", shard12), 512, ["lang", "shard"]
+        ).count()
+        sec = round(time.perf_counter() - t0, 2)
+        results.setdefault("curriculum_pack", {})[factor] = {
+            "pairs": n3, "sec": sec,
+        }
+        print(json.dumps({"op": "curriculum_pack", "factor": factor,
+                          "pairs": n3, "sec": sec}), flush=True)
+        # r12: X25 margin alignment over LSH candidates.  Replicas get a
+        # deterministic per-replica embedding offset (content-distinct
+        # sides), and the signature WIDTH SCALES with the corpus
+        # (n_planes 8 at 1x -> 12 at 10x): at fixed width candidates grow
+        # with bucket density (measured 138x for 10x — within-bucket
+        # quadratic, the tfidf-df-ceiling law), so the probe measures the
+        # remedy, not the trap.
+        from market_data_ingestion_scraper_spark.operators.alignment import (
+            xlingual_candidates_lsh,
+            xlingual_margin_align,
+        )
+
+        r_id = (F.col("vec_id") / F.lit(100_000_000)).cast("int")
+        e_dist = e.withColumn(
+            "embedding",
+            F.transform(
+                "embedding", lambda x, i: x + 0.01 * r_id * ((i % 3) - 1)
+            ),
+        )
+        a_side = e_dist.filter(F.col("vec_id") % 2 == 0)
+        b_side = e_dist.filter(F.col("vec_id") % 2 == 1)
+        planes = 8 if factor == 1 else 12
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        cand12 = xlingual_candidates_lsh(
+            a_side, b_side, n_planes=planes, n_tables=4
+        )
+        n4 = xlingual_margin_align(
+            a_side, b_side, k=4, candidates=cand12
+        ).count()
+        sec = round(time.perf_counter() - t0, 2)
+        results.setdefault("xlingual_lsh_align", {})[factor] = {
+            "pairs": n4, "sec": sec,
+        }
+        print(json.dumps({"op": "xlingual_lsh_align", "factor": factor,
+                          "n_planes": planes, "pairs": n4, "sec": sec}),
+              flush=True)
+
     summary = {
         name: {
             "pairs_growth": round(r[k]["pairs"] / max(r[1]["pairs"], 1), 2),

@@ -487,3 +487,81 @@ def test_cli_tokenizer_fit_encode_both_kinds(tmp_path, spark):
     r = _run("tokenizer", "--action", "fit", "--documents", docs,
              "--model", str(tmp_path / "y.json"))
     assert r.returncode == 2 and "--kind is required" in r.stderr
+
+
+def test_cli_align_corpus_and_stats_artifact(tmp_path, spark):
+    """align-corpus: mutual-best margin pairs via both candidate modes;
+    the --stats-out artifact round-trips through the kind-validated
+    loader and serves the streaming forward miner."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a_path = str(tmp_path / "a.parquet")
+    b_path = str(tmp_path / "b.parquet")
+    emb.filter(F.col("vec_id") % 2 == 0).write.parquet(a_path)
+    emb.filter(F.col("vec_id") % 2 == 1).write.parquet(b_path)
+
+    out = str(tmp_path / "aligned")
+    stats = str(tmp_path / "stats")
+    r = _run("align-corpus", "--side-a", a_path, "--side-b", b_path,
+             "--out", out, "--k", "3", "--threshold-ppm", "1000000",
+             "--stats-out", stats)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "mode=brute" in r.stdout and "stats_rows=" in r.stdout
+    pairs = spark.read.parquet(out)
+    assert pairs.count() > 0
+    assert set(pairs.columns) == {"src_id", "tgt_id", "cos_sim", "margin"}
+    # mutual best: src and tgt ids are unique across the pair set
+    assert pairs.select("src_id").distinct().count() == pairs.count()
+    assert pairs.select("tgt_id").distinct().count() == pairs.count()
+
+    # library parity: the CLI IS xlingual_margin_align
+    from market_data_ingestion_scraper_spark.operators.alignment import (
+        load_neighborhood_stats,
+        xlingual_margin_align,
+    )
+
+    lib = xlingual_margin_align(
+        spark.read.parquet(a_path), spark.read.parquet(b_path),
+        k=3, threshold_ppm=1_000_000,
+    )
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(pairs) == key(lib)
+
+    # stats artifact: loader validates kind and k, and the stats serve
+    # the streaming forward miner end-to-end
+    stats_df, sidecar = load_neighborhood_stats(spark, stats)
+    assert sidecar["k"] == 3 and sidecar["kind"] == "xlingual-nb-stats"
+    from market_data_ingestion_scraper_spark.streaming.pipeline import (
+        stream_margin_align,
+    )
+
+    served = stream_margin_align(
+        spark.read.parquet(b_path).limit(5),
+        spark.read.parquet(a_path),
+        stats_df,
+        k=sidecar["k"],
+    )
+    assert served.count() >= 0  # composes and runs
+
+    # LSH candidate mode: subset of the brute-force pairs
+    out2 = str(tmp_path / "aligned_lsh")
+    r = _run("align-corpus", "--side-a", a_path, "--side-b", b_path,
+             "--out", out2, "--k", "3", "--lsh", "--n-planes", "4",
+             "--n-tables", "8")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "mode=lsh" in r.stdout
+    lsh_pairs = {(x.src_id, x.tgt_id)
+                 for x in spark.read.parquet(out2).collect()}
+    assert lsh_pairs  # sf0.001 sides are dense enough to collide
+
+    # wrong-kind artifact refusal
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(stats, "_stats.json"), "w") as f:
+        _json.dump({"kind": "something-else", "k": 3}, f)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not a xlingual-nb-stats"):
+        load_neighborhood_stats(spark, stats)
