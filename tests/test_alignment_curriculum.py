@@ -366,3 +366,42 @@ def test_stream_margin_align_forward_mining(spark, tmp_path):
     )
     assert key(out) == got
     stats_a.unpersist()
+
+
+def test_curriculum_pack_plan_single_window_single_exchange(spark, documents_sf001):
+    """Plan pin (X26): one scan, one stratum exchange, one Window node —
+    rank and packing cumsum must share the same sort, and nothing may
+    introduce a second shuffle or a global window."""
+    plan = (
+        curriculum_pack_order(documents_sf001, 512, "lang")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    n_exchange = plan.count("Exchange hashpartitioning")
+    n_window = sum(
+        1 for l in plan.split("\n") if l.strip().startswith(("Window [", "+- Window ["))
+    )
+    assert n_exchange == 1, plan
+    assert n_window == 1, plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_xlingual_margin_scale_invariance(spark):
+    """Property: cosine (hence the margin and the aligned pair set) is
+    invariant under per-vector positive rescaling — the operator must
+    not smuggle in any norm-dependent term."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows_a = [(i, rng.standard_normal(16).tolist()) for i in range(6)]
+    rows_b = [(10 + i, rng.standard_normal(16).tolist()) for i in range(8)]
+    scale = lambda rows, s0: [
+        (i, [x * (s0 + (i % 5)) for x in v]) for i, v in rows
+    ]
+    key = lambda a, b: sorted(
+        map(tuple, xlingual_margin_align(a, b, k=3).collect())
+    )
+    a1, b1 = _sides(spark, rows_a, rows_b)
+    a2, b2 = _sides(spark, scale(rows_a, 2.5), scale(rows_b, 7.0))
+    assert key(a1, b1) == key(a2, b2)
