@@ -405,3 +405,24 @@ def test_xlingual_margin_scale_invariance(spark):
     a1, b1 = _sides(spark, rows_a, rows_b)
     a2, b2 = _sides(spark, scale(rows_a, 2.5), scale(rows_b, 7.0))
     assert key(a1, b1) == key(a2, b2)
+
+
+def test_new_gate_queries_deterministic_across_partitionings(spark):
+    """House invariant for gate queries: identical results at any input
+    parallelism (row-local fold cosines, integer margins, totally-ordered
+    windows — nothing may depend on partition or task order)."""
+    from market_data_ingestion_scraper_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    for name in ("xlingual_align", "curriculum_packed_order"):
+        base = sorted(map(tuple, REGISTRY[name].fn(spark, sf).collect()))
+        for n in (1, 7):
+            # the query functions read their own tables, so perturb the
+            # session-level shuffle parallelism instead of the inputs
+            old = spark.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.set("spark.sql.shuffle.partitions", str(n))
+            try:
+                again = sorted(map(tuple, REGISTRY[name].fn(spark, sf).collect()))
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", old)
+            assert again == base, (name, n)
