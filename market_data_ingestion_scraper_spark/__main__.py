@@ -244,8 +244,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="generate candidates via the shared-hyperplane "
                     "LSH bucket join (the corpus-scale path) instead of "
                     "brute force")
-    ac.add_argument("--n-planes", type=int, default=8)
-    ac.add_argument("--n-tables", type=int, default=4)
+    # defaults MATCH xlingual_candidates_lsh's (and ann-index's lsh kind):
+    # a stats artifact built here and buckets built at library defaults
+    # must come from the same hash family, or streaming margins are
+    # computed over a systematically different candidate pool
+    ac.add_argument("--n-planes", type=int, default=4)
+    ac.add_argument("--n-tables", type=int, default=8)
     ac.add_argument("--dim", type=int, default=64)
     ac.add_argument("--seed", type=int, default=1000)
     ac.add_argument("--stats-out", default=None,
@@ -600,11 +604,19 @@ def main(argv: list[str] | None = None) -> int:
             weighted, args.n, weight_col="_w", key_col=args.key_col,
             seed=args.seed,
         )
-        # join back for the full rows; the n-row selection broadcasts
+        # join back for the full rows; the n-row selection broadcasts.
+        # The sample's weight column is ALIASED so a documents parquet
+        # that already carries a 'weight' column doesn't produce a
+        # duplicate-name write failure.
         from pyspark.sql.functions import broadcast as F_broadcast
 
         out = docs.join(
-            F_broadcast(sel.select(args.key_col, "weight")), args.key_col
+            F_broadcast(
+                sel.select(
+                    args.key_col, F.col("weight").alias("sample_weight")
+                )
+            ),
+            args.key_col,
         )
         out.write.mode("overwrite").parquet(args.out)
         n = spark.read.parquet(args.out).count()
@@ -694,6 +706,12 @@ def main(argv: list[str] | None = None) -> int:
                 side_a, side_b, n_planes=args.n_planes,
                 n_tables=args.n_tables, dim=args.dim, seed_base=args.seed,
             )
+            if args.stats_out:
+                # the aligner and the stats builder both consume the
+                # candidate set — cache it so the bucket join runs once
+                # (the cosine scoring itself still runs per consumer:
+                # the acceptable eval-path cost of two independent plans)
+                cand = cand.persist()
         aligned = xlingual_margin_align(
             side_a, side_b, k=args.k, threshold_ppm=args.threshold_ppm,
             candidates=cand,
@@ -716,6 +734,8 @@ def main(argv: list[str] | None = None) -> int:
                 },
             )
             print(f"stats_rows={ns} stats={args.stats_out}")
+        if cand is not None and args.stats_out:
+            cand.unpersist()
         mode = "lsh" if args.lsh else "brute"
         print(f"aligned_pairs={n} mode={mode} k={args.k} "
               f"threshold_ppm={args.threshold_ppm} out={args.out}")

@@ -43,6 +43,8 @@ always pass candidates.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -96,10 +98,13 @@ def side_neighborhood_stats(
     if candidates is None:
         pairs = b.crossJoin(F.broadcast(a))
     else:
+        # same duplicate-candidate hazard as xlingual_margin_align: a
+        # duplicated pair would double-count inside the top-k sums
         pairs = (
             candidates.select(
                 F.col("src_id").alias(out_id), F.col("tgt_id").alias("_nb_id")
             )
+            .distinct()
             .join(a, out_id)
             .join(b, "_nb_id")
         )
@@ -117,6 +122,40 @@ def side_neighborhood_stats(
     )
 
 
+# 2^53 exactness bound for the streaming margin's long floor-division
+# ((n − pmod(n, d)) / d): num ≈ 2·(1e6·2e6·n_a·n_b) = 4e12·n_a·n_b must
+# stay under 2^53 ≈ 9.0e15 for the double division of exactly-divisible
+# longs to be exact, i.e. n_a·n_b < 2250 — both neighborhood sizes ≤ 47.
+# The batch operator's DECIMAL(38,0) DIV has no such bound, so the cap is
+# enforced where the artifact is built and where the stream serves.
+MAX_NEIGHBORHOOD_K = 47
+
+
+class NeighborhoodStats(NamedTuple):
+    """A loaded neighborhood-stats artifact: unpacks as (df, sidecar) for
+    compatibility, and carries the build parameters so serving can derive
+    them from the artifact instead of caller memory."""
+
+    df: DataFrame
+    sidecar: dict
+
+    @property
+    def k(self) -> int:
+        return int(self.sidecar["k"])
+
+    @property
+    def lsh(self) -> dict | None:
+        meta = self.sidecar.get("meta") or {}
+        if meta.get("lsh"):
+            return {
+                "n_planes": int(meta["n_planes"]),
+                "n_tables": int(meta["n_tables"]),
+                "dim": int(meta["dim"]),
+                "seed_base": int(meta["seed_base"]),
+            }
+        return None
+
+
 def save_neighborhood_stats(
     stats: DataFrame, path: str, k: int, meta: dict | None = None
 ) -> int:
@@ -130,6 +169,11 @@ def save_neighborhood_stats(
 
     from ..util import require_local_path
 
+    if not 1 <= int(k) <= MAX_NEIGHBORHOOD_K:
+        raise ValueError(
+            f"k must be in [1, {MAX_NEIGHBORHOOD_K}] (streaming-margin "
+            f"long-arithmetic exactness bound), got {k}"
+        )
     require_local_path(path)
     stats.write.mode("overwrite").parquet(path)
     n = stats.sparkSession.read.parquet(path).count()
@@ -141,10 +185,13 @@ def save_neighborhood_stats(
     return n
 
 
-def load_neighborhood_stats(spark, path: str) -> tuple[DataFrame, dict]:
+def load_neighborhood_stats(spark, path: str) -> NeighborhoodStats:
     """Load a persisted stats artifact, validating kind and shape; returns
-    (stats_df, sidecar).  Feed the df to
-    :func:`streaming.pipeline.stream_margin_align` with ``k=sidecar['k']``."""
+    a :class:`NeighborhoodStats` (unpacks as ``(df, sidecar)``).  Pass the
+    WHOLE object to :func:`streaming.pipeline.stream_margin_align` — the
+    serve then derives ``k`` (and the LSH hash family, when the artifact
+    was built over LSH candidates) from the artifact, so a parameter
+    mismatch is impossible (the `index.require` pattern)."""
     import json
     import os
 
@@ -158,11 +205,15 @@ def load_neighborhood_stats(spark, path: str) -> tuple[DataFrame, dict]:
         raise ValueError(f"not a xlingual-nb-stats artifact: {doc.get('kind')!r}")
     if "k" not in doc:
         raise ValueError("stats artifact missing 'k'")
+    if not 1 <= int(doc["k"]) <= MAX_NEIGHBORHOOD_K:
+        raise ValueError(
+            f"stats artifact k={doc['k']} outside [1, {MAX_NEIGHBORHOOD_K}]"
+        )
     df = spark.read.parquet(path)
     missing = {"src_id", "sum_c", "n_c"} - set(df.columns)
     if missing:
         raise ValueError(f"stats artifact missing columns: {sorted(missing)}")
-    return df, doc
+    return NeighborhoodStats(df, doc)
 
 
 def xlingual_margin_align(
@@ -190,8 +241,14 @@ def xlingual_margin_align(
     if candidates is None:
         pairs = b.crossJoin(F.broadcast(a))
     else:
+        # DISTINCT is load-bearing: a duplicated candidate pair fills the
+        # top-k neighborhood slots with copies of its own cosine (margins
+        # collapse toward 1.0) and splits the mutual-best ranks across
+        # identical rows — any raw multi-table LSH join emits duplicates,
+        # so the operator dedups instead of trusting the caller.
         pairs = (
             candidates.select("src_id", "tgt_id")
+            .distinct()
             .join(a, "src_id")
             .join(b, "tgt_id")
         )

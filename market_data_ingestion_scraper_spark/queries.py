@@ -5287,7 +5287,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     # registered r11, taking their FIRST driver gate rows; their SQL
     # twins were verified green at registration and both are pinned
     # against independent Python reference differentials meanwhile
-    # (test_unigram_lm.py, test_sampling.py).
+    # (test_unigram_lm.py; test_curation.py + test_stateful_streaming.py
+    # for the reservoir).
     "unigram_lm_pieces",
     "weighted_reservoir_sample",
     "bipartite_pagerank",

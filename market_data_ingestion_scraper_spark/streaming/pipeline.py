@@ -364,8 +364,8 @@ def ivfpq_enrich_stream(
 def stream_margin_align(
     queries: DataFrame,
     side_a_vectors: DataFrame,
-    stats_a: DataFrame,
-    k: int = 4,
+    stats_a,
+    k: int | None = None,
     threshold_ppm: int = 1_000_000,
     corpus_buckets: DataFrame | None = None,
     index=None,
@@ -400,11 +400,41 @@ def stream_margin_align(
     ``(n − pmod(n, d)) / d`` long trick (operands all positive and far
     under 2^53, so the double division is exact).
 
+    ``stats_a`` is either a loaded
+    :class:`~..operators.alignment.NeighborhoodStats` artifact — the
+    mismatch-proof form: ``k`` comes from the artifact's sidecar (an
+    explicit conflicting ``k`` raises), and when the artifact was built
+    over LSH candidates its hash family drives the serving buckets too —
+    or a bare stats DataFrame (``k`` defaults to 4).  ``k`` is capped at
+    ``MAX_NEIGHBORHOOD_K`` (47): past it the long floor-division below
+    exceeds 2^53 and streaming margins could drift 1 ppm from the batch
+    operator's DECIMAL-exact values.
+
     Returns (query_id, src_id, cos_sim, margin) for admitted queries —
     one row per stream doc whose best candidate clears ``threshold_ppm``.
     """
+    from ..operators.alignment import MAX_NEIGHBORHOOD_K, NeighborhoodStats
     from ..operators.similarity import _pair_cosine, _scoring_side, bucket_table
 
+    if isinstance(stats_a, NeighborhoodStats):
+        if k is not None and k != stats_a.k:
+            raise ValueError(
+                f"explicit k={k} conflicts with the stats artifact's "
+                f"k={stats_a.k}; serving must use the artifact's parameters"
+            )
+        k = stats_a.k
+        if stats_a.lsh is not None and corpus_buckets is None and index is None:
+            lsh = stats_a.lsh
+            n_planes, n_tables = lsh["n_planes"], lsh["n_tables"]
+            dim, seed_base = lsh["dim"], lsh["seed_base"]
+        stats_a = stats_a.df
+    elif k is None:
+        k = 4
+    if not 1 <= k <= MAX_NEIGHBORHOOD_K:
+        raise ValueError(
+            f"k must be in [1, {MAX_NEIGHBORHOOD_K}] (long-arithmetic "
+            f"exactness bound), got {k}"
+        )
     if index is not None:
         qz = index.require("lsh")
         corpus_buckets = index.df

@@ -426,3 +426,25 @@ def test_new_gate_queries_deterministic_across_partitionings(spark):
             finally:
                 spark.conf.set("spark.sql.shuffle.partitions", old)
             assert again == base, (name, n)
+
+
+def test_xlingual_align_dedups_duplicate_candidates(spark):
+    """Regression (r12 review): a duplicated candidate pair must not fill
+    the top-k neighborhood slots with copies of its own cosine (margins
+    collapse toward 1.0) or split mutual-best ranks across identical
+    rows — raw multi-table LSH joins emit duplicates, so the operator
+    dedups them itself."""
+    rows_a = [(i, [math.cos(i / 5.0), math.sin(i / 5.0), 0.2]) for i in range(6)]
+    rows_b = [(10 + i, [math.cos((i + 0.3) / 5.0), math.sin((i + 0.3) / 5.0), 0.15])
+              for i in range(8)]
+    a, b = _sides(spark, rows_a, rows_b)
+    full = a.crossJoin(
+        b.select(F.col("vec_id").alias("tgt_id"))
+    ).select(F.col("vec_id").alias("src_id"), "tgt_id")
+    key = lambda df: sorted(map(tuple, df.collect()))
+    clean = key(xlingual_margin_align(a, b, k=3, candidates=full))
+    doubled = key(
+        xlingual_margin_align(a, b, k=3, candidates=full.union(full))
+    )
+    assert doubled == clean
+    assert clean == key(xlingual_margin_align(a, b, k=3))  # == brute force

@@ -395,7 +395,9 @@ def test_cli_sample_corpus_aes(tmp_path, spark):
     assert r.returncode == 0, r.stderr[-2000:]
     assert "method=aes n=12" in r.stdout
     s1 = spark.read.parquet(out1)
-    assert s1.count() == 12 and "weight" in s1.columns
+    # the carried weight is aliased so a source 'weight' column can't
+    # collide at write time
+    assert s1.count() == 12 and "sample_weight" in s1.columns
 
     # rerun with the same seed: identical selection
     out2 = str(tmp_path / "s2")
@@ -528,10 +530,13 @@ def test_cli_align_corpus_and_stats_artifact(tmp_path, spark):
     key = lambda df: sorted(map(tuple, df.collect()))
     assert key(pairs) == key(lib)
 
-    # stats artifact: loader validates kind and k, and the stats serve
-    # the streaming forward miner end-to-end
-    stats_df, sidecar = load_neighborhood_stats(spark, stats)
+    # stats artifact: loader validates kind and k, and the WHOLE artifact
+    # drives the streaming forward miner — k comes from the sidecar, so a
+    # parameter mismatch is impossible
+    art = load_neighborhood_stats(spark, stats)
+    stats_df, sidecar = art  # still unpacks as a (df, sidecar) pair
     assert sidecar["k"] == 3 and sidecar["kind"] == "xlingual-nb-stats"
+    assert art.k == 3 and art.lsh is None  # brute-force build: no lsh meta
     from market_data_ingestion_scraper_spark.streaming.pipeline import (
         stream_margin_align,
     )
@@ -539,10 +544,19 @@ def test_cli_align_corpus_and_stats_artifact(tmp_path, spark):
     served = stream_margin_align(
         spark.read.parquet(b_path).limit(5),
         spark.read.parquet(a_path),
-        stats_df,
-        k=sidecar["k"],
+        art,
     )
     assert served.count() >= 0  # composes and runs
+    # an explicit k conflicting with the artifact refuses to serve
+    import pytest as _pytest2
+
+    with _pytest2.raises(ValueError, match="conflicts with the stats"):
+        stream_margin_align(
+            spark.read.parquet(b_path).limit(1),
+            spark.read.parquet(a_path),
+            art,
+            k=7,
+        )
 
     # LSH candidate mode: subset of the brute-force pairs
     out2 = str(tmp_path / "aligned_lsh")
