@@ -448,3 +448,18 @@ def test_xlingual_align_dedups_duplicate_candidates(spark):
     )
     assert doubled == clean
     assert clean == key(xlingual_margin_align(a, b, k=3))  # == brute force
+
+
+def test_r13_gate_debt_oracle_parity_at_driver_scale(spark):
+    """The two r12-registered queries take their first driver gate rows
+    at r13; keep their SQL twins pinned at the DRIVER'S scale (sf0.01 —
+    the default parity suite runs at sf0.001) so no future edit can
+    silently break the promised rows between rounds."""
+    from market_data_ingestion_scraper_spark.queries import REGISTRY
+
+    from .oracle_utils import compare_query
+
+    sf = "/root/testdata/sf0.01"
+    for name in ("xlingual_align", "curriculum_packed_order"):
+        spec = REGISTRY[name]
+        compare_query(spark, sf, spec.fn, spec.oracle_text(sf))
