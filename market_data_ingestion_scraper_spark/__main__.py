@@ -698,6 +698,18 @@ def main(argv: list[str] | None = None) -> int:
             xlingual_margin_align,
         )
 
+        from .operators.alignment import MAX_NEIGHBORHOOD_K
+
+        # validate BEFORE any writes: the stats artifact enforces the
+        # streaming-margin k cap, and failing after the aligned parquet
+        # landed would leave a half-finished command
+        if args.stats_out and not 1 <= args.k <= MAX_NEIGHBORHOOD_K:
+            print(
+                f"--k must be in [1, {MAX_NEIGHBORHOOD_K}] when "
+                "--stats-out is set (streaming-margin exactness bound)",
+                file=sys.stderr,
+            )
+            return 2
         side_a = spark.read.parquet(args.side_a)
         side_b = spark.read.parquet(args.side_b)
         cand = None

@@ -92,7 +92,17 @@ def side_neighborhood_stats(
     (:func:`streaming.pipeline.stream_margin_align`).  Batch-only (uses a
     rank window); compute once per reference-corpus snapshot and persist
     like any other model artifact.  ``candidates`` as in
-    :func:`xlingual_margin_align`; without it ``side`` broadcasts."""
+    :func:`xlingual_margin_align`; without it ``side`` broadcasts.
+
+    ``k`` is capped at ``MAX_NEIGHBORHOOD_K`` at BUILD time: the
+    streaming margin consumes ``n_c`` in long arithmetic, so a stats
+    table built past the cap would push the serve past 2^53 even when
+    the serve's own ``k`` is legal."""
+    if not 1 <= int(k) <= MAX_NEIGHBORHOOD_K:
+        raise ValueError(
+            f"k must be in [1, {MAX_NEIGHBORHOOD_K}] (streaming-margin "
+            f"long-arithmetic exactness bound), got {k}"
+        )
     a = _scoring_side(side, id_col, vec_col, out_id, "q")
     b = _scoring_side(_spread(other), id_col, vec_col, "_nb_id", "n")
     if candidates is None:
@@ -146,14 +156,23 @@ class NeighborhoodStats(NamedTuple):
     @property
     def lsh(self) -> dict | None:
         meta = self.sidecar.get("meta") or {}
-        if meta.get("lsh"):
-            return {
-                "n_planes": int(meta["n_planes"]),
-                "n_tables": int(meta["n_tables"]),
-                "dim": int(meta["dim"]),
-                "seed_base": int(meta["seed_base"]),
-            }
-        return None
+        if not meta.get("lsh"):
+            return None
+        missing = [
+            key
+            for key in ("n_planes", "n_tables", "dim", "seed_base")
+            if key not in meta
+        ]
+        if missing:
+            raise ValueError(
+                f"lsh-built stats artifact missing hash-family keys: {missing}"
+            )
+        return {
+            "n_planes": int(meta["n_planes"]),
+            "n_tables": int(meta["n_tables"]),
+            "dim": int(meta["dim"]),
+            "seed_base": int(meta["seed_base"]),
+        }
 
 
 def save_neighborhood_stats(
@@ -213,7 +232,9 @@ def load_neighborhood_stats(spark, path: str) -> NeighborhoodStats:
     missing = {"src_id", "sum_c", "n_c"} - set(df.columns)
     if missing:
         raise ValueError(f"stats artifact missing columns: {sorted(missing)}")
-    return NeighborhoodStats(df, doc)
+    out = NeighborhoodStats(df, doc)
+    out.lsh  # fail HERE, with the loader's error, not deep inside a serve
+    return out
 
 
 def xlingual_margin_align(
@@ -245,7 +266,10 @@ def xlingual_margin_align(
         # top-k neighborhood slots with copies of its own cosine (margins
         # collapse toward 1.0) and splits the mutual-best ranks across
         # identical rows — any raw multi-table LSH join emits duplicates,
-        # so the operator dedups instead of trusting the caller.
+        # so the operator dedups instead of trusting the caller.  Already-
+        # distinct inputs (the house generator) pay nothing: Catalyst's
+        # RemoveRedundantAggregates collapses distinct-on-distinct to ONE
+        # aggregate (verified on the optimized plan).
         pairs = (
             candidates.select("src_id", "tgt_id")
             .distinct()

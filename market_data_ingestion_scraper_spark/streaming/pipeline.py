@@ -369,10 +369,10 @@ def stream_margin_align(
     threshold_ppm: int = 1_000_000,
     corpus_buckets: DataFrame | None = None,
     index=None,
-    n_planes: int = 4,
-    n_tables: int = 8,
-    dim: int = 64,
-    seed_base: int = 1000,
+    n_planes: int | None = None,
+    n_tables: int | None = None,
+    dim: int | None = None,
+    seed_base: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -402,10 +402,14 @@ def stream_margin_align(
 
     ``stats_a`` is either a loaded
     :class:`~..operators.alignment.NeighborhoodStats` artifact — the
-    mismatch-proof form: ``k`` comes from the artifact's sidecar (an
-    explicit conflicting ``k`` raises), and when the artifact was built
-    over LSH candidates its hash family drives the serving buckets too —
-    or a bare stats DataFrame (``k`` defaults to 4).  ``k`` is capped at
+    mismatch-proof form: ``k`` comes from the artifact's sidecar, and
+    when the artifact was built over LSH candidates its hash family
+    drives the serving buckets; an explicit ``k``, explicit family
+    argument, or ``index`` quantizer that CONFLICTS with the artifact
+    raises (raw ``corpus_buckets`` cannot be introspected — passing them
+    with an LSH artifact asserts the caller built them from the same
+    family) — or a bare stats DataFrame (``k`` defaults to 4, family to
+    the library defaults 4/8/64/1000).  ``k`` is capped at
     ``MAX_NEIGHBORHOOD_K`` (47): past it the long floor-division below
     exceeds 2^53 and streaming margins could drift 1 ppm from the batch
     operator's DECIMAL-exact values.
@@ -416,6 +420,17 @@ def stream_margin_align(
     from ..operators.alignment import MAX_NEIGHBORHOOD_K, NeighborhoodStats
     from ..operators.similarity import _pair_cosine, _scoring_side, bucket_table
 
+    explicit = {
+        name: v
+        for name, v in (
+            ("n_planes", n_planes),
+            ("n_tables", n_tables),
+            ("dim", dim),
+            ("seed_base", seed_base),
+        )
+        if v is not None
+    }
+    art_lsh = None
     if isinstance(stats_a, NeighborhoodStats):
         if k is not None and k != stats_a.k:
             raise ValueError(
@@ -423,10 +438,7 @@ def stream_margin_align(
                 f"k={stats_a.k}; serving must use the artifact's parameters"
             )
         k = stats_a.k
-        if stats_a.lsh is not None and corpus_buckets is None and index is None:
-            lsh = stats_a.lsh
-            n_planes, n_tables = lsh["n_planes"], lsh["n_tables"]
-            dim, seed_base = lsh["dim"], lsh["seed_base"]
+        art_lsh = stats_a.lsh
         stats_a = stats_a.df
     elif k is None:
         k = 4
@@ -438,8 +450,31 @@ def stream_margin_align(
     if index is not None:
         qz = index.require("lsh")
         corpus_buckets = index.df
-        n_planes, n_tables = qz["n_planes"], qz["n_tables"]
-        dim, seed_base = qz["dim"], qz["seed_base"]
+        family = {
+            name: qz[name]
+            for name in ("n_planes", "n_tables", "dim", "seed_base")
+        }
+        if art_lsh is not None and family != art_lsh:
+            raise ValueError(
+                f"index hash family {family} conflicts with the stats "
+                f"artifact's {art_lsh}; margins over mismatched candidate "
+                "pools are silently wrong"
+            )
+    elif art_lsh is not None:
+        clash = {
+            name: v for name, v in explicit.items() if art_lsh[name] != v
+        }
+        if clash:
+            raise ValueError(
+                f"explicit hash-family arguments {clash} conflict with the "
+                f"stats artifact's {art_lsh}"
+            )
+        family = art_lsh
+    else:
+        family = {"n_planes": 4, "n_tables": 8, "dim": 64, "seed_base": 1000}
+        family.update(explicit)
+    n_planes, n_tables = family["n_planes"], family["n_tables"]
+    dim, seed_base = family["dim"], family["seed_base"]
     if corpus_buckets is None:
         corpus_buckets = bucket_table(
             side_a_vectors, id_col, vec_col, n_planes, n_tables, dim, seed_base

@@ -463,3 +463,85 @@ def test_r13_gate_debt_oracle_parity_at_driver_scale(spark):
     for name in ("xlingual_align", "curriculum_packed_order"):
         spec = REGISTRY[name]
         compare_query(spark, sf, spec.fn, spec.oracle_text(sf))
+
+
+def test_lsh_artifact_drives_streaming_family(spark, tmp_path):
+    """r12 review follow-ups: an LSH-built stats artifact must (a) drive
+    the serving hash family, (b) refuse explicit conflicting family args
+    or a mismatched index quantizer, and (c) fail at LOAD time — not deep
+    in a serve — when its meta is malformed; k caps are enforced at both
+    build and serve."""
+    import json
+    import os
+
+    import numpy as np
+
+    from market_data_ingestion_scraper_spark.operators.alignment import (
+        load_neighborhood_stats,
+        save_neighborhood_stats,
+        side_neighborhood_stats,
+        xlingual_candidates_lsh,
+    )
+    from market_data_ingestion_scraper_spark.operators.similarity import AnnIndex
+    from market_data_ingestion_scraper_spark.streaming import pipeline as P
+
+    rng = np.random.default_rng(21)
+    mk = lambda rows: spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    a = mk([(i, rng.standard_normal(64).tolist()) for i in range(10)])
+    b = mk([(50 + i, rng.standard_normal(64).tolist()) for i in range(12)])
+    cand = xlingual_candidates_lsh(a, b, n_planes=4, n_tables=8)
+    path = str(tmp_path / "stats")
+    save_neighborhood_stats(
+        side_neighborhood_stats(a, b, k=3, candidates=cand),
+        path,
+        k=3,
+        meta={"lsh": True, "n_planes": 4, "n_tables": 8, "dim": 64,
+              "seed_base": 1000},
+    )
+    art = load_neighborhood_stats(spark, path)
+    assert art.lsh == {"n_planes": 4, "n_tables": 8, "dim": 64,
+                       "seed_base": 1000}
+
+    # (a) artifact-driven serve == explicit matching-family serve
+    q = b.limit(4)
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(P.stream_margin_align(q, a, art)) == key(
+        P.stream_margin_align(
+            q, a, art.df, k=3, n_planes=4, n_tables=8, dim=64,
+            seed_base=1000,
+        )
+    )
+
+    # (b) conflicting explicit family / mismatched index quantizer raise
+    with pytest.raises(ValueError, match="conflict with the stats"):
+        P.stream_margin_align(q, a, art, n_planes=8, n_tables=4)
+    from market_data_ingestion_scraper_spark.operators.similarity import (
+        bucket_table,
+    )
+
+    wrong = AnnIndex(
+        bucket_table(a, "vec_id", "embedding", 8, 4, 64, 2000),
+        {"kind": "lsh", "n_planes": 8, "n_tables": 4, "dim": 64,
+         "seed_base": 2000},
+    )
+    with pytest.raises(ValueError, match="conflicts with the stats"):
+        P.stream_margin_align(q, a, art, index=wrong)
+
+    # (c) malformed lsh meta refuses at load with the loader's error
+    with open(os.path.join(path, "_stats.json")) as f:
+        doc = json.load(f)
+    doc["meta"] = {"lsh": True}  # family keys missing
+    with open(os.path.join(path, "_stats.json"), "w") as f:
+        json.dump(doc, f)
+    with pytest.raises(ValueError, match="missing hash-family keys"):
+        load_neighborhood_stats(spark, path)
+
+    # k caps: build-side (stats builder + artifact writer) and serve-side
+    with pytest.raises(ValueError, match="exactness bound"):
+        side_neighborhood_stats(a, b, k=48)
+    with pytest.raises(ValueError, match="exactness bound"):
+        save_neighborhood_stats(art.df, str(tmp_path / "x"), k=48)
+    with pytest.raises(ValueError, match="exactness bound"):
+        P.stream_margin_align(q, a, art.df, k=48)
