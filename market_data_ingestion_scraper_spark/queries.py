@@ -5279,78 +5279,16 @@ def q_curriculum_packed_order(spark: SparkSession, sf: str) -> DataFrame:
 # queries, and finally entries whose evidence already exists elsewhere
 # (rows-only demos pinned by pytest, long-stable double-green rows).
 GATE_PRIORITY: tuple[str, ...] = (
-    # r12 rotation (executes the hard commitment recorded here at r11):
-    # the 50 queries last checked green at r10 parked in GATE_DEFERRED
-    # through r11 and hit the 2-round staleness limit this round — the
+    # r13 rotation (executes the hard commitment recorded here at r12):
+    # the 50 queries last checked green at r11 parked in GATE_DEFERRED
+    # through r12 and hit the 2-round staleness limit this round — the
     # entire list rotates back into the snapshot window.  This includes
-    # `unigram_lm_pieces` (X24) and `weighted_reservoir_sample` (X23),
-    # registered r11, taking their FIRST driver gate rows; their SQL
-    # twins were verified green at registration and both are pinned
-    # against independent Python reference differentials meanwhile
-    # (test_unigram_lm.py; test_curation.py + test_stateful_streaming.py
-    # for the reservoir).
-    "unigram_lm_pieces",
-    "weighted_reservoir_sample",
-    "bipartite_pagerank",
-    "tfidf_doc_pairs",
-    "record_linkage",
-    "rp_recall_eval",
-    "pq_topk_adc",
-    "series_topk_similar",
-    "bpe_corpus_stats",
-    "sketch_profile_check",
-    "paragraph_dup_stats",
-    "bigram_merge_candidates",
-    "collapse_repeated_paras",
-    "curation_pipeline",
-    "embedding_near_dups",
-    "lexical_diversity",
-    "zipf_profile",
-    "split_leakage",
-    "sliding_hourly_avg",
-    "clicks_recent_purchase",
-    "asof_last_purchase",
-    "range_join_value_bands",
-    "scalar_date_scan",
-    "customers_without_orders",
-    "pricing_summary",
-    "priority_counts",
-    "count_data_rows",
-    "container_classification",
-    "completed_link_types",
-    "fully_covered_orders",
-    "sanitize_commodity_names",
-    "lineage_projection",
-    "parts_above_brand_avg",
-    "events_json_extract",
-    "events_daily_by_type",
-    "user_sessionization",
-    "tfidf_top_terms",
-    "text_quality",
-    "html_table_scan",
-    "stratified_sample_by_lang",
-    "repetition_scores",
-    "doc_chunks",
-    "pack_plan",
-    "benchmark_decontam",
-    "training_order",
-    "bigram_logprob_quality",
-    "pivot_status_qty",
-    "cube_revenue",
-    "quantity_percentiles",
-    "top_part_per_brand_maxby",
-)
-
-# The queries checked green at r11 park outside the snapshot window
-# this round; they hit the 2-round staleness limit at r13, so the r13
-# rotation MUST move this entire list into GATE_PRIORITY (and park the
-# r12-green window here).  With 100 exported queries and a 50-row
-# snapshot the cycle is exactly two rounds — sustainable indefinitely.
-# Queries newly registered at r12 join the head of this window (the
-# dsir_select / unigram_lm_pieces precedent): their SQL twins are
-# verified green at registration time and they take their first driver
-# gate rows at r13.
-GATE_DEFERRED: tuple[str, ...] = (
+    # `xlingual_align` (X25) and `curriculum_packed_order` (X26),
+    # registered r12, taking their FIRST driver gate rows; their SQL
+    # twins were verified green at registration (sf0.001 + sf0.01 +
+    # test_r13_gate_debt_oracle_parity_at_driver_scale) and both are
+    # pinned against independent pure-Python twins meanwhile
+    # (test_alignment_curriculum.py).
     "xlingual_align",
     "curriculum_packed_order",
     "trigram_backoff_quality",
@@ -5401,6 +5339,68 @@ GATE_DEFERRED: tuple[str, ...] = (
     "embedding_norm_outliers",
     "image_near_dups",
     "duplicated_span_stats",
+)
+
+# The queries checked green at r12 park outside the snapshot window
+# this round; they hit the 2-round staleness limit at r14, so the r14
+# rotation MUST move this entire list into GATE_PRIORITY (and park the
+# r13-green window here).  With 100 exported queries and a 50-row
+# snapshot the cycle is exactly two rounds — sustainable indefinitely.
+# Queries newly registered at r13 join the head of this window (the
+# dsir_select / unigram_lm_pieces / xlingual_align precedent): their SQL
+# twins are verified green at registration time and they take their
+# first driver gate rows at r14.
+GATE_DEFERRED: tuple[str, ...] = (
+    "unigram_lm_pieces",
+    "weighted_reservoir_sample",
+    "bipartite_pagerank",
+    "tfidf_doc_pairs",
+    "record_linkage",
+    "rp_recall_eval",
+    "pq_topk_adc",
+    "series_topk_similar",
+    "bpe_corpus_stats",
+    "sketch_profile_check",
+    "paragraph_dup_stats",
+    "bigram_merge_candidates",
+    "collapse_repeated_paras",
+    "curation_pipeline",
+    "embedding_near_dups",
+    "lexical_diversity",
+    "zipf_profile",
+    "split_leakage",
+    "sliding_hourly_avg",
+    "clicks_recent_purchase",
+    "asof_last_purchase",
+    "range_join_value_bands",
+    "scalar_date_scan",
+    "customers_without_orders",
+    "pricing_summary",
+    "priority_counts",
+    "count_data_rows",
+    "container_classification",
+    "completed_link_types",
+    "fully_covered_orders",
+    "sanitize_commodity_names",
+    "lineage_projection",
+    "parts_above_brand_avg",
+    "events_json_extract",
+    "events_daily_by_type",
+    "user_sessionization",
+    "tfidf_top_terms",
+    "text_quality",
+    "html_table_scan",
+    "stratified_sample_by_lang",
+    "repetition_scores",
+    "doc_chunks",
+    "pack_plan",
+    "benchmark_decontam",
+    "training_order",
+    "bigram_logprob_quality",
+    "pivot_status_qty",
+    "cube_revenue",
+    "quantity_percentiles",
+    "top_part_per_brand_maxby",
 )
 
 # Retired from the GATE EXPORT only (r8, on the r7 verdict's advice): each
