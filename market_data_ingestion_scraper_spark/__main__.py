@@ -248,7 +248,12 @@ def main(argv: list[str] | None = None) -> int:
     # a stats artifact built here and buckets built at library defaults
     # must come from the same hash family, or streaming margins are
     # computed over a systematically different candidate pool
-    ac.add_argument("--n-planes", type=int, default=4)
+    ac.add_argument("--n-planes", default="4",
+                    help="signature width, or 'auto' to derive it from "
+                    "the larger side's row count via n_planes_for — the "
+                    "measured density law (fixed width densifies "
+                    "candidates quadratically; width ~ log2(corpus) "
+                    "keeps them linear)")
     ac.add_argument("--n-tables", type=int, default=8)
     ac.add_argument("--dim", type=int, default=64)
     ac.add_argument("--seed", type=int, default=1000)
@@ -256,6 +261,28 @@ def main(argv: list[str] | None = None) -> int:
                     help="also persist side-A top-k neighborhood stats "
                     "(parquet + kind-validated sidecar) for "
                     "stream_margin_align serving")
+
+    po = sub.add_parser(
+        "pack-order",
+        help="curriculum-ordered sequence packing (X26): per-stratum "
+        "short-first order + packing cumsum — each document's "
+        "(curriculum_rank, start_bin, start_offset) in the warmup-ordered "
+        "token stream",
+    )
+    po.add_argument("--documents", required=True,
+                    help="parquet with (doc_id, text, strata columns)")
+    po.add_argument("--out", required=True,
+                    help="output parquet of the curriculum pack order")
+    po.add_argument("--ctx-tokens", type=int, default=512,
+                    help="context window length in tokens")
+    po.add_argument("--strata", default="lang",
+                    help="comma-separated stratum columns; at corpus "
+                    "scale pass lang,shard so each window is "
+                    "partition-sized")
+    po.add_argument("--salt", default="curriculum-0",
+                    help="tie-break salt — redraws the within-length "
+                    "shuffle per epoch")
+    po.add_argument("--id-col", default="doc_id")
 
     ic = sub.add_parser(
         "index-compact",
@@ -712,10 +739,16 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         side_a = spark.read.parquet(args.side_a)
         side_b = spark.read.parquet(args.side_b)
+        if args.n_planes == "auto":
+            from .operators.alignment import n_planes_for
+
+            n_planes = n_planes_for(max(side_a.count(), side_b.count()))
+        else:
+            n_planes = int(args.n_planes)
         cand = None
         if args.lsh:
             cand = xlingual_candidates_lsh(
-                side_a, side_b, n_planes=args.n_planes,
+                side_a, side_b, n_planes=n_planes,
                 n_tables=args.n_tables, dim=args.dim, seed_base=args.seed,
             )
             if args.stats_out:
@@ -739,7 +772,9 @@ def main(argv: list[str] | None = None) -> int:
                 k=args.k,
                 meta={
                     "lsh": bool(args.lsh),
-                    "n_planes": args.n_planes,
+                    # the RESOLVED width, never the 'auto' sentinel: the
+                    # streaming serve derives its hash family from here
+                    "n_planes": n_planes,
                     "n_tables": args.n_tables,
                     "dim": args.dim,
                     "seed_base": args.seed,
@@ -748,9 +783,30 @@ def main(argv: list[str] | None = None) -> int:
             print(f"stats_rows={ns} stats={args.stats_out}")
         if cand is not None and args.stats_out:
             cand.unpersist()
-        mode = "lsh" if args.lsh else "brute"
+        mode = f"lsh n_planes={n_planes}" if args.lsh else "brute"
         print(f"aligned_pairs={n} mode={mode} k={args.k} "
               f"threshold_ppm={args.threshold_ppm} out={args.out}")
+        return 0
+
+    if args.cmd == "pack-order":
+        from .operators.chunking import curriculum_pack_order
+
+        docs = spark.read.parquet(args.documents)
+        strata = [c.strip() for c in args.strata.split(",") if c.strip()]
+        missing = [c for c in [args.id_col, "text", *strata]
+                   if c not in docs.columns]
+        if missing:
+            print(f"documents parquet missing columns: {missing}",
+                  file=sys.stderr)
+            return 2
+        order = curriculum_pack_order(
+            docs, args.ctx_tokens, strata, id_col=args.id_col,
+            salt=args.salt,
+        )
+        order.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+        print(f"packed_docs={n} ctx_tokens={args.ctx_tokens} "
+              f"strata={','.join(strata)} salt={args.salt} out={args.out}")
         return 0
 
     if args.cmd == "index-compact":

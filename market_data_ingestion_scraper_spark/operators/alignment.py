@@ -52,6 +52,33 @@ from .similarity import _pair_cosine, _scoring_side, bucket_table
 from .spread import spread_scan as _spread
 
 
+def n_planes_for(
+    corpus_rows: int, min_planes: int = 4, max_planes: int = 24
+) -> int:
+    """Signature width that keeps LSH candidate volume ~LINEAR in corpus
+    size.  With random hyperplanes, expected bucket occupancy per table is
+    ``rows / 2^n_planes``, so within-bucket pair volume is
+    ``rows^2 / 2^n_planes`` — at FIXED width candidates densify
+    quadratically (measured: 138x candidates for 10x corpus at width 8,
+    SCALE.md X25 row).  Holding ``2^n_planes proportional to rows`` cancels
+    the quadratic: ``ceil(log2(rows)) - 2`` reproduces the measured-good
+    widths exactly (1 000 rows -> 8, 10 000 rows -> 12; the 10x probe at
+    those widths returned 13.6x candidates ~ linear, sub-3x wall).
+
+    The -2 offset keeps ~4 expected rows per bucket per table, trading a
+    bounded constant factor of candidates for recall; ``n_tables``
+    (recall knob) is independent of this width law.  Clamped to
+    ``[min_planes, max_planes]``: below 4 the buckets are so coarse the
+    quadratic term dominates even tiny corpora; above 24 per-table
+    collision probability for true pairs decays past what table
+    multiplicity can recover (raise n_tables instead of planes there)."""
+    if corpus_rows < 1:
+        raise ValueError(f"corpus_rows must be >= 1, got {corpus_rows}")
+    import math
+
+    return max(min_planes, min(max_planes, math.ceil(math.log2(corpus_rows)) - 2))
+
+
 def xlingual_candidates_lsh(
     side_a: DataFrame,
     side_b: DataFrame,
@@ -74,6 +101,34 @@ def xlingual_candidates_lsh(
         .join(bb.select(F.col(id_col).alias("tgt_id"), "t", "bucket"), ["t", "bucket"])
         .select("src_id", "tgt_id")
         .distinct()
+    )
+
+
+def _candidate_pairs(
+    a: DataFrame,
+    b: DataFrame,
+    a_id: str,
+    b_id: str,
+    candidates: DataFrame | None,
+) -> DataFrame:
+    """The scored-pair frame shared by :func:`xlingual_margin_align` and
+    :func:`side_neighborhood_stats`.  Without candidates the (bounded,
+    evaluation-only) side ``a`` broadcasts against ``b``.  With them, the
+    DISTINCT is load-bearing: a duplicated candidate pair fills the top-k
+    neighborhood slots with copies of its own cosine (margins collapse
+    toward 1.0, top-k sums double-count) and splits the mutual-best ranks
+    across identical rows — any raw multi-table LSH join emits duplicates,
+    so the operator dedups instead of trusting the caller.  Already-
+    distinct inputs (the house generator) pay nothing: Catalyst's
+    RemoveRedundantAggregates collapses distinct-on-distinct to ONE
+    aggregate (verified on the optimized plan)."""
+    if candidates is None:
+        return b.crossJoin(F.broadcast(a))
+    return (
+        candidates.select(F.col("src_id").alias(a_id), F.col("tgt_id").alias(b_id))
+        .distinct()
+        .join(a, a_id)
+        .join(b, b_id)
     )
 
 
@@ -105,19 +160,7 @@ def side_neighborhood_stats(
         )
     a = _scoring_side(side, id_col, vec_col, out_id, "q")
     b = _scoring_side(_spread(other), id_col, vec_col, "_nb_id", "n")
-    if candidates is None:
-        pairs = b.crossJoin(F.broadcast(a))
-    else:
-        # same duplicate-candidate hazard as xlingual_margin_align: a
-        # duplicated pair would double-count inside the top-k sums
-        pairs = (
-            candidates.select(
-                F.col("src_id").alias(out_id), F.col("tgt_id").alias("_nb_id")
-            )
-            .distinct()
-            .join(a, out_id)
-            .join(b, "_nb_id")
-        )
+    pairs = _candidate_pairs(a, b, out_id, "_nb_id", candidates)
     scored = (
         pairs.select(out_id, "_nb_id", _pair_cosine())
         .withColumn("c", F.round(F.col("cos_sim") * 1e6).cast("long"))
@@ -232,6 +275,16 @@ def load_neighborhood_stats(spark, path: str) -> NeighborhoodStats:
     missing = {"src_id", "sum_c", "n_c"} - set(df.columns)
     if missing:
         raise ValueError(f"stats artifact missing columns: {sorted(missing)}")
+    # data-level guard, not just metadata: a stale or hand-edited artifact
+    # whose actual n_c exceeds the sidecar k would break the streaming
+    # margin's 2^53 exactness bound at serve time even though the sidecar
+    # validates — one aggregate over a KB-scale artifact is cheap
+    max_n_c = df.agg(F.max("n_c").alias("m")).collect()[0]["m"]
+    if max_n_c is not None and int(max_n_c) > int(doc["k"]):
+        raise ValueError(
+            f"stats artifact data violates its sidecar: max(n_c)={max_n_c} "
+            f"> k={doc['k']} (exactness bound enforced against the data)"
+        )
     out = NeighborhoodStats(df, doc)
     out.lsh  # fail HERE, with the loader's error, not deep inside a serve
     return out
@@ -259,23 +312,7 @@ def xlingual_margin_align(
     non-positive have no defined margin and drop out."""
     a = _scoring_side(side_a, id_col, vec_col, "src_id", "q")
     b = _scoring_side(_spread(side_b), id_col, vec_col, "tgt_id", "n")
-    if candidates is None:
-        pairs = b.crossJoin(F.broadcast(a))
-    else:
-        # DISTINCT is load-bearing: a duplicated candidate pair fills the
-        # top-k neighborhood slots with copies of its own cosine (margins
-        # collapse toward 1.0) and splits the mutual-best ranks across
-        # identical rows — any raw multi-table LSH join emits duplicates,
-        # so the operator dedups instead of trusting the caller.  Already-
-        # distinct inputs (the house generator) pay nothing: Catalyst's
-        # RemoveRedundantAggregates collapses distinct-on-distinct to ONE
-        # aggregate (verified on the optimized plan).
-        pairs = (
-            candidates.select("src_id", "tgt_id")
-            .distinct()
-            .join(a, "src_id")
-            .join(b, "tgt_id")
-        )
+    pairs = _candidate_pairs(a, b, "src_id", "tgt_id", candidates)
     scored = (
         pairs.select("src_id", "tgt_id", _pair_cosine())
         .withColumn("c", F.round(F.col("cos_sim") * 1e6).cast("long"))

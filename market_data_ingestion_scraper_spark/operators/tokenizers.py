@@ -31,7 +31,9 @@ def save_tokenizer(artifact: dict, path: str, meta: dict | None = None) -> None:
     doc: dict = {"kind": kind}
     if kind == "bpe":
         merges = artifact["merges"]
-        if not all(len(p) == 2 for p in merges):
+        # tuple/list EXPLICITLY: a 2-char string "ab" also has len 2 and
+        # the unpack below would silently reinterpret it as ("a", "b")
+        if not all(isinstance(p, (list, tuple)) and len(p) == 2 for p in merges):
             raise ValueError("bpe merges must be (left, right) pairs")
         doc["merges"] = [[a, b] for a, b in merges]  # rank order IS the list order
     else:

@@ -454,6 +454,15 @@ def stream_margin_align(
             name: qz[name]
             for name in ("n_planes", "n_tables", "dim", "seed_base")
         }
+        clash = {
+            name: v for name, v in explicit.items() if family[name] != v
+        }
+        if clash:
+            raise ValueError(
+                f"explicit hash-family arguments {clash} conflict with the "
+                f"index's {family}; margins over mismatched candidate "
+                "pools are silently wrong"
+            )
         if art_lsh is not None and family != art_lsh:
             raise ValueError(
                 f"index hash family {family} conflicts with the stats "
@@ -530,16 +539,25 @@ def stream_margin_align(
         den = 2 * d
         return ((num - F.pmod(num, den)) / den).cast("long")
 
-    best = F.array_max(
-        F.transform(
-            F.col("_cands"),
-            lambda s: F.struct(
-                _margin_ppm(s).alias("margin_ppm"),
-                s["c"].alias("c"),
-                (-s["src_id"]).alias("_negid"),
-                s["src_id"].alias("src_id"),
-            ),
-        )
+    # ascending struct sort, best first: (-margin, -c, src_id) — src_id
+    # compares ASC natively, so the batch operator's tie-break holds for
+    # ANY orderable id type (the earlier array_max form negated src_id
+    # arithmetically, silently narrowing stream/batch parity to numeric
+    # ids; string doc ids would have thrown)
+    best = F.element_at(
+        F.array_sort(
+            F.transform(
+                F.col("_cands"),
+                lambda s: F.struct(
+                    (-_margin_ppm(s)).alias("_negm"),
+                    (-s["c"]).alias("_negc"),
+                    s["src_id"].alias("src_id"),
+                    _margin_ppm(s).alias("margin_ppm"),
+                    s["c"].alias("c"),
+                ),
+            )
+        ),
+        1,
     )
     return (
         staged.select("query_id", best.alias("_best"))

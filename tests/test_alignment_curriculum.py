@@ -545,3 +545,201 @@ def test_lsh_artifact_drives_streaming_family(spark, tmp_path):
         save_neighborhood_stats(art.df, str(tmp_path / "x"), k=48)
     with pytest.raises(ValueError, match="exactness bound"):
         P.stream_margin_align(q, a, art.df, k=48)
+
+
+# ------------------------------------------------------- n_planes law
+
+
+def test_n_planes_for_encodes_density_law():
+    """The helper reproduces the measured-good widths from the SCALE.md
+    X25 probe exactly (1 000 rows -> 8, 10 000 -> 12), clamps at both
+    ends, and rejects nonsense."""
+    from market_data_ingestion_scraper_spark.operators.alignment import (
+        n_planes_for,
+    )
+
+    assert n_planes_for(1_000) == 8
+    assert n_planes_for(10_000) == 12
+    # 2^n_planes tracks rows: +1 plane per doubling past the clamp floor
+    assert n_planes_for(20_000) == 13
+    assert n_planes_for(1) == 4 and n_planes_for(60) == 4  # floor clamp
+    assert n_planes_for(10**12) == 24  # ceiling clamp
+    assert n_planes_for(5, min_planes=2) == 2
+    with pytest.raises(ValueError, match="corpus_rows"):
+        n_planes_for(0)
+
+
+def test_auto_width_keeps_candidates_near_linear(spark):
+    """The scale-probe pin for the density law (SCALE.md X25 row measured
+    138x candidates at 10x corpus under FIXED width): with the width from
+    n_planes_for at each scale, candidate volume at 10x corpus stays
+    within ~2x of linear growth, while the fixed 1x width blows past it —
+    the law the helper exists to encode, asserted in code."""
+    import numpy as np
+
+    from market_data_ingestion_scraper_spark.operators.alignment import (
+        n_planes_for,
+    )
+
+    rng = np.random.default_rng(13)
+
+    def sides(n):
+        # dim 64 = the measured probe's embedding width (SCALE.md);
+        # narrow spaces correlate the hyperplanes and densify buckets
+        a = [(i, rng.standard_normal(64).tolist()) for i in range(n)]
+        b = [(10**6 + i, rng.standard_normal(64).tolist()) for i in range(n)]
+        mk = lambda rows: spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        return mk(a), mk(b)
+
+    def n_cand(a, b, planes):
+        return xlingual_candidates_lsh(
+            a, b, n_planes=planes, n_tables=4, dim=64
+        ).count()
+
+    base_n, scale = 300, 10
+    a1, b1 = sides(base_n)
+    a10, b10 = sides(base_n * scale)
+    w1, w10 = n_planes_for(base_n), n_planes_for(base_n * scale)
+    assert w10 > w1  # the width actually scales
+    c1 = n_cand(a1, b1, w1)
+    c10_auto = n_cand(a10, b10, w10)
+    c10_fixed = n_cand(a10, b10, w1)
+    assert c1 > 0
+    # auto width: within 2x of linear (the verdict's bound)
+    assert c10_auto <= 2 * scale * c1, (c1, c10_auto)
+    # fixed width: demonstrably superlinear on the same data — the hazard
+    assert c10_fixed > 2 * scale * c1, (c1, c10_fixed)
+
+
+def test_stream_margin_index_vs_explicit_clash(spark):
+    """r12 advice: explicit hash-family arguments that conflict with a
+    passed index must raise (they were silently overridden before),
+    mirroring the artifact-vs-explicit check; matching explicit args
+    still serve."""
+    import numpy as np
+
+    from market_data_ingestion_scraper_spark.operators.alignment import (
+        side_neighborhood_stats,
+    )
+    from market_data_ingestion_scraper_spark.operators.similarity import (
+        AnnIndex,
+        bucket_table,
+    )
+    from market_data_ingestion_scraper_spark.streaming import pipeline as P
+
+    rng = np.random.default_rng(29)
+    mk = lambda rows: spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    a = mk([(i, rng.standard_normal(64).tolist()) for i in range(8)])
+    b = mk([(50 + i, rng.standard_normal(64).tolist()) for i in range(8)])
+    stats = side_neighborhood_stats(a, b, k=2)
+    idx = AnnIndex(
+        bucket_table(a, "vec_id", "embedding", 4, 8, 64, 1000),
+        {"kind": "lsh", "n_planes": 4, "n_tables": 8, "dim": 64,
+         "seed_base": 1000},
+    )
+    q = b.limit(3)
+    with pytest.raises(ValueError, match="conflict with the index"):
+        P.stream_margin_align(q, a, stats, k=2, index=idx, n_planes=8)
+    # matching explicit args are consistent, not a clash
+    ok = P.stream_margin_align(
+        q, a, stats, k=2, index=idx, n_planes=4, n_tables=8
+    )
+    assert ok.count() >= 0
+
+
+def test_load_neighborhood_stats_data_level_k_guard(spark, tmp_path):
+    """r12 advice: the loader must validate the sidecar k against the
+    parquet's ACTUAL n_c values — a hand-edited sidecar whose k undercuts
+    the data would otherwise break the 2^53 exactness bound at serve."""
+    import json
+    import os
+
+    import numpy as np
+
+    from market_data_ingestion_scraper_spark.operators.alignment import (
+        load_neighborhood_stats,
+        save_neighborhood_stats,
+        side_neighborhood_stats,
+    )
+
+    rng = np.random.default_rng(31)
+    mk = lambda rows: spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    a = mk([(i, rng.standard_normal(8).tolist()) for i in range(6)])
+    b = mk([(50 + i, rng.standard_normal(8).tolist()) for i in range(9)])
+    path = str(tmp_path / "stats")
+    save_neighborhood_stats(
+        side_neighborhood_stats(a, b, k=5), path, k=5
+    )
+    art = load_neighborhood_stats(spark, path)  # consistent: loads fine
+    assert art.k == 5
+
+    sidecar = os.path.join(path, "_stats.json")
+    with open(sidecar) as f:
+        doc = json.load(f)
+    doc["k"] = 1  # metadata now lies about the data
+    with open(sidecar, "w") as f:
+        json.dump(doc, f)
+    with pytest.raises(ValueError, match="violates its sidecar"):
+        load_neighborhood_stats(spark, path)
+
+
+def test_stream_margin_align_string_ids(spark):
+    """r12 advice: the stream tie-break negated src_id arithmetically,
+    silently requiring numeric ids.  String doc ids must now serve, with
+    the SAME tie-break as numeric ids (asc on the id)."""
+    import numpy as np
+
+    from market_data_ingestion_scraper_spark.operators.alignment import (
+        side_neighborhood_stats,
+    )
+    from market_data_ingestion_scraper_spark.streaming import pipeline as P
+
+    rng = np.random.default_rng(37)
+    vecs_a = [rng.standard_normal(32).tolist() for _ in range(10)]
+    vecs_b = [rng.standard_normal(32).tolist() for _ in range(12)]
+    q_vecs = [(np.array(vecs_a[0]) + 1e-4).tolist()] + [
+        rng.standard_normal(32).tolist() for _ in range(3)
+    ]
+    # tie bait: duplicate side-A vectors -> identical cosines AND margins
+    # for two src ids, so the asc-id tie-break is actually exercised
+    vecs_a[5] = list(vecs_a[4])
+
+    mk_num = lambda vecs, base: spark.createDataFrame(
+        [(base + i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    mk_str = lambda vecs, pre: spark.createDataFrame(
+        [(f"{pre}{i:03d}", v) for i, v in enumerate(vecs)],
+        "vec_id string, embedding array<double>",
+    )
+    kwargs = dict(k=3, threshold_ppm=900_000, n_planes=2, n_tables=8)
+
+    num = P.stream_margin_align(
+        mk_num(q_vecs, 100), mk_num(vecs_a, 0),
+        side_neighborhood_stats(mk_num(vecs_a, 0), mk_num(vecs_b, 50), k=3),
+        **kwargs,
+    )
+    st = P.stream_margin_align(
+        mk_str(q_vecs, "q"), mk_str(vecs_a, "a"),
+        side_neighborhood_stats(
+            mk_str(vecs_a, "a"), mk_str(vecs_b, "b"), k=3
+        ),
+        **kwargs,
+    )
+    # zero-padded string ids order exactly like their numeric twins, so
+    # the two runs must pick identical pairs under the id mapping
+    num_key = sorted(
+        (r.query_id - 100, r.src_id, r.cos_sim, r.margin)
+        for r in num.collect()
+    )
+    st_key = sorted(
+        (int(r.query_id[1:]), int(r.src_id[1:]), r.cos_sim, r.margin)
+        for r in st.collect()
+    )
+    assert num_key == st_key and len(num_key) > 0

@@ -94,3 +94,24 @@ def test_merges_on_fixture_documents(spark, sf_smoke):
         F.min("pieces_per_word").alias("lo"), F.max("pieces_per_word").alias("hi")
     ).collect()[0]
     assert 1.0 <= row["lo"] <= row["hi"]
+
+
+def test_save_tokenizer_rejects_string_merge(tmp_path):
+    """r12 advice: a 2-char STRING like "ab" also has len 2 and the
+    merge unpack would silently reinterpret it as ("a", "b") — the
+    validator must require explicit (left, right) pairs."""
+    import pytest
+
+    from market_data_ingestion_scraper_spark.operators.tokenizers import (
+        save_tokenizer,
+    )
+
+    with pytest.raises(ValueError, match="left, right"):
+        save_tokenizer(
+            {"kind": "bpe", "merges": ["ab"]}, str(tmp_path / "t.json")
+        )
+    # genuine pairs still persist
+    save_tokenizer(
+        {"kind": "bpe", "merges": [("a", "b"), ["ab", "c"]]},
+        str(tmp_path / "ok.json"),
+    )

@@ -579,3 +579,71 @@ def test_cli_align_corpus_and_stats_artifact(tmp_path, spark):
 
     with _pytest.raises(ValueError, match="not a xlingual-nb-stats"):
         load_neighborhood_stats(spark, stats)
+
+
+def test_cli_pack_order(tmp_path, spark):
+    """pack-order: the X26 curriculum surface — one row per document,
+    library parity, and a missing stratum column exits 2 before writes."""
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    out = str(tmp_path / "order")
+    r = _run("pack-order", "--documents", docs, "--out", out,
+             "--ctx-tokens", "256", "--strata", "lang",
+             "--salt", "epoch-1")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "ctx_tokens=256" in r.stdout and "strata=lang" in r.stdout
+    got = spark.read.parquet(out)
+    n_docs = spark.read.parquet(docs).count()
+    assert got.count() == n_docs
+    assert {"doc_id", "lang", "n_tokens", "curriculum_rank",
+            "start_bin", "start_offset"} <= set(got.columns)
+
+    # library parity: the CLI IS curriculum_pack_order
+    from market_data_ingestion_scraper_spark.operators.chunking import (
+        curriculum_pack_order,
+    )
+
+    lib = curriculum_pack_order(
+        spark.read.parquet(docs), 256, "lang", salt="epoch-1"
+    )
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(got) == key(lib)
+
+    # a stratum column the parquet lacks refuses loudly, exit 2
+    r = _run("pack-order", "--documents", docs,
+             "--out", str(tmp_path / "x"), "--strata", "lang,no_such")
+    assert r.returncode == 2 and "missing columns" in r.stderr
+
+
+def test_cli_align_corpus_auto_n_planes(tmp_path, spark):
+    """--n-planes auto resolves the width from the larger side via
+    n_planes_for and records the RESOLVED int in the stats sidecar (the
+    streaming serve derives its hash family from there)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a_path = str(tmp_path / "a.parquet")
+    b_path = str(tmp_path / "b.parquet")
+    emb.filter(F.col("vec_id") % 2 == 0).write.parquet(a_path)
+    emb.filter(F.col("vec_id") % 2 == 1).write.parquet(b_path)
+    n_bigger = max(
+        spark.read.parquet(a_path).count(), spark.read.parquet(b_path).count()
+    )
+
+    from market_data_ingestion_scraper_spark.operators.alignment import (
+        n_planes_for,
+    )
+
+    want = n_planes_for(n_bigger)
+    out = str(tmp_path / "aligned")
+    stats = str(tmp_path / "stats")
+    r = _run("align-corpus", "--side-a", a_path, "--side-b", b_path,
+             "--out", out, "--k", "3", "--lsh", "--n-planes", "auto",
+             "--stats-out", stats)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert f"mode=lsh n_planes={want}" in r.stdout
+    with open(f"{stats}/_stats.json") as f:
+        sidecar = json.load(f)
+    assert sidecar["meta"]["n_planes"] == want  # resolved, not "auto"
+    assert sidecar["meta"]["lsh"] is True
