@@ -199,7 +199,10 @@ def main(argv: list[str] | None = None) -> int:
         "fit persists the kind-validated JSON artifact, encode scores a "
         "documents parquet with per-doc piece accounting",
     )
-    tk.add_argument("--action", choices=("fit", "encode"), required=True)
+    tk.add_argument("--action", choices=("fit", "encode", "eval"),
+                    required=True)
+    tk.add_argument("--by", default="lang",
+                    help="stratum column for eval fertility/compression")
     tk.add_argument("--kind", choices=("bpe", "unigram"), default=None,
                     help="required for fit; on encode the artifact is "
                     "authoritative and a mismatching --kind errors")
@@ -691,9 +694,9 @@ def main(argv: list[str] | None = None) -> int:
             save_tokenizer(artifact, args.model, meta=meta)
             print(f"kind={args.kind} vocab={size} model={args.model}")
             return 0
-        # encode: the artifact names the kind; --kind only cross-checks
+        # encode/eval: the artifact names the kind; --kind only cross-checks
         if not args.out:
-            print("--out is required for encode", file=sys.stderr)
+            print(f"--out is required for {args.action}", file=sys.stderr)
             return 2
         artifact = load_tokenizer(args.model)
         if args.kind is not None and args.kind != artifact["kind"]:
@@ -702,6 +705,19 @@ def main(argv: list[str] | None = None) -> int:
                 file=sys.stderr,
             )
             return 2
+        if args.action == "eval":
+            from .operators.tokenizers import tokenizer_fertility
+
+            if args.by not in docs.columns:
+                print(f"documents parquet missing column {args.by!r}",
+                      file=sys.stderr)
+                return 2
+            fert = tokenizer_fertility(docs, artifact, by=args.by)
+            fert.write.mode("overwrite").parquet(args.out)
+            n = spark.read.parquet(args.out).count()
+            print(f"action=eval kind={artifact['kind']} by={args.by} "
+                  f"strata={n} out={args.out}")
+            return 0
         if artifact["kind"] == "bpe":
             from .operators.bpe import bpe_token_stats
 

@@ -1654,3 +1654,114 @@ def dedup_rate_by_source(
             ),
         )
     )
+
+
+def _gram_occurrences(
+    staged: DataFrame, length: int, id_col: str
+) -> DataFrame:
+    """(id, gram) — every ``length``-token gram occurrence, gram as the
+    32-hex md5 of the space-joined token slice (the same hashed-gram
+    convention as :func:`duplicated_span_stats`: equality on the hash IS
+    equality on the substring, modulo md5 collisions)."""
+    return staged.filter(F.col("_nt") >= length).select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("_nt") - (length - 1)),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice("_toks", i, length)).cast("binary")
+                ),
+            )
+        ).alias("gram"),
+    )
+
+
+def longest_dup_substring(
+    documents: DataFrame,
+    max_len: int = 128,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT longest duplicated token-substring statistics (the
+    suffix-array question of Lee et al. 2021, arXiv:2107.06499 §4,
+    answered suffix-array-free): one row —
+
+      (max_dup_tokens, n_grams_at_max, n_occurrences_at_max,
+       n_docs_at_max)
+
+    where ``max_dup_tokens`` is the length in tokens of the LONGEST
+    substring occurring at ≥ ``min_count`` (doc, position) sites
+    corpus-wide (within-doc repeats count, exactly as in suffix-array
+    dedup), capped at ``max_len``; the other columns profile the
+    substrings that realize the maximum.  Complements
+    :func:`duplicated_span_stats`, whose per-doc spans are an n-gram
+    island APPROXIMATION (consecutive duplicated 8-grams may be
+    duplicated against *different* partners, so an island need not be a
+    verbatim corpus-level duplicate) — this operator's answer is exact.
+
+    Scale design: "substring duplicated at length L" is MONOTONE in L
+    (an occurrence pair at L is an occurrence pair at every prefix
+    length), so binary search over L needs ceil(log2(max_len)) + 1
+    probes.  Each probe is one corpus scan — a posexplode to
+    (doc, 16-byte gram hash) rows plus a map-side-combined count with an
+    early-out LIMIT 1 — and the final stats pass is one more scan at the
+    answer length.  No suffix array, no global sort, no driver-side data
+    beyond one boolean per probe; the corpus text itself never shuffles
+    (only hashes do).  At 100 TB each probe shuffles ~tokens-per-doc ×
+    docs hash rows — the same volume the gated 8-gram span pass already
+    moves, log2(128) = 7 more times."""
+    if max_len < 1 or min_count < 2:
+        raise ValueError(
+            f"max_len must be >= 1 and min_count >= 2, got {max_len}/{min_count}"
+        )
+    staged = documents.select(
+        F.col(id_col), tokens(text_col).alias("_toks")
+    ).withColumn("_nt", F.size("_toks"))
+
+    def dup_exists(length: int) -> bool:
+        return (
+            _gram_occurrences(staged, length, id_col)
+            .groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= min_count)
+            .limit(1)
+            .count()
+            > 0
+        )
+
+    spark = documents.sparkSession
+    zero = spark.createDataFrame(
+        [(0, 0, 0, 0)],
+        "max_dup_tokens long, n_grams_at_max long, "
+        "n_occurrences_at_max long, n_docs_at_max long",
+    )
+    if not dup_exists(1):
+        return zero
+    lo, hi = 1, max_len
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if dup_exists(mid):
+            lo = mid
+        else:
+            hi = mid - 1
+    occ = _gram_occurrences(staged, lo, id_col)
+    dup = (
+        occ.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+    return (
+        occ.join(dup.select("gram"), "gram")
+        .agg(
+            F.count_distinct("gram").cast("long").alias("n_grams_at_max"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences_at_max"),
+            F.count_distinct(id_col).cast("long").alias("n_docs_at_max"),
+        )
+        .select(
+            F.lit(lo).cast("long").alias("max_dup_tokens"),
+            "n_grams_at_max",
+            "n_occurrences_at_max",
+            "n_docs_at_max",
+        )
+    )

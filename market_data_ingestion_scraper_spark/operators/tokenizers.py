@@ -68,3 +68,74 @@ def load_tokenizer(path: str) -> dict:
             raise ValueError("unigram artifact missing 'lp_micro'")
         doc["lp_micro"] = {p: int(v) for p, v in doc["lp_micro"].items()}
     return doc
+
+
+def tokenizer_fertility(
+    documents,
+    artifact: dict,
+    by: str = "lang",
+    text_col: str = "text",
+):
+    """Tokenizer EVALUATION (the closing step of the X16/X24 lifecycle:
+    fit → persist → encode → evaluate): per-``by``-stratum fertility and
+    compression under a fitted tokenizer artifact — the numbers that
+    decide whether a tokenizer is fair across languages (high fertility
+    on a language = more pieces per word = fewer effective tokens of
+    context and higher serving cost for it; see e.g. the multilingual
+    fertility analyses of Rust et al. 2021, arXiv:2012.15613 — public).
+
+    Per stratum: ``n_words`` (token occurrences), ``n_distinct_words``,
+    ``n_chars`` (word characters — whitespace/punctuation excluded, so
+    the number is tokenizer-input chars), ``n_pieces`` (subword pieces
+    under the artifact), and two EXACT integer ratios (floor-divided
+    ppm, engine-portable): ``fertility_ppm`` = 1e6·n_pieces DIV n_words
+    and ``chars_per_piece_ppm`` = 1e6·n_chars DIV n_pieces (the
+    compression rate — how many characters one piece carries).
+
+    Scale shape: one map-side-combined groupBy to the (stratum, word,
+    n_occ) table (vocabulary-bounded shuffle), Python runs once per
+    DISTINCT word (the Arrow encode of ``bpe_encode_vocab`` /
+    ``unigram_encode_vocab``), the piece counts join back on the word,
+    and the final aggregate is |strata| rows.  Occurrences never enter
+    Python; corpus text never shuffles."""
+    from pyspark.sql import functions as F
+
+    from .bpe import bpe_encode_vocab
+    from .text import tokens
+    from .unigram_lm import unigram_encode_vocab
+
+    kind = artifact.get("kind")
+    if kind not in TOKENIZER_KINDS:
+        raise ValueError(
+            f"unknown tokenizer kind {kind!r}; expected {TOKENIZER_KINDS}"
+        )
+    per_word = (
+        documents.select(F.col(by), F.explode(tokens(text_col)).alias("w"))
+        .groupBy(by, "w")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    if kind == "bpe":
+        enc = bpe_encode_vocab(per_word.select("w"), artifact["merges"])
+    else:
+        enc = unigram_encode_vocab(per_word.select("w"), artifact["lp_micro"])
+    joined = per_word.join(enc.select("w", "n_pieces"), "w")
+    return (
+        joined.groupBy(by)
+        .agg(
+            F.sum("n_occ").cast("long").alias("n_words"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct_words"),
+            F.sum(F.length("w") * F.col("n_occ")).cast("long").alias("n_chars"),
+            F.sum(F.col("n_pieces") * F.col("n_occ")).cast("long").alias("n_pieces"),
+        )
+        .select(
+            by,
+            "n_words",
+            "n_distinct_words",
+            "n_chars",
+            "n_pieces",
+            F.expr("(1000000 * n_pieces) DIV n_words").alias("fertility_ppm"),
+            F.expr("(1000000 * n_chars) DIV n_pieces").alias(
+                "chars_per_piece_ppm"
+            ),
+        )
+    )

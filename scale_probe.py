@@ -434,6 +434,56 @@ def main() -> None:
                           "n_planes": planes, "pairs": n4, "sec": sec}),
               flush=True)
 
+        # r13: X28 exact longest duplicated substring.  replicate_corpus
+        # makes replicas content-distinct (prefixed tokens), so grams only
+        # match WITHIN a replica: the answer length must be INVARIANT
+        # under K ("pairs" records it — growth 1.0 is the correctness
+        # signal) while each binary-search probe scans K x the corpus
+        # (wall should stay far below the ~8-probe x K naive bound).
+        from market_data_ingestion_scraper_spark.operators.dedup import (
+            longest_dup_substring,
+        )
+
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        row13 = longest_dup_substring(d).collect()[0]
+        sec = round(time.perf_counter() - t0, 2)
+        results.setdefault("longest_dup_substring", {})[factor] = {
+            "pairs": int(row13["max_dup_tokens"]), "sec": sec,
+        }
+        print(json.dumps({"op": "longest_dup_substring", "factor": factor,
+                          "pairs": int(row13["max_dup_tokens"]),
+                          "occurrences": int(row13["n_occurrences_at_max"]),
+                          "sec": sec}), flush=True)
+
+        # r13: X27 tokenizer fertility eval.  Merges fit ONCE on the base
+        # corpus (untimed — the artifact is the reusable model); the probe
+        # measures the evaluation pass.  Strata (replica-prefixed langs)
+        # and the distinct-word vocabulary both grow with K, so "pairs"
+        # (strata rows) must grow exactly K while wall tracks the scan +
+        # the vocabulary-bounded encode.
+        from market_data_ingestion_scraper_spark.operators.tokenizers import (
+            tokenizer_fertility,
+        )
+
+        if factor == 1:
+            from market_data_ingestion_scraper_spark.operators.bpe import (
+                fit_bpe_merges,
+            )
+
+            globals()["_r13_merges"] = fit_bpe_merges(docs, n_merges=50)
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        n5 = tokenizer_fertility(
+            d_lang, {"kind": "bpe", "merges": globals()["_r13_merges"]}
+        ).count()
+        sec = round(time.perf_counter() - t0, 2)
+        results.setdefault("tokenizer_fertility_eval", {})[factor] = {
+            "pairs": n5, "sec": sec,
+        }
+        print(json.dumps({"op": "tokenizer_fertility_eval", "factor": factor,
+                          "pairs": n5, "sec": sec}), flush=True)
+
     summary = {
         name: {
             "pairs_growth": round(r[k]["pairs"] / max(r[1]["pairs"], 1), 2),

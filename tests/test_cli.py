@@ -647,3 +647,35 @@ def test_cli_align_corpus_auto_n_planes(tmp_path, spark):
         sidecar = json.load(f)
     assert sidecar["meta"]["n_planes"] == want  # resolved, not "auto"
     assert sidecar["meta"]["lsh"] is True
+
+
+def test_cli_tokenizer_eval(tmp_path, spark):
+    """tokenizer --action eval: fertility/compression per stratum from a
+    persisted artifact, library parity, bad stratum exits 2."""
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    model = str(tmp_path / "bpe.json")
+    r = _run("tokenizer", "--action", "fit", "--kind", "bpe",
+             "--documents", docs, "--model", model, "--n-merges", "30")
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = str(tmp_path / "fert")
+    r = _run("tokenizer", "--action", "eval", "--documents", docs,
+             "--model", model, "--out", out)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "action=eval kind=bpe by=lang" in r.stdout
+    got = spark.read.parquet(out)
+    assert {"lang", "n_words", "n_pieces", "fertility_ppm",
+            "chars_per_piece_ppm"} <= set(got.columns)
+
+    from market_data_ingestion_scraper_spark.operators.tokenizers import (
+        load_tokenizer,
+        tokenizer_fertility,
+    )
+
+    lib = tokenizer_fertility(spark.read.parquet(docs), load_tokenizer(model))
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(got) == key(lib) and got.count() > 1
+
+    r = _run("tokenizer", "--action", "eval", "--documents", docs,
+             "--model", model, "--out", str(tmp_path / "x"),
+             "--by", "no_such")
+    assert r.returncode == 2 and "missing column" in r.stderr
