@@ -658,3 +658,49 @@ def test_registered_queries_emit_no_windowexec_warn(spark):
                 offenders.append((name, line.strip()[:120]))
                 break
     assert not offenders, offenders
+
+
+def test_tokenizer_fertility_vocab_bounded_python(spark):
+    # X27: the only Python stage is the Arrow encode over DISTINCT words
+    # (the unigram_lm_pieces discipline); occurrences aggregate and join
+    # relationally — no cartesian, no per-row UDF, no global sort
+    n_shuffle, n_bcast, txt = _shuffle_count(spark, "tokenizer_fertility")
+    assert "CartesianProduct" not in txt, txt
+    assert txt.count("MapInPandas") == 1, txt
+    assert "HashAggregate" in txt[txt.index("MapInPandas"):], txt
+    assert "rangepartitioning" not in txt.lower(), txt
+
+
+def test_longest_dup_probe_and_stats_scan_bound(spark):
+    # X28: both plan shapes of the binary search must be scan-bound —
+    # the probe (gram count >= min_count, LIMIT 1) is a map-side-combined
+    # HashAggregate under a CollectLimit with no sort and no join; the
+    # final stats pass adds only the gram equi-join back, never a
+    # cartesian or a range partition.
+    from pyspark.sql import functions as F
+
+    from market_data_ingestion_scraper_spark.operators.dedup import (
+        _gram_occurrences,
+    )
+    from market_data_ingestion_scraper_spark.operators.text import tokens
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    staged = docs.select(F.col("doc_id"), tokens("text").alias("_toks")
+                         ).withColumn("_nt", F.size("_toks"))
+    probe = (
+        _gram_occurrences(staged, 8, "doc_id")
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .limit(1)
+    )
+    with aqe_disabled(spark):
+        ptxt = explain_str(probe, "simple")
+    assert "CollectLimit" in ptxt or "LocalLimit" in ptxt, ptxt
+    assert "HashAggregate" in ptxt, ptxt
+    assert "Sort" not in ptxt, ptxt
+    assert "Join" not in ptxt, ptxt
+
+    n_shuffle, n_bcast, txt = _shuffle_count(spark, "longest_dup_substring")
+    assert "CartesianProduct" not in txt, txt
+    assert "rangepartitioning" not in txt.lower(), txt
