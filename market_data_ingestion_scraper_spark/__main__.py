@@ -753,16 +753,30 @@ def main(argv: list[str] | None = None) -> int:
                 file=sys.stderr,
             )
             return 2
+        if args.n_planes == "auto" and not args.lsh:
+            print("--n-planes auto requires --lsh (the width only "
+                  "parameterizes the LSH candidate generator)",
+                  file=sys.stderr)
+            return 2
+        if args.n_planes != "auto":
+            try:
+                n_planes = int(args.n_planes)
+            except ValueError:
+                print(f"--n-planes must be an integer or 'auto', got "
+                      f"{args.n_planes!r}", file=sys.stderr)
+                return 2
         side_a = spark.read.parquet(args.side_a)
         side_b = spark.read.parquet(args.side_b)
-        if args.n_planes == "auto":
-            from .operators.alignment import n_planes_for
-
-            n_planes = n_planes_for(max(side_a.count(), side_b.count()))
-        else:
-            n_planes = int(args.n_planes)
         cand = None
         if args.lsh:
+            if args.n_planes == "auto":
+                # resolved HERE, inside the lsh branch: the two count()
+                # jobs only run when the width actually drives bucketing
+                from .operators.alignment import n_planes_for
+
+                n_planes = n_planes_for(
+                    max(side_a.count(), side_b.count())
+                )
             cand = xlingual_candidates_lsh(
                 side_a, side_b, n_planes=n_planes,
                 n_tables=args.n_tables, dim=args.dim, seed_base=args.seed,
@@ -807,6 +821,10 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "pack-order":
         from .operators.chunking import curriculum_pack_order
 
+        if args.ctx_tokens < 1:
+            print(f"--ctx-tokens must be >= 1, got {args.ctx_tokens}",
+                  file=sys.stderr)
+            return 2
         docs = spark.read.parquet(args.documents)
         strata = [c.strip() for c in args.strata.split(",") if c.strip()]
         missing = [c for c in [args.id_col, "text", *strata]

@@ -59,6 +59,10 @@ def pack_sequences(
     ``["lang", "shard"]`` (a deterministic hash shard alongside language),
     never one global stream; a 4-language corpus packed by ``lang`` alone
     serializes through 4 tasks."""
+    if ctx_tokens < 1:
+        # under non-ANSI SQL a zero divisor yields NULL bins, not an
+        # error — an all-null pack order that LOOKS successfully built
+        raise ValueError(f"ctx_tokens must be >= 1, got {ctx_tokens}")
     cols = [strata_cols] if isinstance(strata_cols, str) else list(strata_cols)
     n_tok = F.size(tokens("text"))
     w = (
@@ -104,6 +108,9 @@ def curriculum_pack_order(
     sort).  At 100 TB pass ``["lang", "shard"]`` so the stream packs
     within partition-sized strata — a warmup ordering only needs to hold
     WITHIN each reader's shard."""
+    if ctx_tokens < 1:
+        # same guard as pack_sequences: NULL bins under non-ANSI division
+        raise ValueError(f"ctx_tokens must be >= 1, got {ctx_tokens}")
     cols = [strata_cols] if isinstance(strata_cols, str) else list(strata_cols)
     n_tok = F.size(tokens("text"))
     tb = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")).cast("binary"))

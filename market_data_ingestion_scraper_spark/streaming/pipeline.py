@@ -543,16 +543,27 @@ def stream_margin_align(
     # compares ASC natively, so the batch operator's tie-break holds for
     # ANY orderable id type (the earlier array_max form negated src_id
     # arithmetically, silently narrowing stream/batch parity to numeric
-    # ids; string doc ids would have thrown)
+    # ids; string doc ids would have thrown).  Two chained transforms so
+    # the margin arithmetic runs ONCE per candidate: the inner one stores
+    # margin_ppm, the outer one only negates stored fields for the sort
+    # keys (no CSE exists across lambda sub-expressions).
+    margined = F.transform(
+        F.col("_cands"),
+        lambda s: F.struct(
+            _margin_ppm(s).alias("margin_ppm"),
+            s["c"].alias("c"),
+            s["src_id"].alias("src_id"),
+        ),
+    )
     best = F.element_at(
         F.array_sort(
             F.transform(
-                F.col("_cands"),
+                margined,
                 lambda s: F.struct(
-                    (-_margin_ppm(s)).alias("_negm"),
+                    (-s["margin_ppm"]).alias("_negm"),
                     (-s["c"]).alias("_negc"),
                     s["src_id"].alias("src_id"),
-                    _margin_ppm(s).alias("margin_ppm"),
+                    s["margin_ppm"].alias("margin_ppm"),
                     s["c"].alias("c"),
                 ),
             )

@@ -65,3 +65,20 @@ def test_pack_sequences_offsets(spark):
     assert out[2] == (5, 0, 3)  # straddles bins 0->1
     assert out[3] == (2, 2, 0)  # cum_before=8 -> bin 2 exactly
     assert out[4] == (5, 0, 0)  # fr stratum packs independently
+
+
+def test_pack_ctx_tokens_validation(spark):
+    """r13 review: ctx_tokens < 1 must refuse loudly — under non-ANSI SQL
+    a zero divisor yields NULL bins, an all-null pack order that looks
+    successfully built."""
+    from market_data_ingestion_scraper_spark.operators.chunking import (
+        curriculum_pack_order,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", "en")], "doc_id long, text string, lang string"
+    )
+    with pytest.raises(ValueError, match="ctx_tokens"):
+        pack_sequences(docs, 0)
+    with pytest.raises(ValueError, match="ctx_tokens"):
+        curriculum_pack_order(docs, -5)
