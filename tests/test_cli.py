@@ -679,3 +679,30 @@ def test_cli_tokenizer_eval(tmp_path, spark):
              "--model", model, "--out", str(tmp_path / "x"),
              "--by", "no_such")
     assert r.returncode == 2 and "missing column" in r.stderr
+
+
+def test_cli_align_corpus_n_planes_validation(tmp_path, spark):
+    """r13 review: a malformed --n-planes exits 2 with a usage message
+    (not a traceback), and 'auto' without --lsh is rejected up front —
+    the width only parameterizes the LSH generator, and resolving it
+    would cost two corpus count() jobs the brute-force path never uses."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a_path = str(tmp_path / "a.parquet")
+    b_path = str(tmp_path / "b.parquet")
+    emb.filter(F.col("vec_id") % 2 == 0).limit(5).write.parquet(a_path)
+    emb.filter(F.col("vec_id") % 2 == 1).limit(5).write.parquet(b_path)
+
+    r = _run("align-corpus", "--side-a", a_path, "--side-b", b_path,
+             "--out", str(tmp_path / "o1"), "--lsh", "--n-planes", "4.5")
+    assert r.returncode == 2 and "integer or 'auto'" in r.stderr
+
+    r = _run("align-corpus", "--side-a", a_path, "--side-b", b_path,
+             "--out", str(tmp_path / "o2"), "--n-planes", "auto")
+    assert r.returncode == 2 and "requires --lsh" in r.stderr
+
+    r = _run("pack-order", "--documents",
+             "/root/testdata/sf0.001/documents.parquet",
+             "--out", str(tmp_path / "o3"), "--ctx-tokens", "0")
+    assert r.returncode == 2 and "--ctx-tokens" in r.stderr
