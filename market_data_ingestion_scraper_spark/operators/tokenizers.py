@@ -139,3 +139,100 @@ def tokenizer_fertility(
             ),
         )
     )
+
+
+# mapInPandas closures must survive being shipped to executor workers
+# spawned from a foreign cwd (see operators/multimodal.py for the full
+# story): register this module for by-value pickling.
+import sys as _sys  # noqa: E402
+
+from pyspark import cloudpickle as _cloudpickle  # noqa: E402
+
+_cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+
+
+def fertility_stats_literal(
+    documents,
+    artifact: dict,
+    text_col: str = "text",
+):
+    """Stateless per-document piece accounting under a PLAN-LITERAL
+    tokenizer artifact — the streaming-admission form of X27, the same
+    pattern as ``text.score_with_literal_trigram`` (X21): the bounded
+    artifact ships inside the closure, each Arrow batch tokenizes its own
+    rows and encodes through a per-batch word memo (Zipf: occurrences ≫
+    distinct words, so the memo restores near-vocabulary encode cost), no
+    explode, no join, no shuffle, no state — stream-legal in append mode.
+
+    Returns the input columns plus ``n_words``, ``n_pieces``, and
+    ``fertility_ppm`` (= 1e6·n_pieces DIV n_words, the exact integer
+    ratio of :func:`tokenizer_fertility`).  POLICY: documents with zero
+    words get (0, 0, NULL) — NULL fertility is undefined, and the
+    streaming filter drops them (the shared un-scoreable policy).  Note
+    the relational twins (``bpe_token_stats`` / ``unigram_token_stats``)
+    OMIT wordless docs entirely (their occurrence join produces no row);
+    this form keeps every input row, which an admission filter needs.
+
+    Offline exact accounting should still use the relational forms; this
+    is the serve for admission filtering, exactly the X21 split."""
+    kind = artifact.get("kind")
+    if kind not in TOKENIZER_KINDS:
+        raise ValueError(
+            f"unknown tokenizer kind {kind!r}; expected {TOKENIZER_KINDS}"
+        )
+    if kind == "bpe":
+        from .bpe import _encode_word
+
+        rank = {tuple(p): i for i, p in enumerate(artifact["merges"])}
+
+        def count_pieces(w: str) -> int:
+            return len(_encode_word(w, rank))
+
+    else:
+        from .unigram_lm import viterbi_pieces
+
+        lp = artifact["lp_micro"]
+        max_len = max((len(p) for p in lp), default=1)
+
+        def count_pieces(w: str) -> int:
+            return len(viterbi_pieces(w, lp, max_len))
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        list(documents.schema.fields)
+        + [
+            StructField("n_words", LongType()),
+            StructField("n_pieces", LongType()),
+            StructField("fertility_ppm", LongType()),
+        ]
+    )
+
+    def op(batches):
+        import re
+
+        import pandas as pd
+
+        tok = re.compile(r"[a-z0-9]+")  # ≡ text.tokens: split + drop empties
+        memo: dict = {}
+        for pdf in batches:
+            n_words, n_pieces, fert = [], [], []
+            for t in pdf[text_col]:
+                ws = tok.findall((t or "").lower())
+                total = 0
+                for w in ws:
+                    c = memo.get(w)
+                    if c is None:
+                        c = count_pieces(w)
+                        memo[w] = c
+                    total += c
+                n_words.append(len(ws))
+                n_pieces.append(total)
+                fert.append((1_000_000 * total) // len(ws) if ws else None)
+            yield pdf.assign(
+                n_words=pd.array(n_words, dtype="Int64"),
+                n_pieces=pd.array(n_pieces, dtype="Int64"),
+                fertility_ppm=pd.array(fert, dtype="Int64"),
+            )
+
+    return documents.mapInPandas(op, out_schema)

@@ -1071,3 +1071,28 @@ def stream_corpus_to_gold(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def stream_fertility_filter(
+    rows: DataFrame,
+    artifact: dict,
+    max_fertility_ppm: int,
+) -> DataFrame:
+    """Streaming TOKENIZER-QUALITY admission (the X27 evaluation as an
+    online filter, closing the fit → persist → evaluate → SERVE
+    lifecycle like X21's perplexity gate): score each incoming document's
+    fertility under a plan-literal tokenizer artifact
+    (operators/tokenizers.fertility_stats_literal — bounded artifact in
+    the closure, per-batch word memo, no explode/join/state) and admit
+    only documents at or below ``max_fertility_ppm``.  High fertility =
+    many pieces per word = text the tokenizer segments poorly (gibberish,
+    wrong-script, heavy OOV) — a curation signal on the same footing as
+    perplexity.  Batch ≡ stream bit-for-bit (pytest-pinned).
+
+    Returns the input columns + (n_words, n_pieces, fertility_ppm).
+    POLICY: wordless documents score NULL fertility and are DROPPED (the
+    shared un-scoreable policy — quarantine first)."""
+    from ..operators.tokenizers import fertility_stats_literal
+
+    scored = fertility_stats_literal(rows, artifact)
+    return scored.where(F.col("fertility_ppm") <= int(max_fertility_ppm))

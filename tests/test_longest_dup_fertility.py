@@ -230,3 +230,92 @@ def test_tokenizer_fertility_consistent_with_doc_stats(spark, sf_smoke):
     )
     agg = {r["lang"]: (r["w"], r["p"]) for r in per_doc.collect()}
     assert fert == agg
+
+
+# -------------------------------------------- X27 streaming admission
+
+
+def test_fertility_literal_matches_relational(spark, sf_smoke):
+    """The plan-literal per-doc accounting must equal the relational
+    twins (bpe_token_stats / unigram_token_stats) bit-for-bit on every
+    doc the relational form emits, for BOTH artifact kinds, with
+    fertility_ppm the exact floor-divided ratio."""
+    from market_data_ingestion_scraper_spark.operators.bpe import (
+        bpe_token_stats,
+        fit_bpe_merges,
+    )
+    from market_data_ingestion_scraper_spark.operators.tokenizers import (
+        fertility_stats_literal,
+    )
+    from market_data_ingestion_scraper_spark.operators.unigram_lm import (
+        fit_unigram_lm,
+        unigram_token_stats,
+    )
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    merges = fit_bpe_merges(docs, n_merges=30)
+    lp = fit_unigram_lm(docs, vocab_size=80, max_piece_len=3, em_rounds=1)
+    for artifact, relational in (
+        ({"kind": "bpe", "merges": merges}, bpe_token_stats(docs, merges)),
+        ({"kind": "unigram", "lp_micro": lp}, unigram_token_stats(docs, lp)),
+    ):
+        lit = fertility_stats_literal(docs, artifact)
+        got = {
+            r["doc_id"]: (r["n_words"], r["n_pieces"], r["fertility_ppm"])
+            for r in lit.collect()
+        }
+        want = {
+            r["doc_id"]: (r["n_words"], r["n_pieces"])
+            for r in relational.collect()
+        }
+        assert want, "relational twin emitted nothing"
+        for doc_id, (n_w, n_p) in want.items():
+            g = got[doc_id]
+            assert (g[0], g[1]) == (n_w, n_p), (artifact["kind"], doc_id)
+            assert g[2] == (1_000_000 * n_p) // n_w
+
+
+def test_fertility_literal_wordless_policy_and_stream_filter(spark, tmp_path):
+    """Wordless docs score (0, 0, NULL) in the literal form (the
+    relational twin omits them — an admission filter cannot); the
+    streaming filter drops them and admits exactly the at-or-below-
+    threshold docs, batch ≡ stream through the memory sink."""
+    from market_data_ingestion_scraper_spark.operators.tokenizers import (
+        fertility_stats_literal,
+    )
+    from market_data_ingestion_scraper_spark.streaming import pipeline as P
+
+    # merges that compress 'aaaa' to 1 piece; 'xyz' stays 3 chars/pieces
+    artifact = {"kind": "bpe", "merges": [("a", "a"), ("aa", "aa")]}
+    rows = [
+        (1, "aaaa aaaa"),     # 2 words, 2 pieces  -> 1_000_000
+        (2, "xyz"),           # 1 word, 3 pieces   -> 3_000_000
+        (3, "!!! ???"),       # wordless           -> NULL
+        (4, "aaaa xyz"),      # 2 words, 4 pieces  -> 2_000_000
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    lit = {r["doc_id"]: (r["n_words"], r["n_pieces"], r["fertility_ppm"])
+           for r in fertility_stats_literal(docs, artifact).collect()}
+    assert lit[1] == (2, 2, 1_000_000)
+    assert lit[2] == (1, 3, 3_000_000)
+    assert lit[3] == (0, 0, None)
+    assert lit[4] == (2, 4, 2_000_000)
+
+    batch = P.stream_fertility_filter(docs, artifact, 2_000_000)
+    assert {r["doc_id"] for r in batch.collect()} == {1, 4}
+
+    src = str(tmp_path / "docs")
+    docs.repartition(2).write.parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = P.run_to_memory(
+        P.stream_fertility_filter(stream, artifact, 2_000_000),
+        "t_fert_filter",
+        spark,
+        mode="append",
+    )
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(out) == key(batch)
