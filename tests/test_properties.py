@@ -249,3 +249,33 @@ def test_bigram_logprob_prefers_fluent_repetition(spark):
     )
     got = {r["doc_id"]: r["avg_logprob"] for r in bigram_logprob(docs).collect()}
     assert got[100] > got[101]
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), max_size=12).map(" ".join),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_longest_dup_matches_twin_on_random_corpora(spark, docs):
+    """X28 property: on ANY corpus over a tiny alphabet (dense with
+    repeats, the adversarial regime for the binary search — overlapping
+    within-doc occurrences, ties at many lengths) the exact
+    longest-duplicated-substring statistics equal the brute-force twin."""
+    from market_data_ingestion_scraper_spark.operators.dedup import (
+        longest_dup_substring,
+    )
+
+    from .test_longest_dup_fertility import _py_longest_dup
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = tuple(longest_dup_substring(df, max_len=16).collect()[0])
+    assert got == _py_longest_dup(docs, max_len=16)
