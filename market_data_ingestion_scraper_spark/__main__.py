@@ -774,9 +774,13 @@ def main(argv: list[str] | None = None) -> int:
                 # jobs only run when the width actually drives bucketing
                 from .operators.alignment import n_planes_for
 
-                n_planes = n_planes_for(
-                    max(side_a.count(), side_b.count())
-                )
+                n_rows = max(side_a.count(), side_b.count())
+                if n_rows < 1:
+                    print("--n-planes auto: both sides are empty — "
+                          "nothing to derive a width from",
+                          file=sys.stderr)
+                    return 2
+                n_planes = n_planes_for(n_rows)
             cand = xlingual_candidates_lsh(
                 side_a, side_b, n_planes=n_planes,
                 n_tables=args.n_tables, dim=args.dim, seed_base=args.seed,

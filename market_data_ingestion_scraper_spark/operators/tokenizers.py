@@ -197,7 +197,10 @@ def fertility_stats_literal(
         def count_pieces(w: str) -> int:
             return len(viterbi_pieces(w, lp, max_len))
 
+    from pyspark.sql import functions as F
     from pyspark.sql.types import LongType, StructField, StructType
+
+    from .text import tokens
 
     out_schema = StructType(
         list(documents.schema.fields)
@@ -207,18 +210,20 @@ def fertility_stats_literal(
             StructField("fertility_ppm", LongType()),
         ]
     )
+    # tokenization stays in Catalyst (text.tokens — the ONE tokenizer
+    # definition every operator shares); Python only sees the staged
+    # token array, so admission fertility cannot drift from the offline
+    # relational accounting if tokens() ever changes
+    staged = documents.select("*", tokens(text_col).alias("_ws"))
 
     def op(batches):
-        import re
-
         import pandas as pd
 
-        tok = re.compile(r"[a-z0-9]+")  # ≡ text.tokens: split + drop empties
         memo: dict = {}
         for pdf in batches:
             n_words, n_pieces, fert = [], [], []
-            for t in pdf[text_col]:
-                ws = tok.findall((t or "").lower())
+            for ws in pdf["_ws"]:
+                ws = [] if ws is None else list(ws)
                 total = 0
                 for w in ws:
                     c = memo.get(w)
@@ -229,10 +234,10 @@ def fertility_stats_literal(
                 n_words.append(len(ws))
                 n_pieces.append(total)
                 fert.append((1_000_000 * total) // len(ws) if ws else None)
-            yield pdf.assign(
+            yield pdf.drop(columns=["_ws"]).assign(
                 n_words=pd.array(n_words, dtype="Int64"),
                 n_pieces=pd.array(n_pieces, dtype="Int64"),
                 fertility_ppm=pd.array(fert, dtype="Int64"),
             )
 
-    return documents.mapInPandas(op, out_schema)
+    return staged.mapInPandas(op, out_schema)

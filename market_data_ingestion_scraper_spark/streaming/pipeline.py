@@ -539,14 +539,15 @@ def stream_margin_align(
         den = 2 * d
         return ((num - F.pmod(num, den)) / den).cast("long")
 
-    # ascending struct sort, best first: (-margin, -c, src_id) — src_id
-    # compares ASC natively, so the batch operator's tie-break holds for
-    # ANY orderable id type (the earlier array_max form negated src_id
-    # arithmetically, silently narrowing stream/batch parity to numeric
-    # ids; string doc ids would have thrown).  Two chained transforms so
-    # the margin arithmetic runs ONCE per candidate: the inner one stores
-    # margin_ppm, the outer one only negates stored fields for the sort
-    # keys (no CSE exists across lambda sub-expressions).
+    # min struct under keys (-margin, -c, src_id) = the batch tie-break
+    # (margin desc, c desc, src_id ASC) — src_id compares ASC natively,
+    # so parity holds for ANY orderable id type (the earlier array_max
+    # form negated src_id arithmetically, silently narrowing stream/batch
+    # parity to numeric ids; string doc ids would have thrown).  Two
+    # chained transforms so the margin arithmetic runs ONCE per candidate
+    # (no CSE exists across lambda sub-expressions), and array_min picks
+    # the best in O(n) — the candidate set is the whole LSH pool, not
+    # top-k, so a full sort would be wasted work on the serve hot path.
     margined = F.transform(
         F.col("_cands"),
         lambda s: F.struct(
@@ -555,20 +556,17 @@ def stream_margin_align(
             s["src_id"].alias("src_id"),
         ),
     )
-    best = F.element_at(
-        F.array_sort(
-            F.transform(
-                margined,
-                lambda s: F.struct(
-                    (-s["margin_ppm"]).alias("_negm"),
-                    (-s["c"]).alias("_negc"),
-                    s["src_id"].alias("src_id"),
-                    s["margin_ppm"].alias("margin_ppm"),
-                    s["c"].alias("c"),
-                ),
-            )
-        ),
-        1,
+    best = F.array_min(
+        F.transform(
+            margined,
+            lambda s: F.struct(
+                (-s["margin_ppm"]).alias("_negm"),
+                (-s["c"]).alias("_negc"),
+                s["src_id"].alias("src_id"),
+                s["margin_ppm"].alias("margin_ppm"),
+                s["c"].alias("c"),
+            ),
+        )
     )
     return (
         staged.select("query_id", best.alias("_best"))

@@ -471,11 +471,11 @@ def main() -> None:
                 fit_bpe_merges,
             )
 
-            globals()["_r13_merges"] = fit_bpe_merges(docs, n_merges=50)
+            r13_merges = fit_bpe_merges(docs, n_merges=50)
         spark.catalog.clearCache()
         t0 = time.perf_counter()
         n5 = tokenizer_fertility(
-            d_lang, {"kind": "bpe", "merges": globals()["_r13_merges"]}
+            d_lang, {"kind": "bpe", "merges": r13_merges}
         ).count()
         sec = round(time.perf_counter() - t0, 2)
         results.setdefault("tokenizer_fertility_eval", {})[factor] = {

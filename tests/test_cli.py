@@ -706,3 +706,19 @@ def test_cli_align_corpus_n_planes_validation(tmp_path, spark):
              "/root/testdata/sf0.001/documents.parquet",
              "--out", str(tmp_path / "o3"), "--ctx-tokens", "0")
     assert r.returncode == 2 and "--ctx-tokens" in r.stderr
+
+
+def test_cli_align_corpus_auto_empty_sides_exit_2(tmp_path, spark):
+    """r13 review #2: --n-planes auto over two EMPTY sides exits 2 with a
+    message (not a ValueError traceback) — there is no corpus to derive a
+    width from."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a_path = str(tmp_path / "a.parquet")
+    b_path = str(tmp_path / "b.parquet")
+    emb.filter(F.lit(False)).write.parquet(a_path)
+    emb.filter(F.lit(False)).write.parquet(b_path)
+    r = _run("align-corpus", "--side-a", a_path, "--side-b", b_path,
+             "--out", str(tmp_path / "o"), "--lsh", "--n-planes", "auto")
+    assert r.returncode == 2 and "both sides are empty" in r.stderr
