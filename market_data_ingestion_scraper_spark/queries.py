@@ -5456,7 +5456,12 @@ GATE_PRIORITY: tuple[str, ...] = (
 # Queries newly registered at r13 join the head of this window (the
 # dsir_select / unigram_lm_pieces / xlingual_align precedent): their SQL
 # twins are verified green at registration time and they take their
-# first driver gate rows at r14.
+# first driver gate rows at r14.  The r14 debt is exactly
+# `longest_dup_substring` (X28) and `tokenizer_fertility` (X27) — both
+# verified green at sf0.001 AND sf0.01 at registration (multiple full
+# gate-replica runs, r13 session) and pinned meanwhile by independent
+# pure-Python twins (test_longest_dup_fertility.py) plus a hypothesis
+# property differential (test_properties.py).
 GATE_DEFERRED: tuple[str, ...] = (
     # registered r13, SQL twins verified green at registration (sf0.001 +
     # sf0.01 via test_oracle_parity + the /verify gate replica); first
