@@ -1715,9 +1715,18 @@ def longest_dup_substring(
         raise ValueError(
             f"max_len must be >= 1 and min_count >= 2, got {max_len}/{min_count}"
         )
-    staged = documents.select(
-        F.col(id_col), tokens(text_col).alias("_toks")
-    ).withColumn("_nt", F.size("_toks"))
+    # Persist the tokenized corpus across the ~log2(max_len)+2 probes:
+    # every probe (and the final stats pass) re-references `staged`, and
+    # an unpersisted frame would re-read and re-tokenize the corpus per
+    # probe — the generation registry releases it on the next call
+    # (r13 verdict item; the default MEMORY_AND_DISK level spills rather
+    # than OOMs when the token table outgrows executor memory at scale).
+    staged = _persist_generation(
+        "longest_dup_substring.staged",
+        documents.select(
+            F.col(id_col), tokens(text_col).alias("_toks")
+        ).withColumn("_nt", F.size("_toks")),
+    )
 
     def dup_exists(length: int) -> bool:
         return (

@@ -385,3 +385,95 @@ def hash_budget_fill(
             ).alias("fill_rate"),
         )
     )
+
+
+def domain_mix_report(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    doc_id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space domain-mixture dashboard: cluster-assign the corpus
+    to its nearest class prototype, then report each predicted domain's
+    document/token composition — the per-domain token shares a
+    DoReMi-style mixture reweighting consumes (Xie et al. 2023
+    arXiv:2305.10429 reweights per-domain token mass; :func:`source_mix`
+    is the same report keyed on a METADATA column, this one keys on the
+    LEARNED embedding clustering, so it also works on corpora with no
+    source labels).
+
+    One row per predicted domain:
+
+      (pred_label, n_docs, n_tokens, n_label_match, doc_share_ppm,
+       token_share_ppm, purity_ppm)
+
+    ``n_label_match`` counts members whose PROVIDED label equals the
+    predicted one and ``purity_ppm`` is its exact half-up share — the
+    clustering-quality diagnostic (prototype assignment reproduces the
+    source labels exactly when classes are prototype-separable).  Shares
+    are exact integer ppm via the ``(2a+b) DIV 2b`` half-up identity;
+    no double arithmetic anywhere, so any partitioning and the SQL
+    oracle agree bit-for-bit.
+
+    Scale shape: prototype assignment is :func:`similarity.centroid_assign`
+    (broadcast |labels|×dims prototype table — vectors never shuffle
+    whole); token counts are a column-pruned projection of the documents
+    table; the two id-keyed equi-joins shuffle only (id, small-int,
+    count) rows — at 100 TB both sides bucket on the id for a
+    shuffle-free co-located join; the per-domain aggregate is map-side
+    combined into |labels| rows, and grand totals come from an
+    unpartitioned window over those |labels| POST-AGGREGATION rows (the
+    bounded source_mix pattern — never a second corpus scan)."""
+    from .similarity import centroid_assign
+
+    asg = centroid_assign(embeddings, label_col, vec_col, vec_id_col).select(
+        "vec_id", "pred_label"
+    )
+    given = embeddings.select(
+        F.col(vec_id_col).alias("vec_id"), F.col(label_col).alias("_given")
+    )
+    toks = documents.select(
+        F.col(doc_id_col).alias("vec_id"), F.size(tokens("text")).alias("_n_tok")
+    )
+    member = asg.join(given, "vec_id").join(toks, "vec_id")
+    per = member.groupBy("pred_label").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_n_tok").cast("long").alias("n_tokens"),
+        F.sum(
+            F.when(F.col("_given") == F.col("pred_label"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_label_match"),
+    )
+    w = bounded_window("pred_label")
+    totals = per.select(
+        "pred_label",
+        "n_docs",
+        "n_tokens",
+        "n_label_match",
+        F.sum("n_docs").over(w).alias("_tot_docs"),
+        F.sum("n_tokens").over(w).alias("_tot_tokens"),
+    )
+    doc_ppm = F.expr(
+        "(CAST(n_docs AS DECIMAL(38,0)) * 2000000 + _tot_docs)"
+        " DIV (2 * _tot_docs)"
+    )
+    tok_ppm = F.expr(
+        "(CAST(n_tokens AS DECIMAL(38,0)) * 2000000 + _tot_tokens)"
+        " DIV (2 * _tot_tokens)"
+    )
+    pur_ppm = F.expr(
+        "(CAST(n_label_match AS DECIMAL(38,0)) * 2000000 + n_docs)"
+        " DIV (2 * n_docs)"
+    )
+    return totals.select(
+        "pred_label",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "n_tokens",
+        "n_label_match",
+        doc_ppm.cast("long").alias("doc_share_ppm"),
+        tok_ppm.cast("long").alias("token_share_ppm"),
+        pur_ppm.cast("long").alias("purity_ppm"),
+    )

@@ -384,6 +384,7 @@ def bm25_scores(
     k1: float = 1.2,
     b: float = 0.75,
     top_k: int = 20,
+    dl_col: str | None = None,
 ) -> DataFrame:
     """Okapi BM25 ranking of documents for a literal query term set
     (Robertson-Sparck Jones probabilistic IR — textbook public):
@@ -398,12 +399,21 @@ def bm25_scores(
     ``orderBy().limit()`` — TakeOrderedAndProject, no single-partition
     window.  Determinism: idf and the per-term weight are rounded to 6
     decimals, the per-document sum runs in exact micro-unit ints
-    (order-independent), ties break by doc_id."""
+    (order-independent), ties break by doc_id.
+
+    ``dl_col`` names a PRECOMPUTED token-count column (gold-layer
+    metadata — the profile-on-ingest sidecar pattern): when supplied,
+    the doc-length branch is a column-pruned (doc_id, dl) projection
+    instead of a second full tokenization of the corpus text — at
+    100 TB that deletes the more expensive of the two text scans (the
+    r13 SCALE.md self-identified double scan).  Semantics are identical
+    as long as the stored count equals ``size(tokens(text))``."""
     terms = [t.lower() for t in query_terms]
     qlit = F.array(*[F.lit(t) for t in terms])
-    doclen = documents.select(
-        "doc_id", F.size(tokens("text")).alias("_dl")
+    dl_expr = (
+        F.col(dl_col).cast("long") if dl_col else F.size(tokens("text"))
     )
+    doclen = documents.select("doc_id", dl_expr.alias("_dl"))
     corpus = doclen.agg(
         F.count(F.lit(1)).alias("_n_docs"),
         F.round(

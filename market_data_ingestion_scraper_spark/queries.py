@@ -1202,6 +1202,76 @@ def q_benchmark_decontam(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "memorization_profile",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+    bench AS (SELECT doc_id AS bench_id, ts FROM tok WHERE doc_id % 29 = 0),
+    corp AS (SELECT ts FROM tok WHERE doc_id % 29 <> 0),
+    bpos AS (
+      SELECT bench_id, i - 1 AS pos,
+             array_to_string(list_slice(ts, i, i + 7), ' ') AS gram
+      FROM bench, unnest(range(1, len(ts) - 6)) AS u(i)
+      WHERE len(ts) >= 8
+    ),
+    cg AS (
+      SELECT DISTINCT array_to_string(list_slice(ts, i, i + 7), ' ') AS gram
+      FROM corp, unnest(range(1, len(ts) - 6)) AS u(i)
+      WHERE len(ts) >= 8
+    ),
+    m AS (SELECT bench_id, pos FROM bpos JOIN cg USING (gram)),
+    r AS (SELECT bench_id, pos,
+            CASE WHEN pos - LAG(pos) OVER (PARTITION BY bench_id
+                   ORDER BY pos) = 1
+                 THEN 0 ELSE 1 END AS brk
+          FROM m),
+    g2 AS (SELECT bench_id,
+             SUM(brk) OVER (PARTITION BY bench_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+           FROM r),
+    runs AS (SELECT bench_id, grp, COUNT(*) AS run_len
+             FROM g2 GROUP BY 1, 2),
+    per AS (SELECT bench_id,
+                   CAST(SUM(run_len) AS BIGINT) AS n_matched,
+                   CAST(COUNT(*) AS BIGINT) AS n_runs,
+                   CAST(MAX(run_len) AS BIGINT) AS max_run
+            FROM runs GROUP BY 1),
+    base AS (SELECT bench_id,
+                    CAST(GREATEST(len(ts) - 7, 0) AS BIGINT) AS n_positions
+             FROM bench)
+    SELECT b.bench_id, b.n_positions,
+           COALESCE(p.n_matched, 0) AS n_matched,
+           COALESCE(p.n_runs, 0) AS n_runs,
+           COALESCE(p.max_run + 7, 0) AS max_overlap_tokens,
+           CASE WHEN b.n_positions > 0
+                THEN CAST((CAST(b.n_positions - COALESCE(p.n_matched, 0)
+                                AS HUGEINT) * 1000000)
+                          // b.n_positions AS BIGINT)
+                ELSE 1000000 END AS novelty_ppm
+    FROM base b LEFT JOIN per p USING (bench_id)
+    """,
+    doc="Memorization/novelty profile (Lee et al. 2021 overlap analyses, "
+    "extended from decontaminate's boolean hit to a length profile): per "
+    "eval document — the deterministic doc_id%29 held-out slice — the "
+    "count of 8-gram positions matched anywhere in the training corpus, "
+    "maximal consecutive-match runs, the longest verbatim-overlap extent "
+    "run+7, and the exact floor-divided novelty fraction.  The oracle "
+    "brute-forces string grams relationally; the Spark side ships md5 "
+    "hashes (identical modulo collisions) and broadcasts the tiny eval "
+    "gram set both ways so the corpus never shuffles "
+    "(operators/decontam.memorization_profile).",
+)
+def q_memorization_profile(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.decontam import memorization_profile
+
+    docs = _t(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 29 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    corpus = docs.filter(F.col("doc_id") % 29 != 0)
+    return memorization_profile(corpus, bench, k=8)
+
+
+@register(
     "source_mix",
     f"""
     WITH per AS (
@@ -2885,6 +2955,80 @@ def q_centroid_assign(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.similarity import centroid_assign
 
     return centroid_assign(_t(spark, sf, "embeddings"))
+
+
+@register(
+    "domain_mix_report",
+    f"""
+    WITH ex AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT)
+               AS vm
+      FROM embeddings
+    ),
+    lab AS (
+      SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT)
+               AS vm
+      FROM embeddings
+    ),
+    proto AS (
+      SELECT label, pos, CAST(SUM(vm) AS BIGINT) AS sm
+      FROM lab GROUP BY label, pos
+    ),
+    sc AS (
+      SELECT vec_id, label, CAST(SUM(vm * sm) AS BIGINT) AS s2
+      FROM ex JOIN proto USING (pos) GROUP BY vec_id, label
+    ),
+    rk AS (
+      SELECT vec_id, label,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY s2 DESC, label) AS rn
+      FROM sc
+    ),
+    asg AS (SELECT vec_id, label AS pred_label FROM rk WHERE rn = 1),
+    giv AS (SELECT vec_id, label AS given FROM embeddings),
+    tk AS (SELECT doc_id AS vec_id, len({_TOKS}) AS n_tok FROM documents),
+    mem AS (
+      SELECT a.pred_label, g.given, t.n_tok
+      FROM asg a JOIN giv g USING (vec_id) JOIN tk t USING (vec_id)
+    ),
+    per AS (
+      SELECT pred_label,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+             CAST(count_if(given = pred_label) AS BIGINT) AS n_label_match
+      FROM mem GROUP BY 1
+    ),
+    t2 AS (
+      SELECT *, SUM(n_docs) OVER () AS tot_docs,
+             SUM(n_tokens) OVER () AS tot_tokens
+      FROM per
+    )
+    SELECT pred_label, n_docs, n_tokens, n_label_match,
+           CAST((CAST(n_docs AS HUGEINT) * 2000000 + tot_docs)
+                // (2 * tot_docs) AS BIGINT) AS doc_share_ppm,
+           CAST((CAST(n_tokens AS HUGEINT) * 2000000 + tot_tokens)
+                // (2 * tot_tokens) AS BIGINT) AS token_share_ppm,
+           CAST((CAST(n_label_match AS HUGEINT) * 2000000 + n_docs)
+                // (2 * n_docs) AS BIGINT) AS purity_ppm
+    FROM t2
+    """,
+    doc="Embedding-space domain-mixture dashboard (DoReMi, Xie et al. "
+    "2023 arXiv:2305.10429, reweights per-domain token mass): the corpus "
+    "cluster-assigned to nearest class prototypes (exact int64 "
+    "micro-unit dots, broadcast prototype table), then per predicted "
+    "domain — doc/token counts, exact half-up ppm shares of the corpus, "
+    "and label-agreement purity.  source_mix keyed on the LEARNED "
+    "clustering instead of a metadata column "
+    "(operators/mixing.domain_mix_report).",
+)
+def q_domain_mix_report(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.mixing import domain_mix_report
+
+    return domain_mix_report(
+        _t(spark, sf, "documents"), _t(spark, sf, "embeddings")
+    )
 
 
 @register(
@@ -5386,86 +5530,17 @@ def q_tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
 # queries, and finally entries whose evidence already exists elsewhere
 # (rows-only demos pinned by pytest, long-stable double-green rows).
 GATE_PRIORITY: tuple[str, ...] = (
-    # r13 rotation (executes the hard commitment recorded here at r12):
-    # the 50 queries last checked green at r11 parked in GATE_DEFERRED
-    # through r12 and hit the 2-round staleness limit this round — the
+    # r14 rotation (executes the hard commitment recorded here at r13):
+    # the 50 queries last checked green at r12 parked in GATE_DEFERRED
+    # through r13 and hit the 2-round staleness limit this round — the
     # entire list rotates back into the snapshot window.  This includes
-    # `xlingual_align` (X25) and `curriculum_packed_order` (X26),
-    # registered r12, taking their FIRST driver gate rows; their SQL
-    # twins were verified green at registration (sf0.001 + sf0.01 +
-    # test_r13_gate_debt_oracle_parity_at_driver_scale) and both are
+    # `longest_dup_substring` (X28) and `tokenizer_fertility` (X27),
+    # registered r13, taking their FIRST driver gate rows; their SQL
+    # twins were verified green at registration (sf0.001 + sf0.01 via
+    # test_oracle_parity and the /verify gate replica) and both are
     # pinned against independent pure-Python twins meanwhile
-    # (test_alignment_curriculum.py).
-    "xlingual_align",
-    "curriculum_packed_order",
-    "trigram_backoff_quality",
-    "hard_negative_mining",
-    "perplexity_buckets",
-    "dsir_select",
-    "mixture_budget_fill",
-    "bloom_dedup_filter",
-    "kmeans_refine_step",
-    "corpus_snapshot_diff",
-    "quality_classifier_scores",
-    "temperature_mixture",
-    "bm25_ranking",
-    "shipping_lead_time",
-    "top3_parts_per_brand",
-    "revenue_rank_tiers",
-    "cumulative_monthly_volume",
-    "daily_price_delta",
-    "indexed_commodity_groups",
-    "union_day_slices",
-    "link_text_filter",
-    "commodity_lookup",
-    "brands_never_shipped_1998",
-    "grouped_pandas_price_stats",
-    "boilerplate_grams",
-    "label_centroids",
-    "top5_commodities",
-    "revenue_by_region",
-    "pii_scrub",
-    "doc_fingerprints",
-    "uniform_hash_sample",
-    "ngram_jaccard_near_dups",
-    "near_dup_clusters",
-    "jaccard_ssjoin_near_dups",
-    "simhash_near_dups",
-    "ivfpq_topk_adc",
-    "quality_funnel",
-    "multimodal_features",
-    "video_frame_sample",
-    "source_language_mix",
-    "semdedup_drop",
-    "cross_doc_gram_overlap",
-    "minhash_est_calibration",
-    "ann_recall_eval",
-    "ivf_recall_eval",
-    "dedup_rate_by_source",
-    "token_count_histogram",
-    "embedding_norm_outliers",
-    "image_near_dups",
-    "duplicated_span_stats",
-)
-
-# The queries checked green at r12 park outside the snapshot window
-# this round; they hit the 2-round staleness limit at r14, so the r14
-# rotation MUST move this entire list into GATE_PRIORITY (and park the
-# r13-green window here).  With 100 exported queries and a 50-row
-# snapshot the cycle is exactly two rounds — sustainable indefinitely.
-# Queries newly registered at r13 join the head of this window (the
-# dsir_select / unigram_lm_pieces / xlingual_align precedent): their SQL
-# twins are verified green at registration time and they take their
-# first driver gate rows at r14.  The r14 debt is exactly
-# `longest_dup_substring` (X28) and `tokenizer_fertility` (X27) — both
-# verified green at sf0.001 AND sf0.01 at registration (multiple full
-# gate-replica runs, r13 session) and pinned meanwhile by independent
-# pure-Python twins (test_longest_dup_fertility.py) plus a hypothesis
-# property differential (test_properties.py).
-GATE_DEFERRED: tuple[str, ...] = (
-    # registered r13, SQL twins verified green at registration (sf0.001 +
-    # sf0.01 via test_oracle_parity + the /verify gate replica); first
-    # driver gate rows due r14 per the standing rotation contract
+    # (test_longest_dup_fertility.py) plus a hypothesis property
+    # differential (test_properties.py).
     "longest_dup_substring",
     "tokenizer_fertility",
     "unigram_lm_pieces",
@@ -5516,6 +5591,75 @@ GATE_DEFERRED: tuple[str, ...] = (
     "cube_revenue",
     "quantity_percentiles",
     "top_part_per_brand_maxby",
+)
+
+# The queries checked green at r13 park outside the snapshot window
+# this round; they hit the 2-round staleness limit at r15, so the r15
+# rotation MUST move this entire list into GATE_PRIORITY (and park the
+# r14-green window here).  With 100 exported queries and a 50-row
+# snapshot the cycle is exactly two rounds — sustainable indefinitely.
+# Queries newly registered at r14 join the head of this window (the
+# dsir_select / xlingual_align / longest_dup_substring precedent): their
+# SQL twins are verified green at registration time and they take their
+# first driver gate rows at r15.  The r15 debt is exactly
+# `memorization_profile` and `domain_mix_report` — both verified green
+# at sf0.001 AND sf0.01 at registration (full gate-replica runs, r14
+# session) and pinned meanwhile by independent pure-Python twins
+# (test_memorization_domainmix.py) plus the oracle-parity suite.
+GATE_DEFERRED: tuple[str, ...] = (
+    # registered r14, SQL twins verified green at registration (sf0.001 +
+    # sf0.01 via test_oracle_parity + the /verify gate replica); first
+    # driver gate rows due r15 per the standing rotation contract
+    "memorization_profile",
+    "domain_mix_report",
+    "xlingual_align",
+    "curriculum_packed_order",
+    "trigram_backoff_quality",
+    "hard_negative_mining",
+    "perplexity_buckets",
+    "dsir_select",
+    "mixture_budget_fill",
+    "bloom_dedup_filter",
+    "kmeans_refine_step",
+    "corpus_snapshot_diff",
+    "quality_classifier_scores",
+    "temperature_mixture",
+    "bm25_ranking",
+    "shipping_lead_time",
+    "top3_parts_per_brand",
+    "revenue_rank_tiers",
+    "cumulative_monthly_volume",
+    "daily_price_delta",
+    "indexed_commodity_groups",
+    "union_day_slices",
+    "link_text_filter",
+    "commodity_lookup",
+    "brands_never_shipped_1998",
+    "grouped_pandas_price_stats",
+    "boilerplate_grams",
+    "label_centroids",
+    "top5_commodities",
+    "revenue_by_region",
+    "pii_scrub",
+    "doc_fingerprints",
+    "uniform_hash_sample",
+    "near_dup_clusters",
+    "jaccard_ssjoin_near_dups",
+    "simhash_near_dups",
+    "ivfpq_topk_adc",
+    "quality_funnel",
+    "multimodal_features",
+    "video_frame_sample",
+    "source_language_mix",
+    "semdedup_drop",
+    "minhash_est_calibration",
+    "ann_recall_eval",
+    "ivf_recall_eval",
+    "dedup_rate_by_source",
+    "token_count_histogram",
+    "embedding_norm_outliers",
+    "image_near_dups",
+    "duplicated_span_stats",
 )
 
 # Retired from the GATE EXPORT only (r8, on the r7 verdict's advice): each
@@ -5659,6 +5803,29 @@ GATE_RETIRED: tuple[str, ...] = (
     # (lang, shard) strata shape stays pytest+scale-probed.
     "pq_topk_adc",
     "pack_plan",
+    # r14, swapped for memorization_profile + domain_mix_report (the
+    # registry stays at 100 exported / 50-slot windows — the 2-round
+    # rotation holds); both retirements cite r13-green rows per the
+    # retire-on-green guard.  ngram_jaccard_near_dups' end-to-end answer
+    # (near-dup pairs at exact n-gram Jaccard ≥ 0.7) stays oracle-gated
+    # VERBATIM through jaccard_ssjoin_near_dups — the two queries share
+    # the IDENTICAL oracle string (_JACCARD_07_SQL) and threshold, so the
+    # gate keeps checking the same expected rows every cycle — while its
+    # LSH candidate stage (lsh_candidate_pairs) and exact-Jaccard verify
+    # stage (exact_jaccard_pairs) both run inside the gated
+    # minhash_est_calibration, which persists the banded candidate pairs
+    # and differentials the MinHash estimate against exact string-shingle
+    # Jaccard on them (the accepted carrier of the r9
+    # minhash_lsh_candidates retirement).  cross_doc_gram_overlap's
+    # 8-gram explode and cross-doc duplicated-gram detection are the
+    # literal first two stages of the gated duplicated_span_stats (same
+    # hashed-8-gram occurrence table, same COUNT(DISTINCT doc) >= 2
+    # duplicated-gram set — span_stats adds the positional islands on
+    # top), and the same gram machinery now also feeds the gated
+    # memorization_profile and longest_dup_substring.  Both remain
+    # registered, benched, and oracle-parity-tested.
+    "ngram_jaccard_near_dups",
+    "cross_doc_gram_overlap",
 )
 
 
@@ -5700,6 +5867,8 @@ GATE_RETIREMENT_LEDGER: dict[str, tuple[int, int]] = {
     "salted_qty_by_flag": (12, 11),
     "pq_topk_adc": (13, 12),
     "pack_plan": (13, 12),
+    "ngram_jaccard_near_dups": (14, 13),
+    "cross_doc_gram_overlap": (14, 13),
 }
 
 

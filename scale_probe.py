@@ -484,6 +484,70 @@ def main() -> None:
         print(json.dumps({"op": "tokenizer_fertility_eval", "factor": factor,
                           "pairs": n5, "sec": sec}), flush=True)
 
+        # r14: X29 memorization profile.  The eval set is FIXED (the base
+        # corpus's doc_id%29 slice — eval sets don't grow with training
+        # data); the corpus is the K x replica.  Replica 0 is the base
+        # byte-for-byte and replica r>0 tokens are prefixed, so the
+        # matched-position totals must be INVARIANT under K ("pairs"
+        # records sum(n_matched) — growth 1.0 is the correctness signal)
+        # while the corpus gram scan grows K x (wall must stay far below
+        # K: one broadcast semi-join pass, no corpus shuffle).
+        from market_data_ingestion_scraper_spark.operators.decontam import (
+            memorization_profile,
+        )
+
+        bench14 = docs.filter(F.col("doc_id") % 29 == 0).select(
+            F.col("doc_id").alias("bench_id"), "text"
+        )
+        corpus14 = d.filter(F.col("doc_id") % 29 != 0)
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        agg14 = (
+            memorization_profile(corpus14, bench14, k=8)
+            .agg(
+                F.sum("n_matched").alias("m"),
+                F.max("max_overlap_tokens").alias("mx"),
+            )
+            .collect()[0]
+        )
+        sec = round(time.perf_counter() - t0, 2)
+        results.setdefault("memorization_profile", {})[factor] = {
+            "pairs": int(agg14["m"]), "sec": sec,
+        }
+        print(json.dumps({"op": "memorization_profile", "factor": factor,
+                          "matched_positions": int(agg14["m"]),
+                          "max_overlap": int(agg14["mx"]),
+                          "sec": sec}), flush=True)
+
+        # r14: X30 domain-mix report.  Embedding replicas repeat vectors
+        # (prototypes scale by K, direction unchanged -> assignment
+        # invariant) and doc replicas keep token counts (the z{r}z prefix
+        # fuses into each token), so the report must hold |labels| rows
+        # with INVARIANT shares/purity at any K while per-domain counts
+        # grow exactly K x.  "pairs" records sum(token_share_ppm) + max
+        # purity — both must be flat; wall is the prototype scan + two
+        # id-keyed joins.
+        from market_data_ingestion_scraper_spark.operators.mixing import (
+            domain_mix_report,
+        )
+
+        e_lab = replicate_embeddings(
+            load_table(spark, sf_dir, "embeddings"), factor
+        )
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        rows14 = domain_mix_report(d, e_lab).collect()
+        sec = round(time.perf_counter() - t0, 2)
+        share_sum = sum(r["token_share_ppm"] for r in rows14)
+        results.setdefault("domain_mix_report", {})[factor] = {
+            "pairs": share_sum, "sec": sec,
+        }
+        print(json.dumps({"op": "domain_mix_report", "factor": factor,
+                          "rows": len(rows14),
+                          "token_share_ppm_sum": share_sum,
+                          "n_docs_total": sum(r["n_docs"] for r in rows14),
+                          "sec": sec}), flush=True)
+
     summary = {
         name: {
             "pairs_growth": round(r[k]["pairs"] / max(r[1]["pairs"], 1), 2),

@@ -1,0 +1,249 @@
+"""r14 frontier families: memorization/novelty profile and the
+embedding-cluster domain-mix report — values differentialed against
+independently-written pure-Python twins (re/math only — no Spark, no
+shared code), plus planted-case exactness and invariants."""
+
+from __future__ import annotations
+
+import math
+import re
+
+from market_data_ingestion_scraper_spark.operators.decontam import (
+    memorization_profile,
+)
+from market_data_ingestion_scraper_spark.operators.mixing import (
+    domain_mix_report,
+)
+
+_TOK = re.compile(r"[a-z0-9]+")
+
+
+# ---------------------------------------------------------- memorization
+
+
+def _py_memorization(corpus_texts, bench_items, k=8):
+    """Independent twin: string grams, per-doc boolean match array, run
+    scan by hand."""
+    cg = set()
+    for t in corpus_texts:
+        ts = _TOK.findall(t.lower())
+        for p in range(len(ts) - k + 1):
+            cg.add(" ".join(ts[p : p + k]))
+    out = {}
+    for bid, t in bench_items:
+        ts = _TOK.findall(t.lower())
+        npos = max(len(ts) - k + 1, 0)
+        hit = [" ".join(ts[p : p + k]) in cg for p in range(npos)]
+        runs = []
+        cur = 0
+        for h in hit:
+            if h:
+                cur += 1
+            elif cur:
+                runs.append(cur)
+                cur = 0
+        if cur:
+            runs.append(cur)
+        n_matched = sum(runs)
+        max_ov = (max(runs) + k - 1) if runs else 0
+        novelty = (
+            (npos - n_matched) * 1_000_000 // npos if npos > 0 else 1_000_000
+        )
+        out[bid] = (npos, n_matched, len(runs), max_ov, novelty)
+    return out
+
+
+def _split(spark, texts, bench_every=3):
+    corpus = [(i, t) for i, t in enumerate(texts) if i % bench_every != 0]
+    bench = [(i, t) for i, t in enumerate(texts) if i % bench_every == 0]
+    cdf = spark.createDataFrame(corpus, "doc_id long, text string")
+    bdf = spark.createDataFrame(bench, "bench_id long, text string")
+    return cdf, bdf, corpus, bench
+
+
+def test_memorization_planted_overlap_exact(spark):
+    """A 12-token span copied verbatim from a corpus doc into an eval doc
+    must profile as 5 matched 8-gram positions in one run with
+    max_overlap_tokens == 12 exactly."""
+    shared = " ".join(f"m{i}" for i in range(12))
+    texts = [
+        "prefix " + shared + " suffix words here",  # 0 -> bench
+        "totally different tokens nowhere repeated at all",  # 1 -> corpus
+        "lead in " + shared + " trail out",  # 2 -> corpus (the source)
+    ]
+    cdf, bdf, corpus, bench = _split(spark, texts)
+    rows = {
+        r.bench_id: r for r in memorization_profile(cdf, bdf, k=8).collect()
+    }
+    r = rows[0]
+    assert (r.n_matched, r.n_runs, r.max_overlap_tokens) == (5, 1, 12)
+    # 16 tokens -> 9 positions, 5 matched
+    assert r.n_positions == 9
+    assert r.novelty_ppm == (9 - 5) * 1_000_000 // 9
+
+
+def test_memorization_novel_and_short_docs(spark):
+    """A fully-novel eval doc gets zeros and novelty 1e6; an eval doc
+    shorter than k has no measurable position and also reports 1e6."""
+    texts = [
+        "completely novel evaluation content with unique tokens only",  # bench
+        "short one",  # bench (1 % 3 != 0 -> corpus)... index math below
+        "corpus body with its own words that do not overlap the bench",
+    ]
+    # force explicit split: doc 0 bench, doc 1 bench(short), doc 2 corpus
+    cdf = spark.createDataFrame([(2, texts[2])], "doc_id long, text string")
+    bdf = spark.createDataFrame(
+        [(0, texts[0]), (1, "short one")], "bench_id long, text string"
+    )
+    rows = {
+        r.bench_id: r for r in memorization_profile(cdf, bdf, k=8).collect()
+    }
+    assert rows[0].n_matched == 0
+    assert rows[0].max_overlap_tokens == 0
+    assert rows[0].novelty_ppm == 1_000_000
+    assert rows[1].n_positions == 0
+    assert rows[1].novelty_ppm == 1_000_000
+    assert len(rows) == 2  # zero-match docs are PRESENT (left join)
+
+
+def test_memorization_matches_python_twin_on_fixture(spark):
+    """Full twin differential on the sf0.001 corpus under the registered
+    doc_id%29 split."""
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = [(r["doc_id"], r["text"]) for r in df.select("doc_id", "text").collect()]
+    corpus = [(i, t) for i, t in pairs if i % 29 != 0]
+    bench = [(i, t) for i, t in pairs if i % 29 == 0]
+    want = _py_memorization([t for _, t in corpus], bench, k=8)
+    cdf = spark.createDataFrame(corpus, "doc_id long, text string")
+    bdf = spark.createDataFrame(bench, "bench_id long, text string")
+    got = {
+        r.bench_id: (
+            r.n_positions,
+            r.n_matched,
+            r.n_runs,
+            r.max_overlap_tokens,
+            r.novelty_ppm,
+        )
+        for r in memorization_profile(cdf, bdf, k=8).collect()
+    }
+    assert got == want
+    assert len(got) == len(bench)
+    # island bound: any match guarantees at least one full k-gram
+    for npos, nm, nr, mx, nov in got.values():
+        assert (mx >= 8) == (nm > 0)
+        assert nm <= npos and 0 <= nov <= 1_000_000
+
+
+# --------------------------------------------------------- domain mix
+
+
+def _snap(v: float) -> int:
+    x = float(v) * 1e6
+    return int(math.floor(x + 0.5)) if x >= 0 else -int(math.floor(-x + 0.5))
+
+
+def _half_up_ppm(a: int, b: int) -> int:
+    return (a * 2_000_000 + b) // (2 * b)
+
+
+def _py_domain_mix(embs, doc_tokens):
+    """Independent twin: micro-unit int prototype dots, dict arithmetic."""
+    proto: dict[int, list[int]] = {}
+    for _vid, vec, lab in embs:
+        vm = [_snap(v) for v in vec]
+        p = proto.setdefault(lab, [0] * len(vm))
+        for i, x in enumerate(vm):
+            p[i] += x
+    per: dict[int, list[int]] = {}
+    for vid, vec, lab in embs:
+        if vid not in doc_tokens:
+            continue
+        vm = [_snap(v) for v in vec]
+        best = max(
+            proto.items(),
+            key=lambda kv: (sum(a * b for a, b in zip(vm, kv[1])), -kv[0]),
+        )[0]
+        row = per.setdefault(best, [0, 0, 0])
+        row[0] += 1
+        row[1] += doc_tokens[vid]
+        row[2] += int(lab == best)
+    tot_docs = sum(r[0] for r in per.values())
+    tot_tok = sum(r[1] for r in per.values())
+    return {
+        lab: (
+            nd,
+            nt,
+            nm,
+            _half_up_ppm(nd, tot_docs),
+            _half_up_ppm(nt, tot_tok),
+            _half_up_ppm(nm, nd),
+        )
+        for lab, (nd, nt, nm) in per.items()
+    }
+
+
+def test_domain_mix_matches_python_twin_on_fixture(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    embs = [
+        (r["vec_id"], list(r["embedding"]), r["label"])
+        for r in emb.collect()
+    ]
+    doc_tokens = {
+        r["doc_id"]: len(_TOK.findall(r["text"].lower()))
+        for r in docs.select("doc_id", "text").collect()
+    }
+    want = _py_domain_mix(embs, doc_tokens)
+    got = {
+        r.pred_label: (
+            r.n_docs,
+            r.n_tokens,
+            r.n_label_match,
+            r.doc_share_ppm,
+            r.token_share_ppm,
+            r.purity_ppm,
+        )
+        for r in domain_mix_report(docs, emb).collect()
+    }
+    assert got == want
+
+
+def test_domain_mix_share_and_purity_invariants(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = domain_mix_report(docs, emb).collect()
+    assert rows, "report must not be empty"
+    # half-up ppm shares sum to 1e6 within one ulp per row
+    for col in ("doc_share_ppm", "token_share_ppm"):
+        s = sum(r[col] for r in rows)
+        assert abs(s - 1_000_000) <= len(rows), (col, s)
+    for r in rows:
+        assert 0 <= r.purity_ppm <= 1_000_000
+        assert 0 <= r.n_label_match <= r.n_docs
+        assert r.n_tokens >= r.n_docs  # fixture docs are non-empty
+
+
+def test_domain_mix_separable_labels_are_pure(spark):
+    """On prototype-separable classes (orthogonal one-hot directions) the
+    learned clustering must reproduce the labels exactly: every domain
+    purity_ppm == 1e6 and counts match the construction."""
+    dim = 4
+    rows = []
+    docs = []
+    for lab in range(3):
+        for j in range(4):
+            vid = lab * 4 + j
+            vec = [0.0] * dim
+            vec[lab] = 1.0 + 0.01 * j
+            rows.append((vid, vec, lab))
+            docs.append((vid, "tok " * (lab + 1)))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.pred_label: r for r in domain_mix_report(ddf, emb).collect()}
+    assert set(got) == {0, 1, 2}
+    for lab, r in got.items():
+        assert r.purity_ppm == 1_000_000
+        assert r.n_docs == 4 and r.n_label_match == 4
+        assert r.n_tokens == 4 * (lab + 1)

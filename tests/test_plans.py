@@ -704,3 +704,85 @@ def test_longest_dup_probe_and_stats_scan_bound(spark):
     n_shuffle, n_bcast, txt = _shuffle_count(spark, "longest_dup_substring")
     assert "CartesianProduct" not in txt, txt
     assert "rangepartitioning" not in txt.lower(), txt
+
+
+def test_memorization_profile_plan_shape(spark):
+    """The eval-vs-corpus overlap must keep the decontaminate asymmetry:
+    the corpus gram explode meets the tiny eval gram set through
+    BROADCAST hash joins only (both directions), never a cartesian/BNL,
+    and the matched-gram distinct combines map-side before its shuffle."""
+    df = _plan(spark, "memorization_profile")
+    txt = explain_str(df)
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+    rep = plan_report(df)
+    # bench-grams -> corpus, matched-grams -> bench positions
+    assert rep.n_broadcast_joins >= 2, rep.summary()
+    assert rep.has_partial_agg, rep.summary()
+
+
+def test_domain_mix_report_plan_shape(spark):
+    """Domain mix keys the corpus on a LEARNED clustering: the prototype
+    table must ride a broadcast (vectors never shuffle whole), the
+    per-domain aggregate must combine map-side, and nothing may cross."""
+    df = _plan(spark, "domain_mix_report")
+    txt = explain_str(df)
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+    rep = plan_report(df)
+    assert rep.n_broadcast_joins >= 1, rep.summary()  # |labels|xdims protos
+    assert rep.has_partial_agg, rep.summary()
+
+
+def test_bm25_precomputed_dl_single_tokenization(spark):
+    """With a gold-layer dl column supplied, bm25 must tokenize the text
+    ONCE (the tf explode) — the doc-length branch becomes a column-pruned
+    (doc_id, dl) projection, deleting the second full text scan the r13
+    SCALE.md called out.  Values must not move."""
+    from pyspark.sql import functions as F
+
+    from market_data_ingestion_scraper_spark.operators.text import (
+        bm25_scores,
+        tokens,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    with_dl = docs.withColumn("dl", F.size(tokens("text")))
+    q = ("market", "price", "trade")
+    base = bm25_scores(docs, q)
+    fast = bm25_scores(with_dl.select("doc_id", "text", "dl"), q, dl_col="dl")
+    base_txt = explain_str(base, "simple")
+    # the precomputed path evaluates the tokenizer regex strictly fewer
+    # times than the recompute path, and exactly once outside the
+    # supplied dl column itself
+    fast_txt = explain_str(
+        bm25_scores(
+            with_dl.select("doc_id", "text", "dl").localCheckpoint(eager=False),
+            q,
+            dl_col="dl",
+        ),
+        "simple",
+    )
+    # the tf-explode subtree prints the tokenizer regex in its Generate
+    # and its pushed filter — what matters is the DOC-LENGTH branch
+    # stopped tokenizing: strictly fewer evaluations than the recompute
+    # path, and none beyond the tf subtree's two prints
+    assert fast_txt.count("[^a-z0-9]+") <= 2, fast_txt
+    assert base_txt.count("[^a-z0-9]+") > fast_txt.count("[^a-z0-9]+"), base_txt
+    assert [tuple(r) for r in fast.collect()] == [tuple(r) for r in base.collect()]
+
+
+def test_longest_dup_persists_staged_tokens(spark):
+    """X28's binary-search probes must reuse ONE persisted token table
+    (the r13 verdict fix): after a call, the generation registry holds
+    the staged frame and it is marked for caching."""
+    from market_data_ingestion_scraper_spark.operators.dedup import (
+        _CACHE_GENERATIONS,
+        longest_dup_substring,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    longest_dup_substring(docs, max_len=16).collect()
+    gen = _CACHE_GENERATIONS.get("longest_dup_substring.staged")
+    assert gen, "staged token table must be generation-cached"
+    assert gen[-1].storageLevel.useMemory or gen[-1].storageLevel.useDisk
