@@ -287,6 +287,38 @@ def main(argv: list[str] | None = None) -> int:
                     "shuffle per epoch")
     po.add_argument("--id-col", default="doc_id")
 
+    mp = sub.add_parser(
+        "memorization",
+        help="memorization/novelty profile (X29): per eval document, "
+        "matched k-gram positions against the training corpus, maximal "
+        "consecutive-match runs, longest verbatim-overlap extent, and "
+        "the exact novelty fraction",
+    )
+    mp.add_argument("--corpus", required=True,
+                    help="training-corpus parquet with (id, text)")
+    mp.add_argument("--benchmark", required=True,
+                    help="eval-set parquet with (bench id, text)")
+    mp.add_argument("--out", required=True,
+                    help="output parquet of the per-eval-doc profile")
+    mp.add_argument("--k", type=int, default=8,
+                    help="gram length in tokens")
+    mp.add_argument("--id-col", default="doc_id")
+    mp.add_argument("--bench-id-col", default="bench_id")
+
+    dm = sub.add_parser(
+        "domain-mix",
+        help="embedding-space domain-mix report (X30): corpus "
+        "cluster-assigned to nearest class prototypes, per predicted "
+        "domain doc/token counts, exact ppm shares, and purity",
+    )
+    dm.add_argument("--documents", required=True,
+                    help="parquet with (doc_id, text)")
+    dm.add_argument("--embeddings", required=True,
+                    help="parquet with (vec_id, embedding, label)")
+    dm.add_argument("--out", default=None,
+                    help="optional output parquet; the report always "
+                    "prints (it is |labels| rows)")
+
     ic = sub.add_parser(
         "index-compact",
         help="fold an append-grown index's small files into one per "
@@ -845,6 +877,64 @@ def main(argv: list[str] | None = None) -> int:
         n = spark.read.parquet(args.out).count()
         print(f"packed_docs={n} ctx_tokens={args.ctx_tokens} "
               f"strata={','.join(strata)} salt={args.salt} out={args.out}")
+        return 0
+
+    if args.cmd == "memorization":
+        from pyspark.sql import functions as F
+
+        from .operators.decontam import memorization_profile
+
+        if args.k < 1:
+            print(f"--k must be >= 1, got {args.k}", file=sys.stderr)
+            return 2
+        corpus = spark.read.parquet(args.corpus)
+        bench = spark.read.parquet(args.benchmark)
+        for frame, cols, what in (
+            (corpus, [args.id_col, "text"], "corpus"),
+            (bench, [args.bench_id_col, "text"], "benchmark"),
+        ):
+            missing = [c for c in cols if c not in frame.columns]
+            if missing:
+                print(f"{what} parquet missing columns: {missing}",
+                      file=sys.stderr)
+                return 2
+        prof = memorization_profile(
+            corpus, bench, k=args.k, id_col=args.id_col,
+            bench_id_col=args.bench_id_col,
+        )
+        prof.write.mode("overwrite").parquet(args.out)
+        agg = spark.read.parquet(args.out).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("max_overlap_tokens").alias("mx"),
+            F.min("novelty_ppm").alias("min_nov"),
+        ).collect()[0]
+        print(f"eval_docs={agg['n']} k={args.k} "
+              f"max_overlap_tokens={agg['mx']} "
+              f"min_novelty_ppm={agg['min_nov']} out={args.out}")
+        return 0
+
+    if args.cmd == "domain-mix":
+        from .operators.mixing import domain_mix_report
+
+        docs = spark.read.parquet(args.documents)
+        emb = spark.read.parquet(args.embeddings)
+        missing = [c for c in ("doc_id", "text") if c not in docs.columns] + [
+            c for c in ("vec_id", "embedding", "label")
+            if c not in emb.columns
+        ]
+        if missing:
+            print(f"input parquet missing columns: {missing}",
+                  file=sys.stderr)
+            return 2
+        report = domain_mix_report(docs, emb)
+        if args.out:
+            report.write.mode("overwrite").parquet(args.out)
+            report = spark.read.parquet(args.out)
+        for r in sorted(report.collect(), key=lambda x: x["pred_label"]):
+            print(f"domain={r['pred_label']} n_docs={r['n_docs']} "
+                  f"n_tokens={r['n_tokens']} "
+                  f"token_share_ppm={r['token_share_ppm']} "
+                  f"purity_ppm={r['purity_ppm']}")
         return 0
 
     if args.cmd == "index-compact":

@@ -1094,3 +1094,169 @@ def stream_fertility_filter(
 
     scored = fertility_stats_literal(rows, artifact)
     return scored.where(F.col("fertility_ppm") <= int(max_fertility_ppm))
+
+
+def stream_novelty_filter(
+    rows: DataFrame,
+    corpus_gram_blooms: DataFrame,
+    k: int = 8,
+    min_novelty_ppm: int = 500_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_artifact_bytes: int = 64 << 20,
+) -> DataFrame:
+    """Streaming NOVELTY admission (the X29 memorization profile as an
+    online filter, closing its lifecycle the way X21/X27 close theirs):
+    score each incoming document's verbatim overlap against a
+    corpus-gram Bloom sidecar (operators/bloom — built once offline over
+    the gold corpus's k-gram md5 hashes) and admit only documents whose
+    novelty stays at or above ``min_novelty_ppm``.  High overlap =
+    content the model would memorize rather than learn from (re-posted
+    articles, eval-set leakage, boilerplate) — the admission-time
+    counterpart of the oracle-gated batch `memorization_profile`.
+
+    Stream-legal shape (the X21/X27 plan-literal pattern): gram hashing
+    is a pure Spark projection (the SAME md5-of-token-slice expression as
+    the batch operator — hashes never differ between the two paths); the
+    bitmaps are collected ONCE into the closure — a bounded artifact,
+    validated against ``max_artifact_bytes`` (10 bits/key: 64 MiB covers
+    ~5×10⁷ distinct corpus grams; larger corpora raise and route through
+    the exact batch path or a bigger cap on bigger executors) — and
+    probed inside ``mapInPandas`` with a per-batch gram memo (boilerplate
+    grams test once per Arrow batch, not once per occurrence).  No
+    explode, no join, no state: safe at any rate, batch ≡ stream
+    bit-for-bit (pytest-pinned).
+
+    Bloom semantics make the filter CONSERVATIVE in exactly the safe
+    direction: no false negatives means a gram the corpus contains is
+    always counted matched (an actually-memorizable document can never
+    sneak through), while a false positive only over-counts overlap and
+    drops a borderline-novel document the exact batch profile would have
+    kept (~fp-rate of the sidecar).  Shard routing and bit positions are
+    the PORTABLE bloom spec (`bloom.shard_of` / `bloom.bit_positions`) —
+    verdict parity with `bloom_probe_hashes` is pytest-pinned.
+
+    Returns admitted rows: (id, text, n_positions, n_matched_maybe,
+    max_overlap_tokens_ub, novelty_ppm).  POLICY: documents shorter than
+    ``k`` tokens have no measurable position, score novelty 1e6 and are
+    ADMITTED (same convention as the batch profile — gram-level
+    memorization risk needs at least one gram)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    brows = corpus_gram_blooms.select(
+        "shard", "n_bits", "n_hashes", "bitmap"
+    ).collect()
+    if not brows:
+        raise ValueError("empty bloom table — build the sidecar first")
+    if len({(r["n_bits"], r["n_hashes"]) for r in brows}) != 1:
+        raise ValueError("bloom table mixes n_bits/n_hashes parameterizations")
+    total = sum(len(r["bitmap"]) for r in brows)
+    if total > max_artifact_bytes:
+        raise ValueError(
+            f"bloom artifact is {total} bytes > max_artifact_bytes="
+            f"{max_artifact_bytes}: a plan-literal admission filter must "
+            "stay broadcast-sized — raise the cap on bigger executors or "
+            "use the exact batch path (memorization_profile)"
+        )
+    n_bits = int(brows[0]["n_bits"])
+    n_hashes = int(brows[0]["n_hashes"])
+    # build_hash_bloom emits a row for EVERY shard (density seeds), so
+    # max(shard)+1 is the build-time shard count — the _bloom_params rule
+    n_shards = max(int(r["shard"]) for r in brows) + 1
+    bitmaps = {
+        int(r["shard"]): np.frombuffer(r["bitmap"], dtype=np.uint8)
+        for r in brows
+    }
+
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda t: t != ""
+    )
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+            lambda i: F.md5(
+                F.concat_ws(" ", F.slice(toks, i, k)).cast("binary")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    staged = rows.select(F.col(id_col), F.col(text_col), grams.alias("_grams"))
+    out_schema = (
+        staged.schema[id_col].dataType.simpleString(),
+        staged.schema[text_col].dataType.simpleString(),
+    )
+    schema = (
+        f"{id_col} {out_schema[0]}, {text_col} {out_schema[1]}, "
+        "n_positions long, n_matched_maybe long, "
+        "max_overlap_tokens_ub long, novelty_ppm long"
+    )
+
+    def _maybe(h: str) -> bool:
+        shard = int(hashlib.md5(h.encode()).hexdigest()[:8], 16) % n_shards
+        bm = bitmaps.get(shard)
+        if bm is None:
+            return False
+        for j in range(n_hashes):
+            pos = (
+                int(hashlib.md5(f"{h}:{j}".encode()).hexdigest()[:15], 16)
+                % n_bits
+            )
+            if not (bm[pos >> 3] >> (pos & 7)) & 1:
+                return False
+        return True
+
+    def score(batches):
+        memo: dict[str, bool] = {}
+        for pdf in batches:
+            out = []
+            for rid, text, hs in zip(
+                pdf[id_col], pdf[text_col], pdf["_grams"]
+            ):
+                hs = list(hs) if hs is not None else []
+                npos = len(hs)
+                matched = []
+                for h in hs:
+                    v = memo.get(h)
+                    if v is None:
+                        v = memo[h] = _maybe(h)
+                    matched.append(v)
+                runs, cur = [], 0
+                for m in matched:
+                    if m:
+                        cur += 1
+                    elif cur:
+                        runs.append(cur)
+                        cur = 0
+                if cur:
+                    runs.append(cur)
+                n_m = sum(runs)
+                out.append(
+                    (
+                        rid,
+                        text,
+                        npos,
+                        n_m,
+                        (max(runs) + k - 1) if runs else 0,
+                        (npos - n_m) * 1_000_000 // npos
+                        if npos > 0
+                        else 1_000_000,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    id_col,
+                    text_col,
+                    "n_positions",
+                    "n_matched_maybe",
+                    "max_overlap_tokens_ub",
+                    "novelty_ppm",
+                ],
+            )
+
+    return staged.mapInPandas(score, schema).where(
+        F.col("novelty_ppm") >= int(min_novelty_ppm)
+    )

@@ -722,3 +722,73 @@ def test_cli_align_corpus_auto_empty_sides_exit_2(tmp_path, spark):
     r = _run("align-corpus", "--side-a", a_path, "--side-b", b_path,
              "--out", str(tmp_path / "o"), "--lsh", "--n-planes", "auto")
     assert r.returncode == 2 and "both sides are empty" in r.stderr
+
+
+def test_cli_memorization(tmp_path, spark):
+    """memorization: the X29 surface — one row per eval doc, library
+    parity, and a missing id column exits 2 before writes."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus_path = str(tmp_path / "corpus.parquet")
+    bench_path = str(tmp_path / "bench.parquet")
+    docs.filter(F.col("doc_id") % 29 != 0).write.parquet(corpus_path)
+    (
+        docs.filter(F.col("doc_id") % 29 == 0)
+        .select(F.col("doc_id").alias("bench_id"), "text")
+        .write.parquet(bench_path)
+    )
+    out = str(tmp_path / "profile")
+    r = _run("memorization", "--corpus", corpus_path,
+             "--benchmark", bench_path, "--out", out, "--k", "8")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "eval_docs=" in r.stdout and "max_overlap_tokens=" in r.stdout
+    got = spark.read.parquet(out)
+    n_bench = spark.read.parquet(bench_path).count()
+    assert got.count() == n_bench
+    assert {"bench_id", "n_positions", "n_matched", "n_runs",
+            "max_overlap_tokens", "novelty_ppm"} == set(got.columns)
+
+    from market_data_ingestion_scraper_spark.operators.decontam import (
+        memorization_profile,
+    )
+
+    lib = memorization_profile(
+        spark.read.parquet(corpus_path), spark.read.parquet(bench_path), k=8
+    )
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(got) == key(lib)
+
+    r = _run("memorization", "--corpus", corpus_path,
+             "--benchmark", bench_path, "--out", str(tmp_path / "x"),
+             "--bench-id-col", "no_such")
+    assert r.returncode == 2 and "missing columns" in r.stderr
+
+    r = _run("memorization", "--corpus", corpus_path,
+             "--benchmark", bench_path, "--out", str(tmp_path / "x"),
+             "--k", "0")
+    assert r.returncode == 2 and "--k must be" in r.stderr
+
+
+def test_cli_domain_mix(tmp_path, spark):
+    """domain-mix: the X30 surface — per-domain lines printed, optional
+    parquet matches the library, missing embedding columns exit 2."""
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    emb = "/root/testdata/sf0.001/embeddings.parquet"
+    out = str(tmp_path / "mix")
+    r = _run("domain-mix", "--documents", docs, "--embeddings", emb,
+             "--out", out)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "token_share_ppm=" in r.stdout and "purity_ppm=" in r.stdout
+    got = spark.read.parquet(out)
+
+    from market_data_ingestion_scraper_spark.operators.mixing import (
+        domain_mix_report,
+    )
+
+    lib = domain_mix_report(spark.read.parquet(docs), spark.read.parquet(emb))
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(got) == key(lib)
+
+    r = _run("domain-mix", "--documents", docs, "--embeddings", docs)
+    assert r.returncode == 2 and "missing columns" in r.stderr

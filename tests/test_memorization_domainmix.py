@@ -247,3 +247,113 @@ def test_domain_mix_separable_labels_are_pure(spark):
         assert r.purity_ppm == 1_000_000
         assert r.n_docs == 4 and r.n_label_match == 4
         assert r.n_tokens == 4 * (lab + 1)
+
+
+# ------------------------------------------------ streaming novelty gate
+
+
+def _gram_hashes(texts, k=8):
+    """Python twin of the gram-hash convention (md5 of the space-joined
+    token slice) — doubles as a parity check that the bloom build keys
+    match what the Spark expression produces."""
+    import hashlib
+
+    out = set()
+    for t in texts:
+        ts = _TOK.findall(t.lower())
+        for p in range(len(ts) - k + 1):
+            out.add(hashlib.md5(" ".join(ts[p : p + k]).encode()).hexdigest())
+    return out
+
+
+def _corpus_bloom(spark, texts, k=8, n_bits=1 << 18):
+    from market_data_ingestion_scraper_spark.operators.bloom import (
+        build_hash_bloom,
+    )
+
+    hashes = spark.createDataFrame(
+        [(h,) for h in sorted(_gram_hashes(texts, k))], "content_hash string"
+    )
+    return build_hash_bloom(hashes, n_shards=4, n_bits=n_bits, n_hashes=3)
+
+
+def test_stream_novelty_filter_matches_exact_profile(spark):
+    """At a near-zero false-positive rate the bloom-backed profile must
+    equal the exact batch memorization_profile on every doc (including
+    shorter-than-k docs, which both report novelty 1e6)."""
+    from market_data_ingestion_scraper_spark.streaming import pipeline as P
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = [(r["doc_id"], r["text"]) for r in df.select("doc_id", "text").collect()]
+    corpus = [(i, t) for i, t in pairs if i % 29 != 0][:200]
+    bench = [(i, t) for i, t in pairs if i % 29 == 0][:12]
+    blooms = _corpus_bloom(spark, [t for _, t in corpus])
+    cdf = spark.createDataFrame(corpus, "doc_id long, text string")
+    bdf = spark.createDataFrame(bench, "bench_id long, text string")
+    exact = {
+        r.bench_id: (r.n_positions, r.n_matched, r.max_overlap_tokens, r.novelty_ppm)
+        for r in memorization_profile(cdf, bdf, k=8).collect()
+    }
+    got = {
+        r.bench_id: (
+            r.n_positions,
+            r.n_matched_maybe,
+            r.max_overlap_tokens_ub,
+            r.novelty_ppm,
+        )
+        for r in P.stream_novelty_filter(
+            bdf, blooms, k=8, min_novelty_ppm=0, id_col="bench_id"
+        ).collect()
+    }
+    assert got == exact
+
+
+def test_stream_novelty_filter_admission_and_stream_parity(spark, tmp_path):
+    """A verbatim near-copy of corpus content is REJECTED, genuinely
+    novel content is admitted, shorter-than-k docs pass (policy), and
+    the same code run as a stream through the memory sink returns the
+    batch rows bit-for-bit."""
+    from market_data_ingestion_scraper_spark.streaming import pipeline as P
+
+    span = " ".join(f"c{i}" for i in range(40))
+    corpus_texts = ["intro " + span + " outro", "other corpus doc entirely"]
+    blooms = _corpus_bloom(spark, corpus_texts)
+    incoming = spark.createDataFrame(
+        [
+            (1, "repost " + span + " tail"),  # ~copy -> dropped
+            (2, " ".join(f"n{i}" for i in range(40))),  # novel -> admitted
+            (3, "tiny doc"),  # < k tokens -> admitted by policy
+        ],
+        "doc_id long, text string",
+    )
+    batch = P.stream_novelty_filter(incoming, blooms, min_novelty_ppm=500_000)
+    rows = {r.doc_id: r for r in batch.collect()}
+    assert set(rows) == {2, 3}
+    assert rows[2].n_matched_maybe == 0 and rows[2].novelty_ppm == 1_000_000
+    assert rows[3].n_positions == 0 and rows[3].novelty_ppm == 1_000_000
+
+    src = str(tmp_path / "novelty_docs")
+    incoming.repartition(2).write.parquet(src)
+    stream = (
+        spark.readStream.schema(incoming.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = P.run_to_memory(
+        P.stream_novelty_filter(stream, blooms, min_novelty_ppm=500_000),
+        "t_novelty_adm",
+        spark,
+        mode="append",
+    )
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(out) == key(batch)
+
+
+def test_stream_novelty_filter_artifact_cap(spark):
+    from market_data_ingestion_scraper_spark.streaming import pipeline as P
+    import pytest
+
+    blooms = _corpus_bloom(spark, ["some corpus text with enough tokens here ok"])
+    rows = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="max_artifact_bytes"):
+        P.stream_novelty_filter(rows, blooms, max_artifact_bytes=16)
