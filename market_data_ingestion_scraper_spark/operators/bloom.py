@@ -187,9 +187,34 @@ def build_hash_bloom(
     return pos.groupBy("shard").applyInPandas(set_bits, _BLOOM_SCHEMA)
 
 
+def bloom_params_from_rows(rows) -> tuple[int, int, int]:
+    """(n_shards, n_bits, n_hashes) from COLLECTED bloom rows — the same
+    self-describing contract as :func:`_bloom_params`, for callers that
+    already hold the rows (the streaming admission filter collects the
+    bitmaps into its closure; re-aggregating the frame would scan it
+    twice).  Enforces the identical rules: non-empty table, one
+    parameterization, and shard count = max(shard)+1 (build_hash_bloom's
+    DENSE table guarantees it — any other modulus routes probes to the
+    wrong shard and produces false negatives, the r9 finding).  Parity
+    with _bloom_params on the same table is pytest-pinned."""
+    rows = list(rows)
+    if not rows:
+        raise ValueError(
+            "empty bloom table — nothing was built (all-null hash column?)"
+        )
+    if len({(int(r["n_bits"]), int(r["n_hashes"])) for r in rows}) != 1:
+        raise ValueError("bloom table mixes n_bits/n_hashes parameterizations")
+    return (
+        max(int(r["shard"]) for r in rows) + 1,
+        int(rows[0]["n_bits"]),
+        int(rows[0]["n_hashes"]),
+    )
+
+
 def _bloom_params(blooms: DataFrame) -> tuple[int, int, int]:
     """Derive (n_shards, n_bits, n_hashes) FROM the bloom table — the
-    self-describing contract.  One tiny driver aggregate; raises when the
+    self-describing contract (rows-side twin: :func:`bloom_params_from_rows`).
+    One tiny driver aggregate; raises when the
     table mixes parameterizations (a corrupt or hand-edited artifact)."""
     row = blooms.agg(
         F.countDistinct("n_bits").alias("d_b"),

@@ -17,8 +17,35 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import _spread, string_shingles
+from pyspark.sql import Column
+
+from .dedup import _let, _spread, string_shingles
 from .text import tokens
+
+
+def gram_hash_array(text_col: Column | str, k: int) -> Column:
+    """Array of the text's ``k``-token gram hashes in POSITION order —
+    md5 hex of the space-joined token slice, over :func:`text.tokens`
+    (the one tokenizer definition every operator shares).  THE gram-hash
+    convention of the memorization family: :func:`memorization_profile`
+    (batch, oracle-gated) and ``streaming.pipeline.stream_novelty_filter``
+    (admission) both build their grams from this single expression, so
+    the two paths cannot drift if the tokenizer or the hash form ever
+    changes (the r14 review finding; same invariant tokenizers.py pins
+    for fertility).  Tokens are let-bound so Catalyst cannot re-inline
+    the tokenizer once per gram position; texts shorter than ``k`` yield
+    an empty array."""
+
+    def build(t: Column) -> Column:
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size(t) - (k - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(t, i, k)).cast("binary")),
+        )
+        return F.when(F.size(t) >= k, grams).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return _let(tokens(text_col), build)
 
 
 def decontaminate(
@@ -108,19 +135,10 @@ def memorization_profile(
 
     def _positional_grams(df: DataFrame, out_id: str, src_id: str) -> DataFrame:
         staged = df.select(
-            F.col(src_id).alias(out_id), tokens(text_col).alias("_toks")
-        ).withColumn("_nt", F.size("_toks"))
-        return staged.filter(F.col("_nt") >= k).select(
-            out_id,
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(1), F.col("_nt") - (k - 1)),
-                    lambda i: F.md5(
-                        F.concat_ws(" ", F.slice("_toks", i, k)).cast("binary")
-                    ),
-                )
-            ).alias("pos", "gram"),
+            F.col(src_id).alias(out_id),
+            gram_hash_array(text_col, k).alias("_g"),
         )
+        return staged.select(out_id, F.posexplode("_g").alias("pos", "gram"))
 
     bpos = _positional_grams(_spread(benchmark), bench_id_col, bench_id_col)
     bgrams = bpos.select("gram").distinct()

@@ -1146,13 +1146,15 @@ def stream_novelty_filter(
     import numpy as np
     import pandas as pd
 
+    from ..operators.bloom import bloom_params_from_rows
+    from ..operators.decontam import gram_hash_array
+
+    if k < 1:  # fail like the batch twin, not deep inside execution
+        raise ValueError(f"k must be >= 1, got {k}")
     brows = corpus_gram_blooms.select(
         "shard", "n_bits", "n_hashes", "bitmap"
     ).collect()
-    if not brows:
-        raise ValueError("empty bloom table — build the sidecar first")
-    if len({(r["n_bits"], r["n_hashes"]) for r in brows}) != 1:
-        raise ValueError("bloom table mixes n_bits/n_hashes parameterizations")
+    n_shards, n_bits, n_hashes = bloom_params_from_rows(brows)
     total = sum(len(r["bitmap"]) for r in brows)
     if total > max_artifact_bytes:
         raise ValueError(
@@ -1161,29 +1163,16 @@ def stream_novelty_filter(
             "stay broadcast-sized — raise the cap on bigger executors or "
             "use the exact batch path (memorization_profile)"
         )
-    n_bits = int(brows[0]["n_bits"])
-    n_hashes = int(brows[0]["n_hashes"])
-    # build_hash_bloom emits a row for EVERY shard (density seeds), so
-    # max(shard)+1 is the build-time shard count — the _bloom_params rule
-    n_shards = max(int(r["shard"]) for r in brows) + 1
     bitmaps = {
         int(r["shard"]): np.frombuffer(r["bitmap"], dtype=np.uint8)
         for r in brows
     }
 
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda t: t != ""
+    # the ONE gram-hash expression shared with the oracle-gated batch
+    # profile — the two paths cannot drift (decontam.gram_hash_array)
+    staged = rows.select(
+        F.col(id_col), F.col(text_col), gram_hash_array(text_col, k).alias("_grams")
     )
-    grams = F.when(
-        F.size(toks) >= k,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
-            lambda i: F.md5(
-                F.concat_ws(" ", F.slice(toks, i, k)).cast("binary")
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    staged = rows.select(F.col(id_col), F.col(text_col), grams.alias("_grams"))
     out_schema = (
         staged.schema[id_col].dataType.simpleString(),
         staged.schema[text_col].dataType.simpleString(),
@@ -1209,8 +1198,14 @@ def stream_novelty_filter(
         return True
 
     def score(batches):
-        memo: dict[str, bool] = {}
         for pdf in batches:
+            # per-ARROW-BATCH memo, reset each iteration: unlike the
+            # fertility filter's word memo (vocabulary-bounded by Zipf),
+            # k-gram hashes are near-unique, so a task-lifetime memo
+            # would grow with every byte the task ever sees (r14 review
+            # finding) — per-batch it is bounded by the batch's grams
+            # and still collapses boilerplate repeats within the batch
+            memo: dict[str, bool] = {}
             out = []
             for rid, text, hs in zip(
                 pdf[id_col], pdf[text_col], pdf["_grams"]

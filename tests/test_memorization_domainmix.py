@@ -357,3 +357,34 @@ def test_stream_novelty_filter_artifact_cap(spark):
     rows = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="max_artifact_bytes"):
         P.stream_novelty_filter(rows, blooms, max_artifact_bytes=16)
+
+
+def test_stream_novelty_filter_validates_k(spark):
+    from market_data_ingestion_scraper_spark.streaming import pipeline as P
+    import pytest
+
+    blooms = _corpus_bloom(spark, ["corpus words here with enough tokens now"])
+    rows = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="k must be"):
+        P.stream_novelty_filter(rows, blooms, k=0)
+
+
+def test_bloom_params_rows_twin_matches_frame_derivation(spark):
+    """bloom_params_from_rows (the collected-rows twin the streaming
+    filter uses) must derive the identical (n_shards, n_bits, n_hashes)
+    as _bloom_params on the same table, and enforce the same refusals."""
+    from market_data_ingestion_scraper_spark.operators.bloom import (
+        _bloom_params,
+        bloom_params_from_rows,
+    )
+    import pytest
+
+    blooms = _corpus_bloom(spark, ["shared corpus text with enough tokens"])
+    rows = blooms.collect()
+    assert bloom_params_from_rows(rows) == _bloom_params(blooms)
+    with pytest.raises(ValueError, match="empty bloom table"):
+        bloom_params_from_rows([])
+    mixed = [dict(r.asDict()) for r in rows]
+    mixed[0]["n_bits"] = mixed[0]["n_bits"] * 2
+    with pytest.raises(ValueError, match="mixes"):
+        bloom_params_from_rows(mixed)

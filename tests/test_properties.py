@@ -279,3 +279,56 @@ def test_longest_dup_matches_twin_on_random_corpora(spark, docs):
     )
     got = tuple(longest_dup_substring(df, max_len=16).collect()[0])
     assert got == _py_longest_dup(docs, max_len=16)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    corpus=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), max_size=14).map(" ".join),
+        min_size=1,
+        max_size=5,
+    ),
+    bench=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "z"]), max_size=14).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+)
+def test_memorization_matches_twin_on_random_corpora(spark, corpus, bench):
+    """X29 property: on ANY (corpus, eval) pair over a tiny alphabet —
+    dense with partial overlaps, the adversarial regime for run
+    detection (broken runs, within-doc repeats, shorter-than-k docs) —
+    the profile equals the pure-Python twin at a small k, including the
+    LEFT-join presence of zero-match and unmeasurable docs."""
+    from market_data_ingestion_scraper_spark.operators.decontam import (
+        memorization_profile,
+    )
+
+    from .test_memorization_domainmix import _py_memorization
+
+    k = 3
+    cdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    bdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(bench)], "bench_id long, text string"
+    )
+    want = _py_memorization(corpus, list(enumerate(bench)), k=k)
+    got = {
+        r.bench_id: (
+            r.n_positions,
+            r.n_matched,
+            r.n_runs,
+            r.max_overlap_tokens,
+            r.novelty_ppm,
+        )
+        for r in memorization_profile(cdf, bdf, k=k).collect()
+    }
+    assert got == want
+    assert set(got) == set(range(len(bench)))  # every eval doc present
