@@ -1473,6 +1473,31 @@ def embedding_near_duplicates(
     )
 
 
+def prototype_sums(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact int64 micro-unit class-SUM prototypes, long form: one row
+    per (label, dim position) with ``_sm`` = Σ round(val·1e6) over the
+    class — THE prototype definition :func:`centroid_assign` ranks
+    against, factored out so the offline assignment and the streaming
+    serve (``streaming.pipeline.stream_domain_tag``, which collects this
+    table as its plan-literal artifact) score against one construction
+    that cannot drift.  Persist the output parquet as the domain-model
+    artifact: labels × dims rows, tiny at any corpus size."""
+    vm = F.round(F.col("_val").cast("double") * 1e6).cast("long")
+    return (
+        embeddings.select(
+            F.col(label_col).alias("label"),
+            F.posexplode(F.col(vec_col)).alias("pos", "_val"),
+        )
+        .select("label", "pos", vm.alias("_vm"))
+        .groupBy("label", "pos")
+        .agg(F.sum("_vm").alias("_sm"))
+    )
+
+
 def label_centroid_elements(
     embeddings: DataFrame,
     label_col: str = "label",
@@ -1545,15 +1570,7 @@ def centroid_assign(
         F.col(id_col).alias("vec_id"),
         F.posexplode(F.col(vec_col)).alias("pos", "_val"),
     ).select("vec_id", "pos", vm.alias("_vm"))
-    proto = (
-        embeddings.select(
-            F.col(label_col).alias("label"),
-            F.posexplode(F.col(vec_col)).alias("pos", "_val"),
-        )
-        .select("label", "pos", vm.alias("_vm"))
-        .groupBy("label", "pos")
-        .agg(F.sum("_vm").alias("_sm"))
-    )
+    proto = prototype_sums(embeddings, label_col, vec_col)
     scored = (
         ex.join(F.broadcast(proto), "pos")
         .groupBy("vec_id", "label")

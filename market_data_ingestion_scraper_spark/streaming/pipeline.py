@@ -1255,3 +1255,94 @@ def stream_novelty_filter(
     return staged.mapInPandas(score, schema).where(
         F.col("novelty_ppm") >= int(min_novelty_ppm)
     )
+
+
+def stream_domain_tag(
+    rows: DataFrame,
+    prototypes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_literal_terms: int = 1 << 18,
+) -> DataFrame:
+    """Streaming DOMAIN tagging (the X30 serve: label incoming embedding
+    rows with their nearest frozen class prototype, the online half of
+    "cluster once, tag forever") — route micro-batches to per-domain
+    sinks or feed a live domain-mix monitor without touching the corpus.
+
+    ``prototypes`` is :func:`operators.similarity.prototype_sums` output
+    (persisted parquet or the frame itself): exact int64 micro-unit
+    class-SUM prototypes, labels × dims rows.  It is collected ONCE into
+    plan literals (the X21/X27 literal-artifact pattern; bounded by
+    ``max_literal_terms`` = labels·dims — raise or use the batch
+    :func:`operators.similarity.centroid_assign` past it), and scoring
+    is a stateless per-row projection: the vector snaps to int64
+    micro-units once (let-bound), each label's dot product folds via
+    ``zip_with``+``aggregate``, and the argmax ties break to the
+    smallest label — bit-for-bit the batch assignment's arithmetic
+    (same rounding, same int64 sums, same tie order; stream ≡
+    centroid_assign pytest-pinned).  No join, no shuffle, no state —
+    stream-legal at any rate in append mode.
+
+    Returns (id, pred_label, score) with score = round(dot/1e12, 6),
+    the batch column convention.  POLICY: rows whose vector is null or
+    not exactly the artifact's dimensionality cannot be scored against
+    the frozen prototypes and are DROPPED (the shared un-scoreable
+    policy — quarantine first); the test pins the drop."""
+    protos_rows = prototypes.select("label", "pos", "_sm").collect()
+    if not protos_rows:
+        raise ValueError("empty prototype table — fit prototype_sums first")
+    by_label: dict = {}
+    for r in protos_rows:
+        by_label.setdefault(r["label"], {})[int(r["pos"])] = int(r["_sm"])
+    dims = {max(v) + 1 for v in by_label.values()}
+    if len(dims) != 1 or any(
+        len(v) != max(v) + 1 for v in by_label.values()
+    ):
+        raise ValueError(
+            "prototype table is ragged — labels disagree on dimensionality "
+            f"or have position gaps: dims={sorted(dims)}"
+        )
+    dim = dims.pop()
+    if len(by_label) * dim > max_literal_terms:
+        raise ValueError(
+            f"prototype artifact has {len(by_label)}x{dim} terms > "
+            f"max_literal_terms={max_literal_terms}: use the batch "
+            "centroid_assign (broadcast join) instead of plan literals"
+        )
+    labels = sorted(by_label)
+
+    def scores(vm):
+        out = {}
+        for lab in labels:
+            arr = F.array(
+                *[F.lit(by_label[lab][i]) for i in range(dim)]
+            )
+            out[lab] = F.aggregate(
+                F.zip_with(vm, arr, lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+        return out
+
+    vm_arr = F.transform(
+        F.col(vec_col),
+        lambda v: F.round(v.cast("double") * 1e6).cast("long"),
+    )
+    staged = rows.filter(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+    ).select(F.col(id_col), vm_arr.alias("_vm"))
+    sc = scores(F.col("_vm"))
+    best = F.greatest(*[sc[lab] for lab in labels]) if len(labels) > 1 else sc[labels[0]]
+    pred = None
+    for lab in reversed(labels):
+        cond = sc[lab] == F.col("_best")
+        pred = F.when(cond, F.lit(lab)) if pred is None else F.when(
+            cond, F.lit(lab)
+        ).otherwise(pred)
+    # reversed + overwrite-on-match: the FIRST (smallest) label at the
+    # max wins — the batch window's (desc _s2, asc label) tie order
+    return staged.withColumn("_best", best).select(
+        id_col,
+        pred.alias("pred_label"),
+        F.round(F.col("_best").cast("double") / 1e12, 6).alias("score"),
+    )

@@ -388,3 +388,68 @@ def test_bloom_params_rows_twin_matches_frame_derivation(spark):
     mixed[0]["n_bits"] = mixed[0]["n_bits"] * 2
     with pytest.raises(ValueError, match="mixes"):
         bloom_params_from_rows(mixed)
+
+
+# ------------------------------------------------ streaming domain tag
+
+
+def test_stream_domain_tag_matches_batch_assignment(spark, tmp_path):
+    """The plan-literal serve must reproduce centroid_assign bit-for-bit
+    on every scoreable row (same micro-unit snap, same int64 dots, same
+    smallest-label tie order), and the same code run as a stream through
+    the memory sink returns the batch rows exactly."""
+    from market_data_ingestion_scraper_spark.operators.similarity import (
+        centroid_assign,
+        prototype_sums,
+    )
+    from market_data_ingestion_scraper_spark.streaming import pipeline as P
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    protos = prototype_sums(emb)
+    want = {
+        (r.vec_id, r.pred_label, r.score) for r in centroid_assign(emb).collect()
+    }
+    batch = P.stream_domain_tag(emb, protos)
+    got = {(r.vec_id, r.pred_label, r.score) for r in batch.collect()}
+    assert got == want
+
+    src = str(tmp_path / "tag_vecs")
+    emb.repartition(2).write.parquet(src)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = P.run_to_memory(
+        P.stream_domain_tag(stream, protos), "t_domain_tag", spark,
+        mode="append",
+    )
+    assert {(r.vec_id, r.pred_label, r.score) for r in out.collect()} == want
+
+
+def test_stream_domain_tag_drop_policy_and_validation(spark):
+    from market_data_ingestion_scraper_spark.operators.similarity import (
+        prototype_sums,
+    )
+    from market_data_ingestion_scraper_spark.streaming import pipeline as P
+    import pytest
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0), (1, [0.0, 1.0], 1)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    protos = prototype_sums(emb)
+    rows = spark.createDataFrame(
+        [(10, [0.9, 0.1]), (11, None), (12, [1.0, 2.0, 3.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r.vec_id: r.pred_label for r in P.stream_domain_tag(rows, protos).collect()}
+    assert got == {10: 0}  # null and wrong-dim rows DROPPED
+
+    with pytest.raises(ValueError, match="empty prototype"):
+        P.stream_domain_tag(rows, protos.filter("label < 0"))
+    with pytest.raises(ValueError, match="max_literal_terms"):
+        P.stream_domain_tag(rows, protos, max_literal_terms=1)
+    ragged = protos.filter("NOT (label = 1 AND pos = 1)")
+    with pytest.raises(ValueError, match="ragged"):
+        P.stream_domain_tag(rows, ragged)
