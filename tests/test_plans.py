@@ -786,3 +786,22 @@ def test_longest_dup_persists_staged_tokens(spark):
     gen = _CACHE_GENERATIONS.get("longest_dup_substring.staged")
     assert gen, "staged token table must be generation-cached"
     assert gen[-1].storageLevel.useMemory or gen[-1].storageLevel.useDisk
+
+
+def test_stream_domain_tag_is_shuffle_free_projection(spark):
+    """The domain serve's claim is 'no join, no shuffle, no state': the
+    plan-literal scoring must compile to a pure projection — no Exchange
+    of any kind, no Join node, and the prototype artifact folded into
+    the expressions as literals."""
+    from market_data_ingestion_scraper_spark.operators.similarity import (
+        prototype_sums,
+    )
+    from market_data_ingestion_scraper_spark.streaming import pipeline as P
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df = P.stream_domain_tag(emb, prototype_sums(emb))
+    with aqe_disabled(spark):
+        txt = explain_str(df, "simple")
+    assert "Exchange" not in txt, txt
+    assert "Join" not in txt, txt
+    assert "HashAggregate" not in txt, txt
