@@ -1284,16 +1284,33 @@ def stream_domain_tag(
     stream-legal at any rate in append mode.
 
     Returns (id, pred_label, score) with score = round(dot/1e12, 6),
-    the batch column convention.  POLICY: rows whose vector is null or
-    not exactly the artifact's dimensionality cannot be scored against
-    the frozen prototypes and are DROPPED (the shared un-scoreable
-    policy — quarantine first); the test pins the drop."""
+    the batch column convention.  POLICY: rows whose vector is null,
+    contains a null element, or is not exactly the artifact's
+    dimensionality cannot be scored against the frozen prototypes and
+    are DROPPED (the shared un-scoreable policy — quarantine first); the
+    test pins the drop.  The artifact itself is validated up front —
+    null labels / null sums (fit prototypes on labeled, element-complete
+    embeddings) and duplicate (label, pos) rows (an append-mode rewrite
+    of the parquet) all refuse loudly instead of scoring against
+    arbitrary half-stale prototypes."""
     protos_rows = prototypes.select("label", "pos", "_sm").collect()
     if not protos_rows:
         raise ValueError("empty prototype table — fit prototype_sums first")
     by_label: dict = {}
     for r in protos_rows:
-        by_label.setdefault(r["label"], {})[int(r["pos"])] = int(r["_sm"])
+        lab, pos, sm = r["label"], int(r["pos"]), r["_sm"]
+        if lab is None or sm is None:
+            raise ValueError(
+                "prototype table has a null label or null _sm — fit "
+                "prototype_sums on labeled, element-complete embeddings"
+            )
+        d = by_label.setdefault(lab, {})
+        if pos in d:
+            raise ValueError(
+                f"duplicate (label, pos) row in prototype table: "
+                f"({lab!r}, {pos}) — appended/rewritten artifact?"
+            )
+        d[pos] = int(sm)
     dims = {max(v) + 1 for v in by_label.values()}
     if len(dims) != 1 or any(
         len(v) != max(v) + 1 for v in by_label.values()
@@ -1311,27 +1328,23 @@ def stream_domain_tag(
         )
     labels = sorted(by_label)
 
-    def scores(vm):
-        out = {}
-        for lab in labels:
-            arr = F.array(
-                *[F.lit(by_label[lab][i]) for i in range(dim)]
-            )
-            out[lab] = F.aggregate(
-                F.zip_with(vm, arr, lambda a, b: a * b),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-        return out
+    # house exact-int64 primitives (similarity._mu/_ldot — the ONE
+    # micro-unit snap and dot the batch path compiles to) and the
+    # single-expr literal renderer (similarity._long_array_lit — the
+    # element-wise F.array(F.lit(...)) form pays one py4j round-trip per
+    # term, ~4 s of driver time per ~800 literals by the r10 bench)
+    from ..operators.similarity import _ldot, _long_array_lit, _mu
 
-    vm_arr = F.transform(
-        F.col(vec_col),
-        lambda v: F.round(v.cast("double") * 1e6).cast("long"),
-    )
+    vm = F.col("_vm")
+    sc = {
+        lab: _ldot(vm, _long_array_lit([by_label[lab][i] for i in range(dim)]))
+        for lab in labels
+    }
     staged = rows.filter(
-        F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
-    ).select(F.col(id_col), vm_arr.alias("_vm"))
-    sc = scores(F.col("_vm"))
+        F.col(vec_col).isNotNull()
+        & (F.size(vec_col) == dim)
+        & ~F.exists(F.col(vec_col), lambda v: v.isNull())
+    ).select(F.col(id_col), _mu(F.col(vec_col)).alias("_vm"))
     best = F.greatest(*[sc[lab] for lab in labels]) if len(labels) > 1 else sc[labels[0]]
     pred = None
     for lab in reversed(labels):

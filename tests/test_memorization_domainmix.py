@@ -453,3 +453,44 @@ def test_stream_domain_tag_drop_policy_and_validation(spark):
     ragged = protos.filter("NOT (label = 1 AND pos = 1)")
     with pytest.raises(ValueError, match="ragged"):
         P.stream_domain_tag(rows, ragged)
+
+
+def test_stream_domain_tag_artifact_and_element_hygiene(spark):
+    """r14 review findings: a vector with a null ELEMENT is dropped (not
+    emitted as a null-domain row); null labels / null sums / duplicated
+    (label, pos) rows in the artifact refuse loudly."""
+    from market_data_ingestion_scraper_spark.operators.similarity import (
+        prototype_sums,
+    )
+    from market_data_ingestion_scraper_spark.streaming import pipeline as P
+    import pytest
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0), (1, [0.0, 1.0], 1)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    protos = prototype_sums(emb)
+    rows = spark.createDataFrame(
+        [(10, [0.9, 0.1]), (11, [0.9, None])],
+        "vec_id long, embedding array<double>",
+    )
+    out = P.stream_domain_tag(rows, protos).collect()
+    assert {r.vec_id for r in out} == {10}
+    assert all(r.pred_label is not None for r in out)
+
+    with pytest.raises(ValueError, match="null label or null _sm"):
+        P.stream_domain_tag(
+            rows,
+            spark.createDataFrame(
+                [(0, 0, None), (0, 1, 5)], "label int, pos int, _sm long"
+            ),
+        )
+    with pytest.raises(ValueError, match="null label or null _sm"):
+        P.stream_domain_tag(
+            rows,
+            spark.createDataFrame(
+                [(None, 0, 3), (None, 1, 5)], "label int, pos int, _sm long"
+            ),
+        )
+    with pytest.raises(ValueError, match="duplicate"):
+        P.stream_domain_tag(rows, protos.unionAll(protos))
