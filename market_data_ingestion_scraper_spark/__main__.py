@@ -930,7 +930,12 @@ def main(argv: list[str] | None = None) -> int:
         if args.out:
             report.write.mode("overwrite").parquet(args.out)
             report = spark.read.parquet(args.out)
-        for r in sorted(report.collect(), key=lambda x: x["pred_label"]):
+        # null-labeled embeddings yield a None domain row — sort it last
+        # instead of crashing the print after the compute
+        for r in sorted(
+            report.collect(),
+            key=lambda x: (x["pred_label"] is None, x["pred_label"]),
+        ):
             print(f"domain={r['pred_label']} n_docs={r['n_docs']} "
                   f"n_tokens={r['n_tokens']} "
                   f"token_share_ppm={r['token_share_ppm']} "

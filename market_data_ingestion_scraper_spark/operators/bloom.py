@@ -204,8 +204,17 @@ def bloom_params_from_rows(rows) -> tuple[int, int, int]:
         )
     if len({(int(r["n_bits"]), int(r["n_hashes"])) for r in rows}) != 1:
         raise ValueError("bloom table mixes n_bits/n_hashes parameterizations")
+    shards = [int(r["shard"]) for r in rows]
+    if len(set(shards)) != len(shards):
+        # an append-mode rewrite leaves two bitmap generations per shard;
+        # picking either silently LOSES the other's set bits — false
+        # negatives, the one failure direction a bloom must never have
+        raise ValueError(
+            "duplicate shard rows in bloom table — appended/rewritten "
+            "artifact?  rebuild or extend_hash_bloom instead"
+        )
     return (
-        max(int(r["shard"]) for r in rows) + 1,
+        max(shards) + 1,
         int(rows[0]["n_bits"]),
         int(rows[0]["n_hashes"]),
     )

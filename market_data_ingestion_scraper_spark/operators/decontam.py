@@ -140,9 +140,13 @@ def memorization_profile(
         )
         return staged.select(out_id, F.posexplode("_g").alias("pos", "gram"))
 
-    bpos = _positional_grams(_spread(benchmark), bench_id_col, bench_id_col)
+    # spread the CORPUS side — the expensive tokenize+hash pass must not
+    # inherit a narrow raw-scan partitioning (the r14 review finding:
+    # the eval side is thousands of rows whose window shuffle
+    # redistributes it anyway, the corpus side is the 100 TB scan)
+    bpos = _positional_grams(benchmark, bench_id_col, bench_id_col)
     bgrams = bpos.select("gram").distinct()
-    cgrams = _positional_grams(corpus, "_cid", id_col).select("gram")
+    cgrams = _positional_grams(_spread(corpus), "_cid", id_col).select("gram")
     matched = cgrams.join(F.broadcast(bgrams), "gram").distinct()
     mpos = bpos.join(F.broadcast(matched), "gram").select(bench_id_col, "pos")
     w = Window.partitionBy(bench_id_col).orderBy("pos")

@@ -1298,12 +1298,13 @@ def stream_domain_tag(
         raise ValueError("empty prototype table — fit prototype_sums first")
     by_label: dict = {}
     for r in protos_rows:
-        lab, pos, sm = r["label"], int(r["pos"]), r["_sm"]
-        if lab is None or sm is None:
+        lab, pos, sm = r["label"], r["pos"], r["_sm"]
+        if lab is None or pos is None or sm is None:
             raise ValueError(
-                "prototype table has a null label or null _sm — fit "
+                "prototype table has a null label, pos, or _sm — fit "
                 "prototype_sums on labeled, element-complete embeddings"
             )
+        pos = int(pos)
         d = by_label.setdefault(lab, {})
         if pos in d:
             raise ValueError(

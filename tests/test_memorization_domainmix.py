@@ -478,14 +478,14 @@ def test_stream_domain_tag_artifact_and_element_hygiene(spark):
     assert {r.vec_id for r in out} == {10}
     assert all(r.pred_label is not None for r in out)
 
-    with pytest.raises(ValueError, match="null label or null _sm"):
+    with pytest.raises(ValueError, match="null label, pos, or _sm"):
         P.stream_domain_tag(
             rows,
             spark.createDataFrame(
                 [(0, 0, None), (0, 1, 5)], "label int, pos int, _sm long"
             ),
         )
-    with pytest.raises(ValueError, match="null label or null _sm"):
+    with pytest.raises(ValueError, match="null label, pos, or _sm"):
         P.stream_domain_tag(
             rows,
             spark.createDataFrame(
@@ -494,3 +494,78 @@ def test_stream_domain_tag_artifact_and_element_hygiene(spark):
         )
     with pytest.raises(ValueError, match="duplicate"):
         P.stream_domain_tag(rows, protos.unionAll(protos))
+
+
+def test_stream_novelty_probe_matches_bloom_probe_hashes(spark):
+    """DIRECT parity between the admission filter's closure-side Python
+    probe and the relational bloom_probe_hashes on the same artifact: a
+    doc of exactly k tokens has exactly one gram, so its
+    n_matched_maybe IS the bloom verdict of that gram's hash — compared
+    for a mix of present and novel grams (r14 review: the parity was
+    previously pinned only transitively through the ~0-fp profile
+    test)."""
+    import hashlib
+
+    from market_data_ingestion_scraper_spark.operators.bloom import (
+        bloom_probe_hashes,
+    )
+    from market_data_ingestion_scraper_spark.streaming import pipeline as P
+
+    corpus_texts = ["alpha beta gamma delta epsilon zeta eta theta iota"]
+    blooms = _corpus_bloom(spark, corpus_texts, n_bits=1 << 10)  # denser: fps likely
+    probes = [
+        "alpha beta gamma delta epsilon zeta eta theta",  # present gram
+        "beta gamma delta epsilon zeta eta theta iota",  # present gram
+        "nov1 nov2 nov3 nov4 nov5 nov6 nov7 nov8",  # novel
+        "x1 x2 x3 x4 x5 x6 x7 x8",  # novel
+    ]
+    want = {}
+    hdf = spark.createDataFrame(
+        [(hashlib.md5(t.encode()).hexdigest(),) for t in probes], "_h string"
+    )
+    for r in bloom_probe_hashes(hdf, blooms).collect():
+        want[r["_h"]] = bool(r["bloom_maybe"])
+    rows = spark.createDataFrame(
+        list(enumerate(probes)), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.n_matched_maybe == 1
+        for r in P.stream_novelty_filter(
+            rows, blooms, min_novelty_ppm=0
+        ).collect()
+    }
+    for i, t in enumerate(probes):
+        h = hashlib.md5(t.encode()).hexdigest()
+        assert got[i] == want[h], (t, got[i], want[h])
+
+
+def test_bloom_duplicate_shard_rows_refused(spark):
+    """An appended/rewritten bloom artifact (two bitmap generations per
+    shard) must refuse — silently picking either generation loses set
+    bits and produces false negatives, the one direction a bloom
+    guarantees impossible."""
+    from market_data_ingestion_scraper_spark.operators.bloom import (
+        bloom_params_from_rows,
+    )
+    from market_data_ingestion_scraper_spark.streaming import pipeline as P
+    import pytest
+
+    blooms = _corpus_bloom(spark, ["corpus words here with enough tokens now"])
+    doubled = blooms.unionAll(blooms)
+    with pytest.raises(ValueError, match="duplicate shard"):
+        bloom_params_from_rows(doubled.collect())
+    rows = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="duplicate shard"):
+        P.stream_novelty_filter(rows, doubled)
+
+
+def test_stream_domain_tag_null_pos_refused(spark):
+    from market_data_ingestion_scraper_spark.streaming import pipeline as P
+    import pytest
+
+    rows = spark.createDataFrame([(1, [1.0])], "vec_id long, embedding array<double>")
+    bad = spark.createDataFrame(
+        [(0, None, 3), (0, 0, 5)], "label int, pos int, _sm long"
+    )
+    with pytest.raises(ValueError, match="null label, pos, or _sm"):
+        P.stream_domain_tag(rows, bad)
