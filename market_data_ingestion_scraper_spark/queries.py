@@ -5530,86 +5530,16 @@ def q_tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
 # queries, and finally entries whose evidence already exists elsewhere
 # (rows-only demos pinned by pytest, long-stable double-green rows).
 GATE_PRIORITY: tuple[str, ...] = (
-    # r14 rotation (executes the hard commitment recorded here at r13):
-    # the 50 queries last checked green at r12 parked in GATE_DEFERRED
-    # through r13 and hit the 2-round staleness limit this round — the
-    # entire list rotates back into the snapshot window.  This includes
-    # `longest_dup_substring` (X28) and `tokenizer_fertility` (X27),
-    # registered r13, taking their FIRST driver gate rows; their SQL
+    # r15 rotation (executes the hard commitment recorded here at r14):
+    # the 50 queries last checked green at r13 parked in GATE_DEFERRED
+    # through r14 and hit the 2-round staleness limit this round — the
+    # entire list rotates back into the snapshot window.  At its head sit
+    # `memorization_profile` (X29) and `domain_mix_report` (X30),
+    # registered r14, taking their FIRST driver gate rows; their SQL
     # twins were verified green at registration (sf0.001 + sf0.01 via
     # test_oracle_parity and the /verify gate replica) and both are
     # pinned against independent pure-Python twins meanwhile
-    # (test_longest_dup_fertility.py) plus a hypothesis property
-    # differential (test_properties.py).
-    "longest_dup_substring",
-    "tokenizer_fertility",
-    "unigram_lm_pieces",
-    "weighted_reservoir_sample",
-    "bipartite_pagerank",
-    "tfidf_doc_pairs",
-    "record_linkage",
-    "rp_recall_eval",
-    "series_topk_similar",
-    "bpe_corpus_stats",
-    "sketch_profile_check",
-    "paragraph_dup_stats",
-    "bigram_merge_candidates",
-    "collapse_repeated_paras",
-    "curation_pipeline",
-    "embedding_near_dups",
-    "lexical_diversity",
-    "zipf_profile",
-    "split_leakage",
-    "sliding_hourly_avg",
-    "clicks_recent_purchase",
-    "asof_last_purchase",
-    "range_join_value_bands",
-    "scalar_date_scan",
-    "customers_without_orders",
-    "pricing_summary",
-    "priority_counts",
-    "count_data_rows",
-    "container_classification",
-    "completed_link_types",
-    "fully_covered_orders",
-    "sanitize_commodity_names",
-    "lineage_projection",
-    "parts_above_brand_avg",
-    "events_json_extract",
-    "events_daily_by_type",
-    "user_sessionization",
-    "tfidf_top_terms",
-    "text_quality",
-    "html_table_scan",
-    "stratified_sample_by_lang",
-    "repetition_scores",
-    "doc_chunks",
-    "benchmark_decontam",
-    "training_order",
-    "bigram_logprob_quality",
-    "pivot_status_qty",
-    "cube_revenue",
-    "quantity_percentiles",
-    "top_part_per_brand_maxby",
-)
-
-# The queries checked green at r13 park outside the snapshot window
-# this round; they hit the 2-round staleness limit at r15, so the r15
-# rotation MUST move this entire list into GATE_PRIORITY (and park the
-# r14-green window here).  With 100 exported queries and a 50-row
-# snapshot the cycle is exactly two rounds — sustainable indefinitely.
-# Queries newly registered at r14 join the head of this window (the
-# dsir_select / xlingual_align / longest_dup_substring precedent): their
-# SQL twins are verified green at registration time and they take their
-# first driver gate rows at r15.  The r15 debt is exactly
-# `memorization_profile` and `domain_mix_report` — both verified green
-# at sf0.001 AND sf0.01 at registration (full gate-replica runs, r14
-# session) and pinned meanwhile by independent pure-Python twins
-# (test_memorization_domainmix.py) plus the oracle-parity suite.
-GATE_DEFERRED: tuple[str, ...] = (
-    # registered r14, SQL twins verified green at registration (sf0.001 +
-    # sf0.01 via test_oracle_parity + the /verify gate replica); first
-    # driver gate rows due r15 per the standing rotation contract
+    # (test_memorization_domainmix.py).
     "memorization_profile",
     "domain_mix_report",
     "xlingual_align",
@@ -5660,6 +5590,68 @@ GATE_DEFERRED: tuple[str, ...] = (
     "embedding_norm_outliers",
     "image_near_dups",
     "duplicated_span_stats",
+)
+
+# The queries checked green at r14 park outside the snapshot window
+# this round; they hit the 2-round staleness limit at r16, so the r16
+# rotation MUST move this entire list into GATE_PRIORITY (and park the
+# r15-green window here).  With 100 exported queries and a 50-row
+# snapshot the cycle is exactly two rounds — sustainable indefinitely.
+# Queries newly registered at r15 join the head of this window (the
+# memorization_profile / domain_mix_report precedent): their SQL twins
+# are verified green at registration time and they take their first
+# driver gate rows at r16.
+GATE_DEFERRED: tuple[str, ...] = (
+    "longest_dup_substring",
+    "tokenizer_fertility",
+    "unigram_lm_pieces",
+    "weighted_reservoir_sample",
+    "bipartite_pagerank",
+    "tfidf_doc_pairs",
+    "record_linkage",
+    "rp_recall_eval",
+    "series_topk_similar",
+    "bpe_corpus_stats",
+    "sketch_profile_check",
+    "paragraph_dup_stats",
+    "bigram_merge_candidates",
+    "collapse_repeated_paras",
+    "curation_pipeline",
+    "embedding_near_dups",
+    "lexical_diversity",
+    "zipf_profile",
+    "split_leakage",
+    "sliding_hourly_avg",
+    "clicks_recent_purchase",
+    "asof_last_purchase",
+    "range_join_value_bands",
+    "scalar_date_scan",
+    "customers_without_orders",
+    "pricing_summary",
+    "priority_counts",
+    "count_data_rows",
+    "container_classification",
+    "completed_link_types",
+    "fully_covered_orders",
+    "sanitize_commodity_names",
+    "lineage_projection",
+    "parts_above_brand_avg",
+    "events_json_extract",
+    "events_daily_by_type",
+    "user_sessionization",
+    "tfidf_top_terms",
+    "text_quality",
+    "html_table_scan",
+    "stratified_sample_by_lang",
+    "repetition_scores",
+    "doc_chunks",
+    "benchmark_decontam",
+    "training_order",
+    "bigram_logprob_quality",
+    "pivot_status_qty",
+    "cube_revenue",
+    "quantity_percentiles",
+    "top_part_per_brand_maxby",
 )
 
 # Retired from the GATE EXPORT only (r8, on the r7 verdict's advice): each
