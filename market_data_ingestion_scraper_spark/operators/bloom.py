@@ -213,6 +213,15 @@ def bloom_params_from_rows(rows) -> tuple[int, int, int]:
             "duplicate shard rows in bloom table — appended/rewritten "
             "artifact?  rebuild or extend_hash_bloom instead"
         )
+    if set(shards) != set(range(max(shards) + 1)):
+        # a partial/filtered artifact (e.g. shards {0, 3} written out)
+        # would route grams to MISSING shards, which probe as
+        # definitely-absent — silent false negatives, the one failure
+        # direction a bloom must never have (r14 advisor finding)
+        raise ValueError(
+            "bloom table has shard gaps — partial/filtered artifact?  "
+            f"got shards {sorted(set(shards))}, expected 0..{max(shards)}"
+        )
     return (
         max(shards) + 1,
         int(rows[0]["n_bits"]),
@@ -231,6 +240,7 @@ def _bloom_params(blooms: DataFrame) -> tuple[int, int, int]:
         F.max("n_bits").alias("n_bits"),
         F.max("n_hashes").alias("n_hashes"),
         F.max("shard").alias("max_shard"),
+        F.countDistinct("shard").alias("d_shards"),
     ).collect()[0]
     if row["max_shard"] is None:
         raise ValueError(
@@ -240,7 +250,15 @@ def _bloom_params(blooms: DataFrame) -> tuple[int, int, int]:
         raise ValueError("bloom table mixes n_bits/n_hashes parameterizations")
     # build_hash_bloom emits a row for EVERY shard (density seeds), so
     # max(shard)+1 IS the build-time shard count — routing with any other
-    # modulus would produce false negatives.
+    # modulus would produce false negatives.  A gap (distinct < max+1)
+    # means a partial/filtered artifact whose missing shards would probe
+    # definitely-absent: refuse (r14 advisor finding).
+    if int(row["d_shards"]) != int(row["max_shard"]) + 1:
+        raise ValueError(
+            "bloom table has shard gaps — partial/filtered artifact?  "
+            f"{int(row['d_shards'])} distinct shards but max shard "
+            f"{int(row['max_shard'])}"
+        )
     return int(row["max_shard"]) + 1, int(row["n_bits"]), int(row["n_hashes"])
 
 

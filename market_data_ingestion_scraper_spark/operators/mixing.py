@@ -394,6 +394,7 @@ def domain_mix_report(
     vec_id_col: str = "vec_id",
     label_col: str = "label",
     vec_col: str = "embedding",
+    text_col: str = "text",
 ) -> DataFrame:
     """Embedding-space domain-mixture dashboard: cluster-assign the corpus
     to its nearest class prototype, then report each predicted domain's
@@ -435,7 +436,7 @@ def domain_mix_report(
         F.col(vec_id_col).alias("vec_id"), F.col(label_col).alias("_given")
     )
     toks = documents.select(
-        F.col(doc_id_col).alias("vec_id"), F.size(tokens("text")).alias("_n_tok")
+        F.col(doc_id_col).alias("vec_id"), F.size(tokens(text_col)).alias("_n_tok")
     )
     member = asg.join(given, "vec_id").join(toks, "vec_id")
     per = member.groupBy("pred_label").agg(

@@ -1183,16 +1183,24 @@ def stream_novelty_filter(
         "max_overlap_tokens_ub long, novelty_ppm long"
     )
 
+    # the portable spec is shard = md5(h)[:8] and pos_j = md5(h ':' j)[:15]
+    # (bloom.shard_of / bloom.bit_positions).  md5 is a streaming hash, so
+    # absorbing h ONCE and deriving each position via copy()+update(":j")
+    # is bit-for-bit the spec while paying one full hash per gram instead
+    # of n_hashes+1 (r14 verdict #5); parity with bloom_probe_hashes stays
+    # pytest-pinned.
+    _suffixes = [f":{j}".encode() for j in range(n_hashes)]
+
     def _maybe(h: str) -> bool:
-        shard = int(hashlib.md5(h.encode()).hexdigest()[:8], 16) % n_shards
+        base = hashlib.md5(h.encode())
+        shard = int(base.hexdigest()[:8], 16) % n_shards
         bm = bitmaps.get(shard)
         if bm is None:
             return False
-        for j in range(n_hashes):
-            pos = (
-                int(hashlib.md5(f"{h}:{j}".encode()).hexdigest()[:15], 16)
-                % n_bits
-            )
+        for suf in _suffixes:
+            m = base.copy()
+            m.update(suf)
+            pos = int(m.hexdigest()[:15], 16) % n_bits
             if not (bm[pos >> 3] >> (pos & 7)) & 1:
                 return False
         return True
@@ -1293,7 +1301,21 @@ def stream_domain_tag(
     embeddings) and duplicate (label, pos) rows (an append-mode rewrite
     of the parquet) all refuse loudly instead of scoring against
     arbitrary half-stale prototypes."""
-    protos_rows = prototypes.select("label", "pos", "_sm").collect()
+    # bound the artifact BEFORE the full collect: a caller that passes a
+    # corpus-sized frame by mistake (the raw embeddings table instead of
+    # prototype_sums output) must hit the loud ValueError, not a driver
+    # OOM inside .collect() (r14 advisor finding)
+    probe = prototypes.select("label", "pos", "_sm").limit(
+        max_literal_terms + 1
+    ).collect()
+    if len(probe) > max_literal_terms:
+        raise ValueError(
+            f"prototype artifact exceeds max_literal_terms="
+            f"{max_literal_terms} rows — is this really prototype_sums "
+            "output?  Use the batch centroid_assign (broadcast join) for "
+            "large prototype tables"
+        )
+    protos_rows = probe
     if not protos_rows:
         raise ValueError("empty prototype table — fit prototype_sums first")
     by_label: dict = {}

@@ -569,3 +569,65 @@ def test_stream_domain_tag_null_pos_refused(spark):
     )
     with pytest.raises(ValueError, match="null label, pos, or _sm"):
         P.stream_domain_tag(rows, bad)
+
+
+def test_bloom_shard_gap_refused(spark):
+    """A partial/filtered bloom artifact (a shard row missing) must
+    refuse in BOTH parameter derivations: grams routing to a missing
+    shard would probe definitely-absent — silent false negatives, the
+    one direction a bloom guarantees impossible (r14 advisor finding)."""
+    from market_data_ingestion_scraper_spark.operators.bloom import (
+        _bloom_params,
+        bloom_params_from_rows,
+    )
+    from market_data_ingestion_scraper_spark.streaming import pipeline as P
+    import pytest
+
+    blooms = _corpus_bloom(spark, ["corpus words here with enough tokens now"])
+    gapped = blooms.filter("shard <> 1")  # keeps shard 3 → max+1 = 4, gap at 1
+    with pytest.raises(ValueError, match="shard gaps"):
+        bloom_params_from_rows(gapped.collect())
+    with pytest.raises(ValueError, match="shard gaps"):
+        _bloom_params(gapped)
+    rows = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="shard gaps"):
+        P.stream_novelty_filter(rows, gapped)
+
+
+def test_stream_domain_tag_bounds_artifact_before_collect(spark):
+    """A corpus-sized frame passed where prototype_sums output belongs
+    must hit the loud max_literal_terms refusal via the bounded
+    limit-probe, never a full driver collect (r14 advisor finding)."""
+    from market_data_ingestion_scraper_spark.streaming import pipeline as P
+    import pytest
+
+    rows = spark.createDataFrame([(1, [1.0])], "vec_id long, embedding array<double>")
+    big = spark.range(0, 10_000).selectExpr(
+        "CAST(id % 100 AS INT) AS label",
+        "CAST(id DIV 100 AS INT) AS pos",
+        "id AS _sm",
+    )
+    with pytest.raises(ValueError, match="max_literal_terms"):
+        P.stream_domain_tag(rows, big, max_literal_terms=64)
+
+
+def test_domain_mix_report_text_col_param(spark):
+    """domain_mix_report must accept a differently-named text column —
+    the r14 advisor found it hardcoded tokens("text") while every other
+    column was parameterized."""
+    from market_data_ingestion_scraper_spark.operators.mixing import (
+        domain_mix_report,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    renamed = docs.withColumnRenamed("text", "body")
+    base = {
+        (r.pred_label, r.n_docs, r.n_tokens): r.token_share_ppm
+        for r in domain_mix_report(docs, emb).collect()
+    }
+    got = {
+        (r.pred_label, r.n_docs, r.n_tokens): r.token_share_ppm
+        for r in domain_mix_report(renamed, emb, text_col="body").collect()
+    }
+    assert got == base and len(got) > 0
