@@ -66,6 +66,22 @@ def _wait_for_quiet_box() -> list[float]:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # Isolated mode (r14 verdict #2: "run-order sensitivity" must be a
+    # measurement, not a hypothesis): SPARK_GRAFT_ONLY=name[,name...]
+    # runs ONLY the named queries in this fresh JVM — no 100-query
+    # sequence ahead of them contaminating executor memory, code cache,
+    # or the OS page cache — and skips the round-detail file so an
+    # isolation probe never masquerades as a round record.
+    only_env = os.environ.get("SPARK_GRAFT_ONLY", "").strip()
+    only: set[str] | None = (
+        {n.strip() for n in only_env.split(",") if n.strip()}
+        if only_env
+        else None
+    )
+    if only:
+        unknown = only - set(Q.REGISTRY)
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_ONLY names not registered: {sorted(unknown)}")
     # context for run-to-run variance: a loaded box inflates every number
     # (observed 70 -> 83 s total between back-to-back identical runs)
     load_start = _wait_for_quiet_box()
@@ -132,7 +148,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     index_build: dict[str, float] = {}
     for name, spec in Q.REGISTRY.items():
-        if name in EXCLUDE:
+        if name in EXCLUDE or (only is not None and name not in only):
             continue
         if name in INDEX_BACKED:
             # Clear once, pay the index build in a separately-recorded
@@ -181,6 +197,24 @@ def main() -> None:
     # precision (r06 parsed as null).  Round number: env override, else
     # one past the newest recorded BENCH_r{N}.json.
     here = os.path.dirname(os.path.abspath(__file__))
+    if only is not None:
+        # isolation probe: full timings fit stdout, never a round record
+        print(
+            json.dumps(
+                {
+                    "metric": "isolated_queries_wall",
+                    "value": round(sum(timings.values()), 4),
+                    "unit": "sec",
+                    "sf": sf_val,
+                    "queries": timings,
+                    "load_avg_start": load_start,
+                    "calibration_sec": calibration,
+                    "calibration_32way_sec": calibration_32way,
+                },
+                separators=(",", ":"),
+            )
+        )
+        return
     rnd = os.environ.get("SPARK_GRAFT_ROUND")
     if rnd is None:
         seen = [
