@@ -319,6 +319,47 @@ def main(argv: list[str] | None = None) -> int:
                     help="optional output parquet; the report always "
                     "prints (it is |labels| rows)")
 
+    hs = sub.add_parser(
+        "hybrid-search",
+        help="hybrid retrieval (X31): BM25 over literal query terms "
+        "fused with exact-cosine top-k for a query vector by "
+        "reciprocal-rank fusion (exact integer RRF)",
+    )
+    hs.add_argument("--documents", required=True,
+                    help="parquet with (doc_id, text)")
+    hs.add_argument("--embeddings", required=True,
+                    help="parquet with (vec_id, embedding)")
+    hs.add_argument("--terms", required=True,
+                    help="comma-separated lexical query terms")
+    hs.add_argument("--query-vec-id", type=int, required=True,
+                    help="vec_id of the semantic query vector (its own "
+                    "row is excluded from the semantic side)")
+    hs.add_argument("--k", type=int, default=10)
+    hs.add_argument("--k-rrf", type=int, default=60)
+    hs.add_argument("--n-candidates", type=int, default=20)
+
+    sa = sub.add_parser(
+        "shard-admit",
+        help="incremental-admission near-dedup report (X32): per "
+        "source, how much of a new shard near-duplicates the corpus, "
+        "near-duplicates a smaller-id shard doc, or is admissible",
+    )
+    sa.add_argument("--shard", required=True,
+                    help="new-shard parquet with (doc_id, text, source)")
+    sa.add_argument("--index", default=None,
+                    help="persisted near-dup-index directory (parameters "
+                    "from its sidecar — the serving form)")
+    sa.add_argument("--corpus", default=None,
+                    help="corpus parquet with (doc_id, text); signatured "
+                    "in-plan (the index-free form)")
+    sa.add_argument("--threshold", type=float, default=0.5)
+    sa.add_argument("--portable", action="store_true",
+                    help="md5-fold token hash for the index-free form "
+                    "(ignored with --index: the sidecar decides)")
+    sa.add_argument("--out", default=None,
+                    help="optional output parquet; the report always "
+                    "prints (it is |sources| rows)")
+
     ic = sub.add_parser(
         "index-compact",
         help="fold an append-grown index's small files into one per "
@@ -940,6 +981,85 @@ def main(argv: list[str] | None = None) -> int:
                   f"n_tokens={r['n_tokens']} "
                   f"token_share_ppm={r['token_share_ppm']} "
                   f"purity_ppm={r['purity_ppm']}")
+        return 0
+
+    if args.cmd == "hybrid-search":
+        from pyspark.sql import functions as F
+
+        from .operators.retrieval import hybrid_retrieval_rrf
+
+        terms = tuple(t.strip() for t in args.terms.split(",") if t.strip())
+        if not terms:
+            print("--terms must name at least one query term",
+                  file=sys.stderr)
+            return 2
+        docs = spark.read.parquet(args.documents)
+        emb = spark.read.parquet(args.embeddings)
+        missing = [c for c in ("doc_id", "text") if c not in docs.columns] + [
+            c for c in ("vec_id", "embedding") if c not in emb.columns
+        ]
+        if missing:
+            print(f"input parquet missing columns: {missing}",
+                  file=sys.stderr)
+            return 2
+        qv = emb.filter(F.col("vec_id") == args.query_vec_id)
+        if not qv.take(1):
+            print(f"query vec_id {args.query_vec_id} not found in "
+                  f"{args.embeddings}", file=sys.stderr)
+            return 2
+        fused = hybrid_retrieval_rrf(
+            docs, emb, terms, qv, k=args.k, k_rrf=args.k_rrf,
+            n_candidates=args.n_candidates,
+        )
+        for r in fused.collect():
+            print(f"doc={r['doc_id']} rrf_micro={r['rrf_micro']} "
+                  f"lex_rank={r['lex_rank']} sem_rank={r['sem_rank']} "
+                  f"bm25={r['bm25']} cos_sim={r['cos_sim']}")
+        return 0
+
+    if args.cmd == "shard-admit":
+        from .operators.dedup import shard_admission_report
+
+        if (args.index is None) == (args.corpus is None):
+            print("pass exactly one of --index or --corpus",
+                  file=sys.stderr)
+            return 2
+        shard = spark.read.parquet(args.shard)
+        missing = [
+            c for c in ("doc_id", "text", "source") if c not in shard.columns
+        ]
+        if missing:
+            print(f"shard parquet missing columns: {missing}",
+                  file=sys.stderr)
+            return 2
+        if args.index is not None:
+            from .operators.similarity import load_ann_index
+
+            handle = load_ann_index(spark, args.index)
+            report = shard_admission_report(
+                shard, threshold=args.threshold, index=handle,
+            )
+        else:
+            corpus = spark.read.parquet(args.corpus)
+            cmissing = [
+                c for c in ("doc_id", "text") if c not in corpus.columns
+            ]
+            if cmissing:
+                print(f"corpus parquet missing columns: {cmissing}",
+                      file=sys.stderr)
+                return 2
+            report = shard_admission_report(
+                shard, corpus, threshold=args.threshold,
+                portable=args.portable,
+            )
+        if args.out:
+            report.write.mode("overwrite").parquet(args.out)
+            report = spark.read.parquet(args.out)
+        for r in sorted(report.collect(), key=lambda x: x["source"]):
+            print(f"source={r['source']} n_new={r['n_new']} "
+                  f"dup_vs_corpus={r['n_dup_vs_corpus']} "
+                  f"dup_within_new={r['n_dup_within_new']} "
+                  f"admitted={r['n_admitted']} admit_ppm={r['admit_ppm']}")
         return 0
 
     if args.cmd == "index-compact":

@@ -1774,3 +1774,189 @@ def longest_dup_substring(
             "n_docs_at_max",
         )
     )
+
+
+# ------------------------------------------ X32 snapshot-admission report
+
+def shard_admission_report(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame | None = None,
+    threshold: float = 0.5,
+    n_bands: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    k: int = 3,
+    portable: bool = False,
+    index=None,
+    corpus_index: DataFrame | None = None,
+    corpus_sigs: DataFrame | None = None,
+) -> DataFrame:
+    """X32 incremental-admission near-dedup report: admit a NEW shard
+    against an existing corpus and report, per source, how much of the
+    shard is (a) a near-duplicate of the corpus, (b) a near-duplicate
+    WITHIN the shard, and (c) admissible — the one-operator form of the
+    production re-crawl decision ("of today's crawl, what fraction is
+    new content?"), closing the ingest side of the index lifecycle the
+    way :func:`near_duplicates_vs_index` + :func:`extend_band_index`
+    close the serving side.
+
+    One row per shard source::
+
+        (source, n_new, n_dup_vs_corpus, n_dup_within_new, n_admitted,
+         admit_ppm)
+
+    Policy (deterministic, non-cascading — the ``semantic_dedup`` rule):
+    a shard document is ``dup_vs_corpus`` when ANY corpus document
+    estimates Jaccard ≥ ``threshold`` against it; otherwise it is
+    ``dup_within_new`` when ANY SMALLER-id shard document estimates
+    ≥ ``threshold`` (keep-lowest-id, partner status ignored — no
+    iterative cascade, so the answer is partitioning-invariant and
+    SQL-expressible); the remainder is admitted.  ``admit_ppm`` is the
+    exact half-up integer ppm of admitted over n_new.
+
+    Scale shape at 100 TB: the shard is shingled/signatured ONCE (the
+    persisted-generation cache feeds banding, the corpus join-back and
+    the self-join); corpus candidates come from the slim ID-ONLY
+    (band, key) equi-join against the persisted band index — the corpus
+    text is never re-shingled and, with the ``bands/`` layout
+    partitioned by band, partition pruning reads only the shard's
+    bands; within-shard candidates are the same banded equi-join of the
+    shard against itself (shard-bounded).  Signatures join back only
+    for DEDUPLICATED candidate pairs; every shuffle carries ids and
+    64-long signatures, never text.  The final report is a
+    |sources|-row aggregate.
+
+    ``index`` accepts the :class:`~.similarity.AnnIndex` handle from
+    ``load_ann_index`` (kind ``minhash``, split layout) and derives
+    (n_bands, k, portable) and the corpus tables from the sidecar —
+    the mismatch-proof serving form; ``corpus_index`` + ``corpus_sigs``
+    accept already-materialized index frames (the
+    :func:`near_duplicates_vs_index` convention); otherwise pass
+    ``corpus_docs`` and the corpus is signatured in-plan (the
+    oracle-gate form)."""
+    if index is not None:
+        q = index.require("minhash")
+        corpus_bands = index.df
+        corpus_sigs = index.sigs
+        if corpus_sigs is None:
+            if "sig" in corpus_bands.columns:
+                corpus_sigs = corpus_bands.select(
+                    id_col, "sig"
+                ).dropDuplicates([id_col])
+                corpus_bands = corpus_bands.drop("sig")
+            else:
+                raise ValueError(
+                    "legacy minhash index layout without a sig column — "
+                    "rebuild with write_minhash_index / the "
+                    "near-dup-index CLI"
+                )
+        n_bands, k, portable = q["n_bands"], q["shingle_k"], q["portable"]
+    elif corpus_index is not None and corpus_sigs is not None:
+        corpus_bands = corpus_index
+    elif corpus_docs is not None:
+        corpus_sigs = minhash_table(
+            corpus_docs, id_col=id_col, text_col=text_col, k=k,
+            portable=portable,
+        )
+        corpus_bands = band_keys_from_sigs(corpus_sigs, n_bands, id_col=id_col)
+    else:
+        raise ValueError(
+            "shard_admission_report needs index=, corpus_index= plus "
+            "corpus_sigs=, or corpus_docs="
+        )
+
+    shard_sigs = _persist_generation(
+        "shard_admission_report",
+        minhash_table(
+            new_docs, id_col=id_col, text_col=text_col, k=k,
+            portable=portable,
+        ),
+    )
+    shard_bands = band_keys_from_sigs(shard_sigs, n_bands, id_col=id_col)
+
+    def _verified(cand_ids: DataFrame, other_sigs: DataFrame,
+                  other_id: str) -> DataFrame:
+        """(id, other_id, est_jaccard ≥ threshold) for deduplicated
+        candidate id pairs — signatures join back once per pair."""
+        cand = cand_ids.join(
+            shard_sigs.select(F.col(id_col), F.col("sig").alias("sig_a")),
+            id_col,
+        ).join(
+            other_sigs.select(
+                F.col(id_col).alias(other_id), F.col("sig").alias("sig_b")
+            ),
+            other_id,
+        )
+        return cand.select(id_col, other_id, _sig_agreement()).filter(
+            F.col("est_jaccard") >= threshold
+        )
+
+    vs_corpus_ids = (
+        shard_bands.join(
+            corpus_bands.withColumnRenamed(id_col, "_corpus_id"),
+            ["band", "key"],
+        )
+        .select(id_col, "_corpus_id")
+        .dropDuplicates([id_col, "_corpus_id"])
+    )
+    dropped_corpus = (
+        _verified(vs_corpus_ids, corpus_sigs, "_corpus_id")
+        .select(id_col)
+        .distinct()
+        .withColumn("_dup_corpus", F.lit(True))
+    )
+
+    a = shard_bands.select(
+        F.col(id_col).alias("_ida"), "band", "key"
+    )
+    b = shard_bands.select(
+        F.col(id_col).alias(id_col), "band", "key"
+    )
+    within_ids = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("_ida") < F.col(id_col))
+        .select("_ida", id_col)
+        .dropDuplicates(["_ida", id_col])
+    )
+    # keep-lowest-id: the LARGER id of a qualifying pair is the duplicate
+    dropped_new = (
+        _verified(
+            within_ids.select(F.col(id_col), F.col("_ida")),
+            shard_sigs,
+            "_ida",
+        )
+        .select(id_col)
+        .distinct()
+        .withColumn("_dup_new", F.lit(True))
+    )
+
+    flags = (
+        new_docs.select(F.col(id_col), F.col(source_col).alias("source"))
+        .join(dropped_corpus, id_col, "left")
+        .join(dropped_new, id_col, "left")
+        .select(
+            "source",
+            F.coalesce("_dup_corpus", F.lit(False)).alias("_dc"),
+            F.coalesce("_dup_new", F.lit(False)).alias("_dn"),
+        )
+    )
+    agg = flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_new"),
+        F.count_if(F.col("_dc")).alias("n_dup_vs_corpus"),
+        F.count_if(~F.col("_dc") & F.col("_dn")).alias("n_dup_within_new"),
+        F.count_if(~F.col("_dc") & ~F.col("_dn")).alias("n_admitted"),
+    )
+    # exact half-up integer ppm — the house (2a+b) DIV 2b identity
+    admit_ppm = F.expr(
+        "(CAST(n_admitted AS DECIMAL(38,0)) * 2000000 + n_new)"
+        " DIV (2 * n_new)"
+    )
+    return agg.select(
+        "source",
+        "n_new",
+        "n_dup_vs_corpus",
+        "n_dup_within_new",
+        "n_admitted",
+        admit_ppm.cast("long").alias("admit_ppm"),
+    )

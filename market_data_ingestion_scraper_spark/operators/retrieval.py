@@ -1,0 +1,174 @@
+"""X31 hybrid retrieval fusion — reciprocal-rank fusion of a lexical
+(BM25) candidate list and a semantic (exact-cosine) candidate list, the
+retrieval shape RAG data pipelines actually serve (Cormack, Clarke &
+Buettcher 2009, "Reciprocal rank fusion outperforms Condorcet and
+individual rank learning methods", SIGIR — textbook public IR).
+
+Why fusion and not either list alone: BM25 misses paraphrases the
+embedding space catches, embeddings miss rare exact terms BM25 nails;
+RRF combines the two WITHOUT score calibration, because it consumes only
+RANKS — ``score(d) = Σ_lists 1/(k_rrf + rank_list(d))`` — so the two
+retrievers' incomparable score scales never meet.
+
+Spark-first shape, and why it scales to 100 TB:
+
+- The heavy lifting lives entirely inside the two already-scale-shaped
+  retrievers this operator composes: :func:`~.text.bm25_scores` (the
+  token explode filters to the query terms BEFORE aggregating, df/avgdl
+  broadcast, TakeOrderedAndProject top-k) and
+  :func:`~.similarity.brute_force_topk` (query side broadcast, corpus
+  streams through one scan; swap in ``lsh_topk`` / ``ivf_topk`` for the
+  same (id, cos_sim, rnk) contract past ~10⁷ vectors).
+- The fusion itself only ever touches the two CANDIDATE lists —
+  ≤ ``n_candidates`` rows each by construction — so the full-outer join
+  and the final top-k are bounded regardless of corpus size.  Nothing
+  corpus-sized reaches this stage.
+- Determinism for the oracle gate: both input ranks are already
+  engine-reproducible (6-dp-rounded scores, ties by id), and the RRF
+  score is computed in EXACT INTEGER micro-units —
+  ``rrf_micro = Σ 1_000_000_000 DIV (k_rrf + rank)`` — so any engine
+  agrees bit-for-bit; final ties break by doc id.
+
+No part of this derives from the reference repo (a Selenium market-data
+scraper, /root/reference/main.py — it has no retrieval, no ranking, no
+vectors); the operator exists for the training-data/RAG pipeline
+mission.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.scalar import bounded_window
+
+#: integer micro-unit scale for the RRF sum: 1e9 DIV (k+rank) keeps ~7
+#: significant digits at the default k_rrf=60 while staying well inside
+#: int64 for any plausible list count.
+_RRF_SCALE = 1_000_000_000
+
+
+def _rrf_term(rank_col: str, k_rrf: int):
+    """``1e9 DIV (k_rrf + rank)`` as exact int64; 0 when the document is
+    absent from this list (null rank) — the standard RRF convention."""
+    return F.coalesce(
+        F.expr(f"CAST({_RRF_SCALE} AS BIGINT) DIV ({int(k_rrf)} + {rank_col})"),
+        F.lit(0).cast("long"),
+    )
+
+
+def rrf_fuse(
+    ranked_lists: dict[str, DataFrame],
+    k: int = 10,
+    k_rrf: int = 60,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Fuse N ranked candidate lists by reciprocal-rank fusion.
+
+    Each value of ``ranked_lists`` is a CANDIDATE-BOUNDED frame carrying
+    ``(id_col, rank_col)`` with rank 1-based; a document absent from a
+    list simply contributes 0 for it.  Returns
+    ``(id_col, <name>_rank ..., rrf_micro)`` ordered by
+    ``(rrf_micro DESC, id ASC)`` and limited to ``k`` — compiled to
+    TakeOrderedAndProject over the full-outer join of the (tiny) lists.
+
+    Kept separate from :func:`hybrid_retrieval_rrf` so callers can fuse
+    any number of retrievers (BM25 + dense + a recency list, ...) with
+    the same exact-integer arithmetic."""
+    if not ranked_lists:
+        raise ValueError("rrf_fuse needs at least one ranked list")
+    if int(k_rrf) < 1:
+        raise ValueError(f"k_rrf must be >= 1, got {k_rrf}")
+    names = list(ranked_lists)
+    for name in names:
+        if not name.isidentifier():
+            # the name becomes a <name>_rank output column referenced in
+            # a SQL expression — refuse anything that can't be one
+            raise ValueError(f"list name must be an identifier: {name!r}")
+    fused: DataFrame | None = None
+    for name in names:
+        side = ranked_lists[name].select(
+            F.col(id_col),
+            F.col(rank_col).cast("int").alias(f"{name}_rank"),
+        )
+        fused = side if fused is None else fused.join(side, id_col, "full_outer")
+    rrf = None
+    for name in names:
+        term = _rrf_term(f"{name}_rank", k_rrf)
+        rrf = term if rrf is None else rrf + term
+    return (
+        fused.select(
+            id_col,
+            *[f"{n}_rank" for n in names],
+            rrf.cast("long").alias("rrf_micro"),
+        )
+        .orderBy(F.desc("rrf_micro"), F.asc(id_col))
+        .limit(int(k))
+    )
+
+
+def hybrid_retrieval_rrf(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    query_terms: tuple[str, ...],
+    query_vectors: DataFrame,
+    k: int = 10,
+    k_rrf: int = 60,
+    n_candidates: int = 20,
+    doc_id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dl_col: str | None = None,
+) -> DataFrame:
+    """Hybrid (lexical + semantic) top-k for ONE query: BM25 over
+    ``query_terms`` fused with exact cosine top-k for the single query
+    vector in ``query_vectors`` (a one-query frame in the
+    :func:`~.similarity.brute_force_topk` convention — its id must not
+    collide with a corpus id you want retrievable, since ANN serving
+    excludes self-matches).
+
+    Returns ``(doc_id, lex_rank, sem_rank, bm25, cos_sim, rrf_micro)``
+    ordered by ``(rrf_micro DESC, doc_id ASC)``, ``k`` rows; a document
+    found by only one retriever carries nulls for the other's columns.
+
+    ``dl_col`` passes through to :func:`~.text.bm25_scores` (the
+    gold-layer precomputed token count — one text scan in the whole
+    lexical plan)."""
+    from .similarity import brute_force_topk
+    from .text import bm25_scores
+
+    lex = bm25_scores(
+        documents, query_terms, top_k=n_candidates, dl_col=dl_col
+    )
+    # rank the ≤ n_candidates BM25 rows: the window is bounded by the
+    # candidate list, never corpus-sized (same justification as the
+    # source_mix post-aggregation windows)
+    lw = bounded_window(doc_id_col, F.desc("bm25"), F.asc(doc_id_col))
+    lex = lex.select(
+        doc_id_col,
+        "bm25",
+        F.row_number().over(lw).cast("int").alias("lex_rank"),
+    )
+    sem = brute_force_topk(
+        embeddings, query_vectors, k=n_candidates,
+        id_col=vec_id_col, vec_col=vec_col,
+    ).select(
+        F.col("neighbor_id").alias(doc_id_col),
+        "cos_sim",
+        F.col("rnk").cast("int").alias("sem_rank"),
+    )
+    fused = lex.join(sem, doc_id_col, "full_outer")
+    rrf = _rrf_term("lex_rank", k_rrf) + _rrf_term("sem_rank", k_rrf)
+    return (
+        fused.select(
+            doc_id_col,
+            "lex_rank",
+            "sem_rank",
+            "bm25",
+            "cos_sim",
+            rrf.cast("long").alias("rrf_micro"),
+        )
+        .orderBy(F.desc("rrf_micro"), F.asc(doc_id_col))
+        .limit(int(k))
+    )

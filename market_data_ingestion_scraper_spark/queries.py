@@ -5522,6 +5522,219 @@ def q_tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
     return tokenizer_fertility(docs, {"kind": "bpe", "merges": merges})
 
 
+def _hybrid_rrf_oracle() -> str:
+    """DuckDB twin of the X31 hybrid retrieval: the gated bm25_ranking
+    pipeline (top-20 + rank window) fused with the gated brute-force
+    cosine pipeline (query vec_id=0, top-20) via exact integer RRF —
+    rrf_micro = Σ 1e9 // (60 + rank), ties by doc_id."""
+    return f"""
+    WITH dl AS (
+      SELECT doc_id, len({_TOKS}) AS _dl FROM documents
+    ),
+    corpus AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS _n_docs,
+             ROUND(CAST(SUM(_dl) AS DOUBLE) / COUNT(*), 6) AS _avgdl
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS _tf
+      FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+      WHERE term IN ('hash', 'join', 'vector')
+      GROUP BY doc_id, term
+    ),
+    dfreq AS (
+      SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS _df
+      FROM tf GROUP BY term
+    ),
+    contrib AS (
+      SELECT tf.doc_id,
+             CAST(ROUND(ROUND(
+               ROUND(ln((corpus._n_docs - dfreq._df + 0.5)
+                        / (dfreq._df + 0.5) + 1.0), 6)
+               * ROUND(tf._tf * 2.2
+                       / (tf._tf + 1.2 * (0.25 + 0.75 * dl._dl
+                                                 / corpus._avgdl)), 6),
+             6) * 1000000) AS BIGINT) AS _pm
+      FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+      CROSS JOIN corpus
+    ),
+    bm AS (
+      SELECT doc_id, ROUND(CAST(SUM(_pm) AS DOUBLE) / 1000000.0, 6) AS bm25
+      FROM contrib GROUP BY doc_id
+      ORDER BY bm25 DESC, doc_id LIMIT 20
+    ),
+    lex AS (
+      SELECT doc_id, bm25,
+             CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS INT)
+               AS lex_rank
+      FROM bm
+    ),
+    q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id = 0),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS nv
+          FROM embeddings),
+    scored AS (
+      SELECT neighbor_id, {_FOLD_COSINE} AS cos_sim
+      FROM c, q WHERE neighbor_id <> query_id
+    ),
+    sem AS (
+      SELECT neighbor_id AS doc_id, cos_sim, sem_rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+                 ORDER BY cos_sim DESC, neighbor_id) AS INT) AS sem_rank
+        FROM scored
+      ) WHERE sem_rank <= 20
+    ),
+    f AS (
+      SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+             lex_rank, sem_rank, bm25, cos_sim
+      FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+    )
+    SELECT doc_id, lex_rank, sem_rank, bm25, cos_sim,
+           CAST(COALESCE(1000000000 // (60 + lex_rank), 0)
+              + COALESCE(1000000000 // (60 + sem_rank), 0) AS BIGINT)
+             AS rrf_micro
+    FROM f
+    ORDER BY rrf_micro DESC, doc_id
+    LIMIT 10
+    """
+
+
+@register(
+    "hybrid_rrf_retrieval",
+    _hybrid_rrf_oracle(),
+    doc="X31 hybrid retrieval fusion (operators/retrieval.py): BM25 "
+    "top-20 for the literal query ('hash','join','vector') fused with "
+    "exact-cosine top-20 for query vector vec_id=0 by reciprocal-rank "
+    "fusion (Cormack et al. 2009) — rrf_micro = sum of 1e9 DIV "
+    "(60+rank) in exact int64, ties by doc_id.  The fusion join and "
+    "final top-k touch only the two candidate-bounded lists; all the "
+    "corpus-sized work lives in the two already-gated retrievers it "
+    "composes.",
+)
+def q_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.retrieval import hybrid_retrieval_rrf
+
+    return hybrid_retrieval_rrf(
+        _t(spark, sf, "documents"),
+        _t(spark, sf, "embeddings"),
+        ("hash", "join", "vector"),
+        _t(spark, sf, "embeddings").filter(F.col("vec_id") == 0),
+        k=10,
+    )
+
+
+def _admission_oracle_sql(threshold: float = 0.5, mod: int = 5) -> str:
+    """DuckDB twin of the X32 shard-admission report: the portable
+    minhash signature pipeline (identical to _minhash_oracle_sql), the
+    shard/corpus split on doc_id % mod, banded candidates both ways, the
+    keep-lowest-id within-shard rule, and the per-source half-up ppm."""
+    from .operators.dedup import _AB, HASH_P, N_HASHES, PORTABLE_HASH_SQL
+
+    tok_hash = PORTABLE_HASH_SQL.replace("{w}", "w")
+    mins = ",\n             ".join(
+        f"MIN(({a} * x + {b}) % {HASH_P}) AS m{i}" for i, (a, b) in enumerate(_AB)
+    )
+    sig_list = "[" + ", ".join(f"m{i}" for i in range(N_HASHES)) + "]"
+    sentinel = "[" + ", ".join([str(HASH_P)] * N_HASHES) + "]"
+    agree = (
+        f"round(len(list_filter(range(1, {N_HASHES + 1}),"
+        f" i -> sig_a[i] = sig_b[i])) / {N_HASHES}.0, 6)"
+    )
+    return f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+    th AS (
+      SELECT doc_id,
+             list_transform(ts, w -> {tok_hash}) AS hs
+      FROM tok
+    ),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(hs) >= 3
+                  THEN list_distinct(list_transform(range(1, len(hs) - 1),
+                         i -> ((hs[i] * 131 + hs[i+1]) % {HASH_P} * 131
+                               + hs[i+2]) % {HASH_P}))
+                  ELSE [] END AS shs
+      FROM th
+    ),
+    ex AS (SELECT doc_id, unnest(shs) AS x FROM sh),
+    mins AS (
+      SELECT doc_id,
+             {mins}
+      FROM ex GROUP BY doc_id
+    ),
+    sigs AS (
+      SELECT d.doc_id,
+             COALESCE(m.sig, {sentinel}) AS sig
+      FROM documents d
+      LEFT JOIN (SELECT doc_id, {sig_list} AS sig FROM mins) m USING (doc_id)
+    ),
+    banded AS (
+      SELECT doc_id, sig, b.range AS band,
+             (sig[b.range * 4 + 1 : b.range * 4 + 4])::VARCHAR AS key
+      FROM sigs, range(0, 16) b
+    ),
+    nb AS (SELECT * FROM banded WHERE doc_id % {mod} = 0),
+    cb AS (SELECT * FROM banded WHERE doc_id % {mod} <> 0),
+    vsp AS (
+      SELECT DISTINCT n.doc_id, n.sig AS sig_a, c.sig AS sig_b,
+             c.doc_id AS cid
+      FROM nb n JOIN cb c ON n.band = c.band AND n.key = c.key
+    ),
+    vsd AS (SELECT DISTINCT doc_id FROM vsp WHERE {agree} >= {threshold}),
+    wp AS (
+      SELECT DISTINCT hi.doc_id, hi.sig AS sig_a, lo.sig AS sig_b,
+             lo.doc_id AS lid
+      FROM nb lo JOIN nb hi
+        ON lo.band = hi.band AND lo.key = hi.key AND lo.doc_id < hi.doc_id
+    ),
+    wnd AS (SELECT DISTINCT doc_id FROM wp WHERE {agree} >= {threshold}),
+    flags AS (
+      SELECT d.source,
+             (d.doc_id IN (SELECT doc_id FROM vsd)) AS dc,
+             (d.doc_id IN (SELECT doc_id FROM wnd)) AS dn
+      FROM documents d WHERE d.doc_id % {mod} = 0
+    ),
+    agg AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_new,
+             CAST(COUNT(*) FILTER (WHERE dc) AS BIGINT) AS n_dup_vs_corpus,
+             CAST(COUNT(*) FILTER (WHERE NOT dc AND dn) AS BIGINT)
+               AS n_dup_within_new,
+             CAST(COUNT(*) FILTER (WHERE NOT dc AND NOT dn) AS BIGINT)
+               AS n_admitted
+      FROM flags GROUP BY source
+    )
+    SELECT source, n_new, n_dup_vs_corpus, n_dup_within_new, n_admitted,
+           CAST((CAST(n_admitted AS HUGEINT) * 2000000 + n_new)
+                // (2 * n_new) AS BIGINT) AS admit_ppm
+    FROM agg
+    """
+
+
+@register(
+    "shard_admission_report",
+    _admission_oracle_sql(),
+    doc="X32 incremental-admission near-dedup (operators/dedup.py): the "
+    "shard doc_id %% 5 = 0 admits against the rest of the corpus via the "
+    "portable 64-hash/16-band MinHash index — per source, how many new "
+    "docs near-duplicate the corpus (est Jaccard >= 0.5), how many "
+    "near-duplicate a SMALLER-id shard doc (keep-lowest-id, "
+    "non-cascading — the semantic_dedup rule), and the exact half-up "
+    "admit ppm.  Shard signatured once; corpus candidates from the slim "
+    "ID-ONLY band equi-join; signatures join back per deduplicated pair.",
+)
+def q_shard_admission(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.dedup import shard_admission_report
+
+    docs = _t(spark, sf, "documents")
+    return shard_admission_report(
+        docs.filter(F.col("doc_id") % 5 == 0),
+        docs.filter(F.col("doc_id") % 5 != 0),
+        threshold=0.5,
+        portable=True,
+    )
+
+
 # The external correctness gate snapshots the FIRST 50 entries of the
 # queries() dict (observed r01/r02: entries past position 50 get no
 # correctness row at all).  Registration order in this file is topical, so
@@ -5602,6 +5815,11 @@ GATE_PRIORITY: tuple[str, ...] = (
 # are verified green at registration time and they take their first
 # driver gate rows at r16.
 GATE_DEFERRED: tuple[str, ...] = (
+    # registered r15, SQL twins verified green at registration (sf0.001 +
+    # sf0.01 via test_oracle_parity + the /verify gate replica); first
+    # driver gate rows due r16 per the standing rotation contract
+    "hybrid_rrf_retrieval",
+    "shard_admission_report",
     "longest_dup_substring",
     "tokenizer_fertility",
     "unigram_lm_pieces",
@@ -5615,7 +5833,6 @@ GATE_DEFERRED: tuple[str, ...] = (
     "sketch_profile_check",
     "paragraph_dup_stats",
     "bigram_merge_candidates",
-    "collapse_repeated_paras",
     "curation_pipeline",
     "embedding_near_dups",
     "lexical_diversity",
@@ -5651,7 +5868,6 @@ GATE_DEFERRED: tuple[str, ...] = (
     "pivot_status_qty",
     "cube_revenue",
     "quantity_percentiles",
-    "top_part_per_brand_maxby",
 )
 
 # Retired from the GATE EXPORT only (r8, on the r7 verdict's advice): each
@@ -5818,6 +6034,22 @@ GATE_RETIRED: tuple[str, ...] = (
     # registered, benched, and oracle-parity-tested.
     "ngram_jaccard_near_dups",
     "cross_doc_gram_overlap",
+    # r15, swapped for hybrid_rrf_retrieval + shard_admission_report
+    # (retire-on-green: both r14 rows triple-green).
+    # collapse_repeated_paras' paragraph construction (_para_array over
+    # the shared tokenization) is the literal first stage of the gated
+    # paragraph_dup_stats (dedup.paragraph_table builds on the same
+    # _para_array — the oracle differentials that construction every
+    # cycle); its order-preserving prefix-filter projection stays pinned
+    # by pytest and the oracle-parity suite.  top_part_per_brand_maxby's
+    # per-brand argmax is the k=1 case of the gated
+    # top3_parts_per_brand's rank window (same grouping, same ordering,
+    # same tie-break), and its grouped-measure shape continues through
+    # the five gated Ext-A6 siblings (pricing_summary, cube_revenue,
+    # pivot_status_qty, quantity_percentiles, shipping_lead_time).
+    # Both remain registered, benched, and oracle-parity-tested.
+    "collapse_repeated_paras",
+    "top_part_per_brand_maxby",
 )
 
 
@@ -5861,6 +6093,8 @@ GATE_RETIREMENT_LEDGER: dict[str, tuple[int, int]] = {
     "pack_plan": (13, 12),
     "ngram_jaccard_near_dups": (14, 13),
     "cross_doc_gram_overlap": (14, 13),
+    "collapse_repeated_paras": (15, 14),
+    "top_part_per_brand_maxby": (15, 14),
 }
 
 

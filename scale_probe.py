@@ -548,6 +548,69 @@ def main() -> None:
                           "n_docs_total": sum(r["n_docs"] for r in rows14),
                           "sec": sec}), flush=True)
 
+        # r15: X31 hybrid RRF retrieval.  Fixed query (3 literal terms +
+        # vector vec_id=0) against the K x corpus.  Replica tokens carry
+        # the z{r}z prefix, so NO replica doc matches the query terms —
+        # the lexical candidate SET is invariant — and replica vectors
+        # repeat the originals, so the semantic rank-1 neighbor keeps its
+        # spot by the (cos DESC, id ASC) tie-break.  "pairs" records the
+        # fused rank-1 doc_id (must be flat); wall is the two retriever
+        # scans — the fusion stage itself touches <= 40 rows at any K.
+        from market_data_ingestion_scraper_spark.operators.retrieval import (
+            hybrid_retrieval_rrf,
+        )
+
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        fused15 = hybrid_retrieval_rrf(
+            d, e, ("hash", "join", "vector"),
+            emb.filter(F.col("vec_id") == 0), k=10,
+        ).collect()
+        sec = round(time.perf_counter() - t0, 2)
+        results.setdefault("hybrid_rrf", {})[factor] = {
+            "pairs": int(fused15[0]["doc_id"]), "sec": sec,
+        }
+        print(json.dumps({"op": "hybrid_rrf", "factor": factor,
+                          "top1_doc": int(fused15[0]["doc_id"]),
+                          "rows": len(fused15),
+                          "sec": sec}), flush=True)
+
+        # r15: X32 shard-admission report.  FIXED shard (the base
+        # corpus's doc_id % 5 == 0 slice) admitted against a K x corpus
+        # index (build untimed — the amortized artifact, the
+        # near_dup_vs_index precedent).  Content-distinct replicas never
+        # match the shard, and the shard's within-new pairs don't depend
+        # on the corpus at all, so the ENTIRE report must be INVARIANT
+        # under K ("pairs" records sum(n_dup_vs_corpus)+sum(n_admitted))
+        # while serve wall grows far below K (banded ID-ONLY equi-join).
+        from market_data_ingestion_scraper_spark.operators.dedup import (
+            shard_admission_report,
+        )
+
+        adm_shard = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "source"
+        ).filter(F.col("doc_id") % 5 == 0)
+        adm_corpus = d.filter(F.col("doc_id") % 5 != 0)
+        idx_sigs15 = minhash_table(adm_corpus, portable=True).persist()
+        idx15 = minhash_band_table(adm_corpus, portable=True).persist()
+        idx15.count(), idx_sigs15.count()  # warm index = the artifact
+        t0 = time.perf_counter()
+        rows15 = shard_admission_report(
+            adm_shard, threshold=0.5, portable=True,
+            corpus_index=idx15, corpus_sigs=idx_sigs15,
+        ).collect()
+        sec = round(time.perf_counter() - t0, 2)
+        inv15 = sum(r["n_dup_vs_corpus"] + r["n_admitted"] for r in rows15)
+        results.setdefault("shard_admission", {})[factor] = {
+            "pairs": inv15, "sec": sec,
+        }
+        print(json.dumps({"op": "shard_admission", "factor": factor,
+                          "dup_plus_admitted": inv15,
+                          "n_dup_vs_corpus": sum(r["n_dup_vs_corpus"] for r in rows15),
+                          "n_admitted": sum(r["n_admitted"] for r in rows15),
+                          "sec": sec}), flush=True)
+        idx15.unpersist(), idx_sigs15.unpersist()
+
     summary = {
         name: {
             "pairs_growth": round(r[k]["pairs"] / max(r[1]["pairs"], 1), 2),

@@ -792,3 +792,81 @@ def test_cli_domain_mix(tmp_path, spark):
 
     r = _run("domain-mix", "--documents", docs, "--embeddings", docs)
     assert r.returncode == 2 and "missing columns" in r.stderr
+
+
+def test_cli_hybrid_search(spark):
+    """hybrid-search: the X31 surface — fused lines printed in library
+    order, bad inputs exit 2."""
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    emb = "/root/testdata/sf0.001/embeddings.parquet"
+    r = _run("hybrid-search", "--documents", docs, "--embeddings", emb,
+             "--terms", "hash,join,vector", "--query-vec-id", "0",
+             "--k", "5")
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [ln for ln in r.stdout.splitlines() if ln.startswith("doc=")]
+    assert len(lines) == 5 and "rrf_micro=" in lines[0]
+
+    from market_data_ingestion_scraper_spark.operators.retrieval import (
+        hybrid_retrieval_rrf,
+    )
+
+    lib = hybrid_retrieval_rrf(
+        spark.read.parquet(docs), spark.read.parquet(emb),
+        ("hash", "join", "vector"),
+        spark.read.parquet(emb).filter("vec_id = 0"), k=5,
+    ).collect()
+    assert [int(ln.split()[0][4:]) for ln in lines] == [r_["doc_id"] for r_ in lib]
+
+    r = _run("hybrid-search", "--documents", docs, "--embeddings", emb,
+             "--terms", " , ", "--query-vec-id", "0")
+    assert r.returncode == 2 and "at least one" in r.stderr
+    r = _run("hybrid-search", "--documents", docs, "--embeddings", emb,
+             "--terms", "hash", "--query-vec-id", "99999999")
+    assert r.returncode == 2 and "not found" in r.stderr
+
+
+def test_cli_shard_admit(tmp_path, spark):
+    """shard-admit: the X32 surface — per-source lines, parquet out
+    matches the library, the index form agrees with the corpus form,
+    mutually-exclusive source args exit 2."""
+    import pyspark.sql.functions as F
+
+    docs_path = "/root/testdata/sf0.001/documents.parquet"
+    docs = spark.read.parquet(docs_path)
+    shard_path = str(tmp_path / "shard")
+    corpus_path = str(tmp_path / "corpus")
+    docs.filter(F.col("doc_id") % 5 == 0).write.parquet(shard_path)
+    docs.filter(F.col("doc_id") % 5 != 0).write.parquet(corpus_path)
+    out = str(tmp_path / "report")
+    r = _run("shard-admit", "--shard", shard_path, "--corpus", corpus_path,
+             "--portable", "--out", out)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "admit_ppm=" in r.stdout
+
+    from market_data_ingestion_scraper_spark.operators.dedup import (
+        shard_admission_report,
+        write_minhash_index,
+    )
+
+    lib = shard_admission_report(
+        spark.read.parquet(shard_path), spark.read.parquet(corpus_path),
+        threshold=0.5, portable=True,
+    )
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(spark.read.parquet(out)) == key(lib)
+
+    idx = str(tmp_path / "mh_index")
+    write_minhash_index(
+        spark.read.parquet(corpus_path), idx, n_bands=16, portable=True
+    )
+    r2 = _run("shard-admit", "--shard", shard_path, "--index", idx)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert sorted(
+        ln for ln in r2.stdout.splitlines() if ln.startswith("source=")
+    ) == sorted(ln for ln in r.stdout.splitlines() if ln.startswith("source="))
+
+    r = _run("shard-admit", "--shard", shard_path)
+    assert r.returncode == 2 and "exactly one" in r.stderr
+    r = _run("shard-admit", "--shard", shard_path, "--corpus", corpus_path,
+             "--index", idx)
+    assert r.returncode == 2 and "exactly one" in r.stderr

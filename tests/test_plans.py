@@ -805,3 +805,31 @@ def test_stream_domain_tag_is_shuffle_free_projection(spark):
     assert "Exchange" not in txt, txt
     assert "Join" not in txt, txt
     assert "HashAggregate" not in txt, txt
+
+
+def test_hybrid_rrf_fusion_is_candidate_bounded(spark):
+    """X31: all corpus-sized work must live inside the two composed
+    retrievers (BM25's filtered explode, the brute top-k's broadcast of
+    the ONE query row) — the fusion join touches only candidate lists
+    and the final top-k is TakeOrderedAndProject, never a global sort.
+    No cartesian anywhere; the only BNLs are the two 1-row broadcasts
+    the composed retrievers already pin (the brute top-k's single query
+    row, BM25's (N, avgdl) corpus-stats row)."""
+    df = _plan(spark, "hybrid_rrf_retrieval")
+    txt = explain_str(df)
+    assert "CartesianProduct" not in txt, txt
+    # formatted explain prints each node twice (tree + detail): 2 nodes
+    assert txt.count("BroadcastNestedLoopJoin") <= 4, txt
+    assert "TakeOrderedAndProject" in txt, txt
+
+
+def test_shard_admission_no_cartesian_slim_joins(spark):
+    """X32: shard-vs-corpus and shard-vs-shard candidates must both come
+    from banded (band, key) EQUI-joins — no cartesian, no BNL — and the
+    per-source report must combine map-side."""
+    df = _plan(spark, "shard_admission_report")
+    txt = explain_str(df)
+    assert "CartesianProduct" not in txt, txt
+    assert "BroadcastNestedLoopJoin" not in txt, txt
+    rep = plan_report(df)
+    assert rep.has_partial_agg, rep.summary()

@@ -1,0 +1,284 @@
+"""X31 hybrid RRF retrieval + X32 shard-admission report: independent
+pure-Python twins over the sf0.001 fixture, API validation, and
+index-handle parity.  Plan shapes are pinned in test_plans.py."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+import pytest
+
+from market_data_ingestion_scraper_spark.operators.dedup import (
+    _AB,
+    HASH_P,
+    N_HASHES,
+    shard_admission_report,
+)
+from market_data_ingestion_scraper_spark.operators.retrieval import (
+    hybrid_retrieval_rrf,
+    rrf_fuse,
+)
+
+SF = "/root/testdata/sf0.001"
+_TOK = re.compile(r"[a-z0-9]+")
+
+
+def _toks(text: str) -> list[str]:
+    return _TOK.findall(text.lower())
+
+
+# ------------------------------------------------------- X31 python twin
+
+def _py_bm25_top(docs: list[tuple[int, str]], terms: tuple[str, ...],
+                 top_k: int = 20) -> list[tuple[int, float]]:
+    """Independent BM25 from the published formula (k1=1.2, b=0.75), the
+    operator's documented rounding chain re-derived by hand."""
+    dl = {d: len(_toks(t)) for d, t in docs}
+    n = len(docs)
+    avgdl = round(sum(dl.values()) / n, 6)
+    tf: dict[tuple[int, str], int] = {}
+    for d, t in docs:
+        for w in _toks(t):
+            if w in terms:
+                tf[(d, w)] = tf.get((d, w), 0) + 1
+    df: dict[str, set] = {}
+    for (d, w) in tf:
+        df.setdefault(w, set()).add(d)
+    pm: dict[int, int] = {}
+    for (d, w), f in tf.items():
+        idf = round(math.log((n - len(df[w]) + 0.5) / (len(df[w]) + 0.5) + 1.0), 6)
+        wgt = round(f * 2.2 / (f + 1.2 * (0.25 + 0.75 * dl[d] / avgdl)), 6)
+        pm[d] = pm.get(d, 0) + int(round(round(idf * wgt, 6) * 1_000_000))
+    scored = sorted(
+        ((d, round(p / 1e6, 6)) for d, p in pm.items()),
+        key=lambda x: (-x[1], x[0]),
+    )
+    return scored[:top_k]
+
+
+def _py_cosine_top(embs: list[tuple[int, list[float]]], qid: int,
+                   top_k: int = 20) -> list[tuple[int, float]]:
+    qv = dict(embs)[qid]
+    out = []
+    for vid, nv in embs:
+        if vid == qid:
+            continue
+        dot = 0.0
+        for a, b in zip(qv, nv):  # sequential fold, same IEEE order
+            dot += a * b
+        nq = 0.0
+        for a in qv:
+            nq += a * a
+        nn = 0.0
+        for b in nv:
+            nn += b * b
+        out.append((vid, round(dot / (math.sqrt(nq) * math.sqrt(nn)), 6)))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out[:top_k]
+
+
+def test_hybrid_rrf_matches_python_twin(spark):
+    docs_df = spark.read.parquet(f"{SF}/documents.parquet")
+    emb_df = spark.read.parquet(f"{SF}/embeddings.parquet")
+    docs = [(r["doc_id"], r["text"]) for r in docs_df.select("doc_id", "text").collect()]
+    embs = [(r["vec_id"], list(r["embedding"])) for r in emb_df.collect()]
+
+    lex = {d: i + 1 for i, (d, _) in enumerate(_py_bm25_top(docs, ("hash", "join", "vector")))}
+    sem = {d: i + 1 for i, (d, _) in enumerate(_py_cosine_top(embs, 0))}
+    want = {}
+    for d in set(lex) | set(sem):
+        s = 0
+        if d in lex:
+            s += 10**9 // (60 + lex[d])
+        if d in sem:
+            s += 10**9 // (60 + sem[d])
+        want[d] = s
+    top = sorted(want.items(), key=lambda x: (-x[1], x[0]))[:10]
+
+    got = hybrid_retrieval_rrf(
+        docs_df, emb_df, ("hash", "join", "vector"),
+        emb_df.filter("vec_id = 0"), k=10,
+    ).collect()
+    assert [(r["doc_id"], r["rrf_micro"]) for r in got] == top
+    for r in got:
+        assert (r["lex_rank"] or 0) == lex.get(r["doc_id"], 0)
+        assert (r["sem_rank"] or 0) == sem.get(r["doc_id"], 0)
+
+
+def test_rrf_fuse_three_lists(spark):
+    """Hand-checked three-list fusion: doc 1 mid in all lists beats docs
+    that top one list but miss the others — the RRF selling point."""
+    l1 = spark.createDataFrame([(10, 1), (1, 2), (2, 3)], "doc_id long, rank int")
+    l2 = spark.createDataFrame([(20, 1), (1, 2), (3, 3)], "doc_id long, rank int")
+    l3 = spark.createDataFrame([(30, 1), (1, 2)], "doc_id long, rank int")
+    got = rrf_fuse({"a": l1, "b": l2, "c": l3}, k=3, k_rrf=60).collect()
+    s = 10**9
+    want_doc1 = 3 * (s // 62)
+    want_top1 = s // 61
+    assert got[0]["doc_id"] == 1 and got[0]["rrf_micro"] == want_doc1
+    # the three single-list leaders tie at 1/(60+1); smallest id wins
+    assert [r["doc_id"] for r in got[1:]] == [10, 20]
+    assert all(r["rrf_micro"] == want_top1 for r in got[1:])
+
+
+def test_rrf_fuse_validation(spark):
+    l1 = spark.createDataFrame([(1, 1)], "doc_id long, rank int")
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse({})
+    with pytest.raises(ValueError, match="k_rrf"):
+        rrf_fuse({"a": l1}, k_rrf=0)
+    with pytest.raises(ValueError, match="identifier"):
+        rrf_fuse({"bad name": l1})
+
+
+# ------------------------------------------------------- X32 python twin
+
+def _py_sig(text: str) -> list[int]:
+    hs = [
+        int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % HASH_P
+        for w in _toks(text)
+    ]
+    grams = {
+        ((hs[i] * 131 + hs[i + 1]) % HASH_P * 131 + hs[i + 2]) % HASH_P
+        for i in range(len(hs) - 2)
+    }
+    if not grams:
+        return [HASH_P] * N_HASHES
+    return [min((a * x + b) % HASH_P for x in grams) for a, b in _AB]
+
+
+def _py_admission(docs, threshold=0.5, mod=5):
+    """Independent full-pipeline twin: portable sigs, 16-band slice-key
+    candidates, agreement verify, keep-lowest-id within the shard,
+    half-up admit ppm per source."""
+    sigs = {d: _py_sig(t) for d, t, _ in docs}
+    bands: dict[tuple[int, tuple], list[int]] = {}
+    for d in sigs:
+        for b in range(16):
+            bands.setdefault((b, tuple(sigs[d][b * 4 : b * 4 + 4])), []).append(d)
+
+    def agree(a, b):
+        m = sum(1 for x, y in zip(sigs[a], sigs[b]) if x == y)
+        return round(m / N_HASHES, 6)
+
+    new = {d for d, _, _ in docs if d % mod == 0}
+    dc, dn = set(), set()
+    for key, members in bands.items():
+        ms = sorted(set(members))
+        for i, a in enumerate(ms):
+            for b in ms[i + 1 :]:
+                if a in new and b in new:
+                    if agree(a, b) >= threshold:
+                        dn.add(b)
+                elif (a in new) != (b in new):
+                    n = a if a in new else b
+                    if agree(a, b) >= threshold:
+                        dc.add(n)
+    out: dict[str, list[int]] = {}
+    for d, _, src in docs:
+        if d not in new:
+            continue
+        row = out.setdefault(src, [0, 0, 0, 0])
+        row[0] += 1
+        if d in dc:
+            row[1] += 1
+        elif d in dn:
+            row[2] += 1
+        else:
+            row[3] += 1
+    return {
+        src: (
+            r[0], r[1], r[2], r[3],
+            (r[3] * 2_000_000 + r[0]) // (2 * r[0]),
+        )
+        for src, r in out.items()
+    }
+
+
+def test_shard_admission_matches_python_twin(spark):
+    docs_df = spark.read.parquet(f"{SF}/documents.parquet")
+    docs = [
+        (r["doc_id"], r["text"], r["source"])
+        for r in docs_df.select("doc_id", "text", "source").collect()
+    ]
+    want = _py_admission(docs)
+    got = {
+        r["source"]: (
+            r["n_new"], r["n_dup_vs_corpus"], r["n_dup_within_new"],
+            r["n_admitted"], r["admit_ppm"],
+        )
+        for r in shard_admission_report(
+            docs_df.filter("doc_id % 5 = 0"),
+            docs_df.filter("doc_id % 5 <> 0"),
+            threshold=0.5,
+            portable=True,
+        ).collect()
+    }
+    assert got == want
+    # the fixture must exercise BOTH drop directions or the twin is vacuous
+    assert sum(v[1] for v in want.values()) > 0, "no vs-corpus dups planted"
+    assert sum(v[2] for v in want.values()) > 0, "no within-new dups planted"
+
+
+def test_shard_admission_planted_duplicates(spark):
+    """Planted-corpus truth table: doc 5 copies corpus doc 1 (vs-corpus
+    drop), doc 15 copies doc 10 (within-new drop, keep-lowest-id keeps
+    10), doc 20 is novel."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base, "s"),
+        (2, "one totally different corpus document about ships", "s"),
+        (5, base, "s"),
+        (10, "the quick brown fox jumps over the lazy dog again", "s"),
+        (15, "the quick brown fox jumps over the lazy dog again", "s"),
+        (20, "completely novel content nothing shares these words", "s"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = shard_admission_report(
+        df.filter("doc_id % 5 = 0"), df.filter("doc_id % 5 <> 0"),
+        threshold=0.5, portable=True,
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["n_new"], r["n_dup_vs_corpus"], r["n_dup_within_new"],
+            r["n_admitted"]) == (4, 1, 1, 2)
+    # admitted: doc 10 (lowest id of the within pair) and doc 20
+    assert r["admit_ppm"] == (2 * 2_000_000 + 4) // 8
+
+
+def test_shard_admission_index_handle_parity(spark, tmp_path):
+    """The persisted-index serving form must report exactly what the
+    in-plan corpus form reports (parameters from the sidecar, corpus
+    never re-shingled)."""
+    from market_data_ingestion_scraper_spark.operators.dedup import (
+        write_minhash_index,
+    )
+    from market_data_ingestion_scraper_spark.operators.similarity import (
+        load_ann_index,
+    )
+
+    docs_df = spark.read.parquet(f"{SF}/documents.parquet")
+    new = docs_df.filter("doc_id % 5 = 0")
+    corpus = docs_df.filter("doc_id % 5 <> 0")
+    out = str(tmp_path / "mh_index")
+    write_minhash_index(corpus, out, n_bands=16, portable=True)
+    handle = load_ann_index(spark, out)
+    via_index = {
+        tuple(r) for r in shard_admission_report(
+            new, threshold=0.5, index=handle
+        ).collect()
+    }
+    via_frames = {
+        tuple(r) for r in shard_admission_report(
+            new, corpus, threshold=0.5, portable=True
+        ).collect()
+    }
+    assert via_index == via_frames
+
+
+def test_shard_admission_validation(spark):
+    docs_df = spark.read.parquet(f"{SF}/documents.parquet")
+    with pytest.raises(ValueError, match="corpus_docs="):
+        shard_admission_report(docs_df.filter("doc_id % 5 = 0"))
