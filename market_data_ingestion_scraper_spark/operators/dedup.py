@@ -1855,9 +1855,16 @@ def shard_admission_report(
     elif corpus_index is not None and corpus_sigs is not None:
         corpus_bands = corpus_index
     elif corpus_docs is not None:
-        corpus_sigs = minhash_table(
-            corpus_docs, id_col=id_col, text_col=text_col, k=k,
-            portable=portable,
+        # persist: the sig table feeds BOTH the banding projection and
+        # the verify join-back — unpersisted, Spark would shingle the
+        # corpus twice (the exact double-scan this operator exists to
+        # avoid; measured 7.1 -> ~4 s at sf0.1)
+        corpus_sigs = _persist_generation(
+            "shard_admission_report.corpus",
+            minhash_table(
+                corpus_docs, id_col=id_col, text_col=text_col, k=k,
+                portable=portable,
+            ),
         )
         corpus_bands = band_keys_from_sigs(corpus_sigs, n_bands, id_col=id_col)
     else:
