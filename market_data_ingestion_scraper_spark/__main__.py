@@ -360,6 +360,24 @@ def main(argv: list[str] | None = None) -> int:
                     help="optional output parquet; the report always "
                     "prints (it is |sources| rows)")
 
+    ts = sub.add_parser(
+        "temporal-split",
+        help="leakage-safe temporal train/val split (X33): assign every "
+        "event train/embargo/val_warm/val_cold against a cutoff + "
+        "embargo, with warm/cold entity stratification; prints the "
+        "per-split report",
+    )
+    ts.add_argument("--events", required=True,
+                    help="parquet with (event_id, user_id, ts)")
+    ts.add_argument("--cutoff", required=True,
+                    help="ISO timestamp, e.g. '2024-01-25 00:00:00'")
+    ts.add_argument("--embargo-days", type=int, default=1)
+    ts.add_argument("--out", default=None,
+                    help="optional parquet of the per-event assignment")
+    ts.add_argument("--entities-out", default=None,
+                    help="optional parquet of the frozen train-entity "
+                    "artifact (feeds stream_split_tag)")
+
     ic = sub.add_parser(
         "index-compact",
         help="fold an append-grown index's small files into one per "
@@ -1060,6 +1078,42 @@ def main(argv: list[str] | None = None) -> int:
                   f"dup_vs_corpus={r['n_dup_vs_corpus']} "
                   f"dup_within_new={r['n_dup_within_new']} "
                   f"admitted={r['n_admitted']} admit_ppm={r['admit_ppm']}")
+        return 0
+
+    if args.cmd == "temporal-split":
+        from .operators.splits import (
+            temporal_split,
+            temporal_split_report,
+            train_entities,
+        )
+
+        events = spark.read.parquet(args.events)
+        missing = [
+            c for c in ("event_id", "user_id", "ts") if c not in events.columns
+        ]
+        if missing:
+            print(f"events parquet missing columns: {missing}",
+                  file=sys.stderr)
+            return 2
+        try:
+            report = temporal_split_report(
+                events, args.cutoff, embargo_days=args.embargo_days
+            ).collect()
+        except ValueError as exc:
+            print(str(exc), file=sys.stderr)
+            return 2
+        if args.out:
+            temporal_split(
+                events, args.cutoff, embargo_days=args.embargo_days
+            ).write.mode("overwrite").parquet(args.out)
+        if args.entities_out:
+            train_entities(events, args.cutoff).write.mode(
+                "overwrite"
+            ).parquet(args.entities_out)
+        for r in sorted(report, key=lambda x: x["split"]):
+            print(f"split={r['split']} n_rows={r['n_rows']} "
+                  f"n_entities={r['n_entities']} "
+                  f"row_share_ppm={r['row_share_ppm']}")
         return 0
 
     if args.cmd == "index-compact":

@@ -1,0 +1,179 @@
+"""X33 leakage-safe temporal train/val split CONSTRUCTION — the
+builder-side complement of the `split_leakage` DETECTOR: instead of
+checking an existing split for contamination, construct one with the
+guarantees a temporal evaluation needs (standard public methodology:
+time-based holdout with an embargo/purge window, López de Prado 2018
+*Advances in Financial Machine Learning* ch. 7 purged K-fold + embargo;
+warm/cold-start entity stratification is the recsys evaluation
+standard).
+
+Guarantees, by construction:
+
+- **Temporal**: every ``train`` row's timestamp is strictly before the
+  cutoff; every ``val_*`` row's is at or after cutoff + embargo.
+- **Embargo (purge)**: rows inside ``[cutoff, cutoff + embargo)`` are
+  assigned ``embargo`` and belong to NEITHER side — the buffer that
+  keeps windowed/lagged features computed near the boundary from
+  straddling it (the leakage a plain two-way cut bakes in).
+- **Entity stratification**: val rows split into ``val_warm`` (the
+  entity has at least one train row — its history is legitimately
+  available at inference time) and ``val_cold`` (entity unseen in
+  train — the cold-start subset).  Evaluating the two separately is
+  what prevents "the model memorized the user" from reading as
+  generalization.  Rows with a NULL entity are ``val_cold`` (no
+  history can be attributed to them).
+
+Spark-first shape at 100 TB: ONE scan builds the distinct train-entity
+table (map-side-combined aggregate — the shuffle carries bare entity
+ids, bounded by |entities|, never events), then ONE scan assigns every
+row via an entity-keyed LEFT equi-join (AQE broadcasts the entity table
+when it fits; bucket both sides by the entity column otherwise) and a
+branch-free CASE projection.  The assignment is a pure function of
+(row, cutoff, embargo, train-entity set): deterministic under any
+partitioning, and the SQL oracle reproduces it bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _valid_ts(literal: str, what: str) -> str:
+    """Fail fast on a malformed timestamp literal (it is spliced into an
+    INTERVAL expression — a typo'd value must raise here, not parse as
+    NULL and silently send every row to one side)."""
+    try:
+        datetime.fromisoformat(literal)
+    except ValueError as exc:
+        raise ValueError(f"{what} must be an ISO timestamp, got {literal!r}") from exc
+    return literal
+
+
+def train_entities(
+    events: DataFrame,
+    cutoff: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Distinct entities with at least one pre-cutoff row — the
+    persistable artifact of the split (freeze it next to the cutoff and
+    every later job, including the streaming tagger, reproduces the
+    identical warm/cold assignment)."""
+    cut = F.lit(_valid_ts(cutoff, "cutoff")).cast("timestamp")
+    return (
+        events.filter(F.col(ts_col) < cut)
+        .select(F.col(user_col).alias(user_col))
+        .where(F.col(user_col).isNotNull())
+        .distinct()
+    )
+
+
+def split_expr(
+    cutoff: str,
+    embargo_days: int,
+    ts_col: str = "ts",
+    seen_col: str = "_seen_in_train",
+):
+    """The one CASE expression both the batch and streaming taggers
+    compile to — factored so the two paths cannot drift."""
+    if int(embargo_days) < 0:
+        raise ValueError(f"embargo_days must be >= 0, got {embargo_days}")
+    cut = F.lit(_valid_ts(cutoff, "cutoff")).cast("timestamp")
+    val_start = F.expr(
+        f"timestamp'{_valid_ts(cutoff, 'cutoff')}'"
+        f" + INTERVAL {int(embargo_days)} DAYS"
+    )
+    return (
+        F.when(F.col(ts_col) < cut, F.lit("train"))
+        .when(F.col(ts_col) < val_start, F.lit("embargo"))
+        .when(F.col(seen_col), F.lit("val_warm"))
+        .otherwise(F.lit("val_cold"))
+    )
+
+
+def temporal_split(
+    events: DataFrame,
+    cutoff: str,
+    embargo_days: int = 1,
+    id_col: str = "event_id",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    entities: DataFrame | None = None,
+) -> DataFrame:
+    """Assign every event to (train | embargo | val_warm | val_cold) —
+    see the module docstring for the guarantees.  Returns
+    ``(id_col, split)``, one row per input row.
+
+    ``entities`` accepts a frozen :func:`train_entities` table (the
+    serving form — the split artifact persisted once and reused);
+    omitted, it is derived in-plan from the same events frame (the
+    oracle-gate form; Spark computes it once either way)."""
+    return _assigned(
+        events, cutoff, embargo_days, id_col, user_col, ts_col, entities
+    ).select(id_col, "split")
+
+
+def _assigned(
+    events: DataFrame,
+    cutoff: str,
+    embargo_days: int,
+    id_col: str,
+    user_col: str,
+    ts_col: str,
+    entities: DataFrame | None,
+) -> DataFrame:
+    """(id, user, split) — shared by the assignment and the report."""
+    if entities is None:
+        entities = train_entities(events, cutoff, user_col, ts_col)
+    seen = entities.select(
+        F.col(user_col), F.lit(True).alias("_seen_in_train")
+    )
+    joined = events.select(id_col, user_col, ts_col).join(
+        seen, user_col, "left"
+    ).withColumn(
+        "_seen_in_train", F.coalesce("_seen_in_train", F.lit(False))
+    )
+    return joined.select(
+        id_col,
+        user_col,
+        split_expr(cutoff, embargo_days, ts_col).alias("split"),
+    )
+
+
+def temporal_split_report(
+    events: DataFrame,
+    cutoff: str,
+    embargo_days: int = 1,
+    id_col: str = "event_id",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """|splits|-row dashboard over :func:`temporal_split`: per split the
+    row count, distinct entities, and the exact half-up row-share ppm —
+    the numbers that decide whether the cutoff/embargo leave a usable
+    validation set.  All corpus-sized work is the split assignment
+    itself; the report is a 4-row aggregate plus a bounded window."""
+    from ..functions.scalar import bounded_window
+
+    per = (
+        _assigned(events, cutoff, embargo_days, id_col, user_col, ts_col, None)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct(user_col).alias("n_entities"),
+        )
+    )
+    w = bounded_window("split")
+    staged = per.withColumn("_tot", F.sum("n_rows").over(w))
+    share_ppm = F.expr(
+        "(CAST(n_rows AS DECIMAL(38,0)) * 2000000 + _tot) DIV (2 * _tot)"
+    )
+    return staged.select(
+        "split",
+        "n_rows",
+        "n_entities",
+        share_ppm.cast("long").alias("row_share_ppm"),
+    )

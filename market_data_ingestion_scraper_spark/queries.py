@@ -5735,6 +5735,45 @@ def q_shard_admission(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "temporal_split_events",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE NOT (user_id % 7 = 0 AND ts < TIMESTAMP '2024-01-25 00:00:00')
+    ),
+    tu AS (
+      SELECT DISTINCT user_id FROM e
+      WHERE ts < TIMESTAMP '2024-01-25 00:00:00' AND user_id IS NOT NULL
+    )
+    SELECT event_id,
+           CASE WHEN ts < TIMESTAMP '2024-01-25 00:00:00' THEN 'train'
+                WHEN ts < TIMESTAMP '2024-01-26 00:00:00' THEN 'embargo'
+                WHEN user_id IN (SELECT user_id FROM tu) THEN 'val_warm'
+                ELSE 'val_cold' END AS split
+    FROM e
+    """,
+    doc="X33 leakage-safe temporal split CONSTRUCTION "
+    "(operators/splits.temporal_split — the builder complement of the "
+    "split_leakage detector; purged/embargoed time split per Lopez de "
+    "Prado 2018 ch.7 with warm/cold entity stratification): every event "
+    "assigned train / embargo / val_warm / val_cold against cutoff "
+    "2024-01-25 + 1-day embargo.  The gate fixture drops pre-cutoff "
+    "history for every 7th user so all four branches occur.  One "
+    "map-side-combined distinct over pre-cutoff entities, one "
+    "entity-keyed left equi-join, one CASE projection — deterministic "
+    "under any partitioning.",
+)
+def q_temporal_split(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.splits import temporal_split
+
+    cut = F.lit("2024-01-25 00:00:00").cast("timestamp")
+    ev = _t(spark, sf, "events").filter(
+        ~((F.col("user_id") % 7 == 0) & (F.col("ts") < cut))
+    )
+    return temporal_split(ev, "2024-01-25 00:00:00", embargo_days=1)
+
+
 # The external correctness gate snapshots the FIRST 50 entries of the
 # queries() dict (observed r01/r02: entries past position 50 get no
 # correctness row at all).  Registration order in this file is topical, so
@@ -5820,6 +5859,7 @@ GATE_DEFERRED: tuple[str, ...] = (
     # driver gate rows due r16 per the standing rotation contract
     "hybrid_rrf_retrieval",
     "shard_admission_report",
+    "temporal_split_events",
     "longest_dup_substring",
     "tokenizer_fertility",
     "unigram_lm_pieces",
@@ -5835,7 +5875,6 @@ GATE_DEFERRED: tuple[str, ...] = (
     "bigram_merge_candidates",
     "curation_pipeline",
     "embedding_near_dups",
-    "lexical_diversity",
     "zipf_profile",
     "split_leakage",
     "sliding_hourly_avg",
@@ -6050,6 +6089,15 @@ GATE_RETIRED: tuple[str, ...] = (
     # Both remain registered, benched, and oracle-parity-tested.
     "collapse_repeated_paras",
     "top_part_per_brand_maxby",
+    # r15, swapped for temporal_split_events (retire-on-green: r14 row
+    # triple-green).  lexical_diversity is a pure tokens-projection —
+    # the same array-op construction the gated text_quality computes its
+    # per-doc token statistics with and the gated repetition_scores'
+    # plan class (projection-only, pinned) — and X7's corpus-statistics
+    # evidence continues via four gated carriers (token_count_histogram,
+    # bigram_merge_candidates, zipf_profile, bigram_logprob_quality).
+    # Remains registered, benched, and oracle-parity-tested.
+    "lexical_diversity",
 )
 
 
@@ -6095,6 +6143,7 @@ GATE_RETIREMENT_LEDGER: dict[str, tuple[int, int]] = {
     "cross_doc_gram_overlap": (14, 13),
     "collapse_repeated_paras": (15, 14),
     "top_part_per_brand_maxby": (15, 14),
+    "lexical_diversity": (15, 14),
 }
 
 

@@ -1382,3 +1382,41 @@ def stream_domain_tag(
         pred.alias("pred_label"),
         F.round(F.col("_best").cast("double") / 1e12, 6).alias("score"),
     )
+
+
+def stream_split_tag(
+    rows: DataFrame,
+    entities: DataFrame,
+    cutoff: str,
+    embargo_days: int = 1,
+    id_col: str = "event_id",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming X33 split tagging: label incoming events
+    (train | embargo | val_warm | val_cold) against a FROZEN
+    :func:`~..operators.splits.train_entities` artifact — route late
+    backfills and live traffic to the correct side of a temporal
+    holdout without ever recomputing the split.
+
+    The entity table is a stream-static LEFT equi-join (append-legal:
+    the static side is bounded by |train entities| and Spark re-plans
+    it per micro-batch), and the label is the SAME
+    :func:`~..operators.splits.split_expr` the batch constructor
+    compiles to — factored expression, so stream ≡ batch bit-for-bit
+    by construction (pytest-pinned).  No state, no watermark needed in
+    append mode."""
+    from ..operators.splits import split_expr
+
+    seen = entities.select(
+        F.col(user_col), F.lit(True).alias("_seen_in_train")
+    )
+    staged = rows.select(id_col, user_col, ts_col).join(
+        seen, user_col, "left"
+    ).withColumn(
+        "_seen_in_train", F.coalesce("_seen_in_train", F.lit(False))
+    )
+    return staged.select(
+        id_col,
+        split_expr(cutoff, embargo_days, ts_col).alias("split"),
+    )

@@ -667,6 +667,42 @@ def main() -> None:
                           "sec": sec}), flush=True)
         idx15.unpersist(), idx_sigs15.unpersist()
 
+        # r15: X33 temporal split.  Event replicas keep (user, ts) and
+        # offset only event_id, so every replica row gets the IDENTICAL
+        # split as its base row: per-split counts must grow exactly K,
+        # while n_entities and the half-up share ppms are INVARIANT
+        # ("pairs" records total rows — growth K is the correctness
+        # signal; shares print for the invariance check).  Wall is two
+        # event scans + the entity-keyed join, far below K.
+        from market_data_ingestion_scraper_spark.operators.splits import (
+            temporal_split_report,
+        )
+
+        ev33 = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "ts"
+        )
+        ev33_k = ev33
+        for r in range(1, factor):
+            ev33_k = ev33_k.unionByName(
+                ev33.withColumn(
+                    "event_id", F.col("event_id") + F.lit(r * 100_000_000)
+                )
+            )
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        rows33 = temporal_split_report(ev33_k, "2024-01-25 00:00:00").collect()
+        sec = round(time.perf_counter() - t0, 2)
+        results.setdefault("temporal_split", {})[factor] = {
+            "pairs": sum(r["n_rows"] for r in rows33), "sec": sec,
+        }
+        print(json.dumps({"op": "temporal_split", "factor": factor,
+                          "n_rows_total": sum(r["n_rows"] for r in rows33),
+                          "share_ppms": {r["split"]: r["row_share_ppm"]
+                                         for r in rows33},
+                          "n_entities": {r["split"]: r["n_entities"]
+                                         for r in rows33},
+                          "sec": sec}), flush=True)
+
     summary = {
         name: {
             "pairs_growth": round(r[k]["pairs"] / max(r[1]["pairs"], 1), 2),

@@ -870,3 +870,39 @@ def test_cli_shard_admit(tmp_path, spark):
     r = _run("shard-admit", "--shard", shard_path, "--corpus", corpus_path,
              "--index", idx)
     assert r.returncode == 2 and "exactly one" in r.stderr
+
+
+def test_cli_temporal_split(tmp_path, spark):
+    """temporal-split: the X33 surface — report lines printed, the
+    assignment and frozen-entity parquets match the library, bad cutoff
+    exits 2."""
+    from market_data_ingestion_scraper_spark.sources.tables import load_table
+
+    ev_path = str(tmp_path / "events")
+    load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "ts"
+    ).write.parquet(ev_path)
+    out = str(tmp_path / "assign")
+    ents = str(tmp_path / "entities")
+    r = _run("temporal-split", "--events", ev_path,
+             "--cutoff", "2024-01-25 00:00:00",
+             "--out", out, "--entities-out", ents)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "split=train" in r.stdout and "row_share_ppm=" in r.stdout
+
+    from market_data_ingestion_scraper_spark.operators.splits import (
+        temporal_split,
+        train_entities,
+    )
+
+    ev = spark.read.parquet(ev_path)
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(spark.read.parquet(out)) == key(
+        temporal_split(ev, "2024-01-25 00:00:00")
+    )
+    assert key(spark.read.parquet(ents)) == key(
+        train_entities(ev, "2024-01-25 00:00:00")
+    )
+
+    r = _run("temporal-split", "--events", ev_path, "--cutoff", "garbage")
+    assert r.returncode == 2 and "ISO timestamp" in r.stderr

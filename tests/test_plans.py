@@ -833,3 +833,19 @@ def test_shard_admission_no_cartesian_slim_joins(spark):
     assert "BroadcastNestedLoopJoin" not in txt, txt
     rep = plan_report(df)
     assert rep.has_partial_agg, rep.summary()
+
+
+def test_temporal_split_single_join_no_cartesian(spark):
+    """X33: the assignment must be ONE entity-keyed equi-join over the
+    distinct pre-cutoff entity table (map-side partial distinct) plus a
+    CASE projection — no cartesian/BNL, nothing corpus-sized beyond the
+    two scans."""
+    df = _plan(spark, "temporal_split_events")
+    txt = explain_str(df)
+    assert "CartesianProduct" not in txt, txt
+    assert "BroadcastNestedLoopJoin" not in txt, txt
+    rep = plan_report(df)
+    # entity table rides a broadcast at fixture scale (hash join at 1e9
+    # users); the only shuffles are the entity distinct's two sides
+    assert rep.n_broadcast_joins >= 1, rep.summary()
+    assert rep.n_shuffles <= 2, rep.summary()
