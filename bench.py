@@ -82,6 +82,12 @@ def main() -> None:
         unknown = only - set(Q.REGISTRY)
         if unknown:
             raise SystemExit(f"SPARK_GRAFT_ONLY names not registered: {sorted(unknown)}")
+        excluded = only & EXCLUDE
+        if excluded:
+            # silently skipping would print a 0-second "measurement"
+            raise SystemExit(
+                f"SPARK_GRAFT_ONLY names are in EXCLUDE: {sorted(excluded)}"
+            )
     # context for run-to-run variance: a loaded box inflates every number
     # (observed 70 -> 83 s total between back-to-back identical runs)
     load_start = _wait_for_quiet_box()

@@ -1095,21 +1095,26 @@ def main(argv: list[str] | None = None) -> int:
             print(f"events parquet missing columns: {missing}",
                   file=sys.stderr)
             return 2
+        # the entity distinct is the one non-scan cost — compute it ONCE,
+        # persist it, and feed it to every consumer (report, assignment
+        # write, artifact write) instead of re-deriving it per plan
         try:
+            ents = train_entities(events, args.cutoff).persist()
             report = temporal_split_report(
-                events, args.cutoff, embargo_days=args.embargo_days
+                events, args.cutoff, embargo_days=args.embargo_days,
+                entities=ents,
             ).collect()
         except ValueError as exc:
             print(str(exc), file=sys.stderr)
             return 2
         if args.out:
             temporal_split(
-                events, args.cutoff, embargo_days=args.embargo_days
+                events, args.cutoff, embargo_days=args.embargo_days,
+                entities=ents,
             ).write.mode("overwrite").parquet(args.out)
         if args.entities_out:
-            train_entities(events, args.cutoff).write.mode(
-                "overwrite"
-            ).parquet(args.entities_out)
+            ents.write.mode("overwrite").parquet(args.entities_out)
+        ents.unpersist()
         for r in sorted(report, key=lambda x: x["split"]):
             print(f"split={r['split']} n_rows={r['n_rows']} "
                   f"n_entities={r['n_entities']} "

@@ -229,11 +229,19 @@ def bloom_params_from_rows(rows) -> tuple[int, int, int]:
     )
 
 
-def _bloom_params(blooms: DataFrame) -> tuple[int, int, int]:
+def _bloom_params(
+    blooms: DataFrame, allow_gaps: bool = False
+) -> tuple[int, int, int]:
     """Derive (n_shards, n_bits, n_hashes) FROM the bloom table — the
     self-describing contract (rows-side twin: :func:`bloom_params_from_rows`).
     One tiny driver aggregate; raises when the
-    table mixes parameterizations (a corrupt or hand-edited artifact)."""
+    table mixes parameterizations (a corrupt or hand-edited artifact),
+    carries duplicate shard rows (an append-mode rewrite — either
+    generation alone loses the other's set bits), or has shard gaps
+    (a partial/filtered artifact — missing shards probe
+    definitely-absent).  ``allow_gaps=True`` is for callers probing a
+    DELIBERATELY filtered shard subset who supply the build-time shard
+    count themselves (the documented ``n_shards=`` override)."""
     row = blooms.agg(
         F.countDistinct("n_bits").alias("d_b"),
         F.countDistinct("n_hashes").alias("d_h"),
@@ -241,6 +249,7 @@ def _bloom_params(blooms: DataFrame) -> tuple[int, int, int]:
         F.max("n_hashes").alias("n_hashes"),
         F.max("shard").alias("max_shard"),
         F.countDistinct("shard").alias("d_shards"),
+        F.count(F.lit(1)).alias("n_rows"),
     ).collect()[0]
     if row["max_shard"] is None:
         raise ValueError(
@@ -248,16 +257,27 @@ def _bloom_params(blooms: DataFrame) -> tuple[int, int, int]:
         )
     if row["d_b"] != 1 or row["d_h"] != 1:
         raise ValueError("bloom table mixes n_bits/n_hashes parameterizations")
+    # an append-mode rewrite leaves two bitmap generations per shard;
+    # the probe's cogroup would take an arbitrary one and LOSE the
+    # other's set bits — false negatives (the rows-twin refuses this
+    # identically; r15 review finding)
+    if int(row["n_rows"]) != int(row["d_shards"]):
+        raise ValueError(
+            "duplicate shard rows in bloom table — appended/rewritten "
+            "artifact?  rebuild or extend_hash_bloom instead"
+        )
     # build_hash_bloom emits a row for EVERY shard (density seeds), so
     # max(shard)+1 IS the build-time shard count — routing with any other
     # modulus would produce false negatives.  A gap (distinct < max+1)
     # means a partial/filtered artifact whose missing shards would probe
-    # definitely-absent: refuse (r14 advisor finding).
-    if int(row["d_shards"]) != int(row["max_shard"]) + 1:
+    # definitely-absent: refuse (r14 advisor finding) unless the caller
+    # filtered deliberately and supplies the build-time count.
+    if not allow_gaps and int(row["d_shards"]) != int(row["max_shard"]) + 1:
         raise ValueError(
             "bloom table has shard gaps — partial/filtered artifact?  "
             f"{int(row['d_shards'])} distinct shards but max shard "
-            f"{int(row['max_shard'])}"
+            f"{int(row['max_shard'])}; pass n_shards= when probing a "
+            "deliberately filtered shard subset"
         )
     return int(row["max_shard"]) + 1, int(row["n_bits"]), int(row["n_hashes"])
 
@@ -281,7 +301,7 @@ def bloom_probe_hashes(
     (hash, k longs) frame shuffles by shard; bitmaps move once; the bit
     test is a vectorized numpy gather per Arrow batch.  A shard absent
     from the bloom table answers definitely-new for its whole group."""
-    ns, nb, nh = _bloom_params(blooms)
+    ns, nb, nh = _bloom_params(blooms, allow_gaps=n_shards is not None)
     ns = int(n_shards) if n_shards is not None else ns
     probes = hashes.select(F.col("_h")).distinct()
     nulls = probes.where(F.col("_h").isNull()).select(
@@ -338,7 +358,7 @@ def extend_hash_bloom(
     byte-identical.  Same cogroup shape as the probe — new (shard, pos)
     rows meet the shard's existing bitmap and set bits in numpy.
     Invariant (pytest-pinned): extend(build(A), B) ≡ build(A ∪ B)."""
-    ns, nb, nh = _bloom_params(blooms)
+    ns, nb, nh = _bloom_params(blooms, allow_gaps=n_shards is not None)
     ns = int(n_shards) if n_shards is not None else ns
     pos = _position_rows(
         new_hashes.select(F.col(hash_col).alias("_h")).distinct(), ns, nb, nh

@@ -387,6 +387,31 @@ def _sig_agreement() -> Column:
     return F.round(agree / F.lit(N_HASHES), 6).alias("est_jaccard")
 
 
+def _unpack_minhash_index(
+    index, id_col: str
+) -> tuple[DataFrame, DataFrame, int, int, bool]:
+    """(bands, sigs, n_bands, shingle_k, portable) from an AnnIndex
+    handle (kind ``minhash``) — parameters ALWAYS from the sidecar, and
+    the pre-split monolithic layout (each band row carrying its doc's
+    full signature, r9 advice) unpacked into the split form.  Shared by
+    every minhash serving operator so index-layout handling cannot
+    drift between them (r15 review finding)."""
+    q = index.require("minhash")
+    bands = index.df
+    sigs = index.sigs
+    if sigs is None:
+        if "sig" in bands.columns:
+            sigs = bands.select(id_col, "sig").dropDuplicates([id_col])
+            bands = bands.drop("sig")
+        else:
+            raise ValueError(
+                "legacy minhash index layout without a sig column — "
+                "rebuild with write_minhash_index / the "
+                "near-dup-index CLI"
+            )
+    return bands, sigs, q["n_bands"], q["shingle_k"], q["portable"]
+
+
 def near_duplicates_vs_index(
     new_docs: DataFrame,
     corpus_index: DataFrame | None = None,
@@ -424,26 +449,9 @@ def near_duplicates_vs_index(
     like the hyperplane families.  With a raw ``corpus_index`` bands
     DataFrame, pass the matching ``corpus_sigs``."""
     if index is not None:
-        q = index.require("minhash")
-        corpus_index = index.df
-        corpus_sigs = index.sigs
-        if corpus_sigs is None:
-            # pre-split monolithic layout (r9 advice): each band row
-            # carries its document's full signature — derive the
-            # one-row-per-doc sig table from it rather than demanding a
-            # corpus_sigs the caller cannot have
-            if "sig" in corpus_index.columns:
-                corpus_sigs = corpus_index.select(
-                    id_col, "sig"
-                ).dropDuplicates([id_col])
-                corpus_index = corpus_index.drop("sig")
-            else:
-                raise ValueError(
-                    "legacy minhash index layout without a sig column — "
-                    "rebuild with write_minhash_index / the "
-                    "near-dup-index CLI"
-                )
-        n_bands, k, portable = q["n_bands"], q["shingle_k"], q["portable"]
+        corpus_index, corpus_sigs, n_bands, k, portable = (
+            _unpack_minhash_index(index, id_col)
+        )
     if corpus_index is None or corpus_sigs is None:
         raise ValueError(
             "near_duplicates_vs_index needs either index= or "
@@ -1836,22 +1844,9 @@ def shard_admission_report(
     ``corpus_docs`` and the corpus is signatured in-plan (the
     oracle-gate form)."""
     if index is not None:
-        q = index.require("minhash")
-        corpus_bands = index.df
-        corpus_sigs = index.sigs
-        if corpus_sigs is None:
-            if "sig" in corpus_bands.columns:
-                corpus_sigs = corpus_bands.select(
-                    id_col, "sig"
-                ).dropDuplicates([id_col])
-                corpus_bands = corpus_bands.drop("sig")
-            else:
-                raise ValueError(
-                    "legacy minhash index layout without a sig column — "
-                    "rebuild with write_minhash_index / the "
-                    "near-dup-index CLI"
-                )
-        n_bands, k, portable = q["n_bands"], q["shingle_k"], q["portable"]
+        corpus_bands, corpus_sigs, n_bands, k, portable = (
+            _unpack_minhash_index(index, id_col)
+        )
     elif corpus_index is not None and corpus_sigs is not None:
         corpus_bands = corpus_index
     elif corpus_docs is not None:

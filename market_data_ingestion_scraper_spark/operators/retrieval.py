@@ -119,6 +119,7 @@ def hybrid_retrieval_rrf(
     doc_id_col: str = "doc_id",
     vec_id_col: str = "vec_id",
     vec_col: str = "embedding",
+    text_col: str = "text",
     dl_col: str | None = None,
 ) -> DataFrame:
     """Hybrid (lexical + semantic) top-k for ONE query: BM25 over
@@ -126,7 +127,9 @@ def hybrid_retrieval_rrf(
     vector in ``query_vectors`` (a one-query frame in the
     :func:`~.similarity.brute_force_topk` convention — its id must not
     collide with a corpus id you want retrievable, since ANN serving
-    excludes self-matches).
+    excludes self-matches).  A multi-row query frame refuses loudly:
+    the fusion drops the query id, so two queries' ranked lists would
+    silently interleave into one garbage fusion (r15 review finding).
 
     Returns ``(doc_id, lex_rank, sem_rank, bm25, cos_sim, rrf_micro)``
     ordered by ``(rrf_micro DESC, doc_id ASC)``, ``k`` rows; a document
@@ -138,9 +141,22 @@ def hybrid_retrieval_rrf(
     from .similarity import brute_force_topk
     from .text import bm25_scores
 
+    if len(query_vectors.select(vec_id_col).limit(2).collect()) != 1:
+        raise ValueError(
+            "query_vectors must hold exactly one query row — fuse "
+            "multi-query lists per query via rrf_fuse instead"
+        )
+    # bm25_scores speaks the (doc_id, text) schema — alias the caller's
+    # columns in and the ranked output back out, so the advertised
+    # column parameters actually function (r15 review finding)
+    docs_n = documents
+    if doc_id_col != "doc_id":
+        docs_n = docs_n.withColumnRenamed(doc_id_col, "doc_id")
+    if text_col != "text":
+        docs_n = docs_n.withColumnRenamed(text_col, "text")
     lex = bm25_scores(
-        documents, query_terms, top_k=n_candidates, dl_col=dl_col
-    )
+        docs_n, query_terms, top_k=n_candidates, dl_col=dl_col
+    ).withColumnRenamed("doc_id", doc_id_col)
     # rank the ≤ n_candidates BM25 rows: the window is bounded by the
     # candidate list, never corpus-sized (same justification as the
     # source_mix post-aggregation windows)

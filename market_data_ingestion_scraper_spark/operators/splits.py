@@ -21,7 +21,9 @@ Guarantees, by construction:
   train — the cold-start subset).  Evaluating the two separately is
   what prevents "the model memorized the user" from reading as
   generalization.  Rows with a NULL entity are ``val_cold`` (no
-  history can be attributed to them).
+  history can be attributed to them); rows with a NULL TIMESTAMP are
+  ``embargo`` (they cannot be placed on either side of a temporal
+  boundary, so they join neither — the conservative choice).
 
 Spark-first shape at 100 TB: ONE scan builds the distinct train-entity
 table (map-side-combined aggregate — the shuffle carries bare entity
@@ -87,7 +89,13 @@ def split_expr(
         f" + INTERVAL {int(embargo_days)} DAYS"
     )
     return (
-        F.when(F.col(ts_col) < cut, F.lit("train"))
+        # POLICY: a NULL timestamp cannot be placed on either side of a
+        # temporal boundary — without this branch it would fall through
+        # the two comparisons (NULL reads false) into val_* and
+        # contaminate the validation set (r15 review finding).  Label it
+        # embargo: excluded from BOTH sides, the conservative choice.
+        F.when(F.col(ts_col).isNull(), F.lit("embargo"))
+        .when(F.col(ts_col) < cut, F.lit("train"))
         .when(F.col(ts_col) < val_start, F.lit("embargo"))
         .when(F.col(seen_col), F.lit("val_warm"))
         .otherwise(F.lit("val_cold"))
@@ -150,6 +158,7 @@ def temporal_split_report(
     id_col: str = "event_id",
     user_col: str = "user_id",
     ts_col: str = "ts",
+    entities: DataFrame | None = None,
 ) -> DataFrame:
     """|splits|-row dashboard over :func:`temporal_split`: per split the
     row count, distinct entities, and the exact half-up row-share ppm —
@@ -159,7 +168,9 @@ def temporal_split_report(
     from ..functions.scalar import bounded_window
 
     per = (
-        _assigned(events, cutoff, embargo_days, id_col, user_col, ts_col, None)
+        _assigned(
+            events, cutoff, embargo_days, id_col, user_col, ts_col, entities
+        )
         .groupBy("split")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),

@@ -5747,7 +5747,8 @@ def q_shard_admission(spark: SparkSession, sf: str) -> DataFrame:
       WHERE ts < TIMESTAMP '2024-01-25 00:00:00' AND user_id IS NOT NULL
     )
     SELECT event_id,
-           CASE WHEN ts < TIMESTAMP '2024-01-25 00:00:00' THEN 'train'
+           CASE WHEN ts IS NULL THEN 'embargo'
+                WHEN ts < TIMESTAMP '2024-01-25 00:00:00' THEN 'train'
                 WHEN ts < TIMESTAMP '2024-01-26 00:00:00' THEN 'embargo'
                 WHEN user_id IN (SELECT user_id FROM tu) THEN 'val_warm'
                 ELSE 'val_cold' END AS split

@@ -336,3 +336,62 @@ def test_gold_build_id_write_failure_returns_none(tmp_path):
     missing = tmp_path / "nope" / "gold"  # parent absent: open() fails
     assert _write_gold_build_id(str(missing)) is None
     assert _read_gold_build_id(str(missing)) is None
+
+
+def test_filtered_subset_probe_with_explicit_shard_count(spark):
+    """The documented filtered-subset workflow must survive the r15
+    shard-gap hardening: probing ONE shard's rows with the build-time
+    n_shards supplied routes correctly and answers without raising,
+    while the same filtered table WITHOUT the override refuses loudly."""
+    import pytest
+
+    from market_data_ingestion_scraper_spark.operators.bloom import (
+        _bloom_params,
+        bloom_probe_hashes,
+        build_hash_bloom,
+    )
+
+    hashes = spark.range(0, 400).select(
+        F.sha2(F.col("id").cast("string"), 256).alias("content_hash")
+    )
+    blooms = build_hash_bloom(hashes, n_shards=4, n_bits=1 << 16, n_hashes=3)
+    one_shard = blooms.filter("shard = 3").persist()
+    assert one_shard.count() == 1
+    with pytest.raises(ValueError, match="shard gaps"):
+        _bloom_params(one_shard)
+    probe = hashes.select(F.col("content_hash").alias("_h"))
+    got = bloom_probe_hashes(probe, one_shard, n_shards=4)
+    # every present hash routed to shard 3 must answer maybe=True; the
+    # rest route to absent shards and answer definitely-new
+    full = {r["_h"]: r["bloom_maybe"]
+            for r in bloom_probe_hashes(probe, blooms).collect()}
+    from market_data_ingestion_scraper_spark.operators.bloom import shard_of
+
+    shards = {r["_h"]: r["s"] for r in probe.select(
+        "_h", shard_of(F.col("_h"), 4).alias("s")).collect()}
+    for r in got.collect():
+        if shards[r["_h"]] == 3:
+            assert r["bloom_maybe"] == full[r["_h"]]
+        else:
+            assert r["bloom_maybe"] is False
+    one_shard.unpersist()
+
+
+def test_bloom_params_frame_refuses_duplicate_shards(spark):
+    """The frame-side derivation must refuse an appended/rewritten
+    artifact (two bitmap generations per shard) exactly like the
+    rows-side twin — picking either generation loses set bits (r15
+    review finding)."""
+    import pytest
+
+    from market_data_ingestion_scraper_spark.operators.bloom import (
+        _bloom_params,
+        build_hash_bloom,
+    )
+
+    hashes = spark.range(0, 50).select(
+        F.sha2(F.col("id").cast("string"), 256).alias("content_hash")
+    )
+    blooms = build_hash_bloom(hashes, n_shards=4, n_bits=1 << 16, n_hashes=3)
+    with pytest.raises(ValueError, match="duplicate shard"):
+        _bloom_params(blooms.unionAll(blooms))

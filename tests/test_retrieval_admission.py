@@ -282,3 +282,35 @@ def test_shard_admission_validation(spark):
     docs_df = spark.read.parquet(f"{SF}/documents.parquet")
     with pytest.raises(ValueError, match="corpus_docs="):
         shard_admission_report(docs_df.filter("doc_id % 5 = 0"))
+
+
+def test_hybrid_rrf_column_params_and_one_query_guard(spark):
+    """r15 review fixes: renamed id/text columns must flow through the
+    BM25 side (the advertised parameters function), and a multi-row
+    query frame must refuse instead of silently interleaving two
+    queries' ranked lists."""
+    docs_df = spark.read.parquet(f"{SF}/documents.parquet")
+    emb_df = spark.read.parquet(f"{SF}/embeddings.parquet")
+    renamed = docs_df.withColumnRenamed("doc_id", "id").withColumnRenamed(
+        "text", "body"
+    )
+    base = hybrid_retrieval_rrf(
+        docs_df, emb_df, ("hash", "join", "vector"),
+        emb_df.filter("vec_id = 0"), k=5,
+    ).collect()
+    got = hybrid_retrieval_rrf(
+        renamed, emb_df, ("hash", "join", "vector"),
+        emb_df.filter("vec_id = 0"), k=5,
+        doc_id_col="id", text_col="body",
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in base]
+    assert got[0].__fields__[0] == "id"
+
+    with pytest.raises(ValueError, match="exactly one query"):
+        hybrid_retrieval_rrf(
+            docs_df, emb_df, ("hash",), emb_df.filter("vec_id < 2"), k=5
+        )
+    with pytest.raises(ValueError, match="exactly one query"):
+        hybrid_retrieval_rrf(
+            docs_df, emb_df, ("hash",), emb_df.filter("vec_id < 0"), k=5
+        )

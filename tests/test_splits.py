@@ -26,7 +26,9 @@ def _py_split(rows, cutoff, embargo_days):
     seen = {u for e, u, ts in rows if ts < cut and u is not None}
     out = {}
     for e, u, ts in rows:
-        if ts < cut:
+        if ts is None:
+            out[e] = "embargo"
+        elif ts < cut:
             out[e] = "train"
         elif ts < val_start:
             out[e] = "embargo"
@@ -67,6 +69,7 @@ def test_temporal_split_planted_truth_table(spark):
         (5, None, dt.datetime(2024, 1, 28, 0)),  # val_cold (null user)
         (6, 20, dt.datetime(2024, 1, 25, 23, 59)),  # embargo edge
         (7, 30, dt.datetime(2024, 1, 26, 0)),    # val_cold (boundary in)
+        (8, 10, None),  # NULL ts -> embargo (placeable on neither side)
     ]
     df = spark.createDataFrame(
         rows, "event_id long, user_id long, ts timestamp"
@@ -74,7 +77,7 @@ def test_temporal_split_planted_truth_table(spark):
     got = {r["event_id"]: r["split"] for r in temporal_split(df, CUT).collect()}
     assert got == {
         1: "train", 2: "embargo", 3: "val_warm", 4: "val_cold",
-        5: "val_cold", 6: "embargo", 7: "val_cold",
+        5: "val_cold", 6: "embargo", 7: "val_cold", 8: "embargo",
     }
 
 
