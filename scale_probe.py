@@ -588,11 +588,11 @@ def main() -> None:
         # built once, untimed) + the same BM25 list.  Wall must track the
         # BM25 term-filtered scan, not the vector corpus: the semantic
         # side serves from the warm bucket index.
+        # lsh_topk/bucket_table come from the MODULE-level import: a
+        # re-import here would make them locals of main() and break the
+        # ann() closure above (NameError before first assignment)
         from market_data_ingestion_scraper_spark.operators.retrieval import (
             rrf_fuse,
-        )
-        from market_data_ingestion_scraper_spark.operators.similarity import (
-            lsh_topk,
         )
         from market_data_ingestion_scraper_spark.operators.text import (
             bm25_scores,
