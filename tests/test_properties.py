@@ -332,3 +332,104 @@ def test_memorization_matches_twin_on_random_corpora(spark, corpus, bench):
     }
     assert got == want
     assert set(got) == set(range(len(bench)))  # every eval doc present
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lists=st.dictionaries(
+        st.sampled_from(["lex", "sem", "rec"]),
+        st.lists(
+            st.integers(min_value=0, max_value=30), min_size=1, max_size=12,
+            unique=True,
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+    k_rrf=st.integers(min_value=1, max_value=100),
+)
+def test_rrf_fuse_matches_twin_on_random_lists(spark, lists, k_rrf):
+    """X31 property: for ANY set of ranked lists (overlapping or
+    disjoint ids, any k_rrf) the fusion equals the integer-arithmetic
+    twin — score Σ 1e9 // (k_rrf + rank) with absent lists contributing
+    0, ordered (score DESC, id ASC)."""
+    from market_data_ingestion_scraper_spark.operators.retrieval import rrf_fuse
+
+    frames = {
+        name: spark.createDataFrame(
+            [(doc, i + 1) for i, doc in enumerate(ids)],
+            "doc_id long, rank int",
+        )
+        for name, ids in lists.items()
+    }
+    want: dict[int, int] = {}
+    for ids in lists.values():
+        for i, doc in enumerate(ids):
+            want[doc] = want.get(doc, 0) + 10**9 // (k_rrf + i + 1)
+    top = sorted(want.items(), key=lambda x: (-x[1], x[0]))[:10]
+    got = [
+        (r["doc_id"], r["rrf_micro"])
+        for r in rrf_fuse(frames, k=10, k_rrf=k_rrf).collect()
+    ]
+    assert got == top
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),          # user (small: collisions)
+            st.integers(min_value=0, max_value=40 * 86400),  # offset seconds
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    embargo=st.integers(min_value=0, max_value=3),
+)
+def test_temporal_split_matches_twin_on_random_events(spark, events, embargo):
+    """X33 property: for ANY event set (users colliding across the
+    boundary, timestamps landing inside the embargo, any embargo width)
+    the assignment equals the pure-Python twin — and the temporal
+    guarantee holds: no val row earlier than cutoff + embargo, no train
+    row at or after the cutoff."""
+    import datetime as dt
+
+    from market_data_ingestion_scraper_spark.operators.splits import (
+        temporal_split,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    cut_s = "2024-01-20 00:00:00"
+    cut = dt.datetime.fromisoformat(cut_s)
+    val_start = cut + dt.timedelta(days=embargo)
+    rows = [
+        (i, u, base + dt.timedelta(seconds=off))
+        for i, (u, off) in enumerate(events)
+    ]
+    seen = {u for _, u, ts in rows if ts < cut}
+    want = {}
+    for i, u, ts in rows:
+        if ts < cut:
+            want[i] = "train"
+        elif ts < val_start:
+            want[i] = "embargo"
+        else:
+            want[i] = "val_warm" if u in seen else "val_cold"
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    got = {
+        r["event_id"]: r["split"]
+        for r in temporal_split(df, cut_s, embargo_days=embargo).collect()
+    }
+    assert got == want
+    for i, u, ts in rows:
+        if got[i].startswith("val"):
+            assert ts >= val_start
+        if got[i] == "train":
+            assert ts < cut
