@@ -5853,7 +5853,14 @@ GATE_PRIORITY: tuple[str, ...] = (
 # Queries newly registered at r15 join the head of this window (the
 # memorization_profile / domain_mix_report precedent): their SQL twins
 # are verified green at registration time and they take their first
-# driver gate rows at r16.
+# driver gate rows at r16.  The r16 debt is exactly
+# `hybrid_rrf_retrieval`, `shard_admission_report`, and
+# `temporal_split_events` — all three verified green at sf0.001 AND
+# sf0.01 at registration (full gate-replica runs, r15 session) and
+# pinned meanwhile by independent pure-Python twins
+# (test_retrieval_admission.py, test_splits.py) plus hypothesis
+# property differentials (test_properties.py) and the oracle-parity
+# suite.
 GATE_DEFERRED: tuple[str, ...] = (
     # registered r15, SQL twins verified green at registration (sf0.001 +
     # sf0.01 via test_oracle_parity + the /verify gate replica); first

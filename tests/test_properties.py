@@ -433,3 +433,45 @@ def test_temporal_split_matches_twin_on_random_events(spark, events, embargo):
             assert ts >= val_start
         if got[i] == "train":
             assert ts < cut
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), max_size=10).map(
+            " ".join
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_shard_admission_matches_twin_on_random_corpora(spark, docs):
+    """X32 property: on ANY corpus over a tiny alphabet (dense with
+    near- and exact-duplicates across the shard boundary, empty texts
+    sharing the sentinel signature — the adversarial regime for the
+    keep-lowest-id rule) the admission report equals the pure-Python
+    minhash twin."""
+    from market_data_ingestion_scraper_spark.operators.dedup import (
+        shard_admission_report,
+    )
+
+    from .test_retrieval_admission import _py_admission
+
+    rows = [(i, t, f"s{i % 2}") for i, t in enumerate(docs)]
+    want = _py_admission(rows, threshold=0.5, mod=3)
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r["source"]: (
+            r["n_new"], r["n_dup_vs_corpus"], r["n_dup_within_new"],
+            r["n_admitted"], r["admit_ppm"],
+        )
+        for r in shard_admission_report(
+            df.filter("doc_id % 3 = 0"), df.filter("doc_id % 3 <> 0"),
+            threshold=0.5, portable=True,
+        ).collect()
+    }
+    assert got == want
