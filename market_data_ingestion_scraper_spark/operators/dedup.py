@@ -200,7 +200,9 @@ def hashed_shingle_table(
     )
 
 
-def minhash_signature(text: Column | str = "text", k: int = 3) -> Column:
+def minhash_signature(
+    text: Column | str = "text", k: int = 3, portable: bool = False
+) -> Column:
     """64-value MinHash signature as array<long>; empty docs → p sentinel.
 
     Column form — fine for single use, but NOTE: Catalyst's CollapseProject
@@ -208,7 +210,10 @@ def minhash_signature(text: Column | str = "text", k: int = 3) -> Column:
     (e.g. 16 LSH band keys → 16 recomputations).  Pipelines use
     ``minhash_table`` instead, whose groupBy is a materialization barrier.
     Internally the shingle set is let-bound so the 64 permutations share
-    one shingling pass per row."""
+    one shingling pass per row.  It IS the stream-legal form: a pure
+    projection, no aggregation — the streaming admission filter builds
+    on it, and signature parity with ``minhash_table`` is pytest-pinned
+    (same field arithmetic, same sentinel via the coalesce)."""
 
     def build(sha: Column) -> Column:
         def _minhash(a: int, b: int) -> Column:
@@ -218,7 +223,7 @@ def minhash_signature(text: Column | str = "text", k: int = 3) -> Column:
 
         return F.array(*[F.coalesce(_minhash(a, b), F.lit(HASH_P)) for a, b in _AB])
 
-    return _let(shingles(text, k), build)
+    return _let(shingles(text, k, portable), build)
 
 
 def minhash_table(
@@ -279,6 +284,17 @@ def band_keys_from_sigs(
     equi-joins shuffle ids only — signatures are joined back AFTER the
     (doc, candidate) pairs are deduplicated, so each signature crosses
     the wire once per surviving pair, not once per colliding band."""
+    return sigs.select(
+        id_col,
+        F.explode(band_struct_array(F.col("sig"), n_bands)).alias("bk"),
+    ).select(id_col, "bk.band", "bk.key")
+
+
+def band_struct_array(sig_col: Column, n_bands: int) -> Column:
+    """array<struct<band,key>> banding of one signature column — the
+    expression :func:`band_keys_from_sigs` explodes, factored so the
+    streaming admission filter bands with IDENTICAL keys (xxhash64 of
+    the comma-joined band slice) and the two paths cannot drift."""
     if n_bands < 1 or N_HASHES % n_bands != 0:
         # r9 review: n_bands=128 gave r=0 → every band key the constant
         # xxhash64('') → quadratic candidate explosion baked into the
@@ -290,18 +306,15 @@ def band_keys_from_sigs(
             f"(valid: {[b for b in range(1, N_HASHES + 1) if N_HASHES % b == 0]})"
         )
     r = N_HASHES // n_bands
-    return sigs.select(
-        id_col,
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(F.concat_ws(",", F.slice("sig", b * r + 1, r))).alias("key"),
-                ),
-            )
-        ).alias("bk"),
-    ).select(id_col, "bk.band", "bk.key")
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.xxhash64(F.concat_ws(",", F.slice(sig_col, b * r + 1, r))).alias(
+                "key"
+            ),
+        ),
+    )
 
 
 def minhash_band_table(

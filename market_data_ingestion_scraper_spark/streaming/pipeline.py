@@ -1420,3 +1420,94 @@ def stream_split_tag(
         id_col,
         split_expr(cutoff, embargo_days, ts_col).alias("split"),
     )
+
+
+def stream_shard_admission_filter(
+    rows: DataFrame,
+    corpus_index: DataFrame | None = None,
+    corpus_sigs: DataFrame | None = None,
+    threshold: float = 0.5,
+    n_bands: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    portable: bool = False,
+    index=None,
+) -> DataFrame:
+    """Streaming X32 admission: drop incoming documents whose estimated
+    MinHash Jaccard against the persisted corpus band index reaches
+    ``threshold`` — the text-space counterpart of
+    :func:`stream_near_dup_filter`, run in front of the gold sink so
+    re-crawled/mirrored text never lands.
+
+    Stream-legal composition (the near-dup-filter shape): the signature
+    is :func:`~..operators.dedup.minhash_signature` — a pure PROJECTION
+    (parity with ``minhash_table`` pytest-pinned), because the table
+    form's groupBy would be a second stateful operator here — banded
+    with the SAME :func:`~..operators.dedup.band_struct_array` keys the
+    index was built with, LEFT-joined against the static band index
+    (rows with no collision must survive; a stream cannot anti-join
+    itself), signatures join back per candidate, and ONE streaming
+    aggregation keeps rows whose best estimate stays below threshold.
+
+    Returns admitted rows ``(id, text, max_corpus_est)`` with −1.0 for
+    no-candidate rows.  SCOPE: this covers the NEW-vs-CORPUS direction;
+    two near-duplicates arriving in the SAME micro-batch do not compare
+    to each other — new-vs-new is the batch
+    :func:`~..operators.dedup.shard_admission_report`'s job (or the
+    foreachBatch extend loop, which indexes each admitted batch before
+    the next arrives).  NO self-exclusion, same rationale as the
+    embedding filter: a re-crawl keeping its corpus id must still match
+    its own indexed copy.
+
+    ``index`` accepts the minhash ``AnnIndex`` handle (parameters and
+    tables from the sidecar — the mismatch-proof form); otherwise pass
+    the ``corpus_index`` bands frame plus ``corpus_sigs``."""
+    from ..operators.dedup import (
+        _sig_agreement,
+        _unpack_minhash_index,
+        band_struct_array,
+        minhash_signature,
+    )
+
+    if index is not None:
+        corpus_index, corpus_sigs, n_bands, k, portable = (
+            _unpack_minhash_index(index, id_col)
+        )
+    if corpus_index is None or corpus_sigs is None:
+        raise ValueError(
+            "stream_shard_admission_filter needs either index= or "
+            "corpus_index= plus corpus_sigs="
+        )
+    staged = rows.select(
+        F.col(id_col),
+        F.col(text_col),
+        minhash_signature(text_col, k, portable).alias("sig_a"),
+    )
+    banded = staged.select(
+        id_col,
+        text_col,
+        "sig_a",
+        F.explode(band_struct_array(F.col("sig_a"), n_bands)).alias("bk"),
+    ).select(id_col, text_col, "sig_a", "bk.band", "bk.key")
+    cand = banded.join(
+        corpus_index.withColumnsRenamed({id_col: "_corpus_id"}),
+        ["band", "key"],
+        "left",
+    )
+    scored = cand.join(
+        corpus_sigs.select(
+            F.col(id_col).alias("_corpus_id"), F.col("sig").alias("sig_b")
+        ),
+        "_corpus_id",
+        "left",
+    ).select(
+        id_col,
+        text_col,
+        F.coalesce(_sig_agreement(), F.lit(-1.0)).alias("_est"),
+    )
+    return (
+        scored.groupBy(id_col, text_col)
+        .agg(F.max("_est").alias("max_corpus_est"))
+        .filter(F.col("max_corpus_est") < threshold)
+    )

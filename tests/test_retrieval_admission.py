@@ -314,3 +314,132 @@ def test_hybrid_rrf_column_params_and_one_query_guard(spark):
         hybrid_retrieval_rrf(
             docs_df, emb_df, ("hash",), emb_df.filter("vec_id < 0"), k=5
         )
+
+
+# ------------------------------------------- X32 streaming admission
+
+def test_minhash_signature_column_matches_table(spark):
+    """The stream-legal projection signature must equal minhash_table's
+    aggregated signature value-for-value (including the empty-doc
+    sentinel) — the parity that makes the streaming admission filter's
+    estimates identical to the batch report's."""
+    from pyspark.sql import functions as F
+
+    from market_data_ingestion_scraper_spark.operators.dedup import (
+        minhash_signature,
+        minhash_table,
+    )
+
+    docs_df = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    ).unionByName(
+        spark.createDataFrame([(99_999, "")], "doc_id long, text string")
+    )
+    col_form = {
+        r["doc_id"]: tuple(r["s"])
+        for r in docs_df.select(
+            "doc_id", minhash_signature("text", portable=True).alias("s")
+        ).collect()
+    }
+    table_form = {
+        r["doc_id"]: tuple(r["sig"])
+        for r in minhash_table(docs_df, portable=True).collect()
+    }
+    assert col_form == table_form
+    assert col_form[99_999] == (HASH_P,) * N_HASHES  # sentinel parity
+
+
+def test_stream_shard_admission_matches_batch_report(spark, tmp_path):
+    """Stream ≡ batch through the memory sink, and the admitted set is
+    exactly the batch report's NOT-dup_vs_corpus documents (the stream
+    covers the new-vs-corpus direction by contract)."""
+    from market_data_ingestion_scraper_spark.operators.dedup import (
+        band_keys_from_sigs,
+        minhash_table,
+    )
+    from market_data_ingestion_scraper_spark.streaming import pipeline as P
+
+    docs_df = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
+    new = docs_df.filter("doc_id % 5 = 0").select("doc_id", "text")
+    corpus = docs_df.filter("doc_id % 5 <> 0")
+    corpus_sigs = minhash_table(corpus, portable=True).persist()
+    corpus_bands = band_keys_from_sigs(corpus_sigs)
+
+    batch_admit = {
+        r["doc_id"]: r["max_corpus_est"]
+        for r in P.stream_shard_admission_filter(
+            new, corpus_bands, corpus_sigs, threshold=0.5, portable=True
+        ).collect()
+    }
+    # cross-operator: admitted ∪ vs-corpus-dropped == the whole shard
+    from market_data_ingestion_scraper_spark.operators.dedup import (
+        near_duplicates_vs_index,
+    )
+
+    dropped = {
+        r["doc_id"]
+        for r in near_duplicates_vs_index(
+            new, corpus_bands, threshold=0.5, portable=True,
+            corpus_sigs=corpus_sigs,
+        ).collect()
+    }
+    all_ids = {r["doc_id"] for r in new.collect()}
+    assert set(batch_admit) == all_ids - dropped
+    assert dropped, "fixture must plant vs-corpus duplicates"
+
+    src = str(tmp_path / "in")
+    new.repartition(3).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    out = P.run_to_memory(
+        P.stream_shard_admission_filter(
+            stream, corpus_bands, corpus_sigs, threshold=0.5, portable=True
+        ),
+        "t_shard_admit", spark,
+    )
+    stream_admit = {
+        r["doc_id"]: r["max_corpus_est"] for r in out.collect()
+    }
+    assert stream_admit == batch_admit
+    corpus_sigs.unpersist()
+
+
+def test_stream_shard_admission_index_handle_and_validation(spark, tmp_path):
+    from market_data_ingestion_scraper_spark.operators.dedup import (
+        write_minhash_index,
+    )
+    from market_data_ingestion_scraper_spark.operators.similarity import (
+        load_ann_index,
+    )
+    from market_data_ingestion_scraper_spark.streaming import pipeline as P
+
+    docs_df = spark.read.parquet(f"{SF}/documents.parquet")
+    new = docs_df.filter("doc_id % 5 = 0").select("doc_id", "text")
+    corpus = docs_df.filter("doc_id % 5 <> 0")
+    out = str(tmp_path / "mh_index")
+    write_minhash_index(corpus, out, n_bands=16, portable=True)
+    handle = load_ann_index(spark, out)
+    via_index = {
+        tuple(r)
+        for r in P.stream_shard_admission_filter(
+            new, threshold=0.5, index=handle
+        ).collect()
+    }
+    from market_data_ingestion_scraper_spark.operators.dedup import (
+        band_keys_from_sigs,
+        minhash_table,
+    )
+
+    sigs = minhash_table(corpus, portable=True)
+    via_frames = {
+        tuple(r)
+        for r in P.stream_shard_admission_filter(
+            new, band_keys_from_sigs(sigs), sigs, threshold=0.5, portable=True
+        ).collect()
+    }
+    assert via_index == via_frames
+    with pytest.raises(ValueError, match="corpus_index="):
+        P.stream_shard_admission_filter(new)
