@@ -141,19 +141,29 @@ def hybrid_retrieval_rrf(
     from .similarity import brute_force_topk
     from .text import bm25_scores
 
-    if len(query_vectors.select(vec_id_col).limit(2).collect()) != 1:
+    # The one-query guard's collect doubles as the query-side
+    # materialization: the single collected row becomes a LOCAL one-row
+    # frame for the semantic side, so the guard costs no scan the main
+    # job wasn't already paying (r15 review finding — the original
+    # guard added a second pass over the query frame's source).
+    qsel = query_vectors.select(vec_id_col, vec_col)
+    qrows = qsel.limit(2).collect()
+    if len(qrows) != 1:
         raise ValueError(
             "query_vectors must hold exactly one query row — fuse "
             "multi-query lists per query via rrf_fuse instead"
         )
-    # bm25_scores speaks the (doc_id, text) schema — alias the caller's
-    # columns in and the ranked output back out, so the advertised
-    # column parameters actually function (r15 review finding)
-    docs_n = documents
-    if doc_id_col != "doc_id":
-        docs_n = docs_n.withColumnRenamed(doc_id_col, "doc_id")
-    if text_col != "text":
-        docs_n = docs_n.withColumnRenamed(text_col, "text")
+    qlocal = documents.sparkSession.createDataFrame(qrows, qsel.schema)
+    # bm25_scores speaks the (doc_id, text) schema — select/alias exactly
+    # the needed columns (a rename-in-place collides when the frame also
+    # carries a literal 'doc_id'/'text' alongside the custom columns) and
+    # alias the ranked output back out, so the advertised column
+    # parameters actually function (r15 review findings)
+    docs_n = documents.select(
+        F.col(doc_id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        *([F.col(dl_col)] if dl_col else []),
+    )
     lex = bm25_scores(
         docs_n, query_terms, top_k=n_candidates, dl_col=dl_col
     ).withColumnRenamed("doc_id", doc_id_col)
@@ -167,7 +177,7 @@ def hybrid_retrieval_rrf(
         F.row_number().over(lw).cast("int").alias("lex_rank"),
     )
     sem = brute_force_topk(
-        embeddings, query_vectors, k=n_candidates,
+        embeddings, qlocal, k=n_candidates,
         id_col=vec_id_col, vec_col=vec_col,
     ).select(
         F.col("neighbor_id").alias(doc_id_col),

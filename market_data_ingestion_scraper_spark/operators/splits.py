@@ -46,12 +46,17 @@ from pyspark.sql import functions as F
 def _valid_ts(literal: str, what: str) -> str:
     """Fail fast on a malformed timestamp literal (it is spliced into an
     INTERVAL expression — a typo'd value must raise here, not parse as
-    NULL and silently send every row to one side)."""
+    NULL and silently send every row to one side) and NORMALIZE it:
+    Python's fromisoformat accepts compact forms ('20240125',
+    '2024-01-25T00') that Spark's timestamp parser rejects at ACTION
+    time with a DateTimeException the callers don't catch (r15 review
+    finding) — re-emitting the canonical 'YYYY-MM-DD HH:MM:SS' form
+    makes everything fromisoformat accepts Spark-safe."""
     try:
-        datetime.fromisoformat(literal)
+        parsed = datetime.fromisoformat(literal)
     except ValueError as exc:
         raise ValueError(f"{what} must be an ISO timestamp, got {literal!r}") from exc
-    return literal
+    return parsed.isoformat(sep=" ")
 
 
 def train_entities(
@@ -124,6 +129,25 @@ def temporal_split(
     ).select(id_col, "split")
 
 
+def with_seen_flag(
+    rows: DataFrame, entities: DataFrame, user_col: str
+) -> DataFrame:
+    """LEFT-join the train-entity membership flag onto ``rows`` — the
+    ONE join both the batch constructor and the streaming tagger
+    compile to (factored like :func:`split_expr`, so the stream ≡ batch
+    guarantee holds by construction).  The entity side is defensively
+    deduplicated: a caller passing a NON-distinct frame as the frozen
+    artifact (e.g. the raw pre-cutoff projection) would otherwise fan
+    every matching row out once per duplicate and silently break the
+    one-row-per-input-row contract (r15 review finding)."""
+    seen = entities.select(
+        F.col(user_col), F.lit(True).alias("_seen_in_train")
+    ).dropDuplicates([user_col])
+    return rows.join(seen, user_col, "left").withColumn(
+        "_seen_in_train", F.coalesce("_seen_in_train", F.lit(False))
+    )
+
+
 def _assigned(
     events: DataFrame,
     cutoff: str,
@@ -136,13 +160,8 @@ def _assigned(
     """(id, user, split) — shared by the assignment and the report."""
     if entities is None:
         entities = train_entities(events, cutoff, user_col, ts_col)
-    seen = entities.select(
-        F.col(user_col), F.lit(True).alias("_seen_in_train")
-    )
-    joined = events.select(id_col, user_col, ts_col).join(
-        seen, user_col, "left"
-    ).withColumn(
-        "_seen_in_train", F.coalesce("_seen_in_train", F.lit(False))
+    joined = with_seen_flag(
+        events.select(id_col, user_col, ts_col), entities, user_col
     )
     return joined.select(
         id_col,

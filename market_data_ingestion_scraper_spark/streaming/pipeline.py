@@ -1406,15 +1406,10 @@ def stream_split_tag(
     compiles to — factored expression, so stream ≡ batch bit-for-bit
     by construction (pytest-pinned).  No state, no watermark needed in
     append mode."""
-    from ..operators.splits import split_expr
+    from ..operators.splits import split_expr, with_seen_flag
 
-    seen = entities.select(
-        F.col(user_col), F.lit(True).alias("_seen_in_train")
-    )
-    staged = rows.select(id_col, user_col, ts_col).join(
-        seen, user_col, "left"
-    ).withColumn(
-        "_seen_in_train", F.coalesce("_seen_in_train", F.lit(False))
+    staged = with_seen_flag(
+        rows.select(id_col, user_col, ts_col), entities, user_col
     )
     return staged.select(
         id_col,

@@ -443,3 +443,26 @@ def test_stream_shard_admission_index_handle_and_validation(spark, tmp_path):
     assert via_index == via_frames
     with pytest.raises(ValueError, match="corpus_index="):
         P.stream_shard_admission_filter(new)
+
+
+def test_hybrid_rrf_colliding_column_names(spark):
+    """r15 review fix: a frame carrying a literal 'text' column alongside
+    the custom text column must not trip an ambiguous-reference error —
+    the adapter selects/aliases instead of renaming in place."""
+    from pyspark.sql import functions as F
+
+    docs_df = spark.read.parquet(f"{SF}/documents.parquet")
+    emb_df = spark.read.parquet(f"{SF}/embeddings.parquet")
+    tricky = docs_df.withColumnRenamed("text", "body").withColumn(
+        "text", F.lit("decoy")
+    ).withColumn("doc_id2", F.col("doc_id"))
+    base = hybrid_retrieval_rrf(
+        docs_df, emb_df, ("hash", "join", "vector"),
+        emb_df.filter("vec_id = 0"), k=5,
+    ).collect()
+    got = hybrid_retrieval_rrf(
+        tricky, emb_df, ("hash", "join", "vector"),
+        emb_df.filter("vec_id = 0"), k=5,
+        text_col="body",
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in base]

@@ -138,3 +138,22 @@ def test_temporal_split_validation(spark):
         temporal_split(ev, "not-a-date")
     with pytest.raises(ValueError, match="embargo_days"):
         temporal_split(ev, CUT, embargo_days=-1)
+
+
+def test_temporal_split_nondistinct_entities_and_compact_cutoff(spark):
+    """r15 review fixes: a NON-distinct entities frame (the raw
+    pre-cutoff projection) must not fan rows out through the join, and
+    every fromisoformat-accepted cutoff form must normalize to a
+    Spark-safe literal instead of dying at action time."""
+    ev = load_table(spark, SF, "events")
+    raw = ev.filter(f"ts < timestamp'{CUT}'").select("user_id")  # dupes
+    base = temporal_split(ev, CUT).collect()
+    via_raw = temporal_split(ev, CUT, entities=raw).collect()
+    assert sorted(map(tuple, via_raw)) == sorted(map(tuple, base))
+    assert len(via_raw) == ev.count()
+
+    compact = {
+        r["event_id"]: r["split"]
+        for r in temporal_split(ev, "2024-01-25T00").collect()
+    }
+    assert compact == {r["event_id"]: r["split"] for r in base}
