@@ -1053,10 +1053,18 @@ def main(argv: list[str] | None = None) -> int:
         if args.index is not None:
             from .operators.similarity import load_ann_index
 
-            handle = load_ann_index(spark, args.index)
-            report = shard_admission_report(
-                shard, threshold=args.threshold, index=handle,
-            )
+            # bad-input parity with the temporal-split subcommand: a
+            # wrong-kind index directory (require('minhash') mismatch) or
+            # unreadable/foreign layout prints the message and exits 2,
+            # never a raw traceback (r15 advisor finding)
+            try:
+                handle = load_ann_index(spark, args.index)
+                report = shard_admission_report(
+                    shard, threshold=args.threshold, index=handle,
+                )
+            except (ValueError, FileNotFoundError) as exc:
+                print(str(exc), file=sys.stderr)
+                return 2
         else:
             corpus = spark.read.parquet(args.corpus)
             cmissing = [

@@ -357,9 +357,27 @@ def extend_hash_bloom(
     shards their positions touch rewrite; untouched shards pass through
     byte-identical.  Same cogroup shape as the probe — new (shard, pos)
     rows meet the shard's existing bitmap and set bits in numpy.
-    Invariant (pytest-pinned): extend(build(A), B) ≡ build(A ∪ B)."""
-    ns, nb, nh = _bloom_params(blooms, allow_gaps=n_shards is not None)
-    ns = int(n_shards) if n_shards is not None else ns
+    Invariant (pytest-pinned): extend(build(A), B) ≡ build(A ∪ B).
+
+    STRICT on the input table, unlike :func:`bloom_probe_hashes`: a
+    gapped (filtered) table refuses even when ``n_shards`` is supplied,
+    because merge() would seed fresh ZERO bitmaps for the absent shards
+    — the extended artifact then passes the gap check while silently
+    false-negativing on every build-time bit the filtered-out shards
+    carried (r15 advisor finding).  ``allow_gaps`` is a PROBE-side
+    affordance (probing a deliberate shard subset is read-only);
+    extending one is always lossy.  ``n_shards``, when supplied, may
+    only restate the table's own build count — any other modulus would
+    route the new hashes' positions to the wrong shards (silent false
+    negatives on the new keys)."""
+    ns, nb, nh = _bloom_params(blooms)
+    if n_shards is not None and int(n_shards) != ns:
+        raise ValueError(
+            f"extend_hash_bloom: n_shards={int(n_shards)} contradicts the "
+            f"table's build count {ns} — a different modulus routes new "
+            "positions to the wrong shards (silent false negatives); "
+            "gapped tables cannot be extended at all, rebuild instead"
+        )
     pos = _position_rows(
         new_hashes.select(F.col(hash_col).alias("_h")).distinct(), ns, nb, nh
     )
@@ -371,12 +389,17 @@ def extend_hash_bloom(
             return old[
                 ["shard", "n_bits", "n_hashes", "n_set", "bitmap"]
             ]
-        bm = (
-            np.frombuffer(old["bitmap"].iloc[0], dtype=np.uint8).copy()
-            if not old.empty
-            else np.zeros((nb + 7) // 8, dtype=np.uint8)
-        )
-        base = int(old["n_set"].iloc[0]) if not old.empty else 0
+        if old.empty:
+            # unreachable behind the strict dense-table check above —
+            # kept as a refusal (never a fresh zero bitmap: seeding one
+            # here would fabricate a shard that false-negatives on all
+            # its lost build-time bits, the r15 advisor finding)
+            raise ValueError(
+                f"extend_hash_bloom: new positions touch shard {key[0]} "
+                "which has no bitmap row — gapped table cannot extend"
+            )
+        bm = np.frombuffer(old["bitmap"].iloc[0], dtype=np.uint8).copy()
+        base = int(old["n_set"].iloc[0])
         p = new_pos["pos"].to_numpy(dtype=np.int64)
         was = ((bm[p >> 3] >> (p & 7).astype(np.uint8)) & 1).sum()
         np.bitwise_or.at(bm, p >> 3, (1 << (p & 7)).astype(np.uint8))

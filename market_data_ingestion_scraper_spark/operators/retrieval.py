@@ -73,9 +73,22 @@ def rrf_fuse(
     ``(rrf_micro DESC, id ASC)`` and limited to ``k`` — compiled to
     TakeOrderedAndProject over the full-outer join of the (tiny) lists.
 
+    Malformed lists REFUSE instead of skewing the fusion (r15 advisor
+    findings): a rank that is NULL or < 1 raises in-plan (a 0-based
+    list would silently inflate every contribution — 1e9 DIV (k_rrf+0)
+    for the top doc — and rank == -k_rrf divides by zero to a silent 0),
+    and duplicate ``id_col`` rows within one list raise rather than
+    fanning out through the chained full-outer joins as duplicate fused
+    rows with arbitrary rank pairing.  Both checks are lazy CASE
+    branches over the candidate-bounded lists (the dup check is a
+    per-id window count — bounded by the list, never corpus-sized), so
+    validation costs no extra job and no corpus-scale work.
+
     Kept separate from :func:`hybrid_retrieval_rrf` so callers can fuse
     any number of retrievers (BM25 + dense + a recency list, ...) with
     the same exact-integer arithmetic."""
+    from pyspark.sql import Window
+
     if not ranked_lists:
         raise ValueError("rrf_fuse needs at least one ranked list")
     if int(k_rrf) < 1:
@@ -86,11 +99,29 @@ def rrf_fuse(
             # the name becomes a <name>_rank output column referenced in
             # a SQL expression — refuse anything that can't be one
             raise ValueError(f"list name must be an identifier: {name!r}")
+    per_id = Window.partitionBy(id_col)
     fused: DataFrame | None = None
     for name in names:
+        rank = F.col(rank_col).cast("int")
         side = ranked_lists[name].select(
             F.col(id_col),
-            F.col(rank_col).cast("int").alias(f"{name}_rank"),
+            F.when(
+                rank.isNull() | (rank < 1),
+                F.raise_error(F.concat(
+                    F.lit(f"rrf_fuse: list {name!r} carries a non-1-based "
+                          f"rank ("),
+                    F.coalesce(rank.cast("string"), F.lit("NULL")),
+                    F.lit(") — ranks must be >= 1"),
+                )).cast("int"),
+            ).when(
+                F.count(F.lit(1)).over(per_id) > 1,
+                F.raise_error(F.concat(
+                    F.lit(f"rrf_fuse: list {name!r} carries duplicate "
+                          f"{id_col} rows (id="),
+                    F.col(id_col).cast("string"),
+                    F.lit(") — one row per document per list"),
+                )).cast("int"),
+            ).otherwise(rank).alias(f"{name}_rank"),
         )
         fused = side if fused is None else fused.join(side, id_col, "full_outer")
     rrf = None

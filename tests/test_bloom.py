@@ -395,3 +395,35 @@ def test_bloom_params_frame_refuses_duplicate_shards(spark):
     blooms = build_hash_bloom(hashes, n_shards=4, n_bits=1 << 16, n_hashes=3)
     with pytest.raises(ValueError, match="duplicate shard"):
         _bloom_params(blooms.unionAll(blooms))
+
+
+def test_extend_refuses_gapped_table_even_with_n_shards(spark):
+    """r16 advisor fix: extend must stay STRICT — a gapped (filtered)
+    table refuses even with the build-time n_shards supplied, because
+    merge() would otherwise seed fresh zero bitmaps for the absent
+    shards and the extended artifact would pass the gap check while
+    false-negativing on every lost build-time bit.  allow_gaps is a
+    probe-side affordance only."""
+    import pytest
+
+    hashes = _hashes(spark, 0, 400)
+    blooms = build_hash_bloom(hashes, n_shards=4, n_bits=1 << 16, n_hashes=3)
+    gapped = blooms.filter("shard <> 2")
+    new = _hashes(spark, 1000, 1100)
+    # without the override: the standing gap refusal
+    with pytest.raises(ValueError, match="shard gaps"):
+        extend_hash_bloom(gapped, new).collect()
+    # WITH the override (the r15 escape hatch): still refuses
+    with pytest.raises(ValueError, match="shard gaps"):
+        extend_hash_bloom(gapped, new, n_shards=4).collect()
+    # a contradictory modulus on a DENSE table refuses too — it would
+    # route the new hashes' positions to the wrong shards
+    with pytest.raises(ValueError, match="contradicts"):
+        extend_hash_bloom(blooms, new, n_shards=8).collect()
+    # restating the true build count stays accepted and bit-identical
+    # to the no-override call
+    a = extend_hash_bloom(blooms, new, n_shards=4).orderBy("shard").collect()
+    b = extend_hash_bloom(blooms, new).orderBy("shard").collect()
+    assert [(r["shard"], bytes(r["bitmap"])) for r in a] == [
+        (r["shard"], bytes(r["bitmap"])) for r in b
+    ]

@@ -871,6 +871,20 @@ def test_cli_shard_admit(tmp_path, spark):
              "--index", idx)
     assert r.returncode == 2 and "exactly one" in r.stderr
 
+    # r16 advisor fix: a wrong-KIND index directory (require('minhash')
+    # mismatch) prints the message and exits 2 like every other
+    # bad-input path in the subcommand, never a raw traceback
+    import json
+    import os
+
+    wrong_kind = str(tmp_path / "rp_index")
+    docs.limit(1).select("doc_id").write.parquet(wrong_kind)
+    with open(os.path.join(wrong_kind, "_quantizer.json"), "w") as f:
+        json.dump({"kind": "rp", "n_planes": 8, "seed": 42}, f)
+    r = _run("shard-admit", "--shard", shard_path, "--index", wrong_kind)
+    assert r.returncode == 2, (r.returncode, r.stderr[-2000:])
+    assert "kind mismatch" in r.stderr and "Traceback" not in r.stderr
+
 
 def test_cli_temporal_split(tmp_path, spark):
     """temporal-split: the X33 surface — report lines printed, the

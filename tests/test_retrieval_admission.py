@@ -133,6 +133,35 @@ def test_rrf_fuse_validation(spark):
         rrf_fuse({"bad name": l1})
 
 
+def test_rrf_fuse_refuses_malformed_lists(spark):
+    """r16 advisor fixes: a 0-based (or NULL) rank refuses in-plan
+    instead of silently inflating every contribution, and duplicate ids
+    within ONE list refuse instead of fanning out through the chained
+    full-outer joins as duplicate fused rows."""
+    ok = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rank int")
+    zero_based = spark.createDataFrame(
+        [(1, 0), (2, 1)], "doc_id long, rank int")
+    with pytest.raises(Exception, match="non-1-based"):
+        rrf_fuse({"a": ok, "b": zero_based}).collect()
+    null_rank = spark.createDataFrame(
+        [(1, 1), (2, None)], "doc_id long, rank int")
+    with pytest.raises(Exception, match="non-1-based"):
+        rrf_fuse({"a": null_rank}).collect()
+    negative = spark.createDataFrame(
+        [(1, -60)], "doc_id long, rank int")  # rank == -k_rrf: div by 0
+    with pytest.raises(Exception, match="non-1-based"):
+        rrf_fuse({"a": negative}).collect()
+    dup_ids = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 3)], "doc_id long, rank int")
+    with pytest.raises(Exception, match="duplicate"):
+        rrf_fuse({"a": ok, "b": dup_ids}).collect()
+    # well-formed lists still fuse exactly as before the hardening
+    got = rrf_fuse({"a": ok, "b": ok}, k=2).collect()
+    s = 10**9
+    assert [(r["doc_id"], r["rrf_micro"]) for r in got] == [
+        (1, 2 * (s // 61)), (2, 2 * (s // 62))]
+
+
 # ------------------------------------------------------- X32 python twin
 
 def _py_sig(text: str) -> list[int]:
