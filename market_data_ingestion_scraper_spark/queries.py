@@ -5735,6 +5735,60 @@ def q_shard_admission(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _land_admission_index(spark: SparkSession, sf: str) -> str:
+    """Persist the corpus-side (doc_id %% 5 != 0) minhash index once per
+    corpus into a marker-protected temp dir (the `_land_nation_pages`
+    convention) and return its path — so the gated index-form query
+    exercises the REAL serving sequence (write_minhash_index →
+    load_ann_index → shard_admission_report(index=...)), parameters
+    authoritative from the sidecar, corpus text never re-shingled at
+    query time."""
+    import hashlib
+    import tempfile
+
+    from .operators.dedup import write_minhash_index
+
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"msis_admidx_{hashlib.sha1(sf.encode()).hexdigest()[:10]}",
+    )
+    marker = os.path.join(d, "_BUILT")
+    if not os.path.exists(marker):
+        write_minhash_index(
+            _t(spark, sf, "documents").filter(F.col("doc_id") % 5 != 0),
+            d, n_bands=16, portable=True,
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    return d
+
+
+@register(
+    "shard_admission_index",
+    _admission_oracle_sql(),
+    doc="X32 SERVING path (r15 verdict #4): the same shard-admission "
+    "report computed against the PERSISTED split minhash index — "
+    "write_minhash_index once per corpus (sigs/ + band-partitioned "
+    "bands/ + authoritative _quantizer.json), load_ann_index, "
+    "shard_admission_report(index=handle).  This is the form the "
+    "100 TB story rests on (re-crawls never re-pay the corpus "
+    "signature pass; band-partition pruning reads only the shard's "
+    "bands), gated at equal rigor to the in-plan oracle form — the "
+    "DuckDB twin is identical because the two forms are "
+    "pytest-pinned bit-equal (test_shard_admission_index_handle_parity).",
+)
+def q_shard_admission_index(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.dedup import shard_admission_report
+    from .operators.similarity import load_ann_index
+
+    handle = load_ann_index(spark, _land_admission_index(spark, sf))
+    return shard_admission_report(
+        _t(spark, sf, "documents").filter(F.col("doc_id") % 5 == 0),
+        threshold=0.5,
+        index=handle,
+    )
+
+
 @register(
     "temporal_split_events",
     """
@@ -5783,88 +5837,17 @@ def q_temporal_split(spark: SparkSession, sf: str) -> DataFrame:
 # queries, and finally entries whose evidence already exists elsewhere
 # (rows-only demos pinned by pytest, long-stable double-green rows).
 GATE_PRIORITY: tuple[str, ...] = (
-    # r15 rotation (executes the hard commitment recorded here at r14):
-    # the 50 queries last checked green at r13 parked in GATE_DEFERRED
-    # through r14 and hit the 2-round staleness limit this round — the
+    # r16 rotation (executes the hard commitment recorded here at r15):
+    # the 50 queries last checked green at r14 parked in GATE_DEFERRED
+    # through r15 and hit the 2-round staleness limit this round — the
     # entire list rotates back into the snapshot window.  At its head sit
-    # `memorization_profile` (X29) and `domain_mix_report` (X30),
-    # registered r14, taking their FIRST driver gate rows; their SQL
-    # twins were verified green at registration (sf0.001 + sf0.01 via
-    # test_oracle_parity and the /verify gate replica) and both are
-    # pinned against independent pure-Python twins meanwhile
-    # (test_memorization_domainmix.py).
-    "memorization_profile",
-    "domain_mix_report",
-    "xlingual_align",
-    "curriculum_packed_order",
-    "trigram_backoff_quality",
-    "hard_negative_mining",
-    "perplexity_buckets",
-    "dsir_select",
-    "mixture_budget_fill",
-    "bloom_dedup_filter",
-    "kmeans_refine_step",
-    "corpus_snapshot_diff",
-    "quality_classifier_scores",
-    "temperature_mixture",
-    "bm25_ranking",
-    "shipping_lead_time",
-    "top3_parts_per_brand",
-    "revenue_rank_tiers",
-    "cumulative_monthly_volume",
-    "daily_price_delta",
-    "indexed_commodity_groups",
-    "union_day_slices",
-    "link_text_filter",
-    "commodity_lookup",
-    "brands_never_shipped_1998",
-    "grouped_pandas_price_stats",
-    "boilerplate_grams",
-    "label_centroids",
-    "top5_commodities",
-    "revenue_by_region",
-    "pii_scrub",
-    "doc_fingerprints",
-    "uniform_hash_sample",
-    "near_dup_clusters",
-    "jaccard_ssjoin_near_dups",
-    "simhash_near_dups",
-    "ivfpq_topk_adc",
-    "quality_funnel",
-    "multimodal_features",
-    "video_frame_sample",
-    "source_language_mix",
-    "semdedup_drop",
-    "minhash_est_calibration",
-    "ann_recall_eval",
-    "ivf_recall_eval",
-    "dedup_rate_by_source",
-    "token_count_histogram",
-    "embedding_norm_outliers",
-    "image_near_dups",
-    "duplicated_span_stats",
-)
-
-# The queries checked green at r14 park outside the snapshot window
-# this round; they hit the 2-round staleness limit at r16, so the r16
-# rotation MUST move this entire list into GATE_PRIORITY (and park the
-# r15-green window here).  With 100 exported queries and a 50-row
-# snapshot the cycle is exactly two rounds — sustainable indefinitely.
-# Queries newly registered at r15 join the head of this window (the
-# memorization_profile / domain_mix_report precedent): their SQL twins
-# are verified green at registration time and they take their first
-# driver gate rows at r16.  The r16 debt is exactly
-# `hybrid_rrf_retrieval`, `shard_admission_report`, and
-# `temporal_split_events` — all three verified green at sf0.001 AND
-# sf0.01 at registration (full gate-replica runs, r15 session) and
-# pinned meanwhile by independent pure-Python twins
-# (test_retrieval_admission.py, test_splits.py) plus hypothesis
-# property differentials (test_properties.py) and the oracle-parity
-# suite.
-GATE_DEFERRED: tuple[str, ...] = (
-    # registered r15, SQL twins verified green at registration (sf0.001 +
-    # sf0.01 via test_oracle_parity + the /verify gate replica); first
-    # driver gate rows due r16 per the standing rotation contract
+    # `hybrid_rrf_retrieval` (X31), `shard_admission_report` (X32) and
+    # `temporal_split_events` (X33), registered r15, taking their FIRST
+    # driver gate rows; their SQL twins were verified green at
+    # registration (sf0.001 + sf0.01 via test_oracle_parity and the
+    # /verify gate replica) and all three are pinned against independent
+    # pure-Python twins meanwhile (test_retrieval_admission.py,
+    # test_splits.py, test_properties.py).
     "hybrid_rrf_retrieval",
     "shard_admission_report",
     "temporal_split_events",
@@ -5915,6 +5898,75 @@ GATE_DEFERRED: tuple[str, ...] = (
     "pivot_status_qty",
     "cube_revenue",
     "quantity_percentiles",
+)
+
+# The queries checked green at r15 park outside the snapshot window
+# this round; they hit the 2-round staleness limit at r17, so the r17
+# rotation MUST move this entire list into GATE_PRIORITY (and park the
+# r16-green window here).  With 100 exported queries and a 50-row
+# snapshot the cycle is exactly two rounds — sustainable indefinitely.
+# Queries newly registered at r16 join the head of this window (the
+# memorization_profile / domain_mix_report / hybrid_rrf_retrieval
+# precedent): their SQL twins are verified green at registration time
+# and they take their first driver gate rows at r17.
+GATE_DEFERRED: tuple[str, ...] = (
+    # registered r16 (r15 verdict #4): the persisted-index serving form
+    # of X32, gated at equal rigor to the in-plan form; SQL twin
+    # verified green at registration (sf0.001 + sf0.01 via
+    # test_oracle_parity + the /verify gate replica) and pinned
+    # meanwhile by the bit-equality pytest
+    # (test_shard_admission_index_handle_parity); first driver gate row
+    # due r17 per the standing rotation contract
+    "shard_admission_index",
+    "memorization_profile",
+    "domain_mix_report",
+    "xlingual_align",
+    "curriculum_packed_order",
+    "trigram_backoff_quality",
+    "hard_negative_mining",
+    "perplexity_buckets",
+    "dsir_select",
+    "mixture_budget_fill",
+    "bloom_dedup_filter",
+    "kmeans_refine_step",
+    "corpus_snapshot_diff",
+    "quality_classifier_scores",
+    "temperature_mixture",
+    "bm25_ranking",
+    "shipping_lead_time",
+    "top3_parts_per_brand",
+    "revenue_rank_tiers",
+    "cumulative_monthly_volume",
+    "daily_price_delta",
+    "indexed_commodity_groups",
+    "union_day_slices",
+    "link_text_filter",
+    "commodity_lookup",
+    "brands_never_shipped_1998",
+    "grouped_pandas_price_stats",
+    "boilerplate_grams",
+    "label_centroids",
+    "top5_commodities",
+    "revenue_by_region",
+    "pii_scrub",
+    "doc_fingerprints",
+    "uniform_hash_sample",
+    "near_dup_clusters",
+    "simhash_near_dups",
+    "ivfpq_topk_adc",
+    "quality_funnel",
+    "multimodal_features",
+    "video_frame_sample",
+    "source_language_mix",
+    "semdedup_drop",
+    "minhash_est_calibration",
+    "ann_recall_eval",
+    "ivf_recall_eval",
+    "dedup_rate_by_source",
+    "token_count_histogram",
+    "embedding_norm_outliers",
+    "image_near_dups",
+    "duplicated_span_stats",
 )
 
 # Retired from the GATE EXPORT only (r8, on the r7 verdict's advice): each
@@ -6106,6 +6158,20 @@ GATE_RETIRED: tuple[str, ...] = (
     # bigram_merge_candidates, zipf_profile, bigram_logprob_quality).
     # Remains registered, benched, and oracle-parity-tested.
     "lexical_diversity",
+    # r16, swapped for shard_admission_index (retire-on-green: r15 row
+    # triple-green).  jaccard_ssjoin_near_dups is the exact
+    # set-similarity join — the deterministic baseline the LSH pipeline
+    # is measured against — and that exact-verification evidence runs
+    # inside the gated minhash_est_calibration EVERY cycle (it
+    # differentials the MinHash estimate against exact string-shingle
+    # Jaccard on the persisted banded pairs — the accepted carrier of
+    # the r9 minhash_lsh_candidates retirement), while the shingle
+    # inverted-index candidate machinery is the identical banded
+    # equi-join now gated twice over in shard_admission_report and
+    # shard_admission_index; the exact all-pairs SQL twin also remains
+    # benched as the r14-retired ngram_jaccard_near_dups.  Remains
+    # registered, benched, and oracle-parity-tested.
+    "jaccard_ssjoin_near_dups",
 )
 
 
@@ -6152,6 +6218,7 @@ GATE_RETIREMENT_LEDGER: dict[str, tuple[int, int]] = {
     "collapse_repeated_paras": (15, 14),
     "top_part_per_brand_maxby": (15, 14),
     "lexical_diversity": (15, 14),
+    "jaccard_ssjoin_near_dups": (16, 15),
 }
 
 
