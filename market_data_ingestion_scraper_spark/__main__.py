@@ -378,6 +378,45 @@ def main(argv: list[str] | None = None) -> int:
                     help="optional parquet of the frozen train-entity "
                     "artifact (feeds stream_split_tag)")
 
+    cx = sub.add_parser(
+        "corrupt-spans",
+        help="T5-style span-corruption training examples (X34): one "
+        "hash-chosen masked span per 16-token block, <extra_id_B> "
+        "sentinels, encoder input + decoder target per document; "
+        "deterministic (pure function of doc_id + text)",
+    )
+    cx.add_argument("--documents", required=True,
+                    help="parquet with (doc_id, text)")
+    cx.add_argument("--out", required=True,
+                    help="output parquet of (doc_id, n_tokens, n_spans, "
+                    "n_masked, input_text, target_text)")
+    cx.add_argument("--block-size", type=int, default=16)
+    cx.add_argument("--max-span", type=int, default=4)
+
+    fx = sub.add_parser(
+        "fim-examples",
+        help="fill-in-the-middle training examples (X34, PSM order): "
+        "two hash-chosen cuts per document of >= 3 tokens; "
+        "deterministic (pure function of doc_id + text)",
+    )
+    fx.add_argument("--documents", required=True,
+                    help="parquet with (doc_id, text)")
+    fx.add_argument("--out", required=True,
+                    help="output parquet of (doc_id, n_tokens, cut1, "
+                    "cut2, input_text, target_text)")
+
+    qe = sub.add_parser(
+        "quality-ensemble",
+        help="document-quality ensembler (X35): LR classifier + "
+        "perplexity tercile + Gopher rules composed with a majority "
+        "vote; prints the vote distribution",
+    )
+    qe.add_argument("--documents", required=True,
+                    help="parquet with (doc_id, text, lang)")
+    qe.add_argument("--min-votes", type=int, default=2)
+    qe.add_argument("--out", default=None,
+                    help="optional per-document output parquet")
+
     ic = sub.add_parser(
         "index-compact",
         help="fold an append-grown index's small files into one per "
@@ -1127,6 +1166,79 @@ def main(argv: list[str] | None = None) -> int:
             print(f"split={r['split']} n_rows={r['n_rows']} "
                   f"n_entities={r['n_entities']} "
                   f"row_share_ppm={r['row_share_ppm']}")
+        return 0
+
+    if args.cmd in ("corrupt-spans", "fim-examples"):
+        docs = spark.read.parquet(args.documents)
+        missing = [c for c in ("doc_id", "text") if c not in docs.columns]
+        if missing:
+            print(f"documents parquet missing columns: {missing}",
+                  file=sys.stderr)
+            return 2
+        if args.cmd == "corrupt-spans":
+            from .operators.corruption import span_corruption_examples
+
+            try:
+                out = span_corruption_examples(
+                    docs, block_size=args.block_size, max_span=args.max_span,
+                )
+            except ValueError as exc:
+                print(str(exc), file=sys.stderr)
+                return 2
+        else:
+            from .operators.corruption import fim_examples
+
+            out = fim_examples(docs)
+        out.write.mode("overwrite").parquet(args.out)
+        written = spark.read.parquet(args.out)
+        n = written.count()
+        if args.cmd == "corrupt-spans":
+            from pyspark.sql import functions as F
+
+            agg = written.agg(
+                F.sum("n_masked").alias("m"), F.sum("n_tokens").alias("t"),
+                F.sum("n_spans").alias("s"),
+            ).collect()[0]
+            density = (
+                (agg["m"] * 1_000_000) // agg["t"] if agg["t"] else 0
+            )
+            print(f"examples={n} spans={agg['s']} "
+                  f"density_ppm={density} out={args.out}")
+        else:
+            print(f"examples={n} out={args.out}")
+        return 0
+
+    if args.cmd == "quality-ensemble":
+        from .operators.ensemble import quality_ensemble
+
+        docs = spark.read.parquet(args.documents)
+        missing = [
+            c for c in ("doc_id", "text", "lang") if c not in docs.columns
+        ]
+        if missing:
+            print(f"documents parquet missing columns: {missing}",
+                  file=sys.stderr)
+            return 2
+        try:
+            out = quality_ensemble(docs, min_votes=args.min_votes)
+        except ValueError as exc:
+            print(str(exc), file=sys.stderr)
+            return 2
+        if args.out:
+            out.write.mode("overwrite").parquet(args.out)
+            out = spark.read.parquet(args.out)
+        from pyspark.sql import functions as F
+
+        dist = {
+            r["votes"]: (r["n"], r["kept"])
+            for r in out.groupBy("votes").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count_if(F.col("keep")).alias("kept"),
+            ).collect()
+        }
+        for v in sorted(dist):
+            n, kept = dist[v]
+            print(f"votes={v} n_docs={n} kept={kept}")
         return 0
 
     if args.cmd == "index-compact":

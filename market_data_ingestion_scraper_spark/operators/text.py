@@ -1145,6 +1145,50 @@ def score_with_literal_trigram(
     return scored
 
 
+def ppl_score_buckets(scored: DataFrame) -> DataFrame:
+    """The (lang, avg_logprob) → tercile-bucket map — the histogram +
+    bounded window core of :func:`perplexity_buckets`, factored out so
+    the bucket rule cannot drift between the corpus dashboard and
+    per-document consumers (:func:`~.ensemble.quality_ensemble` joins a
+    doc's (lang, score) against this map to read its bucket).
+
+    ``scored`` carries one row per document with (lang, avg_logprob);
+    output is one row per (lang, avg_logprob) group with ``n`` (the
+    group's doc count) and ``ppl_bucket`` ∈ head/middle/tail.  The
+    window runs over the per-(lang, score) HISTOGRAM, never a
+    per-language doc sort — see perplexity_buckets for the scale
+    rationale.
+
+    Token-less documents (NULL avg_logprob) are excluded BEFORE the
+    histogram: an unscoreable doc can't occupy a tercile, and counting
+    it into n_lang would shift every cutoff — the SQL twin's inner
+    scoring join excludes them structurally, so the filter keeps the
+    two engines identical on corpora with empty documents (r16)."""
+    hist = (
+        scored.filter(F.col("avg_logprob").isNotNull())
+        .groupBy("lang", "avg_logprob")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("avg_logprob"))
+    ranked = hist.select(
+        "lang",
+        "avg_logprob",
+        "n",
+        (F.sum("n").over(w) - F.col("n") + 1).alias("start_rank"),
+        F.sum("n").over(Window.partitionBy("lang")).alias("n_lang"),
+    )
+    k1 = F.ceil(F.col("n_lang") / 3)
+    k2 = F.ceil(F.col("n_lang") * 2 / 3)
+    bucket = (
+        F.when(F.col("start_rank") <= k1, "head")
+        .when(F.col("start_rank") > k2, "tail")
+        .otherwise("middle")
+    )
+    return ranked.select(
+        "lang", "avg_logprob", "n", bucket.alias("ppl_bucket")
+    )
+
+
 def perplexity_buckets(documents: DataFrame) -> DataFrame:
     """CCNet-style head/middle/tail perplexity terciles PER LANGUAGE
     (Wenzek et al. 2020 — their pipeline buckets each language's documents
@@ -1167,24 +1211,9 @@ def perplexity_buckets(documents: DataFrame) -> DataFrame:
     range — the corpus-curation dashboard shape."""
     lp = unigram_logprob(documents)
     scored = documents.select("doc_id", "lang").join(lp, "doc_id")
-    hist = scored.groupBy("lang", "avg_logprob").agg(F.count(F.lit(1)).alias("n"))
-    w = Window.partitionBy("lang").orderBy(F.desc("avg_logprob"))
-    ranked = hist.select(
-        "lang",
-        "avg_logprob",
-        "n",
-        (F.sum("n").over(w) - F.col("n") + 1).alias("start_rank"),
-        F.sum("n").over(Window.partitionBy("lang")).alias("n_lang"),
-    )
-    k1 = F.ceil(F.col("n_lang") / 3)
-    k2 = F.ceil(F.col("n_lang") * 2 / 3)
-    bucket = (
-        F.when(F.col("start_rank") <= k1, "head")
-        .when(F.col("start_rank") > k2, "tail")
-        .otherwise("middle")
-    )
     return (
-        ranked.select("lang", bucket.alias("ppl_bucket"), "avg_logprob", "n")
+        ppl_score_buckets(scored)
+        .select("lang", "ppl_bucket", "avg_logprob", "n")
         .groupBy("lang", "ppl_bucket")
         .agg(
             F.sum("n").cast("long").alias("n_docs"),

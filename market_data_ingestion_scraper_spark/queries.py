@@ -4404,10 +4404,11 @@ _LR_FEATS = (
 )
 
 
-@register(
-    "quality_classifier_scores",
-    f"""
-    WITH {_LR_FEATS},
+# The one-step LR score CTEs + the integer dot product, shared verbatim
+# between the quality_classifier_scores oracle and the quality_ensemble
+# oracle (r16) so the classifier's SQL twin cannot drift between its
+# standalone gate and the ensemble's clf vote.
+_LR_SCORE_CTES = """
     f AS (
       SELECT doc_id,
              CAST(1000000 AS BIGINT) AS m_bias,
@@ -4434,13 +4435,23 @@ _LR_FEATS = (
         CAST(ROUND(ROUND(0.5 * g_stop / 1000000.0 / n, 6) * 1000000) AS BIGINT) AS wm_stop
       FROM g
     )
+"""
+
+_LR_DOT = (
+    "f.m_bias * w.wm_bias + f.m_len * w.wm_len + f.m_avg * w.wm_avg"
+    " + f.m_punct * w.wm_punct + f.m_stop * w.wm_stop"
+)
+
+
+@register(
+    "quality_classifier_scores",
+    f"""
+    WITH {_LR_FEATS},
+    {_LR_SCORE_CTES}
     SELECT f.doc_id,
-           ROUND(CAST(f.m_bias * w.wm_bias + f.m_len * w.wm_len
-                      + f.m_avg * w.wm_avg + f.m_punct * w.wm_punct
-                      + f.m_stop * w.wm_stop AS DOUBLE)
+           ROUND(CAST({_LR_DOT} AS DOUBLE)
                  / 1000000000000.0, 6) AS logit,
-           (f.m_bias * w.wm_bias + f.m_len * w.wm_len + f.m_avg * w.wm_avg
-            + f.m_punct * w.wm_punct + f.m_stop * w.wm_stop) > 0 AS keep
+           ({_LR_DOT}) > 0 AS keep
     FROM f CROSS JOIN w
     """,
     doc="CCNet/fastText-style linear quality classifier "
@@ -5016,10 +5027,13 @@ def q_trigram_backoff_quality(spark: SparkSession, sf: str) -> DataFrame:
     return trigram_backoff_logprob(_t(spark, sf, "documents"), alpha=0.4)
 
 
-@register(
-    "perplexity_buckets",
-    f"""
-    WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+# Per-document unigram scoring + per-(lang, score) tercile bucketing
+# CTEs, shared verbatim between the perplexity_buckets oracle and the
+# quality_ensemble oracle (r16) so the bucket rule cannot drift between
+# the corpus dashboard and the per-doc ppl vote (the SQL-side twin of
+# the ppl_score_buckets factoring in operators/text.py).
+_PPL_BUCKET_CTES = f"""
+    toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
     tf AS (SELECT term, COUNT(*) AS n FROM toks GROUP BY term),
     tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM tf),
     lpt AS (
@@ -5054,6 +5068,13 @@ def q_trigram_backoff_quality(spark: SparkSession, sf: str) -> DataFrame:
              avg_logprob, n
       FROM ranked
     )
+"""
+
+
+@register(
+    "perplexity_buckets",
+    f"""
+    WITH {_PPL_BUCKET_CTES}
     SELECT lang, ppl_bucket, CAST(SUM(n) AS BIGINT) AS n_docs,
            ROUND(MIN(avg_logprob), 6) AS min_logprob,
            ROUND(MAX(avg_logprob), 6) AS max_logprob
@@ -5072,6 +5093,83 @@ def q_perplexity_buckets(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.text import perplexity_buckets
 
     return perplexity_buckets(_t(spark, sf, "documents"))
+
+
+# ------------------------------------------ r16 addition: X35 ensemble
+
+_GOPHER_VOTE_CTES = f"""
+    gtok AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+    gfeat AS (
+      SELECT doc_id,
+             len(ts) AS n_words,
+             len(list_filter(ts, t -> list_contains(
+                 ['the','be','to','of','and','that','have','with'], t)))
+               AS n_stop_hits,
+             ROUND(CAST(COALESCE(list_sum(list_transform(ts, t -> length(t))), 0)
+                        AS DOUBLE) / greatest(len(ts), 1), 6) AS mean_word_len,
+             ROUND(CAST(len(list_filter(ts, t -> regexp_matches(t, '[a-z]')))
+                        AS DOUBLE) / greatest(len(ts), 1), 6) AS frac_alpha_words
+      FROM gtok
+    ),
+    gop AS (
+      SELECT doc_id,
+             CAST(n_words BETWEEN 50 AND 100000 AS INT)
+               * CAST(mean_word_len BETWEEN 3.0 AND 10.0 AS INT)
+               * CAST(frac_alpha_words >= 0.8 AS INT)
+               * CAST(n_stop_hits >= 2 AS INT) AS gopher_vote
+      FROM gfeat
+    )
+"""
+
+_ENSEMBLE_VOTES = (
+    "c.clf_vote + CAST(COALESCE(pd.ppl_bucket, 'tail') <> 'tail' AS INT)"
+    " + g.gopher_vote"
+)
+
+
+@register(
+    "quality_ensemble",
+    f"""
+    WITH {_LR_FEATS},
+    {_LR_SCORE_CTES},
+    clf AS (
+      SELECT f.doc_id,
+             ROUND(CAST({_LR_DOT} AS DOUBLE) / 1000000000000.0, 6) AS logit,
+             CAST(({_LR_DOT}) > 0 AS INT) AS clf_vote
+      FROM f CROSS JOIN w
+    ),
+    {_GOPHER_VOTE_CTES},
+    {_PPL_BUCKET_CTES},
+    pd AS (
+      SELECT d.doc_id, b.ppl_bucket
+      FROM doc_lp s
+      JOIN documents d USING (doc_id)
+      JOIN bucketed b ON b.lang = d.lang AND b.avg_logprob = s.avg_logprob
+    )
+    SELECT c.doc_id, c.logit, c.clf_vote,
+           COALESCE(pd.ppl_bucket, 'tail') AS ppl_bucket,
+           CAST(COALESCE(pd.ppl_bucket, 'tail') <> 'tail' AS INT) AS ppl_vote,
+           g.gopher_vote,
+           CAST({_ENSEMBLE_VOTES} AS INT) AS votes,
+           ({_ENSEMBLE_VOTES}) >= 2 AS keep
+    FROM clf c
+    JOIN gop g USING (doc_id)
+    LEFT JOIN pd USING (doc_id)
+    """,
+    doc="X35 document-quality ensembler (operators/ensemble.py): the "
+    "three gated per-doc quality voters — one-step LR classifier sign "
+    "test, per-language perplexity tercile (vote 1 unless tail; no "
+    "scoreable tokens reads tail), Gopher rule composite — composed as "
+    "ONE declarative plan with a 2-of-3 majority keep, the production "
+    "curation-stack decision (each signal has a known blind spot; the "
+    "curation_pipeline one-plan precedent).  The oracle reuses the "
+    "classifier/gopher/perplexity SQL twins VERBATIM via shared "
+    "constants, so the ensemble cannot drift from its gated parts.",
+)
+def q_quality_ensemble(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.ensemble import quality_ensemble
+
+    return quality_ensemble(_t(spark, sf, "documents"))
 
 
 @register(
@@ -5829,6 +5927,130 @@ def q_temporal_split(spark: SparkSession, sf: str) -> DataFrame:
     return temporal_split(ev, "2024-01-25 00:00:00", embargo_days=1)
 
 
+# --------------------------- r16 additions: X34 example constructors
+
+
+def _corruption_hash_sql(b: str, salt: str) -> str:
+    """DuckDB twin of corruption._block_hash: the portable md5 hash over
+    ``doc_id ':' block ':' salt``."""
+    from .operators.dedup import PORTABLE_HASH_SQL
+
+    return PORTABLE_HASH_SQL.replace(
+        "{w}", f"(doc_id::VARCHAR || ':' || {b}::VARCHAR || ':{salt}')"
+    )
+
+
+def _span_corruption_oracle() -> str:
+    """DuckDB twin of corruption.span_corruption_examples at the gate
+    parameters (block 16 / max_span 4 / min_block 4): identical blockwise
+    integer arithmetic, struct list, per-position CASE, and slice joins.
+    Empty array_to_string coalesces to '' (DuckDB returns NULL there,
+    Spark '')."""
+    hl = _corruption_hash_sql("b", "l")
+    hs = _corruption_hash_sql("b", "s")
+    blen = "least(16, n - b*16)"
+    slen = f"(1 + ({hl} % 4))"
+    return f"""
+    WITH tok AS (SELECT doc_id, COALESCE({_TOKS}, []) AS ts FROM documents),
+    base AS (SELECT doc_id, ts, len(ts) AS n FROM tok),
+    sp AS (
+      SELECT doc_id, ts, n,
+             list_transform(range(0, (n + 15) // 16), b -> struct_pack(
+               b := CAST(b AS INT),
+               qual := {blen} >= 4,
+               start := CASE WHEN {blen} >= 4
+                        THEN CAST(b*16 + ({hs} % ({blen} - {slen} + 1)) AS INT)
+                        ELSE 0 END,
+               len := CAST({slen} AS INT)
+             )) AS spn
+      FROM base
+    ),
+    ex AS (
+      SELECT doc_id, n,
+        COALESCE(array_to_string(list_filter(list_transform(range(0, n), i ->
+          CASE WHEN NOT spn[i // 16 + 1].qual THEN ts[i + 1]
+               WHEN i = spn[i // 16 + 1].start
+                 THEN '<extra_id_' || spn[i // 16 + 1].b::VARCHAR || '>'
+               WHEN i > spn[i // 16 + 1].start
+                    AND i < spn[i // 16 + 1].start + spn[i // 16 + 1].len
+                 THEN NULL
+               ELSE ts[i + 1] END), x -> x IS NOT NULL), ' '), '')
+          AS input_text,
+        COALESCE(array_to_string(list_transform(list_filter(spn, s -> s.qual),
+          s -> '<extra_id_' || s.b::VARCHAR || '> '
+               || array_to_string(ts[s.start + 1 : s.start + s.len], ' ')),
+          ' '), '') AS target_text,
+        len(list_filter(spn, s -> s.qual)) AS n_spans,
+        COALESCE(list_sum(list_transform(list_filter(spn, s -> s.qual),
+                                         s -> s.len)), 0) AS n_masked
+      FROM sp
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           CAST(n_spans AS BIGINT) AS n_spans,
+           CAST(n_masked AS BIGINT) AS n_masked, input_text, target_text
+    FROM ex
+    """
+
+
+@register(
+    "span_corruption_examples",
+    _span_corruption_oracle(),
+    doc="X34 T5-style span-corruption example constructor "
+    "(operators/corruption.py; Raffel et al. 2020 §3.1.4): every "
+    "16-token block of at least 4 tokens contributes exactly one "
+    "hash-chosen masked span of length 1-4 (~15.6% corruption density, "
+    "T5's published 15%), sentinels <extra_id_B> by block index, "
+    "encoder input + decoder target emitted per document.  Span "
+    "selection is a pure integer function of (doc_id, block) via the "
+    "portable md5 hash — seed-free, partitioning-invariant, "
+    "bit-reproducible in any engine.  Pure per-row projection: zero "
+    "shuffle at any corpus size.",
+)
+def q_span_corruption(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.corruption import span_corruption_examples
+
+    return span_corruption_examples(_t(spark, sf, "documents"))
+
+
+def _fim_oracle() -> str:
+    """DuckDB twin of corruption.fim_examples: the two hash cuts and the
+    PSM assembly, with empty slices coalesced to ''."""
+    hc1 = _corruption_hash_sql("0", "c1")
+    hc2 = _corruption_hash_sql("0", "c2")
+    return f"""
+    WITH tok AS (SELECT doc_id, COALESCE({_TOKS}, []) AS ts FROM documents),
+    base AS (SELECT doc_id, ts, len(ts) AS n FROM tok WHERE len(ts) >= 3),
+    cuts AS (SELECT doc_id, ts, n, 1 + ({hc1} % (n - 1)) AS cut1 FROM base),
+    c2 AS (SELECT doc_id, ts, n, cut1,
+                  cut1 + ({hc2} % (n - cut1 + 1)) AS cut2 FROM cuts)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, CAST(cut1 AS BIGINT) AS cut1,
+           CAST(cut2 AS BIGINT) AS cut2,
+           '<fim_prefix> ' || COALESCE(array_to_string(ts[1:cut1], ' '), '')
+             || ' <fim_suffix> '
+             || COALESCE(array_to_string(ts[cut2+1:n], ' '), '')
+             || ' <fim_middle>' AS input_text,
+           COALESCE(array_to_string(ts[cut1+1:cut2], ' '), '') AS target_text
+    FROM c2
+    """
+
+
+@register(
+    "fim_examples",
+    _fim_oracle(),
+    doc="X34 fill-in-the-middle example constructor "
+    "(operators/corruption.py; Bavarian et al. 2022, PSM format): two "
+    "hash-chosen cut points split each document of >= 3 tokens into "
+    "prefix/middle/suffix; input = '<fim_prefix> P <fim_suffix> S "
+    "<fim_middle>', target = M.  Same deterministic portable-hash "
+    "selection and pure-projection scale shape as "
+    "span_corruption_examples.",
+)
+def q_fim_examples(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.corruption import fim_examples
+
+    return fim_examples(_t(spark, sf, "documents"))
+
+
 # The external correctness gate snapshots the FIRST 50 entries of the
 # queries() dict (observed r01/r02: entries past position 50 get no
 # correctness row at all).  Registration order in this file is topical, so
@@ -5918,6 +6140,19 @@ GATE_DEFERRED: tuple[str, ...] = (
     # (test_shard_admission_index_handle_parity); first driver gate row
     # due r17 per the standing rotation contract
     "shard_admission_index",
+    # registered r16: X34 training-example constructors, SQL twins
+    # verified green at registration (sf0.001 + sf0.01) and pinned
+    # meanwhile by independent pure-Python twins (test_corruption.py)
+    # plus hypothesis property differentials; first driver gate rows due
+    # r17 per the standing rotation contract
+    "span_corruption_examples",
+    "fim_examples",
+    # registered r16: X35 quality ensembler (one-plan composition of the
+    # three gated voters; oracle reuses their SQL twins verbatim via
+    # shared constants), SQL twin verified green at registration
+    # (sf0.001 + sf0.01), pinned meanwhile by the vote-decomposition
+    # pytest (test_ensemble.py); first driver gate row due r17
+    "quality_ensemble",
     "memorization_profile",
     "domain_mix_report",
     "xlingual_align",
@@ -5926,7 +6161,6 @@ GATE_DEFERRED: tuple[str, ...] = (
     "hard_negative_mining",
     "perplexity_buckets",
     "dsir_select",
-    "mixture_budget_fill",
     "bloom_dedup_filter",
     "kmeans_refine_step",
     "corpus_snapshot_diff",
@@ -5935,7 +6169,6 @@ GATE_DEFERRED: tuple[str, ...] = (
     "bm25_ranking",
     "shipping_lead_time",
     "top3_parts_per_brand",
-    "revenue_rank_tiers",
     "cumulative_monthly_volume",
     "daily_price_delta",
     "indexed_commodity_groups",
@@ -5943,7 +6176,6 @@ GATE_DEFERRED: tuple[str, ...] = (
     "link_text_filter",
     "commodity_lookup",
     "brands_never_shipped_1998",
-    "grouped_pandas_price_stats",
     "boilerplate_grams",
     "label_centroids",
     "top5_commodities",
@@ -6172,6 +6404,35 @@ GATE_RETIRED: tuple[str, ...] = (
     # benched as the r14-retired ngram_jaccard_near_dups.  Remains
     # registered, benched, and oracle-parity-tested.
     "jaccard_ssjoin_near_dups",
+    # r16, swapped for span_corruption_examples + fim_examples
+    # (retire-on-green: both r15 rows triple-green).
+    # mixture_budget_fill's hash-ordered greedy fill consumes the same
+    # importance-weight machinery as the gated dsir_select, and the
+    # mixing family keeps THREE gated oracle carriers (dsir_select,
+    # temperature_mixture, domain_mix_report); the exact integer fill
+    # arithmetic stays pinned by an independent pure-Python twin
+    # (test_mixing_decontam.test_budget_fill_matches_python_twin) plus
+    # the determinism/clamp tests.  grouped_pandas_price_stats is the
+    # grouped-applyInPandas Arrow demo: the Arrow/pandas boundary keeps
+    # four gated carriers (multimodal_features + video_frame_sample via
+    # mapInPandas, bpe_corpus_stats + unigram_lm_pieces via the
+    # Arrow-batched encode) and the grouped shape itself stays
+    # plan-pinned in test_plans.py and exercised by the stateful
+    # streaming + jobs suites.  Both remain registered, benched, and
+    # oracle-parity-tested.
+    "mixture_budget_fill",
+    "grouped_pandas_price_stats",
+    # r16, swapped for quality_ensemble (retire-on-green: r15 row
+    # triple-green).  revenue_rank_tiers' rank window is the same
+    # bounded_window construction as the gated top3_parts_per_brand
+    # (identical partitioning and tie-break discipline; rank vs
+    # row_number is the only delta) and its tier CASE is a pure
+    # post-window projection; §2.8's window evidence keeps three gated
+    # carriers (top3_parts_per_brand, cumulative_monthly_volume,
+    # daily_price_delta) plus the rank-over-histogram start_rank
+    # windows gated inside perplexity_buckets and quality_ensemble.
+    # Remains registered, benched, and oracle-parity-tested.
+    "revenue_rank_tiers",
 )
 
 
@@ -6219,6 +6480,9 @@ GATE_RETIREMENT_LEDGER: dict[str, tuple[int, int]] = {
     "top_part_per_brand_maxby": (15, 14),
     "lexical_diversity": (15, 14),
     "jaccard_ssjoin_near_dups": (16, 15),
+    "mixture_budget_fill": (16, 15),
+    "grouped_pandas_price_stats": (16, 15),
+    "revenue_rank_tiers": (16, 15),
 }
 
 

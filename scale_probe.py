@@ -703,6 +703,45 @@ def main() -> None:
                                          for r in rows33},
                           "sec": sec}), flush=True)
 
+        # r16: X34 span corruption.  A pure per-row projection: example
+        # construction depends only on (doc_id, text), so replica 0's
+        # examples inside the K× corpus must be BIT-IDENTICAL to the 1×
+        # run (fingerprinted via xxhash64 over id+input+target — any
+        # corpus-level coupling would move it), rows grow exactly K, and
+        # wall tracks the scan, far below K.
+        from market_data_ingestion_scraper_spark.operators.corruption import (
+            span_corruption_examples,
+        )
+        from market_data_ingestion_scraper_spark.operators.scaling import (
+            ID_STRIDE,
+        )
+
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        ex34 = span_corruption_examples(d)
+        n34 = ex34.count()
+        sec = round(time.perf_counter() - t0, 2)
+        base34 = ex34.filter(F.col("doc_id") < ID_STRIDE).agg(
+            F.sum(
+                F.pmod(
+                    F.xxhash64("doc_id", "input_text", "target_text"),
+                    F.lit(1_000_000_007),
+                )
+            ).alias("fp"),
+            F.sum("n_masked").alias("masked"),
+            F.sum("n_tokens").alias("toks"),
+        ).collect()[0]
+        results.setdefault("span_corruption", {})[factor] = {
+            "pairs": n34, "sec": sec,
+        }
+        print(json.dumps({"op": "span_corruption", "factor": factor,
+                          "n_rows": n34,
+                          "base_slice_fp": int(base34["fp"]),
+                          "base_masked": int(base34["masked"]),
+                          "base_density_ppm": int(
+                              base34["masked"] * 1_000_000 // base34["toks"]),
+                          "sec": sec}), flush=True)
+
     summary = {
         name: {
             "pairs_growth": round(r[k]["pairs"] / max(r[1]["pairs"], 1), 2),

@@ -920,3 +920,48 @@ def test_cli_temporal_split(tmp_path, spark):
 
     r = _run("temporal-split", "--events", ev_path, "--cutoff", "garbage")
     assert r.returncode == 2 and "ISO timestamp" in r.stderr
+
+
+def test_cli_corruption_and_ensemble(tmp_path, spark):
+    """corrupt-spans / fim-examples / quality-ensemble: the X34/X35
+    surfaces — parquet out matches the library, vote distribution
+    prints, bad inputs exit 2."""
+    docs_path = "/root/testdata/sf0.001/documents.parquet"
+    out = str(tmp_path / "spans")
+    r = _run("corrupt-spans", "--documents", docs_path, "--out", out)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "examples=500" in r.stdout and "density_ppm=" in r.stdout
+
+    from market_data_ingestion_scraper_spark.operators.corruption import (
+        fim_examples,
+        span_corruption_examples,
+    )
+    from market_data_ingestion_scraper_spark.operators.ensemble import (
+        quality_ensemble,
+    )
+
+    docs = spark.read.parquet(docs_path)
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(spark.read.parquet(out)) == key(span_corruption_examples(docs))
+
+    fout = str(tmp_path / "fim")
+    r = _run("fim-examples", "--documents", docs_path, "--out", fout)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert key(spark.read.parquet(fout)) == key(fim_examples(docs))
+
+    qout = str(tmp_path / "qe")
+    r = _run("quality-ensemble", "--documents", docs_path, "--out", qout)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "votes=" in r.stdout and "kept=" in r.stdout
+    assert key(spark.read.parquet(qout)) == key(quality_ensemble(docs))
+
+    # bad inputs: missing columns and invalid parameters exit 2
+    bad = str(tmp_path / "bad")
+    docs.select("doc_id").write.parquet(bad)
+    r = _run("corrupt-spans", "--documents", bad, "--out", str(tmp_path / "x"))
+    assert r.returncode == 2 and "missing columns" in r.stderr
+    r = _run("quality-ensemble", "--documents", docs_path, "--min-votes", "9")
+    assert r.returncode == 2 and "min_votes" in r.stderr
+    r = _run("corrupt-spans", "--documents", docs_path,
+             "--out", str(tmp_path / "y"), "--max-span", "99")
+    assert r.returncode == 2 and "min_block" in r.stderr

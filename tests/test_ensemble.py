@@ -1,0 +1,98 @@
+"""X35 quality_ensemble: the composed plan must decompose EXACTLY into
+the three independently-tested voters — any drift between the ensemble
+and its parts is a silent curation-policy change."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from market_data_ingestion_scraper_spark.operators.ensemble import (
+    quality_ensemble,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_ensemble_decomposes_into_the_three_voters(spark):
+    docs = _docs(spark)
+    out = {r["doc_id"]: r for r in quality_ensemble(docs).collect()}
+    assert len(out) == docs.count()
+
+    from market_data_ingestion_scraper_spark.operators.classifier import (
+        classifier_features,
+        gradient_step_weights,
+        logit_scores,
+    )
+    from market_data_ingestion_scraper_spark.operators.text import (
+        gopher_rules,
+        ppl_score_buckets,
+        quality_features,
+        unigram_logprob,
+    )
+
+    feats = classifier_features(quality_features(docs), label_threshold=0.6)
+    clf = {
+        r["doc_id"]: (r["logit"], int(r["keep"]))
+        for r in logit_scores(feats, gradient_step_weights(feats)).collect()
+    }
+    gop = {
+        r["doc_id"]: r["keep"] for r in gopher_rules(docs).collect()
+    }
+    scored = docs.select("doc_id", "lang").join(
+        unigram_logprob(docs).select("doc_id", "avg_logprob"), "doc_id"
+    )
+    bucket_map = {
+        (r["lang"], r["avg_logprob"]): r["ppl_bucket"]
+        for r in ppl_score_buckets(scored).collect()
+    }
+    doc_bucket = {
+        r["doc_id"]: bucket_map.get((r["lang"], r["avg_logprob"]), "tail")
+        for r in scored.collect()
+    }
+    for doc_id, r in out.items():
+        want_bucket = doc_bucket.get(doc_id, "tail")
+        want_clf_logit, want_clf_vote = clf[doc_id]
+        want_ppl = int(want_bucket != "tail")
+        want_votes = want_clf_vote + want_ppl + gop[doc_id]
+        assert (
+            r["logit"], r["clf_vote"], r["ppl_bucket"], r["ppl_vote"],
+            r["gopher_vote"], r["votes"], r["keep"],
+        ) == (
+            want_clf_logit, want_clf_vote, want_bucket, want_ppl,
+            gop[doc_id], want_votes, want_votes >= 2,
+        ), doc_id
+    # the fixture corpus must actually exercise disagreement between
+    # voters, or the majority logic is untested
+    assert {r["votes"] for r in out.values()} - {0, 3}, "no split votes"
+
+
+def test_ensemble_min_votes_and_edges(spark):
+    docs = _docs(spark)
+    strict = quality_ensemble(docs, min_votes=3)
+    loose = quality_ensemble(docs, min_votes=1)
+    s = {r["doc_id"]: r["keep"] for r in strict.collect()}
+    l = {r["doc_id"]: r["keep"] for r in loose.collect()}
+    base = {r["doc_id"]: r["keep"] for r in quality_ensemble(docs).collect()}
+    for d in base:
+        assert s[d] <= base[d] <= l[d]  # monotone in the threshold
+    with pytest.raises(ValueError, match="min_votes"):
+        quality_ensemble(docs, min_votes=0)
+    # token-less docs vote tail/0 on the ppl side instead of vanishing
+    edge = spark.createDataFrame(
+        [(1, "", "en"), (2, "!!!", "en")],
+        "doc_id long, text string, lang string",
+    )
+    got = {r["doc_id"]: r for r in quality_ensemble(edge).collect()}
+    assert len(got) == 2
+    for d in (1, 2):
+        assert got[d]["ppl_bucket"] == "tail" and got[d]["ppl_vote"] == 0
+
+
+def test_ensemble_partitioning_invariant(spark):
+    docs = _docs(spark)
+    a = sorted(map(tuple, quality_ensemble(docs).collect()))
+    b = sorted(map(tuple, quality_ensemble(docs.repartition(7)).collect()))
+    assert a == b

@@ -475,3 +475,60 @@ def test_shard_admission_matches_twin_on_random_corpora(spark, docs):
         ).collect()
     }
     assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            max_size=200,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_span_corruption_and_fim_match_twins_on_random_text(spark, docs):
+    """X34 property: for ANY ASCII text (empty, punctuation-only, long —
+    so block boundaries, short final blocks, and the no-span pass-through
+    all occur) both constructors equal their pure-Python twins, and the
+    de-corruption round-trips hold (no token lost or duplicated)."""
+    from market_data_ingestion_scraper_spark.operators.corruption import (
+        fim_examples,
+        span_corruption_examples,
+    )
+
+    from .test_corruption import _py_fim, _py_span, _toks
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["n_spans"], r["n_masked"],
+            r["input_text"], r["target_text"],
+        )
+        for r in span_corruption_examples(df).collect()
+    }
+    assert got == {i: _py_span(i, t) for i, t in rows}
+    for i, t in rows:
+        n, n_spans, n_masked, inp, tgt = got[i]
+        masked = sum(
+            1 for p in tgt.split() if not re.fullmatch(r"<extra_id_\d+>", p)
+        )
+        emitted = sum(
+            1 for p in inp.split() if not re.fullmatch(r"<extra_id_\d+>", p)
+        )
+        assert masked == n_masked and emitted + masked == n == len(_toks(t))
+    fim_got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["cut1"], r["cut2"],
+            r["input_text"], r["target_text"],
+        )
+        for r in fim_examples(df).collect()
+    }
+    fim_want = {i: _py_fim(i, t) for i, t in rows}
+    assert fim_got == {i: w for i, w in fim_want.items() if w is not None}
