@@ -849,3 +849,47 @@ def test_temporal_split_single_join_no_cartesian(spark):
     # users); the only shuffles are the entity distinct's two sides
     assert rep.n_broadcast_joins >= 1, rep.summary()
     assert rep.n_shuffles <= 2, rep.summary()
+
+
+def test_span_corruption_is_a_pure_projection(spark):
+    """X34: example construction must be a single-scan per-row
+    projection — no shuffle, no join, no Python: zero exchanges and the
+    scan reads only (doc_id, text)."""
+    df = _plan(spark, "span_corruption_examples")
+    txt = explain_str(df)
+    assert "CartesianProduct" not in txt and "Join" not in txt, txt
+    rep = plan_report(df)
+    assert rep.n_shuffles == 0, rep.summary()
+    assert "ArrowEvalPython" not in txt and "BatchEvalPython" not in txt, txt
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in txt, txt
+
+
+def test_fim_examples_is_a_pure_projection(spark):
+    df = _plan(spark, "fim_examples")
+    txt = explain_str(df)
+    assert "CartesianProduct" not in txt and "Join" not in txt, txt
+    rep = plan_report(df)
+    assert rep.n_shuffles == 0, rep.summary()
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in txt, txt
+
+
+def test_quality_ensemble_composes_without_cartesian(spark):
+    """X35: the only BNLs are the two 1-row broadcasts its composed
+    voters already pin — the classifier's weight cross join and the
+    unigram LM's corpus-total broadcast onto the term table; everything
+    else meets on doc_id equi-joins plus the bounded (lang,
+    score)-histogram join — no cartesian, and the voters' aggregates
+    combine map-side."""
+    import re as _re
+
+    df = _plan(spark, "quality_ensemble")
+    txt = explain_str(df)
+    assert "CartesianProduct" not in txt, txt
+    # count DISTINCT physical BNL nodes (the formatted detail sections),
+    # not tree mentions — the persisted score branch prints its lineage
+    # under both consumers
+    bnl_nodes = set(_re.findall(r"^\((\d+)\) BroadcastNestedLoopJoin",
+                                txt, _re.M))
+    assert len(bnl_nodes) <= 2, txt
+    rep = plan_report(df)
+    assert rep.has_partial_agg, rep.summary()
