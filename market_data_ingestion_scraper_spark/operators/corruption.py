@@ -83,6 +83,11 @@ def span_corruption_examples(
 
     integer arithmetic end to end; the only strings built are the
     output texts."""
+    if max_span < 1:
+        # hash % max_span with a zero modulus is a DIVIDE_BY_ZERO at
+        # action time under ANSI; a negative one silently reinterprets
+        # as its magnitude (r16 review finding) — refuse eagerly
+        raise ValueError(f"max_span must be >= 1, got {max_span}")
     if min_block < max_span:
         # a span must fit inside its qualifying block, or span_start's
         # modulus goes non-positive
@@ -208,6 +213,12 @@ def fim_examples(
     non-degenerate prefix position.  Pure projection + filter; the
     selection hashes are block hashes with a fixed block index 0 so the
     SQL twin shares one expression shape with span corruption."""
+    if min_tokens < 2:
+        # cut1's modulus is (n - 1): a 1-token doc admitted by
+        # min_tokens=1 divides by zero at action time (r16 review
+        # finding) — the docstring's non-degenerate-prefix requirement,
+        # enforced
+        raise ValueError(f"min_tokens must be >= 2, got {min_tokens}")
     staged = documents.select(
         F.col(id_col),
         F.coalesce(tokens(text_col), F.array().cast("array<string>")).alias(

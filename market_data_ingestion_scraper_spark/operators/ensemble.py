@@ -22,6 +22,13 @@ One row per document::
 - ``gopher_vote`` — the composite Gopher rule keep,
 - ``keep``        — ``votes >= min_votes`` (default 2-of-3 majority).
 
+Unscoreable documents get a DEFINITE verdict, never a NULL: NULL-text
+docs (whose classifier/gopher features are NULL end to end) vote 0 on
+every axis and keep = false, so a downstream ``filter(keep)`` /
+``filter(~keep)`` pair partitions the corpus exactly — a NULL keep
+would slip through both branches (r16 review finding).  ``logit``
+stays NULL for them: it is observability, not a vote.
+
 Spark-first shape at 100 TB: the classifier is a 1-row broadcast
 aggregate + a scoring projection; the Gopher gate is a pure projection;
 the perplexity side is the unigram-LM scan pair (vocabulary-bounded
@@ -68,11 +75,20 @@ def quality_ensemble(
     feats = classifier_features(
         quality_features(documents), label_threshold=label_threshold
     )
+    # NULL-text documents carry NULL classifier/gopher keeps (their
+    # features are NULL end to end); coalesce every VOTE to 0 so an
+    # unscoreable document gets a definite 0-vote / keep=false verdict
+    # instead of a NULL that slips through both branches of a
+    # downstream keep filter (r16 review finding).  logit stays NULL —
+    # it is observability, not a vote.
     clf = logit_scores(feats, gradient_step_weights(feats, lr=lr)).select(
-        "doc_id", "logit", F.col("keep").cast("int").alias("clf_vote")
+        "doc_id",
+        "logit",
+        F.coalesce(F.col("keep").cast("int"), F.lit(0)).alias("clf_vote"),
     )
     gop = gopher_rules(documents).select(
-        "doc_id", F.col("keep").alias("gopher_vote")
+        "doc_id",
+        F.coalesce(F.col("keep"), F.lit(0)).alias("gopher_vote"),
     )
     # the slim per-doc score projection feeds TWO branches (the bucket
     # histogram and the per-doc join-back) — persist one generation so

@@ -2698,11 +2698,13 @@ def q_range_join(spark: SparkSession, sf: str) -> DataFrame:
 
 # ------------------------------------------------ r4 curation additions
 
-@register(
-    "gopher_quality_rules",
-    f"""
-    WITH tok AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
-    feat AS (
+# Gopher-rule feature projection + composite keep, shared verbatim
+# between the gopher_quality_rules oracle and the quality_ensemble
+# oracle (r16 review finding: the ensemble's first draft copy-pasted
+# this SQL, which is exactly the drift the ensemble's shared-constant
+# design exists to prevent).  The feature SELECT reads from a CTE named
+# by the caller that provides (doc_id, ts).
+_GOPHER_FEAT_SQL = """
       SELECT doc_id,
              len(ts) AS n_words,
              len(list_filter(ts, t -> list_contains(
@@ -2712,6 +2714,20 @@ def q_range_join(spark: SparkSession, sf: str) -> DataFrame:
                         AS DOUBLE) / greatest(len(ts), 1), 6) AS mean_word_len,
              ROUND(CAST(len(list_filter(ts, t -> regexp_matches(t, '[a-z]')))
                         AS DOUBLE) / greatest(len(ts), 1), 6) AS frac_alpha_words
+"""
+
+_GOPHER_KEEP_SQL = """CAST(n_words BETWEEN 50 AND 100000 AS INT)
+             * CAST(mean_word_len BETWEEN 3.0 AND 10.0 AS INT)
+             * CAST(frac_alpha_words >= 0.8 AS INT)
+             * CAST(n_stop_hits >= 2 AS INT)"""
+
+
+@register(
+    "gopher_quality_rules",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+    feat AS (
+{_GOPHER_FEAT_SQL}
       FROM tok
     )
     SELECT doc_id, n_words, mean_word_len, frac_alpha_words, n_stop_hits,
@@ -2719,10 +2735,7 @@ def q_range_join(spark: SparkSession, sf: str) -> DataFrame:
            CAST(mean_word_len BETWEEN 3.0 AND 10.0 AS INT) AS ok_mean_len,
            CAST(frac_alpha_words >= 0.8 AS INT) AS ok_alpha,
            CAST(n_stop_hits >= 2 AS INT) AS ok_stops,
-           CAST(n_words BETWEEN 50 AND 100000 AS INT)
-             * CAST(mean_word_len BETWEEN 3.0 AND 10.0 AS INT)
-             * CAST(frac_alpha_words >= 0.8 AS INT)
-             * CAST(n_stop_hits >= 2 AS INT) AS keep
+           {_GOPHER_KEEP_SQL} AS keep
     FROM feat
     """,
     doc="Gopher-rule quality gate (Rae et al. 2021 §A1.1 subset): word "
@@ -5097,26 +5110,19 @@ def q_perplexity_buckets(spark: SparkSession, sf: str) -> DataFrame:
 
 # ------------------------------------------ r16 addition: X35 ensemble
 
+# The gopher voter CTEs reuse the gopher_quality_rules SQL constants
+# VERBATIM (gtok/gfeat names avoid colliding with _LR_FEATS's tok/feat);
+# the vote coalesces to 0 for NULL-text documents so an unscoreable doc
+# gets a definite 0 vote, mirroring operators/ensemble.py.
 _GOPHER_VOTE_CTES = f"""
     gtok AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
     gfeat AS (
-      SELECT doc_id,
-             len(ts) AS n_words,
-             len(list_filter(ts, t -> list_contains(
-                 ['the','be','to','of','and','that','have','with'], t)))
-               AS n_stop_hits,
-             ROUND(CAST(COALESCE(list_sum(list_transform(ts, t -> length(t))), 0)
-                        AS DOUBLE) / greatest(len(ts), 1), 6) AS mean_word_len,
-             ROUND(CAST(len(list_filter(ts, t -> regexp_matches(t, '[a-z]')))
-                        AS DOUBLE) / greatest(len(ts), 1), 6) AS frac_alpha_words
+{_GOPHER_FEAT_SQL}
       FROM gtok
     ),
     gop AS (
       SELECT doc_id,
-             CAST(n_words BETWEEN 50 AND 100000 AS INT)
-               * CAST(mean_word_len BETWEEN 3.0 AND 10.0 AS INT)
-               * CAST(frac_alpha_words >= 0.8 AS INT)
-               * CAST(n_stop_hits >= 2 AS INT) AS gopher_vote
+             COALESCE({_GOPHER_KEEP_SQL}, 0) AS gopher_vote
       FROM gfeat
     )
 """
@@ -5135,7 +5141,7 @@ _ENSEMBLE_VOTES = (
     clf AS (
       SELECT f.doc_id,
              ROUND(CAST({_LR_DOT} AS DOUBLE) / 1000000000000.0, 6) AS logit,
-             CAST(({_LR_DOT}) > 0 AS INT) AS clf_vote
+             CAST(COALESCE(({_LR_DOT}) > 0, FALSE) AS INT) AS clf_vote
       FROM f CROSS JOIN w
     ),
     {_GOPHER_VOTE_CTES},

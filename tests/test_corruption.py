@@ -153,6 +153,16 @@ def test_span_corruption_validation(spark):
         span_corruption_examples(docs, min_block=3, max_span=4)
     with pytest.raises(ValueError, match="block_size"):
         span_corruption_examples(docs, block_size=2, min_block=4, max_span=2)
+    # r16 review: max_span 0 would hash % 0 at action time (ANSI
+    # divide-by-zero), negative reinterprets as its magnitude — refuse
+    for bad in (0, -4):
+        with pytest.raises(ValueError, match="max_span"):
+            span_corruption_examples(docs, max_span=bad)
+    # r16 review: min_tokens=1 admits 1-token docs into cut1's
+    # (n - 1) modulus — divide by zero at action time
+    one_tok = spark.createDataFrame([(1, "solo")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="min_tokens"):
+        fim_examples(one_tok, min_tokens=1)
 
 
 def test_fim_matches_python_twin_and_reconstructs(spark):

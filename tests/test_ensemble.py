@@ -80,15 +80,21 @@ def test_ensemble_min_votes_and_edges(spark):
         assert s[d] <= base[d] <= l[d]  # monotone in the threshold
     with pytest.raises(ValueError, match="min_votes"):
         quality_ensemble(docs, min_votes=0)
-    # token-less docs vote tail/0 on the ppl side instead of vanishing
+    # unscoreable docs get DEFINITE verdicts: token-less docs vote
+    # tail/0 on the ppl side instead of vanishing, and NULL-text docs
+    # vote 0 everywhere with keep=False instead of NULL (r16 review
+    # finding: a NULL keep slips through both branches of a filter)
     edge = spark.createDataFrame(
-        [(1, "", "en"), (2, "!!!", "en")],
+        [(1, "", "en"), (2, "!!!", "en"), (3, None, "en")],
         "doc_id long, text string, lang string",
     )
     got = {r["doc_id"]: r for r in quality_ensemble(edge).collect()}
-    assert len(got) == 2
-    for d in (1, 2):
+    assert len(got) == 3
+    for d in (1, 2, 3):
         assert got[d]["ppl_bucket"] == "tail" and got[d]["ppl_vote"] == 0
+    assert got[3]["clf_vote"] == 0 and got[3]["gopher_vote"] == 0
+    assert got[3]["votes"] == 0 and got[3]["keep"] is False
+    assert got[3]["logit"] is None  # observability stays NULL
 
 
 def test_ensemble_partitioning_invariant(spark):
