@@ -201,7 +201,9 @@ GOPHER_STOPWORDS: tuple[str, ...] = (
 )
 
 
-def gopher_rules(documents: DataFrame) -> DataFrame:
+def gopher_rules(
+    documents: DataFrame, keep: tuple[str, ...] = ()
+) -> DataFrame:
     """Gopher-style quality-filter rule flags (Rae et al. 2021 §A1.1),
     the published heuristic gate most LLM data pipelines run before
     training: per document, compute the rule features and an integer
@@ -214,11 +216,15 @@ def gopher_rules(documents: DataFrame) -> DataFrame:
 
     Pure per-row projection (no shuffle; scan-bandwidth-bound at 100 TB).
     Staged through aliased columns so the tokenizer runs once per row
-    (see :func:`repetition_scores` for the re-evaluation rule)."""
+    (see :func:`repetition_scores` for the re-evaluation rule).
+    ``keep`` carries extra columns through (the house passthrough
+    convention — streaming serving keeps the original row beside its
+    verdict)."""
     t = tokens("text")
     stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
     raw = documents.select(
         "doc_id",
+        *keep,
         F.size(t).alias("n_words"),
         F.aggregate(t, F.lit(0), lambda a, w: a + F.length(w)).alias("_len_sum"),
         F.size(F.filter(t, lambda w: w.rlike("[a-z]"))).alias("_n_alpha"),
@@ -228,6 +234,7 @@ def gopher_rules(documents: DataFrame) -> DataFrame:
     )
     feats = raw.select(
         "doc_id",
+        *keep,
         "n_words",
         "n_stop_hits",
         F.round(
@@ -243,6 +250,7 @@ def gopher_rules(documents: DataFrame) -> DataFrame:
     ok_stops = F.col("n_stop_hits") >= 2
     flagged = feats.select(
         "doc_id",
+        *keep,
         "n_words",
         "mean_word_len",
         "frac_alpha_words",
@@ -583,14 +591,7 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
     computes the tf table ONCE, persists it, and amortizes it across
     every scoring run, making scoring single-pass."""
     toks = documents.select("doc_id", F.explode(tokens("text")).alias("term"))
-    tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
-    total = tf.agg(F.sum("n").alias("total"))
-    lp = tf.crossJoin(F.broadcast(total)).select(
-        "term",
-        F.round(F.log(F.col("n") / F.col("total")) * 1e6)
-        .cast("long")
-        .alias("lp_micro"),
-    )
+    lp = unigram_lp_table(documents)
     return (
         toks.join(lp, "term")
         .groupBy("doc_id")
@@ -600,6 +601,52 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
                 "avg_logprob"
             ),
         )
+    )
+
+
+def unigram_lp_table(documents: DataFrame) -> DataFrame:
+    """The unigram LM as a relation: (term, lp_micro) — per-term log-prob
+    under the corpus unigram distribution, snapped to int64 micro-units.
+    Factored out of :func:`unigram_logprob` (r16) so the FROZEN-artifact
+    serve (:func:`~..streaming.pipeline.stream_quality_tag`) scores with
+    byte-identical per-term values: persist this table once, score every
+    later shard/stream against it without re-deriving the model.
+    Vocabulary-bounded (map-side combined count + one 1-row total
+    broadcast)."""
+    tf = (
+        documents.select(F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = tf.agg(F.sum("n").alias("total"))
+    return tf.crossJoin(F.broadcast(total)).select(
+        "term",
+        F.round(F.log(F.col("n") / F.col("total")) * 1e6)
+        .cast("long")
+        .alias("lp_micro"),
+    )
+
+
+def ppl_tercile_cutoffs(documents: DataFrame) -> DataFrame:
+    """FROZEN per-language tercile cutoffs: (lang, head_min, mid_min) —
+    the minimum ``avg_logprob`` of the head and middle buckets from
+    :func:`ppl_score_buckets` over a reference corpus (the CCNet serve
+    shape: bucket thresholds derive from a reference distribution once,
+    then any later document buckets by comparison).  Because score
+    groups are atomic and buckets are rank-contiguous, comparing a
+    reference-corpus document's score against these cutoffs reproduces
+    its histogram bucket EXACTLY (pytest-pinned); ``mid_min`` is NULL
+    for languages too small to have a middle bucket.  |langs| rows."""
+    lp = unigram_logprob(documents)
+    scored = documents.select("doc_id", "lang").join(lp, "doc_id")
+    b = ppl_score_buckets(scored)
+    return b.groupBy("lang").agg(
+        F.min(
+            F.when(F.col("ppl_bucket") == "head", F.col("avg_logprob"))
+        ).alias("head_min"),
+        F.min(
+            F.when(F.col("ppl_bucket") == "middle", F.col("avg_logprob"))
+        ).alias("mid_min"),
     )
 
 

@@ -1417,6 +1417,182 @@ def stream_split_tag(
     )
 
 
+def stream_quality_tag(
+    rows: DataFrame,
+    weights: DataFrame,
+    lp_table: DataFrame,
+    cutoffs: DataFrame,
+    min_votes: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    max_literal_terms: int = 1 << 15,
+) -> DataFrame:
+    """Streaming X35 quality tagging: score incoming documents with the
+    FROZEN ensemble — the online half of "fit the voters once on a
+    reference corpus, tag every later crawl shard forever".  Emits the
+    batch :func:`~..operators.ensemble.quality_ensemble` columns
+    ``(doc_id, logit, clf_vote, ppl_bucket, ppl_vote, gopher_vote,
+    votes, keep)`` and, on the reference corpus itself, matches the
+    batch plan bit-for-bit (pytest-pinned).
+
+    Frozen artifacts (fit once, persist, serve many):
+
+    - ``weights`` — the 1-row :func:`~..operators.classifier.
+      gradient_step_weights` frame; its ``w_<col>`` values become plan
+      literals through :func:`~..operators.classifier.
+      score_with_literal_weights` (identical micro-unit arithmetic).
+    - ``lp_table`` — :func:`~..operators.text.unigram_lp_table` output,
+      collected into ONE map literal (bounded by ``max_literal_terms``;
+      the unigram vocabulary after the house tokenizer is Zipf-bounded,
+      but past the bound fall back to the batch scorer — a corpus-sized
+      map literal would blow up codegen).  OOV policy: a term absent
+      from the frozen vocabulary scores the artifact's MINIMUM lp_micro
+      (the rarest-known-word proxy — conservative: unknown vocabulary
+      reads as low fluency, never as high); pinned by test.
+    - ``cutoffs`` — :func:`~..operators.text.ppl_tercile_cutoffs`
+      output (|langs| rows): a document buckets head/middle/tail by
+      comparing its avg_logprob against the frozen per-language bucket
+      minima, which reproduces the reference corpus's histogram
+      bucketing exactly (atomic score groups, rank-contiguous buckets).
+      A language absent from the artifact — or a token-less document —
+      reads ``tail`` (no fluency evidence, the ensemble's conservative
+      default).
+
+    Stateless per-row projection end to end (the gopher/classifier
+    pipelines are pure projections; the LM lookup is a staged map
+    literal, never a join): append-legal at any rate, no watermark, no
+    state."""
+    from ..operators.classifier import (
+        FEATURE_COLS,
+        classifier_features,
+        score_with_literal_weights,
+    )
+    from ..operators.text import gopher_rules, quality_features, tokens
+
+    if not 1 <= int(min_votes) <= 3:
+        raise ValueError(f"min_votes must be in [1, 3], got {min_votes}")
+    wrows = weights.limit(2).collect()
+    if len(wrows) != 1:
+        raise ValueError(
+            "weights must be the 1-row gradient_step_weights frame, got "
+            f"{len(wrows)} rows"
+        )
+    wd = wrows[0].asDict()
+    missing = [c for c in FEATURE_COLS if f"w_{c}" not in wd]
+    if missing:
+        raise ValueError(f"weights frame missing w_ columns for {missing}")
+    w = [float(wd[f"w_{c}"]) for c in FEATURE_COLS]
+
+    # bound BEFORE the full collect (the stream_domain_tag discipline): a
+    # corpus-sized frame passed by mistake must refuse, not OOM the driver
+    lp_rows = lp_table.select("term", "lp_micro").limit(
+        int(max_literal_terms) + 1
+    ).collect()
+    if len(lp_rows) > int(max_literal_terms):
+        raise ValueError(
+            f"lp_table exceeds max_literal_terms={max_literal_terms}; "
+            "score with the batch unigram scorer (stream-static join) "
+            "or raise the bound"
+        )
+    if not lp_rows:
+        raise ValueError("empty lp_table — fit unigram_lp_table first")
+    if any(r["term"] is None or r["lp_micro"] is None for r in lp_rows):
+        raise ValueError("lp_table carries null terms/lp_micro — corrupt artifact")
+    oov_floor = min(int(r["lp_micro"]) for r in lp_rows)
+    lp_map = F.create_map(
+        *[x for r in lp_rows for x in (F.lit(r["term"]), F.lit(int(r["lp_micro"])))]
+    )
+
+    crows = cutoffs.select("lang", "head_min", "mid_min").collect()
+    if not crows or any(
+        r["lang"] is None or r["head_min"] is None for r in crows
+    ):
+        raise ValueError(
+            "cutoffs must carry (lang, head_min[, mid_min]) rows with "
+            "non-null lang/head_min — fit ppl_tercile_cutoffs first"
+        )
+    head_map = F.create_map(
+        *[x for r in crows for x in (F.lit(r["lang"]), F.lit(float(r["head_min"])))]
+    )
+    mids = [r for r in crows if r["mid_min"] is not None]
+    mid_map = (
+        F.create_map(
+            *[x for r in mids for x in (F.lit(r["lang"]), F.lit(float(r["mid_min"])))]
+        )
+        if mids
+        else F.lit(None).cast("map<string,double>")
+    )
+
+    base = rows.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        F.col(lang_col).alias("lang"),
+    )
+    g = gopher_rules(base, keep=("text", "lang")).select(
+        "doc_id",
+        "text",
+        "lang",
+        F.coalesce(F.col("keep"), F.lit(0)).alias("gopher_vote"),
+    )
+    f = classifier_features(
+        quality_features(g, keep=("text", "lang", "gopher_vote")),
+        keep=("text", "lang", "gopher_vote"),
+    )
+    clf = score_with_literal_weights(
+        f, w, keep=("text", "lang", "gopher_vote")
+    )
+    # stage the token array AND the map literals as bound columns: a map
+    # literal referenced inside the aggregate lambda would re-evaluate
+    # per element (the text.py _let rule)
+    staged = clf.select(
+        "doc_id",
+        "logit",
+        F.coalesce(F.col("keep").cast("int"), F.lit(0)).alias("clf_vote"),
+        "gopher_vote",
+        "lang",
+        F.coalesce(tokens("text"), F.array().cast("array<string>")).alias(
+            "_toks"
+        ),
+    ).withColumns({"_lp": lp_map, "_hm": head_map, "_mm": mid_map})
+    n = F.size("_toks")
+    lp_sum = F.aggregate(
+        F.col("_toks"),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + F.coalesce(
+            F.element_at(F.col("_lp"), t), F.lit(int(oov_floor))
+        ),
+    )
+    avg = F.when(n > 0, F.round(lp_sum / n / 1e6, 6))
+    head_min = F.element_at(F.col("_hm"), F.col("lang"))
+    mid_min = F.element_at(F.col("_mm"), F.col("lang"))
+    scored = staged.withColumns(
+        {"_avg": avg, "_head": head_min, "_mid": mid_min}
+    )
+    bucket = (
+        F.when(F.col("_avg").isNull() | F.col("_head").isNull(), "tail")
+        .when(F.col("_avg") >= F.col("_head"), "head")
+        .when(
+            F.col("_mid").isNotNull() & (F.col("_avg") >= F.col("_mid")),
+            "middle",
+        )
+        .otherwise("tail")
+    )
+    ppl_vote = (bucket != "tail").cast("int")
+    votes = (F.col("clf_vote") + ppl_vote + F.col("gopher_vote")).cast("int")
+    return scored.select(
+        "doc_id",
+        "logit",
+        "clf_vote",
+        bucket.alias("ppl_bucket"),
+        ppl_vote.alias("ppl_vote"),
+        "gopher_vote",
+        votes.alias("votes"),
+        (votes >= int(min_votes)).alias("keep"),
+    )
+
+
 def stream_shard_admission_filter(
     rows: DataFrame,
     corpus_index: DataFrame | None = None,

@@ -196,3 +196,34 @@ def test_fim_short_docs_emit_no_row(spark):
     )
     got = fim_examples(docs).collect()
     assert [r["doc_id"] for r in got] == [2]
+
+
+def test_constructors_are_stream_legal(spark, tmp_path):
+    """Both constructors are pure per-row projections, so they apply to
+    a streaming frame UNCHANGED (append mode, no state, no watermark):
+    stream ≡ batch through the memory sink."""
+    from market_data_ingestion_scraper_spark.streaming.pipeline import (
+        run_to_memory,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "cdocs")
+    docs.repartition(2).write.parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    want_span = {tuple(r) for r in span_corruption_examples(docs).collect()}
+    got_span = run_to_memory(
+        span_corruption_examples(stream), "t_span_corrupt", spark,
+        mode="append",
+    )
+    assert {tuple(r) for r in got_span.collect()} == want_span
+    want_fim = {tuple(r) for r in fim_examples(docs).collect()}
+    got_fim = run_to_memory(
+        fim_examples(stream), "t_fim", spark, mode="append",
+    )
+    assert {tuple(r) for r in got_fim.collect()} == want_fim

@@ -102,3 +102,110 @@ def test_ensemble_partitioning_invariant(spark):
     a = sorted(map(tuple, quality_ensemble(docs).collect()))
     b = sorted(map(tuple, quality_ensemble(docs.repartition(7)).collect()))
     assert a == b
+
+
+# ------------------------------------------------- frozen-artifact serve
+
+
+def _artifacts(spark, docs):
+    from market_data_ingestion_scraper_spark.operators.classifier import (
+        classifier_features,
+        gradient_step_weights,
+    )
+    from market_data_ingestion_scraper_spark.operators.text import (
+        ppl_tercile_cutoffs,
+        quality_features,
+        unigram_lp_table,
+    )
+
+    feats = classifier_features(quality_features(docs), label_threshold=0.6)
+    return (
+        gradient_step_weights(feats),
+        unigram_lp_table(docs),
+        ppl_tercile_cutoffs(docs),
+    )
+
+
+def test_stream_quality_tag_matches_batch_ensemble(spark, tmp_path):
+    """The frozen-artifact serve must reproduce quality_ensemble
+    bit-for-bit on the reference corpus it was fit on — literal weights
+    ≡ broadcast weights, map-literal LM ≡ scoring join, cutoff
+    comparison ≡ histogram bucket join — both as a batch frame and as a
+    real stream through the memory sink."""
+    from market_data_ingestion_scraper_spark.streaming import pipeline as P
+
+    docs = _docs(spark)
+    weights, lp, cuts = _artifacts(spark, docs)
+    want = {tuple(r) for r in quality_ensemble(docs).collect()}
+    got = {
+        tuple(r)
+        for r in P.stream_quality_tag(docs, weights, lp, cuts).collect()
+    }
+    assert got == want
+
+    src = str(tmp_path / "qdocs")
+    docs.repartition(2).write.parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = P.run_to_memory(
+        P.stream_quality_tag(stream, weights, lp, cuts),
+        "t_quality_tag",
+        spark,
+        mode="append",
+    )
+    assert {tuple(r) for r in out.collect()} == want
+
+
+def test_stream_quality_tag_oov_and_unknown_lang_policy(spark):
+    """Foreign traffic: OOV terms score the artifact's minimum lp_micro
+    (rarest-known proxy — conservative), unknown languages and
+    token-less docs read tail; both still get definite verdicts."""
+    from market_data_ingestion_scraper_spark.streaming import pipeline as P
+
+    ref = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon alpha beta", "en"),
+         (2, "alpha alpha beta something else entirely here", "en"),
+         (3, "gamma delta epsilon zeta eta theta iota", "en")],
+        "doc_id long, text string, lang string",
+    )
+    weights, lp, cuts = _artifacts(spark, ref)
+    foreign = spark.createDataFrame(
+        [(10, "totally unseen vocabulary everywhere", "en"),
+         (11, "alpha beta gamma", "xx"),   # unknown lang
+         (12, "", "en")],                   # token-less
+        "doc_id long, text string, lang string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in P.stream_quality_tag(foreign, weights, lp, cuts).collect()
+    }
+    assert len(got) == 3
+    assert got[11]["ppl_bucket"] == "tail" and got[11]["ppl_vote"] == 0
+    assert got[12]["ppl_bucket"] == "tail" and got[12]["ppl_vote"] == 0
+    # all-OOV doc scores exactly the floor: avg lp == min lp_micro/1e6,
+    # which is the reference corpus's rarest word — by construction that
+    # score sits at or below every bucketed score, so it reads tail
+    # unless the whole reference distribution is flat
+    assert got[10]["ppl_bucket"] in ("head", "middle", "tail")
+    for d in (10, 11, 12):
+        assert got[d]["keep"] is not None and got[d]["votes"] is not None
+
+
+def test_stream_quality_tag_validation(spark):
+    from market_data_ingestion_scraper_spark.streaming import pipeline as P
+
+    docs = _docs(spark)
+    weights, lp, cuts = _artifacts(spark, docs)
+    with pytest.raises(ValueError, match="min_votes"):
+        P.stream_quality_tag(docs, weights, lp, cuts, min_votes=0)
+    with pytest.raises(ValueError, match="1-row"):
+        P.stream_quality_tag(docs, weights.unionAll(weights), lp, cuts)
+    with pytest.raises(ValueError, match="empty lp_table"):
+        P.stream_quality_tag(docs, weights, lp.limit(0), cuts)
+    with pytest.raises(ValueError, match="max_literal_terms"):
+        P.stream_quality_tag(docs, weights, lp, cuts, max_literal_terms=2)
+    with pytest.raises(ValueError, match="cutoffs"):
+        P.stream_quality_tag(docs, weights, lp, cuts.limit(0))
