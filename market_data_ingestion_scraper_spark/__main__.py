@@ -417,6 +417,33 @@ def main(argv: list[str] | None = None) -> int:
     qe.add_argument("--out", default=None,
                     help="optional per-document output parquet")
 
+    qf = sub.add_parser(
+        "quality-fit",
+        help="fit the frozen quality-ensemble artifacts on a reference "
+        "corpus and persist them (weights/ lp/ cutoffs/ + sidecar) — "
+        "the fit-once half of the X35 serve",
+    )
+    qf.add_argument("--documents", required=True,
+                    help="reference-corpus parquet with (doc_id, text, lang)")
+    qf.add_argument("--out", required=True,
+                    help="artifact directory to write")
+    qf.add_argument("--label-threshold", type=float, default=0.6)
+    qf.add_argument("--lr", type=float, default=1.0)
+
+    qt = sub.add_parser(
+        "quality-tag",
+        help="tag a document shard with the FROZEN ensemble artifacts "
+        "(quality-fit output) — the serve-many half of X35; prints the "
+        "vote distribution",
+    )
+    qt.add_argument("--documents", required=True,
+                    help="shard parquet with (doc_id, text, lang)")
+    qt.add_argument("--artifacts", required=True,
+                    help="quality-fit artifact directory")
+    qt.add_argument("--min-votes", type=int, default=2)
+    qt.add_argument("--out", default=None,
+                    help="optional per-document output parquet")
+
     ic = sub.add_parser(
         "index-compact",
         help="fold an append-grown index's small files into one per "
@@ -1221,6 +1248,55 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         try:
             out = quality_ensemble(docs, min_votes=args.min_votes)
+        except ValueError as exc:
+            print(str(exc), file=sys.stderr)
+            return 2
+        if args.out:
+            out.write.mode("overwrite").parquet(args.out)
+            out = spark.read.parquet(args.out)
+        from pyspark.sql import functions as F
+
+        dist = {
+            r["votes"]: (r["n"], r["kept"])
+            for r in out.groupBy("votes").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count_if(F.col("keep")).alias("kept"),
+            ).collect()
+        }
+        for v in sorted(dist):
+            n, kept = dist[v]
+            print(f"votes={v} n_docs={n} kept={kept}")
+        return 0
+
+    if args.cmd in ("quality-fit", "quality-tag"):
+        docs = spark.read.parquet(args.documents)
+        missing = [
+            c for c in ("doc_id", "text", "lang") if c not in docs.columns
+        ]
+        if missing:
+            print(f"documents parquet missing columns: {missing}",
+                  file=sys.stderr)
+            return 2
+        if args.cmd == "quality-fit":
+            from .operators.ensemble import write_quality_artifacts
+
+            side = write_quality_artifacts(
+                docs, args.out, label_threshold=args.label_threshold,
+                lr=args.lr,
+            )
+            print(f"kind={side['kind']} n_terms={side['n_terms']} "
+                  f"n_langs={side['n_langs']} out={args.out}")
+            return 0
+        from .operators.ensemble import load_quality_artifacts
+        from .streaming.pipeline import stream_quality_tag
+
+        try:
+            weights, lp, cuts, _side = load_quality_artifacts(
+                spark, args.artifacts
+            )
+            out = stream_quality_tag(
+                docs, weights, lp, cuts, min_votes=args.min_votes,
+            )
         except ValueError as exc:
             print(str(exc), file=sys.stderr)
             return 2

@@ -48,6 +48,101 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+#: sidecar filename for the persisted ensemble artifact directory
+QUALITY_SIDECAR = "_quality.json"
+
+
+def write_quality_artifacts(
+    documents: DataFrame,
+    path: str,
+    label_threshold: float = 0.6,
+    lr: float = 1.0,
+) -> dict:
+    """Fit the frozen ensemble on a reference corpus and persist it as
+    one artifact directory (the `write_minhash_index` lifecycle shape):
+
+    - ``weights/``  — the 1-row LR weight frame
+      (:func:`~.classifier.gradient_step_weights`),
+    - ``lp/``       — the unigram LM relation
+      (:func:`~.text.unigram_lp_table`, vocabulary-bounded),
+    - ``cutoffs/``  — per-language perplexity tercile cutoffs
+      (:func:`~.text.ppl_tercile_cutoffs`, |langs| rows),
+    - ``_quality.json`` — the authoritative parameter sidecar
+      (label_threshold / lr / fitted sizes), written LAST so a crashed
+      fit reads as absent, never as a half-written artifact.
+
+    Returns the sidecar dict.  Serving never re-types parameters: pass
+    the loaded frames to
+    :func:`~..streaming.pipeline.stream_quality_tag` (or CLI
+    ``quality-tag``)."""
+    import json
+    import os
+
+    from ..util import require_local_path
+    from .classifier import classifier_features, gradient_step_weights
+    from .text import ppl_tercile_cutoffs, quality_features, unigram_lp_table
+
+    require_local_path(path)
+    feats = classifier_features(
+        quality_features(documents), label_threshold=label_threshold
+    )
+    gradient_step_weights(feats, lr=lr).write.mode("overwrite").parquet(
+        os.path.join(path, "weights")
+    )
+    unigram_lp_table(documents).write.mode("overwrite").parquet(
+        os.path.join(path, "lp")
+    )
+    ppl_tercile_cutoffs(documents).write.mode("overwrite").parquet(
+        os.path.join(path, "cutoffs")
+    )
+    spark = documents.sparkSession
+    sidecar = {
+        "kind": "quality-ensemble",
+        "label_threshold": float(label_threshold),
+        "lr": float(lr),
+        "n_terms": spark.read.parquet(os.path.join(path, "lp")).count(),
+        "n_langs": spark.read.parquet(os.path.join(path, "cutoffs")).count(),
+    }
+    with open(os.path.join(path, QUALITY_SIDECAR), "w") as f:
+        json.dump(sidecar, f)
+    return sidecar
+
+
+def load_quality_artifacts(
+    spark, path: str
+) -> tuple[DataFrame, DataFrame, DataFrame, dict]:
+    """(weights, lp_table, cutoffs, sidecar) from a
+    :func:`write_quality_artifacts` directory.  Refuses a directory
+    without the sidecar (a crashed fit or a foreign layout) or with the
+    wrong kind — serving against half-written artifacts silently
+    mis-votes every document."""
+    import json
+    import os
+
+    from ..util import require_local_path
+
+    require_local_path(path)
+    sidecar_path = os.path.join(path, QUALITY_SIDECAR)
+    if not os.path.exists(sidecar_path):
+        raise ValueError(
+            f"no {QUALITY_SIDECAR} in {path!r} — not a quality-ensemble "
+            "artifact directory (crashed fit? foreign layout?)"
+        )
+    with open(sidecar_path) as f:
+        sidecar = json.load(f)
+    if sidecar.get("kind") != "quality-ensemble":
+        raise ValueError(
+            f"artifact kind mismatch: expected quality-ensemble, got "
+            f"{sidecar.get('kind')!r}"
+        )
+    return (
+        spark.read.parquet(os.path.join(path, "weights")),
+        spark.read.parquet(os.path.join(path, "lp")),
+        spark.read.parquet(os.path.join(path, "cutoffs")),
+        sidecar,
+    )
+
+
 def quality_ensemble(
     documents: DataFrame,
     min_votes: int = 2,

@@ -965,3 +965,32 @@ def test_cli_corruption_and_ensemble(tmp_path, spark):
     r = _run("corrupt-spans", "--documents", docs_path,
              "--out", str(tmp_path / "y"), "--max-span", "99")
     assert r.returncode == 2 and "min_block" in r.stderr
+
+
+def test_cli_quality_fit_and_tag(tmp_path, spark):
+    """quality-fit / quality-tag: the X35 fit-once/serve-many surface —
+    the artifact-served tag matches the in-plan ensemble on the fit
+    corpus; wrong-kind artifact dirs exit 2."""
+    docs_path = "/root/testdata/sf0.001/documents.parquet"
+    art = str(tmp_path / "qart")
+    r = _run("quality-fit", "--documents", docs_path, "--out", art)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "kind=quality-ensemble" in r.stdout and "n_terms=" in r.stdout
+
+    out = str(tmp_path / "tagged")
+    r = _run("quality-tag", "--documents", docs_path, "--artifacts", art,
+             "--out", out)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "votes=" in r.stdout
+
+    from market_data_ingestion_scraper_spark.operators.ensemble import (
+        quality_ensemble,
+    )
+
+    key = lambda df: sorted(map(tuple, df.collect()))
+    docs = spark.read.parquet(docs_path)
+    assert key(spark.read.parquet(out)) == key(quality_ensemble(docs))
+
+    r = _run("quality-tag", "--documents", docs_path,
+             "--artifacts", str(tmp_path / "nowhere"))
+    assert r.returncode == 2 and "_quality.json" in r.stderr

@@ -209,3 +209,39 @@ def test_stream_quality_tag_validation(spark):
         P.stream_quality_tag(docs, weights, lp, cuts, max_literal_terms=2)
     with pytest.raises(ValueError, match="cutoffs"):
         P.stream_quality_tag(docs, weights, lp, cuts.limit(0))
+
+
+def test_quality_artifact_lifecycle(spark, tmp_path):
+    """fit → persist → load → serve: the artifact round-trip reproduces
+    the in-memory frozen serve exactly, and loading refuses foreign or
+    half-written directories."""
+    from market_data_ingestion_scraper_spark.operators.ensemble import (
+        load_quality_artifacts,
+        write_quality_artifacts,
+    )
+    from market_data_ingestion_scraper_spark.streaming import pipeline as P
+
+    docs = _docs(spark)
+    path = str(tmp_path / "qart")
+    side = write_quality_artifacts(docs, path)
+    assert side["kind"] == "quality-ensemble" and side["n_terms"] > 0
+    weights, lp, cuts, side2 = load_quality_artifacts(spark, path)
+    assert side2 == side
+    want = {tuple(r) for r in quality_ensemble(docs).collect()}
+    got = {
+        tuple(r)
+        for r in P.stream_quality_tag(docs, weights, lp, cuts).collect()
+    }
+    assert got == want
+    # refusals: missing sidecar, wrong kind
+    import json
+    import os
+
+    bare = str(tmp_path / "bare")
+    os.makedirs(bare)
+    with pytest.raises(ValueError, match="_quality.json"):
+        load_quality_artifacts(spark, bare)
+    with open(os.path.join(bare, "_quality.json"), "w") as f:
+        json.dump({"kind": "lsh"}, f)
+    with pytest.raises(ValueError, match="kind mismatch"):
+        load_quality_artifacts(spark, bare)
