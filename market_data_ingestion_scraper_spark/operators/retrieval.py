@@ -139,6 +139,87 @@ def rrf_fuse(
     )
 
 
+def hybrid_retrieval_rrf_multi(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    query_terms: DataFrame,
+    query_vectors: DataFrame,
+    k: int = 10,
+    k_rrf: int = 60,
+    n_candidates: int = 20,
+    doc_id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    text_col: str = "text",
+    dl_col: str | None = None,
+) -> DataFrame:
+    """Hybrid top-k for MANY queries in one plan — the batch-eval / RAG
+    serving form of :func:`hybrid_retrieval_rrf` (which takes one
+    query).  ``query_terms`` carries (query_id, term) rows — each
+    query's lexical side; ``query_vectors`` carries one (vec_id,
+    embedding) row per query with ``vec_id`` = the same query_id space
+    (the :func:`~.similarity.brute_force_topk` multi-query convention;
+    a query's own corpus row is excluded from its semantic candidates,
+    exactly like the single-query form).
+
+    Returns ``(query_id, doc_id, lex_rank, sem_rank, bm25, cos_sim,
+    rrf_micro)``, the per-query top-``k`` ordered ties by doc_id —
+    per query BIT-IDENTICAL to the single-query operator run with that
+    query's terms and vector (pytest differential).
+
+    Scale shape: BOTH retrievers amortize across the query batch — one
+    corpus token explode semi-joined to the union query vocabulary
+    (:func:`~.text.bm25_scores_multi`), one corpus vector scan against
+    the broadcast query set; the fusion join and per-query top-k touch
+    only candidate rows (≤ 2·n_candidates per query)."""
+    from pyspark.sql import Window
+
+    from .similarity import brute_force_topk
+    from .text import bm25_scores_multi
+
+    docs_n = documents.select(
+        F.col(doc_id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        *([F.col(dl_col)] if dl_col else []),
+    )
+    lex = bm25_scores_multi(
+        docs_n, query_terms, top_k=n_candidates, dl_col=dl_col
+    ).select(
+        "query_id",
+        F.col("doc_id").alias(doc_id_col),
+        "bm25",
+        "lex_rank",
+    )
+    sem = brute_force_topk(
+        embeddings, query_vectors, k=n_candidates,
+        id_col=vec_id_col, vec_col=vec_col,
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias(doc_id_col),
+        "cos_sim",
+        F.col("rnk").cast("int").alias("sem_rank"),
+    )
+    fused = lex.join(sem, ["query_id", doc_id_col], "full_outer")
+    rrf = _rrf_term("lex_rank", k_rrf) + _rrf_term("sem_rank", k_rrf)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_micro"), F.asc(doc_id_col)
+    )
+    return (
+        fused.select(
+            "query_id",
+            doc_id_col,
+            "lex_rank",
+            "sem_rank",
+            "bm25",
+            "cos_sim",
+            rrf.cast("long").alias("rrf_micro"),
+        )
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= int(k))
+        .drop("_r")
+    )
+
+
 def hybrid_retrieval_rrf(
     documents: DataFrame,
     embeddings: DataFrame,

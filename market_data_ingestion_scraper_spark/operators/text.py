@@ -481,6 +481,103 @@ def bm25_scores(
     )
 
 
+def bm25_scores_multi(
+    documents: DataFrame,
+    query_terms: DataFrame,
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+    dl_col: str | None = None,
+) -> DataFrame:
+    """Okapi BM25 for MANY queries in one plan — the batch-eval / RAG
+    serving form of :func:`bm25_scores` (which takes one literal term
+    set).  ``query_terms`` carries (query_id, term) rows; output is
+    ``(query_id, doc_id, bm25, n_terms_matched, lex_rank)`` — the
+    per-query top-``top_k`` with rank 1-based, ordered ties by doc_id.
+
+    Arithmetic is IDENTICAL to the single-query operator (same 6-dp idf
+    and weight rounding, same exact micro-unit per-document sum, same
+    tie order), pinned by a pytest differential: per query, the multi
+    output slice equals ``bm25_scores(documents, terms)`` exactly.
+
+    Scale shape: the corpus token explode SEMI-joins the DISTINCT query
+    vocabulary BEFORE aggregating (the literal isin filter becomes a
+    broadcast semi-join — same pruning, query-set-sized instead of
+    hand-typed), per-term df is global (shared across queries, computed
+    once), the (query, term) fan-out joins the |union vocab|-bounded
+    inverted-index slice, and the final top-k is a per-query window over
+    candidate rows only — never corpus-sized."""
+    qt = query_terms.select(
+        "query_id", F.lower(F.col("term")).alias("term")
+    ).distinct()
+    dl_expr = (
+        F.col(dl_col).cast("long") if dl_col else F.size(tokens("text"))
+    )
+    doclen = documents.select("doc_id", dl_expr.alias("_dl"))
+    corpus = doclen.agg(
+        F.count(F.lit(1)).alias("_n_docs"),
+        F.round(
+            F.sum("_dl").cast("double") / F.count(F.lit(1)), 6
+        ).alias("_avgdl"),
+    )
+    vocab = qt.select("term").distinct()
+    tf = (
+        documents.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .join(F.broadcast(vocab), "term", "left_semi")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("_df"))
+    idf = F.round(
+        F.log(
+            (F.col("_n_docs") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+            + 1.0
+        ),
+        6,
+    )
+    weight = F.round(
+        F.col("_tf")
+        * F.lit(float(k1) + 1.0)
+        / (
+            F.col("_tf")
+            + F.lit(float(k1))
+            * (
+                F.lit(1.0 - float(b))
+                + F.lit(float(b)) * F.col("_dl") / F.col("_avgdl")
+            )
+        ),
+        6,
+    )
+    contrib = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .join(F.broadcast(qt), "term")
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(F.round(idf, 6) * weight, 6).alias("_part"),
+        )
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(F.col("_part") * 1e6).cast("long").alias("_pm"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("bm25"), F.asc("doc_id")
+    )
+    return (
+        contrib.groupBy("query_id", "doc_id")
+        .agg(
+            F.round(F.sum("_pm").cast("double") / 1e6, 6).alias("bm25"),
+            F.count(F.lit(1)).alias("n_terms_matched"),
+        )
+        .withColumn("lex_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("lex_rank") <= int(top_k))
+    )
+
+
 def bow_fingerprint(text: Column | str = "text") -> Column:
     """Bag-of-words fingerprint: sha256 over the sorted distinct token set —
     order-insensitive content identity (catches shuffled near-dups).

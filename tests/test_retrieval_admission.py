@@ -495,3 +495,83 @@ def test_hybrid_rrf_colliding_column_names(spark):
         text_col="body",
     ).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in base]
+
+
+def test_hybrid_rrf_multi_matches_per_query_single(spark):
+    """The batch-eval form must be per query BIT-IDENTICAL to the
+    single-query operator: same BM25 arithmetic (literal isin filter ≡
+    vocabulary semi-join), same cosine ranks, same fusion and tie
+    order — including a query whose lexical side matches nothing."""
+    from market_data_ingestion_scraper_spark.operators.retrieval import (
+        hybrid_retrieval_rrf,
+        hybrid_retrieval_rrf_multi,
+    )
+
+    docs_df = spark.read.parquet(f"{SF}/documents.parquet")
+    emb_df = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = {
+        0: ("hash", "join", "vector"),
+        1: ("table", "scan"),
+        2: ("zzzz_nomatch",),  # lexical side empty: fusion is sem-only
+    }
+    qt = spark.createDataFrame(
+        [(q, t) for q, ts in queries.items() for t in ts],
+        "query_id long, term string",
+    )
+    from pyspark.sql import functions as F
+
+    qv = emb_df.filter(F.col("vec_id").isin(list(queries)))
+    multi = hybrid_retrieval_rrf_multi(docs_df, emb_df, qt, qv, k=10)
+    got = {
+        q: sorted(
+            (r["doc_id"], r["lex_rank"], r["sem_rank"], r["bm25"],
+             r["cos_sim"], r["rrf_micro"])
+            for r in multi.collect() if r["query_id"] == q
+        )
+        for q in queries
+    }
+    for q, terms in queries.items():
+        single = hybrid_retrieval_rrf(
+            docs_df, emb_df, terms, emb_df.filter(emb_df["vec_id"] == q),
+            k=10,
+        ).collect()
+        want = sorted(
+            (r["doc_id"], r["lex_rank"], r["sem_rank"], r["bm25"],
+             r["cos_sim"], r["rrf_micro"])
+            for r in single
+        )
+        assert got[q] == want, q
+    # every query produced a full top-k
+    assert all(len(v) == 10 for v in got.values())
+
+
+def test_bm25_multi_matches_single(spark):
+    from market_data_ingestion_scraper_spark.operators.text import (
+        bm25_scores,
+        bm25_scores_multi,
+    )
+
+    docs_df = spark.read.parquet(f"{SF}/documents.parquet")
+    terms = ("hash", "join", "vector")
+    qt = spark.createDataFrame(
+        [(7, t) for t in terms] + [(8, "table")],
+        "query_id long, term string",
+    )
+    multi = bm25_scores_multi(docs_df, qt, top_k=20).collect()
+    got7 = sorted(
+        (r["doc_id"], r["bm25"], r["n_terms_matched"])
+        for r in multi if r["query_id"] == 7
+    )
+    want7 = sorted(
+        (r["doc_id"], r["bm25"], r["n_terms_matched"])
+        for r in bm25_scores(docs_df, terms, top_k=20).collect()
+    )
+    assert got7 == want7
+    got8 = sorted(
+        (r["doc_id"], r["bm25"]) for r in multi if r["query_id"] == 8
+    )
+    want8 = sorted(
+        (r["doc_id"], r["bm25"])
+        for r in bm25_scores(docs_df, ("table",), top_k=20).collect()
+    )
+    assert got8 == want8
