@@ -14,6 +14,23 @@ import os
 import sys
 
 
+def _print_vote_distribution(out) -> None:
+    """The shared quality-ensemble / quality-tag report: one line per
+    vote count with how many of its documents the majority kept."""
+    from pyspark.sql import functions as F
+
+    dist = {
+        r["votes"]: (r["n"], r["kept"])
+        for r in out.groupBy("votes").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(F.col("keep")).alias("kept"),
+        ).collect()
+    }
+    for v in sorted(dist):
+        n, kept = dist[v]
+        print(f"votes={v} n_docs={n} kept={kept}")
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="market_data_ingestion_scraper_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -1254,18 +1271,7 @@ def main(argv: list[str] | None = None) -> int:
         if args.out:
             out.write.mode("overwrite").parquet(args.out)
             out = spark.read.parquet(args.out)
-        from pyspark.sql import functions as F
-
-        dist = {
-            r["votes"]: (r["n"], r["kept"])
-            for r in out.groupBy("votes").agg(
-                F.count(F.lit(1)).alias("n"),
-                F.count_if(F.col("keep")).alias("kept"),
-            ).collect()
-        }
-        for v in sorted(dist):
-            n, kept = dist[v]
-            print(f"votes={v} n_docs={n} kept={kept}")
+        _print_vote_distribution(out)
         return 0
 
     if args.cmd in ("quality-fit", "quality-tag"):
@@ -1303,18 +1309,7 @@ def main(argv: list[str] | None = None) -> int:
         if args.out:
             out.write.mode("overwrite").parquet(args.out)
             out = spark.read.parquet(args.out)
-        from pyspark.sql import functions as F
-
-        dist = {
-            r["votes"]: (r["n"], r["kept"])
-            for r in out.groupBy("votes").agg(
-                F.count(F.lit(1)).alias("n"),
-                F.count_if(F.col("keep")).alias("kept"),
-            ).collect()
-        }
-        for v in sorted(dist):
-            n, kept = dist[v]
-            print(f"votes={v} n_docs={n} kept={kept}")
+        _print_vote_distribution(out)
         return 0
 
     if args.cmd == "index-compact":

@@ -83,19 +83,30 @@ def write_quality_artifacts(
     from .text import ppl_tercile_cutoffs, quality_features, unigram_lp_table
 
     require_local_path(path)
+    # a REFIT must first invalidate the old sidecar: the sidecar is the
+    # only thing load_quality_artifacts trusts, so a refit that crashes
+    # mid-way must read as ABSENT, never as the old sidecar blessing a
+    # mix of new and old frames (r16 review finding)
+    stale = os.path.join(path, QUALITY_SIDECAR)
+    if os.path.exists(stale):
+        os.remove(stale)
     feats = classifier_features(
         quality_features(documents), label_threshold=label_threshold
     )
     gradient_step_weights(feats, lr=lr).write.mode("overwrite").parquet(
         os.path.join(path, "weights")
     )
+    spark = documents.sparkSession
     unigram_lp_table(documents).write.mode("overwrite").parquet(
         os.path.join(path, "lp")
     )
-    ppl_tercile_cutoffs(documents).write.mode("overwrite").parquet(
-        os.path.join(path, "cutoffs")
-    )
-    spark = documents.sparkSession
+    # score the cutoffs against the JUST-PERSISTED LM instead of
+    # re-deriving it — halves the fit's corpus text scans (r16 review
+    # finding; the unigram_logprob docstring's persist-once pattern)
+    lp_frozen = spark.read.parquet(os.path.join(path, "lp"))
+    ppl_tercile_cutoffs(documents, lp_table=lp_frozen).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "cutoffs"))
     sidecar = {
         "kind": "quality-ensemble",
         "label_threshold": float(label_threshold),

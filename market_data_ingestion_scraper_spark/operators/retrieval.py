@@ -177,6 +177,23 @@ def hybrid_retrieval_rrf_multi(
     from .similarity import brute_force_topk
     from .text import bm25_scores_multi
 
+    # duplicate query rows would interleave two vectors' scores in one
+    # query's rank window — garbage sem_ranks with no error, the exact
+    # silent-corruption mode the single-query guard and rrf_fuse refuse
+    # (r16 review finding); the query frame is broadcast-sized, so the
+    # uniqueness probe is one tiny job
+    dup = (
+        query_vectors.groupBy(vec_id_col)
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"query_vectors carries duplicate {vec_id_col} rows (e.g. "
+            f"{dup[0][vec_id_col]}) — one vector per query id"
+        )
     docs_n = documents.select(
         F.col(doc_id_col).alias("doc_id"),
         F.col(text_col).alias("text"),

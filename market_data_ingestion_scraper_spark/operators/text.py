@@ -260,13 +260,13 @@ def gopher_rules(
         ok_alpha.cast("int").alias("ok_alpha"),
         ok_stops.cast("int").alias("ok_stops"),
     )
-    keep = (
+    keep_flag = (  # named apart from the passthrough parameter (r16)
         F.col("ok_word_count")
         * F.col("ok_mean_len")
         * F.col("ok_alpha")
         * F.col("ok_stops")
     )
-    return flagged.withColumn("keep", keep.cast("int"))
+    return flagged.withColumn("keep", keep_flag.cast("int"))
 
 
 def boilerplate_grams(
@@ -386,6 +386,56 @@ def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def _bm25_corpus_side(
+    documents: DataFrame, dl_col: str | None
+) -> tuple[DataFrame, DataFrame]:
+    """(doclen, corpus-stats) frames shared by the single- and
+    multi-query BM25 operators — ONE source for the doc-length branch
+    and the (N, avgdl) aggregate so the two cannot drift (r16 review
+    finding)."""
+    dl_expr = (
+        F.col(dl_col).cast("long") if dl_col else F.size(tokens("text"))
+    )
+    doclen = documents.select("doc_id", dl_expr.alias("_dl"))
+    corpus = doclen.agg(
+        F.count(F.lit(1)).alias("_n_docs"),
+        F.round(
+            F.sum("_dl").cast("double") / F.count(F.lit(1)), 6
+        ).alias("_avgdl"),
+    )
+    return doclen, corpus
+
+
+def _bm25_part_micro(k1: float, b: float):
+    """The per-(doc, term) BM25 contribution in exact micro-units, from
+    the staged columns (_tf, _df, _dl, _avgdl, _n_docs): 6-dp idf ×
+    6-dp weight, re-rounded, × 1e6 as int64 — the ONE copy of the
+    formula both operators compile (r16 review finding: the multi-query
+    form initially duplicated these ~40 lines)."""
+    idf = F.round(
+        F.log(
+            (F.col("_n_docs") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+            + 1.0
+        ),
+        6,
+    )
+    weight = F.round(
+        F.col("_tf")
+        * F.lit(float(k1) + 1.0)
+        / (
+            F.col("_tf")
+            + F.lit(float(k1))
+            * (
+                F.lit(1.0 - float(b))
+                + F.lit(float(b)) * F.col("_dl") / F.col("_avgdl")
+            )
+        ),
+        6,
+    )
+    part = F.round(F.round(idf, 6) * weight, 6)
+    return F.round(part * 1e6).cast("long")
+
+
 def bm25_scores(
     documents: DataFrame,
     query_terms: tuple[str, ...],
@@ -418,16 +468,7 @@ def bm25_scores(
     as long as the stored count equals ``size(tokens(text))``."""
     terms = [t.lower() for t in query_terms]
     qlit = F.array(*[F.lit(t) for t in terms])
-    dl_expr = (
-        F.col(dl_col).cast("long") if dl_col else F.size(tokens("text"))
-    )
-    doclen = documents.select("doc_id", dl_expr.alias("_dl"))
-    corpus = doclen.agg(
-        F.count(F.lit(1)).alias("_n_docs"),
-        F.round(
-            F.sum("_dl").cast("double") / F.count(F.lit(1)), 6
-        ).alias("_avgdl"),
-    )
+    doclen, corpus = _bm25_corpus_side(documents, dl_col)
     tf = (
         documents.select("doc_id", F.explode(tokens("text")).alias("term"))
         .where(F.array_contains(qlit, F.col("term")))
@@ -437,38 +478,11 @@ def bm25_scores(
     dfreq = tf.groupBy("term").agg(
         F.countDistinct("doc_id").alias("_df")
     )
-    idf = F.round(
-        F.log(
-            (F.col("_n_docs") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
-            + 1.0
-        ),
-        6,
-    )
-    weight = F.round(
-        F.col("_tf")
-        * F.lit(float(k1) + 1.0)
-        / (
-            F.col("_tf")
-            + F.lit(float(k1))
-            * (
-                F.lit(1.0 - float(b))
-                + F.lit(float(b)) * F.col("_dl") / F.col("_avgdl")
-            )
-        ),
-        6,
-    )
     contrib = (
         tf.join(F.broadcast(dfreq), "term")
         .join(doclen, "doc_id")
         .crossJoin(F.broadcast(corpus))
-        .select(
-            "doc_id",
-            F.round(F.round(idf, 6) * weight, 6).alias("_part"),
-        )
-        .select(
-            "doc_id",
-            F.round(F.col("_part") * 1e6).cast("long").alias("_pm"),
-        )
+        .select("doc_id", _bm25_part_micro(k1, b).alias("_pm"))
     )
     return (
         contrib.groupBy("doc_id")
@@ -510,16 +524,7 @@ def bm25_scores_multi(
     qt = query_terms.select(
         "query_id", F.lower(F.col("term")).alias("term")
     ).distinct()
-    dl_expr = (
-        F.col(dl_col).cast("long") if dl_col else F.size(tokens("text"))
-    )
-    doclen = documents.select("doc_id", dl_expr.alias("_dl"))
-    corpus = doclen.agg(
-        F.count(F.lit(1)).alias("_n_docs"),
-        F.round(
-            F.sum("_dl").cast("double") / F.count(F.lit(1)), 6
-        ).alias("_avgdl"),
-    )
+    doclen, corpus = _bm25_corpus_side(documents, dl_col)
     vocab = qt.select("term").distinct()
     tf = (
         documents.select("doc_id", F.explode(tokens("text")).alias("term"))
@@ -528,41 +533,12 @@ def bm25_scores_multi(
         .agg(F.count(F.lit(1)).alias("_tf"))
     )
     dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("_df"))
-    idf = F.round(
-        F.log(
-            (F.col("_n_docs") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
-            + 1.0
-        ),
-        6,
-    )
-    weight = F.round(
-        F.col("_tf")
-        * F.lit(float(k1) + 1.0)
-        / (
-            F.col("_tf")
-            + F.lit(float(k1))
-            * (
-                F.lit(1.0 - float(b))
-                + F.lit(float(b)) * F.col("_dl") / F.col("_avgdl")
-            )
-        ),
-        6,
-    )
     contrib = (
         tf.join(F.broadcast(dfreq), "term")
         .join(doclen, "doc_id")
         .crossJoin(F.broadcast(corpus))
         .join(F.broadcast(qt), "term")
-        .select(
-            "query_id",
-            "doc_id",
-            F.round(F.round(idf, 6) * weight, 6).alias("_part"),
-        )
-        .select(
-            "query_id",
-            "doc_id",
-            F.round(F.col("_part") * 1e6).cast("long").alias("_pm"),
-        )
+        .select("query_id", "doc_id", _bm25_part_micro(k1, b).alias("_pm"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("bm25"), F.asc("doc_id")
@@ -669,7 +645,9 @@ def bigram_merge_candidates(
     return topk.withColumn("rnk", F.row_number().over(w).cast("int"))
 
 
-def unigram_logprob(documents: DataFrame) -> DataFrame:
+def unigram_logprob(
+    documents: DataFrame, lp_table: DataFrame | None = None
+) -> DataFrame:
     """CCNet-style perplexity proxy: per-document mean log-probability of
     its tokens under the corpus unigram distribution.  Low (very negative)
     means rare/garbage vocabulary; high means common fluent text.
@@ -686,9 +664,13 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
     aggregate and the join.  That is inherent to scoring with a model
     derived from the same corpus in one plan; a production pipeline
     computes the tf table ONCE, persists it, and amortizes it across
-    every scoring run, making scoring single-pass."""
+    every scoring run, making scoring single-pass — exactly what
+    ``lp_table=`` enables: pass a persisted
+    :func:`unigram_lp_table` relation and scoring is one pass (the
+    :func:`~.ensemble.write_quality_artifacts` fit uses it so the LM is
+    derived once, not twice — r16 review finding)."""
     toks = documents.select("doc_id", F.explode(tokens("text")).alias("term"))
-    lp = unigram_lp_table(documents)
+    lp = lp_table if lp_table is not None else unigram_lp_table(documents)
     return (
         toks.join(lp, "term")
         .groupBy("doc_id")
@@ -724,7 +706,9 @@ def unigram_lp_table(documents: DataFrame) -> DataFrame:
     )
 
 
-def ppl_tercile_cutoffs(documents: DataFrame) -> DataFrame:
+def ppl_tercile_cutoffs(
+    documents: DataFrame, lp_table: DataFrame | None = None
+) -> DataFrame:
     """FROZEN per-language tercile cutoffs: (lang, head_min, mid_min) —
     the minimum ``avg_logprob`` of the head and middle buckets from
     :func:`ppl_score_buckets` over a reference corpus (the CCNet serve
@@ -733,9 +717,20 @@ def ppl_tercile_cutoffs(documents: DataFrame) -> DataFrame:
     groups are atomic and buckets are rank-contiguous, comparing a
     reference-corpus document's score against these cutoffs reproduces
     its histogram bucket EXACTLY (pytest-pinned); ``mid_min`` is NULL
-    for languages too small to have a middle bucket.  |langs| rows."""
-    lp = unigram_logprob(documents)
-    scored = documents.select("doc_id", "lang").join(lp, "doc_id")
+    for languages too small to have a middle bucket.  |langs| rows.
+
+    Documents with a NULL lang are EXCLUDED: the serve maps an unknown
+    language to tail anyway, and a NULL-lang cutoffs row would make the
+    persisted artifact unservable (stream_quality_tag refuses null-lang
+    cutoffs — r16 review finding).  ``lp_table=`` passes a precomputed
+    :func:`unigram_lp_table` through to the scorer so a fit that
+    already persisted the LM never re-derives it."""
+    lp = unigram_logprob(documents, lp_table=lp_table)
+    scored = (
+        documents.select("doc_id", "lang")
+        .filter(F.col("lang").isNotNull())
+        .join(lp, "doc_id")
+    )
     b = ppl_score_buckets(scored)
     return b.groupBy("lang").agg(
         F.min(

@@ -1482,6 +1482,14 @@ def stream_quality_tag(
     missing = [c for c in FEATURE_COLS if f"w_{c}" not in wd]
     if missing:
         raise ValueError(f"weights frame missing w_ columns for {missing}")
+    if any(wd[f"w_{c}"] is None for c in FEATURE_COLS):
+        # a fit on an EMPTY corpus aggregates to one row of NULL weights
+        # — refuse like every other corrupt-artifact path instead of a
+        # float(None) TypeError (r16 review finding)
+        raise ValueError(
+            "weights frame carries NULL w_ values (fit on an empty "
+            "corpus?) — refit gradient_step_weights on real documents"
+        )
     w = [float(wd[f"w_{c}"]) for c in FEATURE_COLS]
 
     # bound BEFORE the full collect (the stream_domain_tag discipline): a
