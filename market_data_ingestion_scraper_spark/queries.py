@@ -6065,17 +6065,82 @@ def q_fim_examples(spark: SparkSession, sf: str) -> DataFrame:
 # queries, and finally entries whose evidence already exists elsewhere
 # (rows-only demos pinned by pytest, long-stable double-green rows).
 GATE_PRIORITY: tuple[str, ...] = (
-    # r16 rotation (executes the hard commitment recorded here at r15):
-    # the 50 queries last checked green at r14 parked in GATE_DEFERRED
-    # through r15 and hit the 2-round staleness limit this round — the
-    # entire list rotates back into the snapshot window.  At its head sit
-    # `hybrid_rrf_retrieval` (X31), `shard_admission_report` (X32) and
-    # `temporal_split_events` (X33), registered r15, taking their FIRST
-    # driver gate rows; their SQL twins were verified green at
-    # registration (sf0.001 + sf0.01 via test_oracle_parity and the
-    # /verify gate replica) and all three are pinned against independent
-    # pure-Python twins meanwhile (test_retrieval_admission.py,
-    # test_splits.py, test_properties.py).
+    # r17 rotation (executes the hard commitment recorded here at r16 and
+    # in COVERAGE.md): the 50 queries last checked green at r15 parked in
+    # GATE_DEFERRED through r16 and hit the 2-round staleness limit this
+    # round — the entire list rotates back into the snapshot window.  At
+    # its head sit the four r16 registrations taking their FIRST driver
+    # gate rows: `shard_admission_index` (the X32 persisted-index serving
+    # form, r15 verdict #4), `span_corruption_examples` + `fim_examples`
+    # (X34 training-example constructors), and `quality_ensemble` (X35).
+    # All four SQL twins were verified green at registration (sf0.001 +
+    # sf0.01 via test_oracle_parity and the /verify gate replica) and each
+    # is pinned meanwhile by an independent pytest twin
+    # (test_shard_admission_index_handle_parity, test_corruption.py's
+    # pure-Python twins + hypothesis differentials, test_ensemble.py's
+    # vote decomposition).
+    "shard_admission_index",
+    "span_corruption_examples",
+    "fim_examples",
+    "quality_ensemble",
+    "memorization_profile",
+    "domain_mix_report",
+    "xlingual_align",
+    "curriculum_packed_order",
+    "trigram_backoff_quality",
+    "hard_negative_mining",
+    "perplexity_buckets",
+    "dsir_select",
+    "bloom_dedup_filter",
+    "kmeans_refine_step",
+    "corpus_snapshot_diff",
+    "quality_classifier_scores",
+    "temperature_mixture",
+    "bm25_ranking",
+    "shipping_lead_time",
+    "top3_parts_per_brand",
+    "cumulative_monthly_volume",
+    "daily_price_delta",
+    "indexed_commodity_groups",
+    "union_day_slices",
+    "link_text_filter",
+    "commodity_lookup",
+    "brands_never_shipped_1998",
+    "boilerplate_grams",
+    "label_centroids",
+    "top5_commodities",
+    "revenue_by_region",
+    "pii_scrub",
+    "doc_fingerprints",
+    "uniform_hash_sample",
+    "near_dup_clusters",
+    "simhash_near_dups",
+    "ivfpq_topk_adc",
+    "quality_funnel",
+    "multimodal_features",
+    "video_frame_sample",
+    "source_language_mix",
+    "semdedup_drop",
+    "minhash_est_calibration",
+    "ann_recall_eval",
+    "ivf_recall_eval",
+    "dedup_rate_by_source",
+    "token_count_histogram",
+    "embedding_norm_outliers",
+    "image_near_dups",
+    "duplicated_span_stats",
+)
+
+# The queries checked green at r16 park outside the snapshot window
+# this round; they hit the 2-round staleness limit at r18, so the r18
+# rotation MUST move this entire list into GATE_PRIORITY (and park the
+# r17-green window here).  With 100 exported queries and a 50-row
+# snapshot the cycle is exactly two rounds — sustainable indefinitely.
+# Queries newly registered at r17 join the head of this window (the
+# shard_admission_index / span_corruption / quality_ensemble precedent):
+# their SQL twins are verified green at registration time and they take
+# their first driver gate rows at r18.
+GATE_DEFERRED: tuple[str, ...] = (
     "hybrid_rrf_retrieval",
     "shard_admission_report",
     "temporal_split_events",
@@ -6126,85 +6191,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "pivot_status_qty",
     "cube_revenue",
     "quantity_percentiles",
-)
-
-# The queries checked green at r15 park outside the snapshot window
-# this round; they hit the 2-round staleness limit at r17, so the r17
-# rotation MUST move this entire list into GATE_PRIORITY (and park the
-# r16-green window here).  With 100 exported queries and a 50-row
-# snapshot the cycle is exactly two rounds — sustainable indefinitely.
-# Queries newly registered at r16 join the head of this window (the
-# memorization_profile / domain_mix_report / hybrid_rrf_retrieval
-# precedent): their SQL twins are verified green at registration time
-# and they take their first driver gate rows at r17.
-GATE_DEFERRED: tuple[str, ...] = (
-    # registered r16 (r15 verdict #4): the persisted-index serving form
-    # of X32, gated at equal rigor to the in-plan form; SQL twin
-    # verified green at registration (sf0.001 + sf0.01 via
-    # test_oracle_parity + the /verify gate replica) and pinned
-    # meanwhile by the bit-equality pytest
-    # (test_shard_admission_index_handle_parity); first driver gate row
-    # due r17 per the standing rotation contract
-    "shard_admission_index",
-    # registered r16: X34 training-example constructors, SQL twins
-    # verified green at registration (sf0.001 + sf0.01) and pinned
-    # meanwhile by independent pure-Python twins (test_corruption.py)
-    # plus hypothesis property differentials; first driver gate rows due
-    # r17 per the standing rotation contract
-    "span_corruption_examples",
-    "fim_examples",
-    # registered r16: X35 quality ensembler (one-plan composition of the
-    # three gated voters; oracle reuses their SQL twins verbatim via
-    # shared constants), SQL twin verified green at registration
-    # (sf0.001 + sf0.01), pinned meanwhile by the vote-decomposition
-    # pytest (test_ensemble.py); first driver gate row due r17
-    "quality_ensemble",
-    "memorization_profile",
-    "domain_mix_report",
-    "xlingual_align",
-    "curriculum_packed_order",
-    "trigram_backoff_quality",
-    "hard_negative_mining",
-    "perplexity_buckets",
-    "dsir_select",
-    "bloom_dedup_filter",
-    "kmeans_refine_step",
-    "corpus_snapshot_diff",
-    "quality_classifier_scores",
-    "temperature_mixture",
-    "bm25_ranking",
-    "shipping_lead_time",
-    "top3_parts_per_brand",
-    "cumulative_monthly_volume",
-    "daily_price_delta",
-    "indexed_commodity_groups",
-    "union_day_slices",
-    "link_text_filter",
-    "commodity_lookup",
-    "brands_never_shipped_1998",
-    "boilerplate_grams",
-    "label_centroids",
-    "top5_commodities",
-    "revenue_by_region",
-    "pii_scrub",
-    "doc_fingerprints",
-    "uniform_hash_sample",
-    "near_dup_clusters",
-    "simhash_near_dups",
-    "ivfpq_topk_adc",
-    "quality_funnel",
-    "multimodal_features",
-    "video_frame_sample",
-    "source_language_mix",
-    "semdedup_drop",
-    "minhash_est_calibration",
-    "ann_recall_eval",
-    "ivf_recall_eval",
-    "dedup_rate_by_source",
-    "token_count_histogram",
-    "embedding_norm_outliers",
-    "image_near_dups",
-    "duplicated_span_stats",
 )
 
 # Retired from the GATE EXPORT only (r8, on the r7 verdict's advice): each
