@@ -1286,10 +1286,14 @@ def main(argv: list[str] | None = None) -> int:
         if args.cmd == "quality-fit":
             from .operators.ensemble import write_quality_artifacts
 
-            side = write_quality_artifacts(
-                docs, args.out, label_threshold=args.label_threshold,
-                lr=args.lr,
-            )
+            try:
+                side = write_quality_artifacts(
+                    docs, args.out, label_threshold=args.label_threshold,
+                    lr=args.lr,
+                )
+            except ValueError as exc:
+                print(str(exc), file=sys.stderr)
+                return 2
             print(f"kind={side['kind']} n_terms={side['n_terms']} "
                   f"n_langs={side['n_langs']} out={args.out}")
             return 0

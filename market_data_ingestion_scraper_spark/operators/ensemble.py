@@ -97,6 +97,19 @@ def write_quality_artifacts(
         os.path.join(path, "weights")
     )
     spark = documents.sparkSession
+    # validate each frozen frame as it lands (reading back the 1-row /
+    # footer-only parquet is free): a degenerate corpus — all-NULL LR
+    # weights from an empty feature frame, an empty LM vocabulary, no
+    # language cutoffs — must fail HERE at the fit, not later at serve
+    # time with an error pointing back at this function (r16 advice)
+    w_rows = spark.read.parquet(os.path.join(path, "weights")).collect()
+    if len(w_rows) != 1 or any(v is None for v in w_rows[0].asDict().values()):
+        raise ValueError(
+            "degenerate quality-ensemble fit: the LR weight frame must be "
+            f"exactly 1 non-NULL row, got {w_rows!r} — empty or "
+            "single-class corpus?  No sidecar written; the artifact "
+            "directory reads as absent."
+        )
     unigram_lp_table(documents).write.mode("overwrite").parquet(
         os.path.join(path, "lp")
     )
@@ -104,15 +117,27 @@ def write_quality_artifacts(
     # re-deriving it — halves the fit's corpus text scans (r16 review
     # finding; the unigram_logprob docstring's persist-once pattern)
     lp_frozen = spark.read.parquet(os.path.join(path, "lp"))
+    n_terms = lp_frozen.count()
+    if n_terms == 0:
+        raise ValueError(
+            "degenerate quality-ensemble fit: empty unigram LM vocabulary "
+            "(no tokens in the fit corpus).  No sidecar written."
+        )
     ppl_tercile_cutoffs(documents, lp_table=lp_frozen).write.mode(
         "overwrite"
     ).parquet(os.path.join(path, "cutoffs"))
+    n_langs = spark.read.parquet(os.path.join(path, "cutoffs")).count()
+    if n_langs == 0:
+        raise ValueError(
+            "degenerate quality-ensemble fit: no per-language perplexity "
+            "cutoffs (no scoreable documents).  No sidecar written."
+        )
     sidecar = {
         "kind": "quality-ensemble",
         "label_threshold": float(label_threshold),
         "lr": float(lr),
-        "n_terms": spark.read.parquet(os.path.join(path, "lp")).count(),
-        "n_langs": spark.read.parquet(os.path.join(path, "cutoffs")).count(),
+        "n_terms": n_terms,
+        "n_langs": n_langs,
     }
     with open(os.path.join(path, QUALITY_SIDECAR), "w") as f:
         json.dump(sidecar, f)

@@ -194,6 +194,11 @@ def hybrid_retrieval_rrf_multi(
             f"query_vectors carries duplicate {vec_id_col} rows (e.g. "
             f"{dup[0][vec_id_col]}) — one vector per query id"
         )
+    # the lexical side needs no such probe: bm25_scores_multi dedupes
+    # (query_id, term) IN-PLAN with .distinct() before the vocabulary
+    # semi-join, so repeated term rows cannot double-count a term's BM25
+    # contribution — that .distinct() is load-bearing for this operator's
+    # correctness, not an optimization (r16 review)
     docs_n = documents.select(
         F.col(doc_id_col).alias("doc_id"),
         F.col(text_col).alias("text"),
@@ -234,6 +239,11 @@ def hybrid_retrieval_rrf_multi(
         .withColumn("_r", F.row_number().over(w))
         .filter(F.col("_r") <= int(k))
         .drop("_r")
+        # the docstring promises per-query ordered output; the window
+        # alone does not guarantee row order after the filter/drop, so
+        # finish with the explicit orderBy the single-query form ends
+        # with (r16 advice)
+        .orderBy("query_id", F.desc("rrf_micro"), F.asc(doc_id_col))
     )
 
 

@@ -668,7 +668,18 @@ def unigram_logprob(
     ``lp_table=`` enables: pass a persisted
     :func:`unigram_lp_table` relation and scoring is one pass (the
     :func:`~.ensemble.write_quality_artifacts` fit uses it so the LM is
-    derived once, not twice — r16 review finding)."""
+    derived once, not twice — r16 review finding).
+
+    OOV policy — ``lp_table=`` is FIT-SIDE ONLY: this scorer inner-joins
+    the LM, so tokens absent from ``lp_table`` are silently excluded
+    from both the sum and the token count.  On the fit corpus itself the
+    two policies coincide (every token is in its own vocabulary —
+    pytest-pinned), but scoring FOREIGN text against a frozen LM here
+    would inflate avg_logprob for OOV-heavy garbage.  Serve foreign
+    shards through
+    :func:`~..streaming.pipeline.stream_quality_tag`, which floors OOV
+    tokens at the vocabulary-minimum ``lp_micro`` and divides by ALL
+    tokens (r16 advice)."""
     toks = documents.select("doc_id", F.explode(tokens("text")).alias("term"))
     lp = lp_table if lp_table is not None else unigram_lp_table(documents)
     return (

@@ -1690,3 +1690,56 @@ def stream_shard_admission_filter(
         .agg(F.max("_est").alias("max_corpus_est"))
         .filter(F.col("max_corpus_est") < threshold)
     )
+
+
+def stream_span_corruption(
+    rows: DataFrame,
+    block_size: int = 16,
+    max_span: int = 4,
+    min_block: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming X34 span-corruption example emission: apply
+    :func:`~..operators.corruption.span_corruption_examples` to a
+    document stream — T5 denoising pairs minted online as shards land,
+    the example-construction stage of a training pipeline run as a
+    continuous job instead of a backfill.
+
+    The constructor is a PURE PER-ROW PROJECTION (zero exchanges,
+    plan-pinned), so it is append-legal with no state, no watermark, and
+    no stream-static join; span selection hashes (doc_id, block), so a
+    document produces the SAME example whether it arrives in a
+    micro-batch or a backfill — stream ≡ batch bit-for-bit
+    (test_corruption.test_constructors_are_stream_legal).  This wrapper
+    exists so the serve story is uniform with the other frozen-artifact
+    filters (X20/X21/X27/X35); applying the batch operator to the
+    streaming frame directly is equally supported."""
+    from ..operators.corruption import span_corruption_examples
+
+    return span_corruption_examples(
+        rows,
+        block_size=block_size,
+        max_span=max_span,
+        min_block=min_block,
+        id_col=id_col,
+        text_col=text_col,
+    )
+
+
+def stream_fim_examples(
+    rows: DataFrame,
+    min_tokens: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming X34 fill-in-the-middle example emission: apply
+    :func:`~..operators.corruption.fim_examples` to a document stream.
+    Same contract as :func:`stream_span_corruption` — pure projection +
+    filter, append-legal with no state, cut points hash doc_id alone, so
+    stream ≡ batch bit-for-bit (pytest-pinned)."""
+    from ..operators.corruption import fim_examples
+
+    return fim_examples(
+        rows, min_tokens=min_tokens, id_col=id_col, text_col=text_col
+    )

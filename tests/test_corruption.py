@@ -201,9 +201,14 @@ def test_fim_short_docs_emit_no_row(spark):
 def test_constructors_are_stream_legal(spark, tmp_path):
     """Both constructors are pure per-row projections, so they apply to
     a streaming frame UNCHANGED (append mode, no state, no watermark):
-    stream ≡ batch through the memory sink."""
+    stream ≡ batch through the memory sink.  The streaming side goes
+    through the r17 `stream_` convenience wrappers so the documented
+    serve path is the one under test (the wrappers delegate; direct
+    application is pinned equal by construction)."""
     from market_data_ingestion_scraper_spark.streaming.pipeline import (
         run_to_memory,
+        stream_fim_examples,
+        stream_span_corruption,
     )
 
     docs = spark.read.parquet(f"{SF}/documents.parquet").select(
@@ -218,12 +223,12 @@ def test_constructors_are_stream_legal(spark, tmp_path):
     )
     want_span = {tuple(r) for r in span_corruption_examples(docs).collect()}
     got_span = run_to_memory(
-        span_corruption_examples(stream), "t_span_corrupt", spark,
+        stream_span_corruption(stream), "t_span_corrupt", spark,
         mode="append",
     )
     assert {tuple(r) for r in got_span.collect()} == want_span
     want_fim = {tuple(r) for r in fim_examples(docs).collect()}
     got_fim = run_to_memory(
-        fim_examples(stream), "t_fim", spark, mode="append",
+        stream_fim_examples(stream), "t_fim", spark, mode="append",
     )
     assert {tuple(r) for r in got_fim.collect()} == want_fim

@@ -245,3 +245,32 @@ def test_quality_artifact_lifecycle(spark, tmp_path):
         json.dump({"kind": "lsh"}, f)
     with pytest.raises(ValueError, match="kind mismatch"):
         load_quality_artifacts(spark, bare)
+
+
+def test_quality_fit_refuses_degenerate_corpus(spark, tmp_path):
+    """A degenerate fit corpus must fail AT THE FIT (r16 advice): an
+    empty / single-class / token-free corpus used to persist NULL
+    weights or an empty lp under a blessing sidecar, and the corruption
+    only surfaced at serve time.  Now the fit raises before writing the
+    sidecar, so the directory reads as absent to every loader."""
+    import os
+
+    from market_data_ingestion_scraper_spark.operators.ensemble import (
+        QUALITY_SIDECAR,
+        load_quality_artifacts,
+        write_quality_artifacts,
+    )
+
+    # single-class corpus: every doc scores on the same side of the
+    # label threshold, so the LR gradient step yields NULL/degenerate
+    # weights (no class contrast to fit)
+    docs = spark.createDataFrame(
+        [(1, "", "en"), (2, "", "en")], "doc_id long, text string, lang string"
+    )
+    path = str(tmp_path / "degen")
+    with pytest.raises(ValueError, match="degenerate quality-ensemble fit"):
+        write_quality_artifacts(docs, path)
+    # the refusal left no sidecar: the directory reads as absent
+    assert not os.path.exists(os.path.join(path, QUALITY_SIDECAR))
+    with pytest.raises(ValueError, match=QUALITY_SIDECAR):
+        load_quality_artifacts(spark, path)
