@@ -422,6 +422,44 @@ def main(argv: list[str] | None = None) -> int:
                     help="output parquet of (doc_id, n_tokens, cut1, "
                     "cut2, input_text, target_text)")
 
+    hs = sub.add_parser(
+        "holdout-split",
+        help="contamination-aware eval-split builder (X36): select a "
+        "deterministic hash (or temporal) holdout, quarantine selected "
+        "docs sharing word k-grams with the training side; prints the "
+        "per-split summary",
+    )
+    hs.add_argument("--documents", required=True,
+                    help="parquet with (doc_id, text)")
+    hs.add_argument("--holdout-ppm", type=int, default=100_000,
+                    help="holdout fraction in ppm (hash mode)")
+    hs.add_argument("--k", type=int, default=5,
+                    help="contamination gram width")
+    hs.add_argument("--min-hits", type=int, default=1,
+                    help="distinct shared grams that quarantine a doc")
+    hs.add_argument("--cutoff", default=None,
+                    help="ISO timestamp: temporal mode (needs --ts-col)")
+    hs.add_argument("--ts-col", default=None,
+                    help="timestamp column for temporal mode")
+    hs.add_argument("--out", default=None,
+                    help="optional parquet of the per-doc assignment")
+
+    ip = sub.add_parser(
+        "instruction-pairs",
+        help="instruction-example assembly from adjacent same-source "
+        "document pairs (X37): hash-chosen template + capped token "
+        "slices; deterministic (pure function of ids + text)",
+    )
+    ip.add_argument("--documents", required=True,
+                    help="parquet with (doc_id, source, text)")
+    ip.add_argument("--out", required=True,
+                    help="output parquet of (prompt_doc_id, "
+                    "response_doc_id, source, template_id, input_text, "
+                    "target_text, n_prompt_tokens, n_target_tokens)")
+    ip.add_argument("--pair-bucket", type=int, default=1024)
+    ip.add_argument("--max-prompt-tokens", type=int, default=64)
+    ip.add_argument("--max-target-tokens", type=int, default=256)
+
     qe = sub.add_parser(
         "quality-ensemble",
         help="document-quality ensembler (X35): LR classifier + "
@@ -1250,6 +1288,72 @@ def main(argv: list[str] | None = None) -> int:
                   f"density_ppm={density} out={args.out}")
         else:
             print(f"examples={n} out={args.out}")
+        return 0
+
+    if args.cmd == "holdout-split":
+        from .operators.splits import decontaminated_holdout
+
+        docs = spark.read.parquet(args.documents)
+        need = ["doc_id", "text"] + ([args.ts_col] if args.ts_col else [])
+        missing = [c for c in need if c not in docs.columns]
+        if missing:
+            print(f"documents parquet missing columns: {missing}",
+                  file=sys.stderr)
+            return 2
+        try:
+            assigned = decontaminated_holdout(
+                docs, holdout_ppm=args.holdout_ppm, k=args.k,
+                min_hits=args.min_hits, cutoff=args.cutoff,
+                ts_col=args.ts_col,
+            )
+        except ValueError as exc:
+            print(str(exc), file=sys.stderr)
+            return 2
+        if args.out:
+            assigned.write.mode("overwrite").parquet(args.out)
+            assigned = spark.read.parquet(args.out)
+        from pyspark.sql import functions as F
+
+        report = (
+            assigned.groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .collect()
+        )
+        for r in sorted(report, key=lambda x: x["split"]):
+            print(f"split={r['split']} n_docs={r['n_docs']}")
+        return 0
+
+    if args.cmd == "instruction-pairs":
+        from .operators.instruct import instruction_pairs
+
+        docs = spark.read.parquet(args.documents)
+        missing = [
+            c for c in ("doc_id", "source", "text") if c not in docs.columns
+        ]
+        if missing:
+            print(f"documents parquet missing columns: {missing}",
+                  file=sys.stderr)
+            return 2
+        try:
+            out = instruction_pairs(
+                docs, pair_bucket=args.pair_bucket,
+                max_prompt_tokens=args.max_prompt_tokens,
+                max_target_tokens=args.max_target_tokens,
+            )
+        except ValueError as exc:
+            print(str(exc), file=sys.stderr)
+            return 2
+        out.write.mode("overwrite").parquet(args.out)
+        written = spark.read.parquet(args.out)
+        from pyspark.sql import functions as F
+
+        agg = written.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_prompt_tokens").alias("p"),
+            F.sum("n_target_tokens").alias("t"),
+        ).collect()[0]
+        print(f"examples={agg['n']} prompt_tokens={agg['p'] or 0} "
+              f"target_tokens={agg['t'] or 0} out={args.out}")
         return 0
 
     if args.cmd == "quality-ensemble":

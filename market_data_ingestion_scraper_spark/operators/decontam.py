@@ -48,6 +48,44 @@ def gram_hash_array(text_col: Column | str, k: int) -> Column:
     return _let(tokens(text_col), build)
 
 
+def gram_hits(
+    corpus: DataFrame,
+    reference: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ref_id_col: str = "bench_id",
+    broadcast_reference: bool = True,
+) -> DataFrame:
+    """Raw word-``k``-gram hit pairs between a corpus and a reference
+    set: ``(g, id_col, ref_id_col)`` — one row per (corpus doc,
+    reference doc, shared gram).  THE shared overlap machinery of the
+    decontamination family: :func:`decontaminate` aggregates it by the
+    corpus side (which training docs hit a benchmark) and
+    :func:`~.splits.decontaminated_holdout` by the reference side
+    (which held-out eval docs are contaminated by train) — one plan
+    shape, two groupings, so the two cannot drift.
+
+    ``broadcast_reference=True`` (the :func:`decontaminate` case) hints
+    the benchmark gram table map-side — correct when the reference is a
+    bounded eval set.  Pass ``False`` when the reference side scales
+    with the corpus (a fractional holdout): the equi-join on ``g`` then
+    shuffles both gram tables and AQE still broadcasts at runtime
+    whenever the reference side turns out small.
+
+    Exact and engine-portable (string grams, no hashing), so DuckDB
+    oracles reproduce consumers byte-for-byte."""
+    corpus_g = _spread(corpus).select(
+        F.col(id_col), F.explode(string_shingles(text_col, k)).alias("g")
+    )
+    ref_g = reference.select(
+        F.col(ref_id_col), F.explode(string_shingles(text_col, k)).alias("g")
+    ).distinct()
+    if broadcast_reference:
+        ref_g = F.broadcast(ref_g)
+    return corpus_g.join(ref_g, "g")
+
+
 def decontaminate(
     documents: DataFrame,
     benchmark: DataFrame,
@@ -67,13 +105,15 @@ def decontaminate(
 
     Exact and engine-portable (string grams, no hashing), so the DuckDB
     oracle reproduces it byte-for-byte."""
-    corpus = _spread(documents).select(
-        F.col(id_col), F.explode(string_shingles(text_col, k)).alias("g")
+    hits = gram_hits(
+        documents,
+        benchmark,
+        k=k,
+        id_col=id_col,
+        text_col=text_col,
+        ref_id_col=bench_id_col,
+        broadcast_reference=True,
     )
-    bench = benchmark.select(
-        F.col(bench_id_col), F.explode(string_shingles(text_col, k)).alias("g")
-    ).distinct()
-    hits = corpus.join(F.broadcast(bench), "g")
     return (
         hits.groupBy(id_col)
         .agg(

@@ -1,0 +1,145 @@
+"""X37 instruction-style training-example assembly from PAIRED
+documents — the supervised sibling of the X34 self-supervised
+constructors (corruption.py): where span corruption and FIM mint
+(input, target) pairs from ONE document, this family mints them from
+TWO related documents, the shape instruction/chat fine-tuning data
+takes (prompt document -> response document; public precedent: Reddit
+post/comment and forum thread pairs in OpenAI's WebGPT/InstructGPT
+data work, StackExchange Q->A pairs in LLaMA/RedPajama, adjacent-page
+pairs in long-context curricula).
+
+Pairing rule — adjacent documents of the same source: within each
+``(source, doc_id DIV pair_bucket)`` bucket, documents order by
+``doc_id`` and consecutive rows pair up non-overlapping (1st with 2nd,
+3rd with 4th, ...).  Crawl and thread ingestion assign ids in
+ingestion order, so same-source adjacency is the cheap deterministic
+proxy for "the document that followed" — and the bucket bound is the
+100 TB design choice: every window partition holds at most
+``pair_bucket`` consecutive ids of one source, so the sort-in-window
+never sees a corpus-sized (or even source-sized) partition, at the
+documented cost of losing at most one pair per (source, bucket)
+boundary.  No RNG anywhere: which template frames a pair is the house
+portable md5 hash of the prompt id (:func:`~.dedup.portable_token_hash`
+— the X34 selection discipline), so a reshuffled corpus emits
+bit-identical examples and the DuckDB oracle reproduces them
+byte-for-byte.
+
+Scale shape: ONE shuffle — the exchange on ``(source, bucket)`` that
+feeds the bounded window — then a pure projection (token slice +
+concat); example text length is capped by ``max_prompt_tokens`` /
+``max_target_tokens`` so downstream packing (X26) sees bounded rows.
+
+The reference repo (a Selenium market-data scraper,
+/root/reference/main.py) has no training-data surface; this exists for
+the LLM-pipeline mission alongside X34.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import portable_token_hash
+from .text import tokens
+
+#: The fixed instruction-template vocabulary (plan literals; selection
+#: is ``portable_token_hash('tmpl:' || prompt_doc_id) % len``).  Edit =
+#: new dataset version; templates are part of the example contract, so
+#: they live here as a named constant, not inline strings.
+INSTRUCTION_TEMPLATES: tuple[str, ...] = (
+    "Continue the passage that follows the context.",
+    "Write the next document from the same source.",
+    "Given the context, produce the follow-up text.",
+    "Read the context and draft the subsequent entry.",
+)
+
+
+def instruction_pairs(
+    documents: DataFrame,
+    pair_bucket: int = 1024,
+    max_prompt_tokens: int = 64,
+    max_target_tokens: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """One instruction example per adjacent same-source document pair:
+    ``(prompt_doc_id, response_doc_id, source, template_id, input_text,
+    target_text, n_prompt_tokens, n_target_tokens)``.
+
+    ``input_text`` is ``'<instruction> ' || template || ' <context> '
+    || first max_prompt_tokens tokens of the prompt document``;
+    ``target_text`` is the first ``max_target_tokens`` tokens of the
+    response document; the ``n_*`` columns record the token counts
+    actually used (post-cap).  Pairs are non-overlapping — a document
+    appears in at most one example per build — and the odd document at
+    the end of a ``(source, bucket)`` run stays unpaired (as does the
+    last document before each ``pair_bucket`` id boundary: bounded
+    windows trade <= 1 pair per bucket for skew-proof partitions).
+
+    Empty or NULL text on either side still pairs (pairing is
+    positional, not content-based — dropping empties would silently
+    re-pair across a gap and change neighbors); its token slice renders
+    as ``''`` and the curation funnel filters on the ``n_*`` columns.
+
+    Deterministic: ordering is by ``doc_id`` within the bucket, template
+    choice hashes the prompt id — no RNG, partitioning-invariant,
+    SQL-twinnable."""
+    if int(pair_bucket) < 2:
+        raise ValueError(f"pair_bucket must be >= 2, got {pair_bucket}")
+    if int(max_prompt_tokens) < 1 or int(max_target_tokens) < 1:
+        raise ValueError(
+            "max_prompt_tokens and max_target_tokens must be >= 1, got "
+            f"{max_prompt_tokens}/{max_target_tokens}"
+        )
+    n_tmpl = len(INSTRUCTION_TEMPLATES)
+    bucket = (F.col(id_col) / F.lit(int(pair_bucket))).cast("long")
+    w = Window.partitionBy(source_col, "_bucket").orderBy(id_col)
+    staged = (
+        documents.select(
+            F.col(id_col),
+            F.col(source_col),
+            tokens(text_col).alias("_ts"),
+            bucket.alias("_bucket"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_next_id", F.lead(id_col).over(w))
+        .withColumn("_next_ts", F.lead("_ts").over(w))
+    )
+    paired = staged.filter(
+        (F.pmod(F.col("_rn"), F.lit(2)) == 1) & F.col("_next_id").isNotNull()
+    )
+    tmpl_id = F.pmod(
+        portable_token_hash(
+            F.concat(F.lit("tmpl:"), F.col(id_col).cast("string"))
+        ),
+        F.lit(n_tmpl),
+    ).cast("int")
+    template = F.element_at(
+        F.array(*[F.lit(t) for t in INSTRUCTION_TEMPLATES]), tmpl_id + 1
+    )
+    p_slice = F.slice(
+        F.coalesce(F.col("_ts"), F.array().cast("array<string>")),
+        1,
+        int(max_prompt_tokens),
+    )
+    t_slice = F.slice(
+        F.coalesce(F.col("_next_ts"), F.array().cast("array<string>")),
+        1,
+        int(max_target_tokens),
+    )
+    return paired.select(
+        F.col(id_col).alias("prompt_doc_id"),
+        F.col("_next_id").alias("response_doc_id"),
+        F.col(source_col),
+        tmpl_id.alias("template_id"),
+        F.concat(
+            F.lit("<instruction> "),
+            template,
+            F.lit(" <context> "),
+            F.concat_ws(" ", p_slice),
+        ).alias("input_text"),
+        F.concat_ws(" ", t_slice).alias("target_text"),
+        F.size(p_slice).cast("long").alias("n_prompt_tokens"),
+        F.size(t_slice).cast("long").alias("n_target_tokens"),
+    )

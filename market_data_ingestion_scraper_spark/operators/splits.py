@@ -207,3 +207,147 @@ def temporal_split_report(
         "n_entities",
         share_ppm.cast("long").alias("row_share_ppm"),
     )
+
+
+def decontaminated_holdout(
+    documents: DataFrame,
+    holdout_ppm: int = 100_000,
+    k: int = 5,
+    min_hits: int = 1,
+    cutoff: str | None = None,
+    ts_col: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """X36 contamination-aware eval-split BUILDER: construct a held-out
+    evaluation set that is decontaminated against its own training side
+    by word-``k``-gram overlap — the composition of the X29 gram
+    machinery (:func:`~.decontam.gram_hits`, the exact construction the
+    gated ``benchmark_decontam`` aggregates the other way) with the X33
+    split discipline (every document gets exactly one label; anything
+    unplaceable is excluded from BOTH sides, never silently assigned).
+
+    Assignment, one row per document — ``(doc_id, split, n_hit_grams,
+    n_train_docs_hit)`` with ``split`` in:
+
+    - ``train`` — not selected for the holdout (stats NULL: the train
+      side is never gram-checked, that cost belongs to the bounded
+      eval side);
+    - ``eval`` — selected and CLEAN: shares fewer than ``min_hits``
+      distinct ``k``-grams with every train document (stats are the
+      sub-threshold actuals, usually 0);
+    - ``quarantine`` — selected but CONTAMINATED (>= ``min_hits``
+      distinct grams shared with the train side; stats record the
+      evidence), or — temporal mode only — carrying a NULL timestamp
+      (stats NULL: unplaceable on either side of a boundary, the X33
+      NULL policy).  Quarantined documents join NEITHER side: promoting
+      them to train would be fine for leakage but would silently change
+      the train distribution mid-build; surfacing them keeps the
+      curation decision explicit (the X10 funnel can re-admit them).
+
+    Holdout selection is deterministic and engine-portable:
+
+    - hash mode (default): the document is a candidate iff
+      ``portable_token_hash('holdout:' || doc_id) % 1e6 <
+      holdout_ppm`` — seed-free, partitioning-invariant, and stable
+      under corpus growth (a document's side never changes when new
+      documents arrive, so incremental rebuilds don't churn the split);
+    - temporal mode (``cutoff=`` + ``ts_col=``): candidates are the
+      documents at or after the cutoff — the X33 time-based holdout,
+      with the contamination check replacing the entity-embargo notion
+      of leakage (eval text the model saw verbatim in train).
+
+    Documents with fewer than ``k`` tokens (or NULL text) carry no
+    checkable gram and admit to ``eval`` vacuously clean — by
+    definition they cannot leak a ``k``-gram.
+
+    Scale shape at 100 TB: ONE corpus scan splits both sides by a pure
+    projection; the gram check is
+    :func:`~.decontam.gram_hits(broadcast_reference=False)` — the
+    train-side gram explode equi-joins the holdout-side distinct gram
+    table on ``g`` (both shuffles carry grams of THEIR side only; the
+    holdout side is ``holdout_ppm``-fractional, and AQE broadcasts it
+    at runtime whenever it fits, recovering the benchmark-decontam plan
+    exactly) — and the contamination aggregate is bounded by matched
+    eval docs.  The final assignment is an id-keyed LEFT join of the
+    corpus against that bounded contamination table.  Exact string
+    grams keep the oracle bit-for-bit; swap
+    :func:`~.dedup.shingles` hashed grams for long-key shuffles at
+    extreme scale (the :func:`~.decontam.decontaminate` tradeoff).
+    """
+    from .decontam import gram_hits
+    from .dedup import portable_token_hash
+
+    if not 0 < int(holdout_ppm) < 1_000_000:
+        raise ValueError(
+            f"holdout_ppm must be in (0, 1000000), got {holdout_ppm}"
+        )
+    if int(min_hits) < 1:
+        raise ValueError(f"min_hits must be >= 1, got {min_hits}")
+    if (cutoff is None) != (ts_col is None):
+        raise ValueError(
+            "temporal mode needs BOTH cutoff= and ts_col= (hash mode: "
+            "neither)"
+        )
+    if cutoff is not None:
+        cut = F.lit(_valid_ts(cutoff, "cutoff")).cast("timestamp")
+        is_cand = F.col(ts_col) >= cut
+        unplaced = F.col(ts_col).isNull()
+    else:
+        is_cand = (
+            F.pmod(
+                portable_token_hash(
+                    F.concat(
+                        F.lit("holdout:"), F.col(id_col).cast("string")
+                    )
+                ),
+                F.lit(1_000_000),
+            )
+            < F.lit(int(holdout_ppm))
+        )
+        unplaced = F.lit(False)
+    base = documents.select(
+        F.col(id_col),
+        F.col(text_col),
+        is_cand.alias("_cand"),
+        unplaced.alias("_unplaced"),
+    )
+    evals = base.filter(F.col("_cand") & ~F.col("_unplaced")).select(
+        F.col(id_col).alias("_eval_id"), F.col(text_col)
+    )
+    train = base.filter(~F.col("_cand") & ~F.col("_unplaced"))
+    contam = (
+        gram_hits(
+            train,
+            evals,
+            k=k,
+            id_col=id_col,
+            text_col=text_col,
+            ref_id_col="_eval_id",
+            broadcast_reference=False,
+        )
+        .groupBy("_eval_id")
+        .agg(
+            F.countDistinct("g").alias("_n_hit_grams"),
+            F.countDistinct(id_col).alias("_n_train_docs_hit"),
+        )
+        .filter(F.col("_n_hit_grams") >= int(min_hits))
+    )
+    joined = base.join(
+        contam, base[id_col] == contam["_eval_id"], "left"
+    )
+    null_long = F.lit(None).cast("long")
+    return joined.select(
+        F.col(id_col),
+        F.when(F.col("_unplaced"), F.lit("quarantine"))
+        .when(~F.col("_cand"), F.lit("train"))
+        .when(F.col("_eval_id").isNotNull(), F.lit("quarantine"))
+        .otherwise(F.lit("eval"))
+        .alias("split"),
+        F.when(F.col("_unplaced") | ~F.col("_cand"), null_long)
+        .otherwise(F.coalesce(F.col("_n_hit_grams"), F.lit(0)))
+        .alias("n_hit_grams"),
+        F.when(F.col("_unplaced") | ~F.col("_cand"), null_long)
+        .otherwise(F.coalesce(F.col("_n_train_docs_hit"), F.lit(0)))
+        .alias("n_train_docs_hit"),
+    )

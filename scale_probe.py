@@ -742,6 +742,90 @@ def main() -> None:
                               base34["masked"] * 1_000_000 // base34["toks"]),
                           "sec": sec}), flush=True)
 
+        # r17: X36 contamination-aware holdout builder.  Replicas are
+        # content-distinct (prefixed tokens), so cross-replica grams
+        # never match: a replica-0 eval candidate can only be
+        # contaminated by replica-0 train docs, hence the replica-0
+        # slice of the assignment must be BIT-IDENTICAL to the 1× run
+        # (fingerprinted) while rows grow exactly K.  Wall tracks the
+        # gram join, which carries each side's own grams only.
+        from market_data_ingestion_scraper_spark.operators.splits import (
+            decontaminated_holdout,
+        )
+
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        hold = decontaminated_holdout(d.select("doc_id", "text"))
+        n36 = hold.count()
+        sec = round(time.perf_counter() - t0, 2)
+        base36 = hold.filter(F.col("doc_id") < ID_STRIDE).agg(
+            F.sum(
+                F.pmod(
+                    F.xxhash64(
+                        "doc_id", "split", "n_hit_grams", "n_train_docs_hit"
+                    ),
+                    F.lit(1_000_000_007),
+                )
+            ).alias("fp"),
+            F.count(F.when(F.col("split") == "quarantine", 1)).alias("nq"),
+            F.count(F.when(F.col("split") == "eval", 1)).alias("ne"),
+        ).collect()[0]
+        results.setdefault("decontam_holdout", {})[factor] = {
+            "pairs": n36, "sec": sec,
+        }
+        print(json.dumps({"op": "decontam_holdout", "factor": factor,
+                          "n_rows": n36,
+                          "base_slice_fp": int(base36["fp"]),
+                          "base_eval": int(base36["ne"]),
+                          "base_quarantine": int(base36["nq"]),
+                          "sec": sec}), flush=True)
+
+        # r17: X37 instruction-pair assembly.  Pairing is positional
+        # inside (source, doc_id DIV 1024) buckets; replica id blocks
+        # are ID_STRIDE apart so they never share a bucket, hence the
+        # replica-0 slice must be BIT-IDENTICAL to the 1× run (ids,
+        # texts, bucket cuts all unchanged).  Pair count grows ~K, not
+        # exactly K: ID_STRIDE % 1024 != 0, so each replica's bucket
+        # boundaries fall at a different id offset and re-cut a few
+        # pairs (measured 24 570 vs 24 600 at K=10 — the documented
+        # <= 1-pair-per-bucket-boundary loss, nothing else).  Wall is
+        # the single bounded window exchange + projection.
+        from market_data_ingestion_scraper_spark.operators.instruct import (
+            instruction_pairs,
+        )
+
+        spark.catalog.clearCache()
+        # the shared K× frame `d` carries (doc_id, text) only — rebuild
+        # with source carried through for the pairing key
+        docs_src = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "source"
+        )
+        d37 = replicate_corpus(docs_src, factor)
+        t0 = time.perf_counter()
+        ex37 = instruction_pairs(d37)
+        n37 = ex37.count()
+        sec = round(time.perf_counter() - t0, 2)
+        base37 = ex37.filter(F.col("prompt_doc_id") < ID_STRIDE).agg(
+            F.sum(
+                F.pmod(
+                    F.xxhash64(
+                        "prompt_doc_id", "response_doc_id", "template_id",
+                        "input_text", "target_text",
+                    ),
+                    F.lit(1_000_000_007),
+                )
+            ).alias("fp"),
+            F.count(F.lit(1)).alias("n_base"),
+        ).collect()[0]
+        results.setdefault("instruction_pairs", {})[factor] = {
+            "pairs": n37, "sec": sec,
+        }
+        print(json.dumps({"op": "instruction_pairs", "factor": factor,
+                          "n_pairs": n37,
+                          "base_slice_fp": int(base37["fp"]),
+                          "base_pairs": int(base37["n_base"]),
+                          "sec": sec}), flush=True)
+
     summary = {
         name: {
             "pairs_growth": round(r[k]["pairs"] / max(r[1]["pairs"], 1), 2),

@@ -994,3 +994,59 @@ def test_cli_quality_fit_and_tag(tmp_path, spark):
     r = _run("quality-tag", "--documents", docs_path,
              "--artifacts", str(tmp_path / "nowhere"))
     assert r.returncode == 2 and "_quality.json" in r.stderr
+
+
+def test_cli_holdout_split(tmp_path, spark):
+    """holdout-split: the X36 surface — per-split summary printed, the
+    assignment parquet matches the library, bad args exit 2."""
+    from market_data_ingestion_scraper_spark.sources.tables import load_table
+
+    docs_path = str(tmp_path / "docs")
+    load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    ).write.parquet(docs_path)
+    out = str(tmp_path / "assign")
+    r = _run("holdout-split", "--documents", docs_path, "--out", out)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "split=train" in r.stdout and "split=eval" in r.stdout
+
+    from market_data_ingestion_scraper_spark.operators.splits import (
+        decontaminated_holdout,
+    )
+
+    docs = spark.read.parquet(docs_path)
+    key = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert key(spark.read.parquet(out)) == key(decontaminated_holdout(docs))
+    # bad args: ValueError surfaces as exit 2, not a traceback
+    r = _run("holdout-split", "--documents", docs_path,
+             "--holdout-ppm", "0")
+    assert r.returncode == 2 and "holdout_ppm" in r.stderr
+    r = _run("holdout-split", "--documents", docs_path,
+             "--cutoff", "2024-01-01")
+    assert r.returncode == 2 and "temporal mode" in r.stderr
+
+
+def test_cli_instruction_pairs(tmp_path, spark):
+    """instruction-pairs: the X37 surface — summary line printed, the
+    example parquet matches the library, bad args exit 2."""
+    from market_data_ingestion_scraper_spark.sources.tables import load_table
+
+    docs_path = str(tmp_path / "docs")
+    load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "source", "text"
+    ).write.parquet(docs_path)
+    out = str(tmp_path / "pairs")
+    r = _run("instruction-pairs", "--documents", docs_path, "--out", out)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "examples=" in r.stdout and "target_tokens=" in r.stdout
+
+    from market_data_ingestion_scraper_spark.operators.instruct import (
+        instruction_pairs,
+    )
+
+    docs = spark.read.parquet(docs_path)
+    key = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert key(spark.read.parquet(out)) == key(instruction_pairs(docs))
+    r = _run("instruction-pairs", "--documents", docs_path, "--out", out,
+             "--pair-bucket", "1")
+    assert r.returncode == 2 and "pair_bucket" in r.stderr

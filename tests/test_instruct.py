@@ -1,0 +1,159 @@
+"""X37 instruction-pair assembly vs an independent pure-Python twin,
+plus the pairing policies that make the examples trustworthy: pairs are
+non-overlapping and never cross a (source, bucket) boundary, empty text
+still pairs positionally, and the whole construction is deterministic
+under repartitioning."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pytest
+
+from market_data_ingestion_scraper_spark.operators.instruct import (
+    INSTRUCTION_TEMPLATES,
+    instruction_pairs,
+)
+from market_data_ingestion_scraper_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _toks(text):
+    return [t for t in re.split(r"[^a-z0-9]+", (text or "").lower()) if t]
+
+
+def _tmpl_id(doc_id):
+    h = int(hashlib.md5(f"tmpl:{doc_id}".encode()).hexdigest()[:8], 16)
+    return (h % 2_147_483_647) % len(INSTRUCTION_TEMPLATES)
+
+
+def _py_pairs(rows, pair_bucket=1024, max_p=64, max_t=256):
+    """Independent twin: group by (source, id // bucket), order by id,
+    pair odd row-numbers with their successor, render the example."""
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for doc_id, source, text in rows:
+        groups[(source, doc_id // pair_bucket)].append((doc_id, text))
+    out = {}
+    for (source, _), docs in groups.items():
+        docs.sort()
+        for i in range(0, len(docs) - 1, 2):
+            (pid, ptext), (rid, rtext) = docs[i], docs[i + 1]
+            ps = _toks(ptext)[:max_p]
+            ts = _toks(rtext)[:max_t]
+            tid = _tmpl_id(pid)
+            out[pid] = (
+                rid,
+                source,
+                tid,
+                "<instruction> "
+                + INSTRUCTION_TEMPLATES[tid]
+                + " <context> "
+                + " ".join(ps),
+                " ".join(ts),
+                len(ps),
+                len(ts),
+            )
+    return out
+
+
+def test_instruction_pairs_matches_python_twin(spark):
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "source", "text"
+    )
+    rows = [(r["doc_id"], r["source"], r["text"]) for r in docs.collect()]
+    want = _py_pairs(rows)
+    got = {
+        r["prompt_doc_id"]: (
+            r["response_doc_id"],
+            r["source"],
+            r["template_id"],
+            r["input_text"],
+            r["target_text"],
+            r["n_prompt_tokens"],
+            r["n_target_tokens"],
+        )
+        for r in instruction_pairs(docs).collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
+def test_instruction_pairs_non_overlapping_and_bucket_bounded(spark):
+    """A document appears in at most one example, prompt ids never equal
+    response ids, and no pair spans a pair_bucket id boundary."""
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "source", "text"
+    )
+    rows = instruction_pairs(docs, pair_bucket=16).collect()
+    used = [r["prompt_doc_id"] for r in rows] + [
+        r["response_doc_id"] for r in rows
+    ]
+    assert len(used) == len(set(used))
+    for r in rows:
+        assert r["prompt_doc_id"] != r["response_doc_id"]
+        assert r["prompt_doc_id"] // 16 == r["response_doc_id"] // 16
+
+
+def test_instruction_pairs_planted_adjacency(spark):
+    """Planted truth: same-source consecutive ids pair 1st-2nd / 3rd-4th,
+    the odd straggler stays unpaired, sources never mix, and empty text
+    still pairs with zero used tokens."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a", "one two three"),
+            (2, "a", ""),                 # empty text still pairs
+            (3, "a", "five six"),
+            (4, "b", "other source"),     # straggler in b (single doc)
+            (5, "a", "seven eight"),      # pairs with 3
+            (6, "a", "nine"),             # straggler in a (5 docs)
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        r["prompt_doc_id"]: r for r in instruction_pairs(docs).collect()
+    }
+    assert set(got) == {1, 3}
+    assert got[1]["response_doc_id"] == 2
+    assert got[1]["target_text"] == "" and got[1]["n_target_tokens"] == 0
+    assert got[3]["response_doc_id"] == 5
+    assert got[3]["source"] == "a"
+
+
+def test_instruction_pairs_caps_and_template_choice(spark):
+    """Token caps truncate exactly and the template is the md5 choice."""
+    long_text = " ".join(f"w{i}" for i in range(100))
+    docs = spark.createDataFrame(
+        [(10, "s", long_text), (11, "s", long_text)],
+        "doc_id long, source string, text string",
+    )
+    r = instruction_pairs(
+        docs, max_prompt_tokens=5, max_target_tokens=7
+    ).collect()[0]
+    assert r["n_prompt_tokens"] == 5 and r["n_target_tokens"] == 7
+    assert r["input_text"].endswith("<context> w0 w1 w2 w3 w4")
+    assert r["target_text"] == "w0 w1 w2 w3 w4 w5 w6"
+    assert r["template_id"] == _tmpl_id(10)
+    assert INSTRUCTION_TEMPLATES[r["template_id"]] in r["input_text"]
+
+
+def test_instruction_pairs_partitioning_invariant(spark):
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "source", "text"
+    )
+    a = {tuple(r) for r in instruction_pairs(docs).collect()}
+    b = {tuple(r) for r in instruction_pairs(docs.repartition(17)).collect()}
+    assert a == b
+
+
+def test_instruction_pairs_validation(spark):
+    docs = load_table(spark, SF, "documents")
+    with pytest.raises(ValueError, match="pair_bucket"):
+        instruction_pairs(docs, pair_bucket=1)
+    with pytest.raises(ValueError, match="max_prompt_tokens"):
+        instruction_pairs(docs, max_prompt_tokens=0)
+    with pytest.raises(ValueError, match="max_prompt_tokens"):
+        instruction_pairs(docs, max_target_tokens=0)

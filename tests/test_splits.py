@@ -157,3 +157,168 @@ def test_temporal_split_nondistinct_entities_and_compact_cutoff(spark):
         for r in temporal_split(ev, "2024-01-25T00").collect()
     }
     assert compact == {r["event_id"]: r["split"] for r in base}
+
+
+# ---------------------------------------------------------------- X36
+
+
+def _py_holdout(rows, holdout_ppm=100_000, k=5, min_hits=1):
+    """Independent pure-Python twin of decontaminated_holdout (hash
+    mode): md5 candidacy, set-based gram overlap, the three-way label."""
+    import hashlib
+    import re
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % 2_147_483_647
+
+    def grams(text):
+        ts = [t for t in re.split(r"[^a-z0-9]+", (text or "").lower()) if t]
+        return {" ".join(ts[i:i + k]) for i in range(len(ts) - k + 1)}
+
+    cand = {d: h(f"holdout:{d}") % 1_000_000 < holdout_ppm for d, _ in rows}
+    train_grams = {}
+    for d, text in rows:
+        if not cand[d]:
+            train_grams[d] = grams(text)
+    out = {}
+    for d, text in rows:
+        if not cand[d]:
+            out[d] = ("train", None, None)
+            continue
+        g = grams(text)
+        hit_g = set()
+        hit_d = set()
+        for td, tg in train_grams.items():
+            shared = g & tg
+            if shared:
+                hit_g |= shared
+                hit_d.add(td)
+        if len(hit_g) >= min_hits:
+            out[d] = ("quarantine", len(hit_g), len(hit_d))
+        else:
+            out[d] = ("eval", len(hit_g), len(hit_d))
+    return out
+
+
+def test_decontaminated_holdout_matches_python_twin(spark):
+    from market_data_ingestion_scraper_spark.operators.splits import (
+        decontaminated_holdout,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+    want = _py_holdout(rows)
+    got = {
+        r["doc_id"]: (r["split"], r["n_hit_grams"], r["n_train_docs_hit"])
+        for r in decontaminated_holdout(docs).collect()
+    }
+    assert got == want
+    # the split is total and disjoint: every doc gets exactly one label
+    assert len(got) == len(rows)
+    assert {s for s, _, _ in got.values()} <= {"train", "eval", "quarantine"}
+
+
+def test_decontaminated_holdout_planted_contamination(spark):
+    """Planted truth: a candidate that copies 5 train tokens verbatim is
+    quarantined with the exact gram evidence; a disjoint-vocabulary
+    candidate stays eval; short/NULL text admits vacuously clean."""
+    import hashlib
+
+    def is_cand(d):
+        h = int(hashlib.md5(f"holdout:{d}".encode()).hexdigest()[:8], 16)
+        return (h % 2_147_483_647) % 1_000_000 < 100_000
+
+    # deterministically pick ids on each side of the hash
+    cand_ids = [d for d in range(1000) if is_cand(d)][:3]
+    train_ids = [d for d in range(1000) if not is_cand(d)][:2]
+    from market_data_ingestion_scraper_spark.operators.splits import (
+        decontaminated_holdout,
+    )
+
+    leak = "alpha beta gamma delta epsilon"
+    docs = spark.createDataFrame(
+        [
+            (train_ids[0], f"{leak} zeta eta"),
+            (train_ids[1], "totally different train words here indeed"),
+            (cand_ids[0], f"prefix {leak} suffix"),       # contaminated
+            (cand_ids[1], "qq ww ee rr tt yy uu"),        # clean eval
+            (cand_ids[2], "too short"),                   # vacuous clean
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["split"], r["n_hit_grams"]) for r in
+        decontaminated_holdout(docs).collect()
+    }
+    assert got[train_ids[0]] == ("train", None)
+    assert got[cand_ids[0]][0] == "quarantine" and got[cand_ids[0]][1] >= 1
+    assert got[cand_ids[1]] == ("eval", 0)
+    assert got[cand_ids[2]] == ("eval", 0)
+
+
+def test_decontaminated_holdout_temporal_mode(spark):
+    """cutoff= + ts_col=: candidacy is the X33 time boundary, NULL
+    timestamps quarantine with NULL stats (unplaceable — the X33 NULL
+    policy), and contamination still quarantines post-cutoff docs."""
+    import datetime as dt
+
+    from market_data_ingestion_scraper_spark.operators.splits import (
+        decontaminated_holdout,
+    )
+
+    t0 = dt.datetime(2024, 1, 10)
+    t1 = dt.datetime(2024, 2, 10)
+    leak = "alpha beta gamma delta epsilon"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{leak} zeta", t0),                  # train (pre-cutoff)
+            (2, f"copy {leak} here", t1),             # eval cand, contaminated
+            (3, "fresh vocabulary after the cut ok", t1),  # clean eval
+            (4, "timeless text", None),               # NULL ts -> quarantine
+        ],
+        "doc_id long, text string, ts timestamp",
+    )
+    got = {
+        r["doc_id"]: (r["split"], r["n_hit_grams"]) for r in
+        decontaminated_holdout(
+            docs, cutoff="2024-02-01 00:00:00", ts_col="ts"
+        ).collect()
+    }
+    assert got[1] == ("train", None)
+    assert got[2][0] == "quarantine" and got[2][1] >= 1
+    assert got[3] == ("eval", 0)
+    assert got[4] == ("quarantine", None)
+
+
+def test_decontaminated_holdout_partitioning_invariant(spark):
+    from market_data_ingestion_scraper_spark.operators.splits import (
+        decontaminated_holdout,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    a = {tuple(r) for r in decontaminated_holdout(docs).collect()}
+    b = {
+        tuple(r)
+        for r in decontaminated_holdout(docs.repartition(13)).collect()
+    }
+    assert a == b
+
+
+def test_decontaminated_holdout_validation(spark):
+    from market_data_ingestion_scraper_spark.operators.splits import (
+        decontaminated_holdout,
+    )
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="holdout_ppm"):
+        decontaminated_holdout(docs, holdout_ppm=0)
+    with pytest.raises(ValueError, match="holdout_ppm"):
+        decontaminated_holdout(docs, holdout_ppm=1_000_000)
+    with pytest.raises(ValueError, match="min_hits"):
+        decontaminated_holdout(docs, min_hits=0)
+    with pytest.raises(ValueError, match="temporal mode"):
+        decontaminated_holdout(docs, cutoff="2024-01-01")
+    with pytest.raises(ValueError, match="temporal mode"):
+        decontaminated_holdout(docs, ts_col="ts")
+    with pytest.raises(ValueError, match="ISO timestamp"):
+        decontaminated_holdout(docs, cutoff="nope", ts_col="ts")
