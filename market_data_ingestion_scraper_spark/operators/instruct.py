@@ -29,6 +29,15 @@ feeds the bounded window — then a pure projection (token slice +
 concat); example text length is capped by ``max_prompt_tokens`` /
 ``max_target_tokens`` so downstream packing (X26) sees bounded rows.
 
+Streaming: this is a BATCH/backfill constructor by design — pairing
+needs the bucket's rows together, and an unbounded stream cannot
+guarantee a document's successor has arrived (a row_number window is
+not append-legal without completeness).  Run it inside
+``foreachBatch`` over closed (source, bucket) partitions, or as the
+periodic backfill the X34 per-row constructors (which ARE stream-legal)
+complement online.
+
+
 The reference repo (a Selenium market-data scraper,
 /root/reference/main.py) has no training-data surface; this exists for
 the LLM-pipeline mission alongside X34.

@@ -351,3 +351,58 @@ def decontaminated_holdout(
         .otherwise(F.coalesce(F.col("_n_train_docs_hit"), F.lit(0)))
         .alias("n_train_docs_hit"),
     )
+
+
+def holdout_gram_hashes(
+    documents: DataFrame,
+    side: str,
+    holdout_ppm: int = 100_000,
+    k: int = 5,
+    min_hits: int = 1,
+    cutoff: str | None = None,
+    ts_col: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distinct md5 gram hashes of one SIDE of a
+    :func:`decontaminated_holdout` split — the input to the frozen
+    bloom sidecars the streaming tagger
+    (:func:`~..streaming.pipeline.stream_holdout_tag`) serves from.
+
+    ``side='train'`` feeds the artifact that keeps NEW eval candidates
+    clean of existing training text; ``side='eval'`` (clean eval docs
+    only — quarantined docs belong to neither side) feeds the artifact
+    that keeps the FROZEN eval set uncontaminated by newly admitted
+    training text.  Grams are the SAME :func:`~.dedup.string_shingles`
+    the batch builder checks (md5 is only the bloom key), so the two
+    paths cannot drift.
+
+    Scale shape: one assignment build + a side-filtered gram explode
+    into a map-side-combined distinct — the shuffle carries 32-byte
+    hashes bounded by the side's distinct-gram count; build the bloom
+    with :func:`~.bloom.build_hash_bloom` and persist with
+    :func:`~.bloom.write_hash_bloom`."""
+    from .dedup import string_shingles
+
+    if side not in ("train", "eval"):
+        raise ValueError(f"side must be 'train' or 'eval', got {side!r}")
+    assigned = decontaminated_holdout(
+        documents,
+        holdout_ppm=holdout_ppm,
+        k=k,
+        min_hits=min_hits,
+        cutoff=cutoff,
+        ts_col=ts_col,
+        id_col=id_col,
+        text_col=text_col,
+    ).filter(F.col("split") == side)
+    docs_side = documents.join(
+        assigned.select(id_col), id_col, "left_semi"
+    )
+    return (
+        docs_side.select(
+            F.explode(string_shingles(text_col, k)).alias("_g")
+        )
+        .select(F.md5(F.col("_g").cast("binary")).alias("gram_hash"))
+        .distinct()
+    )

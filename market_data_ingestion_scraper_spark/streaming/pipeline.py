@@ -1743,3 +1743,163 @@ def stream_fim_examples(
     return fim_examples(
         rows, min_tokens=min_tokens, id_col=id_col, text_col=text_col
     )
+
+
+def stream_holdout_tag(
+    rows: DataFrame,
+    train_gram_blooms: DataFrame,
+    eval_gram_blooms: DataFrame,
+    holdout_ppm: int = 100_000,
+    k: int = 5,
+    min_hits: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_artifact_bytes: int = 64 << 20,
+) -> DataFrame:
+    """Streaming X36 holdout tagging: route incoming documents
+    train / eval / quarantine against a FROZEN
+    :func:`~..operators.splits.decontaminated_holdout` split, protecting
+    the split's guarantee in BOTH directions:
+
+    - a hash-selected EVAL candidate is probed against the frozen
+      TRAIN-gram bloom and quarantined on >= ``min_hits`` maybe-hits —
+      eval never admits text the training side already contains;
+    - a TRAIN-side arrival is probed against the frozen CLEAN-EVAL-gram
+      bloom and quarantined on a hit — newly admitted training text can
+      never retroactively contaminate the frozen eval set (the re-check
+      gap a train-side-only serve would leave open).
+
+    Candidacy is the SAME portable md5 projection as the batch builder,
+    so a document's side never depends on arrival time.  Grams are the
+    batch builder's :func:`~..operators.dedup.string_shingles` hashed
+    with md5 in-plan (one pure projection); both sidecars are bounded
+    plan-literal artifacts (validated against ``max_artifact_bytes``)
+    probed inside one ``mapInPandas`` with a per-batch gram memo — no
+    explode, no join, no state: append-legal at any rate.
+
+    Bloom semantics are conservative in the safe direction on BOTH
+    probes: no false negatives means a genuinely shared gram always
+    quarantines; a false positive only quarantines a borderline document
+    the exact batch path would have admitted.  On the fit corpus the
+    tags equal the batch assignment exactly (clean eval docs share no
+    gram with train BY CONSTRUCTION, so the train-side eval-bloom probe
+    never fires there — pytest-pinned at fp ~ 0).
+
+    Returns (id, text, split, n_hit_grams_ub) — the upper-bound count
+    of distinct maybe-shared grams (candidates record train-bloom hits,
+    train arrivals their eval-bloom hits; documents with no checkable
+    gram score 0 and admit to their hash side — the batch vacuous-clean
+    policy)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.bloom import bloom_params_from_rows
+    from ..operators.dedup import portable_token_hash, string_shingles
+
+    if not 0 < int(holdout_ppm) < 1_000_000:
+        raise ValueError(
+            f"holdout_ppm must be in (0, 1000000), got {holdout_ppm}"
+        )
+    if int(min_hits) < 1:
+        raise ValueError(f"min_hits must be >= 1, got {min_hits}")
+
+    def _load(blooms: DataFrame, what: str):
+        brows = blooms.select(
+            "shard", "n_bits", "n_hashes", "bitmap"
+        ).collect()
+        n_shards, n_bits, n_hashes = bloom_params_from_rows(brows)
+        total = sum(len(r["bitmap"]) for r in brows)
+        if total > max_artifact_bytes:
+            raise ValueError(
+                f"{what} bloom artifact is {total} bytes > "
+                f"max_artifact_bytes={max_artifact_bytes}: a plan-literal "
+                "tagger must stay broadcast-sized — raise the cap on "
+                "bigger executors or re-run the batch builder"
+            )
+        bitmaps = {
+            int(r["shard"]): np.frombuffer(r["bitmap"], dtype=np.uint8)
+            for r in brows
+        }
+        return n_shards, n_bits, n_hashes, bitmaps
+
+    train_art = _load(train_gram_blooms, "train-gram")
+    eval_art = _load(eval_gram_blooms, "eval-gram")
+
+    is_cand = (
+        F.pmod(
+            portable_token_hash(
+                F.concat(F.lit("holdout:"), F.col(id_col).cast("string"))
+            ),
+            F.lit(1_000_000),
+        )
+        < F.lit(int(holdout_ppm))
+    )
+    staged = rows.select(
+        F.col(id_col),
+        F.col(text_col),
+        is_cand.alias("_cand"),
+        F.transform(
+            string_shingles(text_col, k),
+            lambda g: F.md5(g.cast("binary")),
+        ).alias("_grams"),
+    )
+    id_t = staged.schema[id_col].dataType.simpleString()
+    text_t = staged.schema[text_col].dataType.simpleString()
+    schema = (
+        f"{id_col} {id_t}, {text_col} {text_t}, "
+        "split string, n_hit_grams_ub long"
+    )
+
+    def _prober(art):
+        n_shards, n_bits, n_hashes, bitmaps = art
+        suffixes = [f":{j}".encode() for j in range(n_hashes)]
+
+        def maybe(h: str) -> bool:
+            base = hashlib.md5(h.encode())
+            shard = int(base.hexdigest()[:8], 16) % n_shards
+            bm = bitmaps.get(shard)
+            if bm is None:
+                return False
+            for suf in suffixes:
+                m = base.copy()
+                m.update(suf)
+                pos = int(m.hexdigest()[:15], 16) % n_bits
+                if not (bm[pos >> 3] >> (pos & 7)) & 1:
+                    return False
+            return True
+
+        return maybe
+
+    maybe_train = _prober(train_art)
+    maybe_eval = _prober(eval_art)
+    mh = int(min_hits)
+
+    def tag(batches):
+        for pdf in batches:
+            memo_t: dict[str, bool] = {}
+            memo_e: dict[str, bool] = {}
+            out = []
+            for rid, text, cand, hs in zip(
+                pdf[id_col], pdf[text_col], pdf["_cand"], pdf["_grams"]
+            ):
+                hs = list(hs) if hs is not None else []
+                probe = maybe_train if cand else maybe_eval
+                memo = memo_t if cand else memo_e
+                hits = 0
+                for h in hs:
+                    v = memo.get(h)
+                    if v is None:
+                        v = memo[h] = probe(h)
+                    hits += v
+                if cand:
+                    split = "quarantine" if hits >= mh else "eval"
+                else:
+                    split = "quarantine" if hits >= mh else "train"
+                out.append((rid, text, split, hits))
+            yield pd.DataFrame(
+                out, columns=[id_col, text_col, "split", "n_hit_grams_ub"]
+            )
+
+    return staged.mapInPandas(tag, schema)

@@ -322,3 +322,147 @@ def test_decontaminated_holdout_validation(spark):
         decontaminated_holdout(docs, ts_col="ts")
     with pytest.raises(ValueError, match="ISO timestamp"):
         decontaminated_holdout(docs, cutoff="nope", ts_col="ts")
+
+
+def _holdout_blooms(spark, docs, n_bits=1 << 20):
+    """Sidecars sized to the house guidance (~10+ bits per distinct
+    gram, 5 hashes → fp ~ 0 at fixture scale, which the equality pin
+    below relies on; an undersized bloom only OVER-quarantines — the
+    documented safe direction, demonstrated in the directional test)."""
+    from market_data_ingestion_scraper_spark.operators.bloom import (
+        build_hash_bloom,
+    )
+    from market_data_ingestion_scraper_spark.operators.splits import (
+        holdout_gram_hashes,
+    )
+
+    tb = build_hash_bloom(
+        holdout_gram_hashes(docs, "train"), "gram_hash",
+        n_shards=4, n_bits=n_bits, n_hashes=5,
+    )
+    eb = build_hash_bloom(
+        holdout_gram_hashes(docs, "eval"), "gram_hash",
+        n_shards=4, n_bits=n_bits, n_hashes=5,
+    )
+    return tb, eb
+
+
+def test_stream_holdout_tag_matches_batch_on_fit_corpus(spark):
+    """Serve ≡ batch on the fit corpus: every document's streamed tag
+    equals its batch assignment (clean eval docs share no gram with
+    train BY CONSTRUCTION, so the train-side eval-bloom probe never
+    fires on fit data), and the serve's hit upper bound dominates the
+    exact batch count."""
+    from market_data_ingestion_scraper_spark.operators.splits import (
+        decontaminated_holdout,
+    )
+    from market_data_ingestion_scraper_spark.streaming.pipeline import (
+        stream_holdout_tag,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    tb, eb = _holdout_blooms(spark, docs)
+    batch = {
+        r["doc_id"]: (r["split"], r["n_hit_grams"])
+        for r in decontaminated_holdout(docs).collect()
+    }
+    served = {
+        r["doc_id"]: (r["split"], r["n_hit_grams_ub"])
+        for r in stream_holdout_tag(docs, tb, eb).collect()
+    }
+    assert set(served) == set(batch)
+    for d, (split, ub) in served.items():
+        assert split == batch[d][0], (d, split, batch[d])
+        if batch[d][1] is not None:
+            assert ub >= batch[d][1]
+
+
+def test_stream_holdout_tag_protects_both_directions(spark):
+    """New arrivals AFTER the freeze: an eval candidate copying train
+    text quarantines (train-bloom direction), and a train-side arrival
+    copying a frozen CLEAN EVAL doc quarantines too (eval-bloom
+    direction — the re-check gap a one-sided serve leaves open)."""
+    import hashlib
+
+    from market_data_ingestion_scraper_spark.streaming.pipeline import (
+        stream_holdout_tag,
+    )
+
+    def is_cand(d):
+        h = int(hashlib.md5(f"holdout:{d}".encode()).hexdigest()[:8], 16)
+        return (h % 2_147_483_647) % 1_000_000 < 100_000
+
+    cand_ids = [d for d in range(2000) if is_cand(d)]
+    train_ids = [d for d in range(2000) if not is_cand(d)]
+    train_text = "alpha beta gamma delta epsilon zeta"
+    eval_text = "one two three four five six seven"
+    fit = spark.createDataFrame(
+        [(train_ids[0], train_text), (cand_ids[0], eval_text)],
+        "doc_id long, text string",
+    )
+    tb, eb = _holdout_blooms(spark, fit)
+    arrivals = spark.createDataFrame(
+        [
+            (cand_ids[1], f"stolen {train_text} again"),   # hits train grams
+            (cand_ids[2], "fresh clean eval words here now"),
+            (train_ids[1], f"reposts {eval_text} verbatim"),  # hits eval grams
+            (train_ids[2], "novel training material entirely new"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["split"]
+        for r in stream_holdout_tag(arrivals, tb, eb).collect()
+    }
+    assert got[cand_ids[1]] == "quarantine"
+    assert got[cand_ids[2]] == "eval"
+    assert got[train_ids[1]] == "quarantine"
+    assert got[train_ids[2]] == "train"
+
+
+def test_stream_holdout_tag_is_stream_legal(spark, tmp_path):
+    """The tagger applies to a streaming frame (append mode, no state):
+    stream ≡ batch through the memory sink."""
+    from market_data_ingestion_scraper_spark.streaming.pipeline import (
+        run_to_memory,
+        stream_holdout_tag,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    tb, eb = _holdout_blooms(spark, docs)
+    src = str(tmp_path / "hdocs")
+    docs.repartition(2).write.parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    want = {tuple(r) for r in stream_holdout_tag(docs, tb, eb).collect()}
+    got = run_to_memory(
+        stream_holdout_tag(stream, tb, eb), "t_holdout_tag", spark,
+        mode="append",
+    )
+    assert {tuple(r) for r in got.collect()} == want
+
+
+def test_stream_holdout_tag_validation(spark):
+    from market_data_ingestion_scraper_spark.streaming.pipeline import (
+        stream_holdout_tag,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f")], "doc_id long, text string"
+    )
+    tb, eb = _holdout_blooms(spark, docs)
+    with pytest.raises(ValueError, match="holdout_ppm"):
+        stream_holdout_tag(docs, tb, eb, holdout_ppm=0)
+    with pytest.raises(ValueError, match="min_hits"):
+        stream_holdout_tag(docs, tb, eb, min_hits=0)
+    with pytest.raises(ValueError, match="max_artifact_bytes"):
+        stream_holdout_tag(docs, tb, eb, max_artifact_bytes=8)
+    with pytest.raises(ValueError, match="side must be"):
+        from market_data_ingestion_scraper_spark.operators.splits import (
+            holdout_gram_hashes,
+        )
+
+        holdout_gram_hashes(docs, "quarantine")
