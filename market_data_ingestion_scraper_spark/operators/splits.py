@@ -363,6 +363,7 @@ def holdout_gram_hashes(
     ts_col: str | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    assignment: DataFrame | None = None,
 ) -> DataFrame:
     """Distinct md5 gram hashes of one SIDE of a
     :func:`decontaminated_holdout` split — the input to the frozen
@@ -381,21 +382,27 @@ def holdout_gram_hashes(
     into a map-side-combined distinct — the shuffle carries 32-byte
     hashes bounded by the side's distinct-gram count; build the bloom
     with :func:`~.bloom.build_hash_bloom` and persist with
-    :func:`~.bloom.write_hash_bloom`."""
+    :func:`~.bloom.write_hash_bloom`.  Building BOTH sidecars?  Compute
+    the assignment once (persist or write it — it is the split artifact
+    anyway) and pass it as ``assignment=`` so the gram-overlap plan does
+    not run once per side; the parameters are then ignored in its
+    favor."""
     from .dedup import string_shingles
 
     if side not in ("train", "eval"):
         raise ValueError(f"side must be 'train' or 'eval', got {side!r}")
-    assigned = decontaminated_holdout(
-        documents,
-        holdout_ppm=holdout_ppm,
-        k=k,
-        min_hits=min_hits,
-        cutoff=cutoff,
-        ts_col=ts_col,
-        id_col=id_col,
-        text_col=text_col,
-    ).filter(F.col("split") == side)
+    if assignment is None:
+        assignment = decontaminated_holdout(
+            documents,
+            holdout_ppm=holdout_ppm,
+            k=k,
+            min_hits=min_hits,
+            cutoff=cutoff,
+            ts_col=ts_col,
+            id_col=id_col,
+            text_col=text_col,
+        )
+    assigned = assignment.filter(F.col("split") == side)
     docs_side = documents.join(
         assigned.select(id_col), id_col, "left_semi"
     )

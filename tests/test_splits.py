@@ -333,17 +333,23 @@ def _holdout_blooms(spark, docs, n_bits=1 << 20):
         build_hash_bloom,
     )
     from market_data_ingestion_scraper_spark.operators.splits import (
+        decontaminated_holdout,
         holdout_gram_hashes,
     )
 
+    # the documented both-sidecars pattern: one persisted assignment
+    # feeds both side filters instead of re-running the gram join
+    assignment = decontaminated_holdout(docs).persist()
+    assignment.count()
     tb = build_hash_bloom(
-        holdout_gram_hashes(docs, "train"), "gram_hash",
-        n_shards=4, n_bits=n_bits, n_hashes=5,
+        holdout_gram_hashes(docs, "train", assignment=assignment),
+        "gram_hash", n_shards=4, n_bits=n_bits, n_hashes=5,
     )
     eb = build_hash_bloom(
-        holdout_gram_hashes(docs, "eval"), "gram_hash",
-        n_shards=4, n_bits=n_bits, n_hashes=5,
+        holdout_gram_hashes(docs, "eval", assignment=assignment),
+        "gram_hash", n_shards=4, n_bits=n_bits, n_hashes=5,
     )
+    assignment.unpersist()
     return tb, eb
 
 
