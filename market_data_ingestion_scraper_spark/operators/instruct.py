@@ -62,6 +62,18 @@ INSTRUCTION_TEMPLATES: tuple[str, ...] = (
     "Read the context and draft the subsequent entry.",
 )
 
+# the DuckDB oracle splices the templates into single-quoted SQL string
+# literals; a template carrying a quote (or a backslash) would silently
+# corrupt the twin rather than fail — refuse at import, where the edit
+# that introduced it is on screen
+for _t in INSTRUCTION_TEMPLATES:
+    if "'" in _t or "\\" in _t:
+        raise ValueError(
+            f"INSTRUCTION_TEMPLATES entry {_t!r} contains a quote/backslash "
+            "— it cannot be spliced into the SQL oracle literal"
+        )
+del _t
+
 
 def instruction_pairs(
     documents: DataFrame,

@@ -893,3 +893,38 @@ def test_quality_ensemble_composes_without_cartesian(spark):
     assert len(bnl_nodes) <= 2, txt
     rep = plan_report(df)
     assert rep.has_partial_agg, rep.summary()
+
+
+def test_instruction_pairs_single_bounded_window_exchange(spark):
+    """X37: ONE exchange — the (source, bucket) hash partitioning that
+    feeds the bounded window — then pure projection: no join, no
+    cartesian, no Python, and the scan reads only the three pairing
+    columns."""
+    import re as _re
+
+    df = _plan(spark, "instruction_pairs")
+    txt = explain_str(df)
+    assert "CartesianProduct" not in txt and "Join" not in txt, txt
+    # count DISTINCT physical Exchange nodes (the formatted detail
+    # sections) — plan_report's regex sees each node twice (tree line +
+    # detail header)
+    ex_nodes = set(_re.findall(r"^\((\d+)\) Exchange", txt, _re.M))
+    assert len(ex_nodes) == 1, txt
+    assert "hashpartitioning(source" in txt, txt
+    assert "ArrowEvalPython" not in txt and "BatchEvalPython" not in txt, txt
+    assert "ReadSchema: struct<doc_id:bigint,text:string,source:string>" in txt, txt
+
+
+def test_decontam_holdout_no_cartesian_no_corpus_broadcast(spark):
+    """X36: candidacy is a pure projection (no corpus-sized broadcast
+    anywhere — the reference gram table is deliberately NOT
+    broadcast-hinted so AQE sizes it at runtime), the gram overlap and
+    the assignment meet on equi-joins only, and the contamination
+    aggregate combines map-side."""
+    df = _plan(spark, "decontam_holdout_split")
+    txt = explain_str(df)
+    assert "CartesianProduct" not in txt, txt
+    assert "BroadcastNestedLoopJoin" not in txt, txt
+    rep = plan_report(df)
+    assert rep.has_partial_agg, rep.summary()
+    assert "ArrowEvalPython" not in txt and "BatchEvalPython" not in txt, txt

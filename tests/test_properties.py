@@ -532,3 +532,83 @@ def test_span_corruption_and_fim_match_twins_on_random_text(spark, docs):
     }
     fim_want = {i: _py_fim(i, t) for i, t in rows}
     assert fim_got == {i: w for i, w in fim_want.items() if w is not None}
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            max_size=120,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_decontam_holdout_matches_twin_on_random_text(spark, docs):
+    """X36 property: for ANY ASCII corpus (empty texts, shared phrases,
+    sub-k snippets) the assignment equals the pure-Python twin — every
+    doc labeled exactly once, contamination counted on distinct grams
+    only, short/NULL-gram candidates vacuously clean."""
+    from market_data_ingestion_scraper_spark.operators.splits import (
+        decontaminated_holdout,
+    )
+
+    from .test_splits import _py_holdout
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["split"], r["n_hit_grams"], r["n_train_docs_hit"])
+        for r in decontaminated_holdout(df).collect()
+    }
+    assert got == _py_holdout(rows)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["s1", "s2", "s3"]),
+            st.text(
+                alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+                max_size=80,
+            ),
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    bucket=st.sampled_from([2, 3, 1024]),
+)
+def test_instruction_pairs_match_twin_on_random_docs(spark, docs, bucket):
+    """X37 property: for ANY source/text mix and bucket width (2 — every
+    pair crosses a potential boundary — through the default) the pairing,
+    template choice, and rendered example equal the pure-Python twin."""
+    from market_data_ingestion_scraper_spark.operators.instruct import (
+        instruction_pairs,
+    )
+
+    from .test_instruct import _py_pairs
+
+    rows = [(i, src, t) for i, (src, t) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r["prompt_doc_id"]: (
+            r["response_doc_id"], r["source"], r["template_id"],
+            r["input_text"], r["target_text"],
+            r["n_prompt_tokens"], r["n_target_tokens"],
+        )
+        for r in instruction_pairs(df, pair_bucket=bucket).collect()
+    }
+    want = _py_pairs(
+        [(i, s, t) for i, s, t in rows], pair_bucket=bucket
+    )
+    assert got == want
