@@ -102,6 +102,10 @@ def instruction_pairs(
     positional, not content-based — dropping empties would silently
     re-pair across a gap and change neighbors); its token slice renders
     as ``''`` and the curation funnel filters on the ``n_*`` columns.
+    Rows with a NULL id are DROPPED before pairing: ids carry the
+    ordering, the pair identity, and the template hash, so a NULL-id
+    row has no deterministic position (and Spark and other engines
+    disagree on where NULLs sort, which would silently desync twins).
 
     Deterministic: ordering is by ``doc_id`` within the bucket, template
     choice hashes the prompt id — no RNG, partitioning-invariant,
@@ -117,7 +121,8 @@ def instruction_pairs(
     bucket = (F.col(id_col) / F.lit(int(pair_bucket))).cast("long")
     w = Window.partitionBy(source_col, "_bucket").orderBy(id_col)
     staged = (
-        documents.select(
+        documents.where(F.col(id_col).isNotNull())
+        .select(
             F.col(id_col),
             F.col(source_col),
             tokens(text_col).alias("_ts"),

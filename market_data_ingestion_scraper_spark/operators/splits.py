@@ -238,9 +238,10 @@ def decontaminated_holdout(
       sub-threshold actuals, usually 0);
     - ``quarantine`` — selected but CONTAMINATED (>= ``min_hits``
       distinct grams shared with the train side; stats record the
-      evidence), or — temporal mode only — carrying a NULL timestamp
-      (stats NULL: unplaceable on either side of a boundary, the X33
-      NULL policy).  Quarantined documents join NEITHER side: promoting
+      evidence), or UNPLACEABLE with stats NULL: a NULL id (no
+      deterministic hash side, either mode) or — temporal mode — a NULL
+      timestamp (no side of a time boundary), the X33 NULL policy.
+      Quarantined documents join NEITHER side: promoting
       them to train would be fine for leakage but would silently change
       the train distribution mid-build; surfacing them keeps the
       curation decision explicit (the X10 funnel can re-admit them).
@@ -292,7 +293,11 @@ def decontaminated_holdout(
     if cutoff is not None:
         cut = F.lit(_valid_ts(cutoff, "cutoff")).cast("timestamp")
         is_cand = F.col(ts_col) >= cut
-        unplaced = F.col(ts_col).isNull()
+        # a NULL timestamp — or a NULL id, which has no deterministic
+        # hash side either — cannot be placed: quarantine, the X33
+        # NULL policy (without the id branch a NULL-id row would fall
+        # through the 3VL comparisons into eval UNCHECKED)
+        unplaced = F.col(ts_col).isNull() | F.col(id_col).isNull()
     else:
         is_cand = (
             F.pmod(
@@ -305,7 +310,7 @@ def decontaminated_holdout(
             )
             < F.lit(int(holdout_ppm))
         )
-        unplaced = F.lit(False)
+        unplaced = F.col(id_col).isNull()
     base = documents.select(
         F.col(id_col),
         F.col(text_col),

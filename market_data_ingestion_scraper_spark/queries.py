@@ -6076,9 +6076,10 @@ def q_fim_examples(spark: SparkSession, sf: str) -> DataFrame:
                ::BIGINT % 2147483647) % 1000000) < 100000 AS is_cand
       FROM sh
     ),
-    tr AS (SELECT doc_id, unnest(shs) AS g FROM cand WHERE NOT is_cand),
+    tr AS (SELECT doc_id, unnest(shs) AS g FROM cand
+           WHERE NOT is_cand AND doc_id IS NOT NULL),
     ev AS (SELECT doc_id AS eval_id, unnest(shs) AS g FROM cand
-           WHERE is_cand),
+           WHERE is_cand AND doc_id IS NOT NULL),
     hits AS (
       SELECT e.eval_id,
              COUNT(DISTINCT e.g) AS n_hit_grams,
@@ -6088,12 +6089,13 @@ def q_fim_examples(spark: SparkSession, sf: str) -> DataFrame:
       HAVING COUNT(DISTINCT e.g) >= 1
     )
     SELECT c.doc_id,
-           CASE WHEN NOT c.is_cand THEN 'train'
+           CASE WHEN c.doc_id IS NULL THEN 'quarantine'
+                WHEN NOT c.is_cand THEN 'train'
                 WHEN h.eval_id IS NOT NULL THEN 'quarantine'
                 ELSE 'eval' END AS split,
-           CASE WHEN NOT c.is_cand THEN NULL
+           CASE WHEN c.doc_id IS NULL OR NOT c.is_cand THEN NULL
                 ELSE COALESCE(h.n_hit_grams, 0) END AS n_hit_grams,
-           CASE WHEN NOT c.is_cand THEN NULL
+           CASE WHEN c.doc_id IS NULL OR NOT c.is_cand THEN NULL
                 ELSE COALESCE(h.n_train_docs_hit, 0) END AS n_train_docs_hit
     FROM cand c LEFT JOIN hits h ON c.doc_id = h.eval_id
     """,
@@ -6130,6 +6132,7 @@ def _instruction_templates_sql() -> str:
       SELECT doc_id, source, COALESCE({_TOKS}, []) AS ts,
              doc_id // 1024 AS bucket
       FROM documents
+      WHERE doc_id IS NOT NULL
     ),
     w AS (
       SELECT doc_id, source, ts,

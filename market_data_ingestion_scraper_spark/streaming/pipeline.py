@@ -1884,6 +1884,12 @@ def stream_holdout_tag(
             for rid, text, cand, hs in zip(
                 pdf[id_col], pdf[text_col], pdf["_cand"], pdf["_grams"]
             ):
+                if pd.isna(cand):
+                    # NULL id: the candidacy hash is NULL, the row has
+                    # no deterministic side — quarantine with NULL
+                    # stats, the batch builder's unplaced policy
+                    out.append((rid, text, "quarantine", None))
+                    continue
                 hs = list(hs) if hs is not None else []
                 probe = maybe_train if cand else maybe_eval
                 memo = memo_t if cand else memo_e

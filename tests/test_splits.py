@@ -472,3 +472,50 @@ def test_stream_holdout_tag_validation(spark):
         )
 
         holdout_gram_hashes(docs, "quarantine")
+
+
+def test_decontaminated_holdout_null_id_policy(spark):
+    """A NULL id has no deterministic hash side: quarantine with NULL
+    stats (without the explicit branch it would fall through the 3VL
+    comparisons into eval UNCHECKED — the r17 review finding), in both
+    the batch builder and the streaming tagger."""
+    from market_data_ingestion_scraper_spark.operators.splits import (
+        decontaminated_holdout,
+    )
+    from market_data_ingestion_scraper_spark.streaming.pipeline import (
+        stream_holdout_tag,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (None, "anonymous text with no identity at all")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["split"], r["n_hit_grams"]) for r in
+        decontaminated_holdout(docs).collect()
+    }
+    assert got[None] == ("quarantine", None)
+    tb, eb = _holdout_blooms(spark, docs.where("doc_id IS NOT NULL"))
+    served = {
+        r["doc_id"]: (r["split"], r["n_hit_grams_ub"]) for r in
+        stream_holdout_tag(docs, tb, eb).collect()
+    }
+    assert served[None] == ("quarantine", None)
+
+
+def test_instruction_pairs_null_id_dropped(spark):
+    """NULL-id rows are dropped BEFORE pairing (no deterministic
+    position; engines disagree on NULL sort order) — the remaining
+    docs pair as if the NULL row never existed."""
+    from market_data_ingestion_scraper_spark.operators.instruct import (
+        instruction_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a", "one two"), (None, "a", "ghost"), (2, "a", "three four")],
+        "doc_id long, source string, text string",
+    )
+    got = instruction_pairs(docs).collect()
+    assert len(got) == 1
+    assert got[0]["prompt_doc_id"] == 1 and got[0]["response_doc_id"] == 2
