@@ -118,7 +118,16 @@ def instruction_pairs(
             f"{max_prompt_tokens}/{max_target_tokens}"
         )
     n_tmpl = len(INSTRUCTION_TEMPLATES)
-    bucket = (F.col(id_col) / F.lit(int(pair_bucket))).cast("long")
+    # exact int64 FLOOR division: (id - pmod(id, b)) is the floor
+    # multiple even for negative ids (pmod >= 0), and `div` on the
+    # exact multiple never rounds.  A double division + cast would
+    # truncate toward zero for negative ids and lose precision past
+    # 2^53 — both silently desyncing the DuckDB `//` (floor) twin
+    # (r17 review finding)
+    pb = int(pair_bucket)
+    bucket = F.expr(
+        f"(`{id_col}` - pmod(`{id_col}`, {pb})) div {pb}"
+    )
     w = Window.partitionBy(source_col, "_bucket").orderBy(id_col)
     staged = (
         documents.where(F.col(id_col).isNotNull())

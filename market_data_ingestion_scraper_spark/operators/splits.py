@@ -262,8 +262,13 @@ def decontaminated_holdout(
     checkable gram and admit to ``eval`` vacuously clean — by
     definition they cannot leak a ``k``-gram.
 
-    Scale shape at 100 TB: ONE corpus scan splits both sides by a pure
-    projection; the gram check is
+    Scale shape at 100 TB: THREE column-pruned scans of (id, text) per
+    action — the train-side gram explode, the eval-side gram explode,
+    and the final assignment join each read the source (Catalyst does
+    not share a scan across plan branches; persist the slim two-column
+    projection upstream to make it one read plus cache traffic, the
+    call the CLI/bench scale does not need).  Candidacy itself is a
+    pure projection; the gram check is
     :func:`~.decontam.gram_hits(broadcast_reference=False)` — the
     train-side gram explode equi-joins the holdout-side distinct gram
     table on ``g`` (both shuffles carry grams of THEIR side only; the
@@ -336,7 +341,10 @@ def decontaminated_holdout(
             F.countDistinct("g").alias("_n_hit_grams"),
             F.countDistinct(id_col).alias("_n_train_docs_hit"),
         )
-        .filter(F.col("_n_hit_grams") >= int(min_hits))
+        # NO min_hits filter here: the threshold decides the LABEL, not
+        # whether the evidence is recorded — filtering would misreport a
+        # sub-threshold candidate's stats as 0 instead of the documented
+        # actuals (r17 review finding; only quarantine checks min_hits)
     )
     joined = base.join(
         contam, base[id_col] == contam["_eval_id"], "left"
@@ -346,7 +354,10 @@ def decontaminated_holdout(
         F.col(id_col),
         F.when(F.col("_unplaced"), F.lit("quarantine"))
         .when(~F.col("_cand"), F.lit("train"))
-        .when(F.col("_eval_id").isNotNull(), F.lit("quarantine"))
+        .when(
+            F.coalesce(F.col("_n_hit_grams"), F.lit(0)) >= int(min_hits),
+            F.lit("quarantine"),
+        )
         .otherwise(F.lit("eval"))
         .alias("split"),
         F.when(F.col("_unplaced") | ~F.col("_cand"), null_long)
@@ -390,8 +401,12 @@ def holdout_gram_hashes(
     :func:`~.bloom.write_hash_bloom`.  Building BOTH sidecars?  Compute
     the assignment once (persist or write it — it is the split artifact
     anyway) and pass it as ``assignment=`` so the gram-overlap plan does
-    not run once per side; the parameters are then ignored in its
-    favor."""
+    not run once per side.  The SELECTION parameters (holdout_ppm /
+    min_hits / cutoff / ts_col) are then ignored in its favor — but
+    ``k`` is NOT: it sets the gram width of the sidecar itself and must
+    match the width the split was decontaminated at (r17 review: a
+    k=7 split served through k=5 sidecars would silently break the
+    batch ≡ serve parity)."""
     from .dedup import string_shingles
 
     if side not in ("train", "eval"):

@@ -6086,12 +6086,11 @@ def q_fim_examples(spark: SparkSession, sf: str) -> DataFrame:
              COUNT(DISTINCT t.doc_id) AS n_train_docs_hit
       FROM tr t JOIN ev e ON t.g = e.g
       GROUP BY 1
-      HAVING COUNT(DISTINCT e.g) >= 1
     )
     SELECT c.doc_id,
            CASE WHEN c.doc_id IS NULL THEN 'quarantine'
                 WHEN NOT c.is_cand THEN 'train'
-                WHEN h.eval_id IS NOT NULL THEN 'quarantine'
+                WHEN COALESCE(h.n_hit_grams, 0) >= 1 THEN 'quarantine'
                 ELSE 'eval' END AS split,
            CASE WHEN c.doc_id IS NULL OR NOT c.is_cand THEN NULL
                 ELSE COALESCE(h.n_hit_grams, 0) END AS n_hit_grams,
@@ -6125,6 +6124,15 @@ def _instruction_templates_sql() -> str:
     return "['" + "','".join(INSTRUCTION_TEMPLATES) + "']"
 
 
+def _instruction_templates_modulus() -> str:
+    """The template-choice modulus, spliced like the array itself so an
+    edited template tuple can never desync the twin (r17 review: a
+    hardcoded `% 4` would silently survive a fifth template)."""
+    from .operators.instruct import INSTRUCTION_TEMPLATES
+
+    return str(len(INSTRUCTION_TEMPLATES))
+
+
 @register(
     "instruction_pairs",
     f"""
@@ -6148,7 +6156,7 @@ def _instruction_templates_sql() -> str:
     ex AS (
       SELECT doc_id, next_id, source,
              CAST((('0x' || substring(md5('tmpl:' || doc_id::VARCHAR), 1, 8))
-                   ::BIGINT % 2147483647) % 4 AS INT) AS template_id,
+                   ::BIGINT % 2147483647) % {{n_tmpl}} AS INT) AS template_id,
              ts[1:64] AS ps, next_ts[1:256] AS tsl
       FROM p
     )
@@ -6161,7 +6169,9 @@ def _instruction_templates_sql() -> str:
            CAST(len(ps) AS BIGINT) AS n_prompt_tokens,
            CAST(len(tsl) AS BIGINT) AS n_target_tokens
     FROM ex
-    """.replace("{tmpl}", _instruction_templates_sql()),
+    """.replace("{tmpl}", _instruction_templates_sql()).replace(
+        "{n_tmpl}", _instruction_templates_modulus()
+    ),
     doc="X37 instruction-example assembly from PAIRED documents "
     "(operators/instruct.instruction_pairs): adjacent same-source "
     "documents pair non-overlapping inside (source, doc_id DIV 1024) "

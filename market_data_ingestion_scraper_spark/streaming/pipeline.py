@@ -1752,6 +1752,8 @@ def stream_holdout_tag(
     holdout_ppm: int = 100_000,
     k: int = 5,
     min_hits: int = 1,
+    cutoff: str | None = None,
+    ts_col: str | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_artifact_bytes: int = 64 << 20,
@@ -1769,13 +1771,23 @@ def stream_holdout_tag(
       never retroactively contaminate the frozen eval set (the re-check
       gap a train-side-only serve would leave open).
 
-    Candidacy is the SAME portable md5 projection as the batch builder,
-    so a document's side never depends on arrival time.  Grams are the
-    batch builder's :func:`~..operators.dedup.string_shingles` hashed
-    with md5 in-plan (one pure projection); both sidecars are bounded
-    plan-literal artifacts (validated against ``max_artifact_bytes``)
-    probed inside one ``mapInPandas`` with a per-batch gram memo — no
-    explode, no join, no state: append-legal at any rate.
+    Candidacy is the SAME rule as the batch builder that froze the
+    split: hash mode (default) uses the portable md5 projection, so a
+    document's side never depends on arrival time; temporal mode
+    (``cutoff=`` + ``ts_col=``, matching the batch builder's) uses the
+    X33 time boundary — pass the SAME mode and parameters the split was
+    built with, or arrivals would be routed to the wrong side with no
+    error (r17 review finding: the tagger must be able to EXPRESS the
+    temporal contract).  Grams are the batch builder's
+    :func:`~..operators.dedup.string_shingles` hashed with md5 in-plan
+    (one pure projection); both sidecars are bounded plan-literal
+    artifacts (validated against ``max_artifact_bytes``) probed inside
+    one ``mapInPandas`` with a per-batch gram memo — no explode, no
+    join, no state: append-legal at any rate.  Unplaceable rows (NULL
+    id; NULL timestamp in temporal mode) quarantine with NULL stats
+    IN-PLAN, before the Arrow boundary — a nullable int64 id column
+    would otherwise coerce the whole batch's ids to float64 and corrupt
+    values past 2^53 (r17 review finding).
 
     Bloom semantics are conservative in the safe direction on BOTH
     probes: no false negatives means a genuinely shared gram always
@@ -1804,6 +1816,12 @@ def stream_holdout_tag(
         )
     if int(min_hits) < 1:
         raise ValueError(f"min_hits must be >= 1, got {min_hits}")
+    if (cutoff is None) != (ts_col is None):
+        raise ValueError(
+            "temporal mode needs BOTH cutoff= and ts_col= (hash mode: "
+            "neither) — and it must match the mode the split was built "
+            "with"
+        )
 
     def _load(blooms: DataFrame, what: str):
         brows = blooms.select(
@@ -1827,16 +1845,36 @@ def stream_holdout_tag(
     train_art = _load(train_gram_blooms, "train-gram")
     eval_art = _load(eval_gram_blooms, "eval-gram")
 
-    is_cand = (
-        F.pmod(
-            portable_token_hash(
-                F.concat(F.lit("holdout:"), F.col(id_col).cast("string"))
-            ),
-            F.lit(1_000_000),
+    if cutoff is not None:
+        from ..operators.splits import _valid_ts
+
+        cut = F.lit(_valid_ts(cutoff, "cutoff")).cast("timestamp")
+        is_cand = F.col(ts_col) >= cut
+        unplaced = F.col(id_col).isNull() | F.col(ts_col).isNull()
+    else:
+        is_cand = (
+            F.pmod(
+                portable_token_hash(
+                    F.concat(
+                        F.lit("holdout:"), F.col(id_col).cast("string")
+                    )
+                ),
+                F.lit(1_000_000),
+            )
+            < F.lit(int(holdout_ppm))
         )
-        < F.lit(int(holdout_ppm))
+        unplaced = F.col(id_col).isNull()
+    # unplaceable rows quarantine IN-PLAN: keeping NULL ids out of the
+    # Arrow batch keeps the id column int64 (a nullable batch coerces to
+    # float64 and corrupts ids past 2^53)
+    placed = rows.filter(~unplaced)
+    unplaced_rows = rows.filter(unplaced).select(
+        F.col(id_col),
+        F.col(text_col),
+        F.lit("quarantine").alias("split"),
+        F.lit(None).cast("long").alias("n_hit_grams_ub"),
     )
-    staged = rows.select(
+    staged = placed.select(
         F.col(id_col),
         F.col(text_col),
         is_cand.alias("_cand"),
@@ -1881,15 +1919,12 @@ def stream_holdout_tag(
             memo_t: dict[str, bool] = {}
             memo_e: dict[str, bool] = {}
             out = []
+            # _cand is non-null by construction: unplaceable rows
+            # (NULL id / NULL ts) were routed to the in-plan quarantine
+            # branch before the Arrow boundary
             for rid, text, cand, hs in zip(
                 pdf[id_col], pdf[text_col], pdf["_cand"], pdf["_grams"]
             ):
-                if pd.isna(cand):
-                    # NULL id: the candidacy hash is NULL, the row has
-                    # no deterministic side — quarantine with NULL
-                    # stats, the batch builder's unplaced policy
-                    out.append((rid, text, "quarantine", None))
-                    continue
                 hs = list(hs) if hs is not None else []
                 probe = maybe_train if cand else maybe_eval
                 memo = memo_t if cand else memo_e
@@ -1908,4 +1943,4 @@ def stream_holdout_tag(
                 out, columns=[id_col, text_col, "split", "n_hit_grams_ub"]
             )
 
-    return staged.mapInPandas(tag, schema)
+    return staged.mapInPandas(tag, schema).unionByName(unplaced_rows)

@@ -157,3 +157,31 @@ def test_instruction_pairs_validation(spark):
         instruction_pairs(docs, max_prompt_tokens=0)
     with pytest.raises(ValueError, match="max_prompt_tokens"):
         instruction_pairs(docs, max_target_tokens=0)
+
+
+def test_instruction_pairs_negative_ids_floor_bucketing(spark):
+    """Bucket assignment is exact int64 FLOOR division (r17 review: a
+    double division truncates toward zero for negative ids, silently
+    desyncing the floor-division twin): negative ids bucket like the
+    Python twin and never pair across the -1/0 bucket boundary."""
+    docs = spark.createDataFrame(
+        [(-2, "s", "minus two"), (-1, "s", "minus one"),
+         (0, "s", "zero text"), (1, "s", "one text")],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        r["prompt_doc_id"]: (
+            r["response_doc_id"], r["source"], r["template_id"],
+            r["input_text"], r["target_text"],
+            r["n_prompt_tokens"], r["n_target_tokens"],
+        )
+        for r in instruction_pairs(docs, pair_bucket=2).collect()
+    }
+    want = _py_pairs(
+        [(-2, "s", "minus two"), (-1, "s", "minus one"),
+         (0, "s", "zero text"), (1, "s", "one text")], pair_bucket=2
+    )
+    assert got == want
+    # floor semantics: -2,-1 share bucket -1; 0,1 share bucket 0
+    assert set(got) == {-2, 0}
+    assert got[-2][0] == -1 and got[0][0] == 1

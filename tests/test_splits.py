@@ -519,3 +519,101 @@ def test_instruction_pairs_null_id_dropped(spark):
     got = instruction_pairs(docs).collect()
     assert len(got) == 1
     assert got[0]["prompt_doc_id"] == 1 and got[0]["response_doc_id"] == 2
+
+
+def test_decontaminated_holdout_subthreshold_stats_are_actuals(spark):
+    """min_hits decides the LABEL only: a candidate sharing fewer than
+    min_hits distinct grams stays eval but reports the ACTUAL evidence,
+    not 0 (r17 review finding — the old plan filtered the stats table
+    by the threshold)."""
+    import hashlib
+
+    from market_data_ingestion_scraper_spark.operators.splits import (
+        decontaminated_holdout,
+    )
+
+    def is_cand(d):
+        h = int(hashlib.md5(f"holdout:{d}".encode()).hexdigest()[:8], 16)
+        return (h % 2_147_483_647) % 1_000_000 < 100_000
+
+    cand_id = next(d for d in range(1000) if is_cand(d))
+    train_id = next(d for d in range(1000) if not is_cand(d))
+    docs = spark.createDataFrame(
+        [
+            (train_id, "alpha beta gamma delta epsilon xx"),
+            # shares exactly ONE distinct 5-gram with the train doc
+            (cand_id, "zz alpha beta gamma delta epsilon"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["split"], r["n_hit_grams"], r["n_train_docs_hit"])
+        for r in decontaminated_holdout(docs, min_hits=2).collect()
+    }
+    assert got[cand_id] == ("eval", 1, 1)
+    # and the same corpus at min_hits=1 quarantines with the same stats
+    got1 = {
+        r["doc_id"]: (r["split"], r["n_hit_grams"]) for r in
+        decontaminated_holdout(docs, min_hits=1).collect()
+    }
+    assert got1[cand_id] == ("quarantine", 1)
+
+
+def test_stream_holdout_tag_temporal_mode(spark):
+    """Serving a temporally-built split: the tagger expresses the same
+    cutoff contract (r17 review finding), so a post-cutoff arrival is
+    an eval candidate regardless of its hash, a pre-cutoff arrival is
+    train-side, and a NULL timestamp quarantines in-plan."""
+    import datetime as dtm
+
+    from market_data_ingestion_scraper_spark.operators.bloom import (
+        build_hash_bloom,
+    )
+    from market_data_ingestion_scraper_spark.operators.splits import (
+        decontaminated_holdout,
+        holdout_gram_hashes,
+    )
+    from market_data_ingestion_scraper_spark.streaming.pipeline import (
+        stream_holdout_tag,
+    )
+
+    CUT = "2024-02-01 00:00:00"
+    t0, t1 = dtm.datetime(2024, 1, 10), dtm.datetime(2024, 2, 10)
+    train_text = "alpha beta gamma delta epsilon zeta"
+    fit = spark.createDataFrame(
+        [(1, train_text, t0), (2, "one two three four five six", t1)],
+        "doc_id long, text string, ts timestamp",
+    )
+    assignment = decontaminated_holdout(fit, cutoff=CUT, ts_col="ts")
+    tb = build_hash_bloom(
+        holdout_gram_hashes(fit, "train", assignment=assignment),
+        "gram_hash", n_shards=4, n_bits=1 << 20, n_hashes=5,
+    )
+    eb = build_hash_bloom(
+        holdout_gram_hashes(fit, "eval", assignment=assignment),
+        "gram_hash", n_shards=4, n_bits=1 << 20, n_hashes=5,
+    )
+    arrivals = spark.createDataFrame(
+        [
+            (10, f"copy {train_text} here", t1),   # post-cutoff, hits train
+            (11, "fresh words never seen before ok", t1),  # clean eval
+            (12, "brand new training era text fine", t0),  # pre-cutoff train
+            (13, "timeless", None),                # NULL ts -> quarantine
+        ],
+        "doc_id long, text string, ts timestamp",
+    )
+    got = {
+        r["doc_id"]: (r["split"], r["n_hit_grams_ub"]) for r in
+        stream_holdout_tag(
+            arrivals, tb, eb, cutoff=CUT, ts_col="ts"
+        ).collect()
+    }
+    assert got[10][0] == "quarantine" and got[10][1] >= 1
+    assert got[11] == ("eval", 0)
+    assert got[12] == ("train", 0)
+    assert got[13] == ("quarantine", None)
+    # mode mismatch refusals
+    with pytest.raises(ValueError, match="temporal mode"):
+        stream_holdout_tag(arrivals, tb, eb, cutoff=CUT)
+    with pytest.raises(ValueError, match="ISO timestamp"):
+        stream_holdout_tag(arrivals, tb, eb, cutoff="nope", ts_col="ts")
