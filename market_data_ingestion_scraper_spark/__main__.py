@@ -67,6 +67,23 @@ def main(argv: list[str] | None = None) -> int:
                       "shard covering the rows admitted this run; "
                       "`corpus-profile` answers globally by merging")
 
+    tdb = sub.add_parser(
+        "build-training-data",
+        help="the engine end-to-end: quality gate (X35) -> exact dedup "
+        "(X1) -> contamination-safe holdout (X36) -> span-corruption / "
+        "FIM / instruction examples (X34/X37) over the train side; "
+        "deterministic outputs, funnel counters printed",
+    )
+    tdb.add_argument("--documents", required=True,
+                     help="parquet with (doc_id, text, lang[, source])")
+    tdb.add_argument("--out", required=True,
+                     help="output root (eval_docs/ split_assignment/ "
+                     "train_span/ train_fim/ [train_instruct/])")
+    tdb.add_argument("--min-votes", type=int, default=2)
+    tdb.add_argument("--holdout-ppm", type=int, default=100_000)
+    tdb.add_argument("--k", type=int, default=5)
+    tdb.add_argument("--min-hits", type=int, default=1)
+
     prof = sub.add_parser(
         "corpus-profile",
         help="global corpus profile (total/distinct tokens, doc-length "
@@ -559,6 +576,26 @@ def main(argv: list[str] | None = None) -> int:
             bloom_path=args.bloom_path,
             sketch_path=args.sketch_path,
         )
+        for k, v in sorted(metrics.items()):
+            print(f"{k}={v}")
+        return 0
+
+    if args.cmd == "build-training-data":
+        from .jobs import run_training_data_build
+
+        try:
+            metrics = run_training_data_build(
+                spark,
+                args.documents,
+                args.out,
+                min_votes=args.min_votes,
+                holdout_ppm=args.holdout_ppm,
+                k=args.k,
+                min_hits=args.min_hits,
+            )
+        except ValueError as exc:
+            print(str(exc), file=sys.stderr)
+            return 2
         for k, v in sorted(metrics.items()):
             print(f"{k}={v}")
         return 0

@@ -386,3 +386,138 @@ def run_corpus_ingestion(
         "n_seen_before": n_seen_before,
         "n_bloom_skipped": n_bloom_skipped,
     }
+
+
+def run_training_data_build(
+    spark: SparkSession,
+    documents_path: str,
+    out_root: str,
+    min_votes: int = 2,
+    holdout_ppm: int = 100_000,
+    k: int = 5,
+    min_hits: int = 1,
+) -> dict[str, int]:
+    """The engine end-to-end as ONE job: raw documents → quality gate →
+    exact dedup → contamination-safe holdout → training examples — each
+    stage an oracle-gated operator, composed here into the pipeline a
+    training run actually consumes, with the same determinism contract
+    as :func:`run_corpus_ingestion` (every stage is a pure function of
+    content and ids, so a re-run writes byte-identical outputs —
+    pytest-pinned).
+
+    Stages and outputs under ``out_root``:
+
+    1. quality gate — :func:`~.operators.ensemble.quality_ensemble`
+       (X35, 2-of-3 vote), drop ``keep = false``;
+    2. exact dedup — :func:`~.operators.dedup.content_hash_dedup`
+       (X1, keep lowest doc_id per normalized content hash);
+    3. split — :func:`~.operators.splits.decontaminated_holdout`
+       (X36): ``eval_docs/`` holds the clean held-out documents,
+       quarantined docs join neither side, and only TRAIN documents
+       feed example construction (eval text must never appear in
+       training examples — the whole point of the split);
+    4. training examples over the train side —
+       ``train_span/`` (X34 span corruption), ``train_fim/`` (X34
+       FIM), ``train_instruct/`` (X37 adjacent-pair instruction
+       examples, when a ``source`` column exists).
+
+    Returns the funnel counters (input → kept → deduped → per-split →
+    per-example-family) a build dashboard needs; the numbers reconcile
+    exactly with the gated per-stage operators run independently
+    (pytest-pinned).
+
+    Scale shape: nothing here adds to the composed operators' own
+    shapes — the only job-level choices are persisting the two frames
+    multiple stages read (the slim deduped corpus and the assignment)
+    and the deterministic single-file-per-output layout of
+    :func:`~.sources.writer.write_gold` (swap ``files_per_partition``
+    up for real corpora)."""
+    import os
+
+    from .operators.corruption import fim_examples, span_corruption_examples
+    from .operators.dedup import content_hash_dedup
+    from .operators.ensemble import quality_ensemble
+    from .operators.splits import decontaminated_holdout
+    from .sources.writer import write_gold
+
+    docs = spark.read.parquet(documents_path)
+    need = [c for c in ("doc_id", "text", "lang") if c not in docs.columns]
+    if need:
+        raise ValueError(f"documents parquet missing columns: {need}")
+    n_input = docs.count()
+
+    kept = (
+        quality_ensemble(docs, min_votes=min_votes)
+        .where(F.col("keep"))
+        .select("doc_id")
+    )
+    gated = docs.join(kept, "doc_id", "left_semi")
+    n_kept = gated.count()
+
+    groups = content_hash_dedup(gated.withColumn("content_hash", _content_hash()))
+    deduped = gated.join(
+        groups.select(F.col("keep_doc_id").alias("doc_id")),
+        "doc_id",
+        "left_semi",
+    ).persist()
+    n_deduped = deduped.count()
+
+    assignment = decontaminated_holdout(
+        deduped.select("doc_id", "text"),
+        holdout_ppm=holdout_ppm,
+        k=k,
+        min_hits=min_hits,
+    ).persist()
+    split_counts = {
+        r["split"]: r["n"]
+        for r in assignment.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    sides = {
+        side: deduped.join(
+            assignment.where(F.col("split") == side).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+        for side in ("train", "eval")
+    }
+    write_gold(
+        sides["eval"], os.path.join(out_root, "eval_docs"),
+        sort_within=("doc_id",),
+    )
+    write_gold(
+        assignment, os.path.join(out_root, "split_assignment"),
+        sort_within=("doc_id",),
+    )
+    train = sides["train"]
+    span = span_corruption_examples(train)
+    write_gold(span, os.path.join(out_root, "train_span"), sort_within=("doc_id",))
+    fim = fim_examples(train)
+    write_gold(fim, os.path.join(out_root, "train_fim"), sort_within=("doc_id",))
+    counters = {
+        "n_input": n_input,
+        "n_quality_kept": n_kept,
+        "n_deduped": n_deduped,
+        "n_train": split_counts.get("train", 0),
+        "n_eval": split_counts.get("eval", 0),
+        "n_quarantine": split_counts.get("quarantine", 0),
+        "n_span_examples": spark.read.parquet(
+            os.path.join(out_root, "train_span")
+        ).count(),
+        "n_fim_examples": spark.read.parquet(
+            os.path.join(out_root, "train_fim")
+        ).count(),
+    }
+    if "source" in docs.columns:
+        from .operators.instruct import instruction_pairs
+
+        pairs = instruction_pairs(train)
+        write_gold(
+            pairs, os.path.join(out_root, "train_instruct"),
+            sort_within=("prompt_doc_id",),
+        )
+        counters["n_instruct_examples"] = spark.read.parquet(
+            os.path.join(out_root, "train_instruct")
+        ).count()
+    deduped.unpersist()
+    assignment.unpersist()
+    return counters

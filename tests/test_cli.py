@@ -1050,3 +1050,27 @@ def test_cli_instruction_pairs(tmp_path, spark):
     r = _run("instruction-pairs", "--documents", docs_path, "--out", out,
              "--pair-bucket", "1")
     assert r.returncode == 2 and "pair_bucket" in r.stderr
+
+
+def test_cli_build_training_data(tmp_path, spark):
+    """build-training-data: the end-to-end job surface — funnel
+    counters printed, missing columns exit 2."""
+    from market_data_ingestion_scraper_spark.sources.tables import load_table
+
+    docs_path = str(tmp_path / "docs")
+    load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text", "lang", "source"
+    ).write.parquet(docs_path)
+    out = str(tmp_path / "build")
+    r = _run("build-training-data", "--documents", docs_path, "--out", out)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "n_train=" in r.stdout and "n_span_examples=" in r.stdout
+    import os
+
+    for sub in ("eval_docs", "train_span", "train_fim", "train_instruct"):
+        assert os.path.isdir(os.path.join(out, sub)), sub
+    # missing lang column -> exit 2
+    bad = str(tmp_path / "bad")
+    spark.read.parquet(docs_path).drop("lang").write.parquet(bad)
+    r = _run("build-training-data", "--documents", bad, "--out", out)
+    assert r.returncode == 2 and "missing columns" in r.stderr

@@ -107,3 +107,97 @@ def test_salted_broadcast_left_matches_plain(spark, sf_smoke):
     plain = li.join(F.broadcast(part), "p_partkey").count()
     salted = K.salted_broadcast_left(li, part, "p_partkey").count()
     assert salted == plain
+
+
+def test_run_training_data_build_end_to_end(spark, tmp_path):
+    """The engine end-to-end (quality gate -> exact dedup ->
+    contamination-safe split -> example construction): funnel counters
+    reconcile exactly with the gated per-stage operators, eval text
+    NEVER reaches a training example (the leakage contract), and a
+    re-run writes byte-identical outputs (every stage is a pure
+    function of content and ids)."""
+    import glob
+    import os
+
+    from market_data_ingestion_scraper_spark.jobs import (
+        run_training_data_build,
+    )
+    from market_data_ingestion_scraper_spark.sources.tables import load_table
+
+    docs_path = str(tmp_path / "docs_in")
+    load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text", "lang", "source"
+    ).write.parquet(docs_path)
+    out1 = str(tmp_path / "build1")
+    c = run_training_data_build(spark, docs_path, out1)
+
+    assert c["n_input"] == 500
+    assert 0 < c["n_quality_kept"] <= c["n_input"]
+    assert 0 < c["n_deduped"] <= c["n_quality_kept"]
+    assert c["n_train"] + c["n_eval"] + c["n_quarantine"] == c["n_deduped"]
+    # X34 span corruption emits exactly one example per train document;
+    # FIM skips docs under 3 tokens; instruction pairs are bounded by
+    # non-overlapping pairing
+    assert c["n_span_examples"] == c["n_train"]
+    assert c["n_fim_examples"] <= c["n_train"]
+    assert 0 < c["n_instruct_examples"] <= c["n_train"] // 2 + 1
+
+    # stage reconciliation: the written assignment equals the gated
+    # operator run independently over the same deduped corpus
+    from market_data_ingestion_scraper_spark.operators.dedup import (
+        content_hash_dedup,
+    )
+    from market_data_ingestion_scraper_spark.operators.ensemble import (
+        quality_ensemble,
+    )
+    from market_data_ingestion_scraper_spark.operators.splits import (
+        decontaminated_holdout,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(docs_path)
+    kept = quality_ensemble(docs).where(F.col("keep")).select("doc_id")
+    gated = docs.join(kept, "doc_id", "left_semi")
+    from market_data_ingestion_scraper_spark.jobs import _content_hash
+
+    groups = content_hash_dedup(gated.withColumn("content_hash", _content_hash()))
+    deduped = gated.join(
+        groups.select(F.col("keep_doc_id").alias("doc_id")), "doc_id",
+        "left_semi",
+    )
+    want = {
+        tuple(r)
+        for r in decontaminated_holdout(
+            deduped.select("doc_id", "text")
+        ).collect()
+    }
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(os.path.join(out1, "split_assignment")).collect()
+    }
+    assert got == want
+
+    # leakage contract: no eval doc id appears in ANY training example
+    eval_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(out1, "eval_docs")).collect()
+    }
+    span_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(out1, "train_span")).collect()
+    }
+    pair_rows = spark.read.parquet(os.path.join(out1, "train_instruct")).collect()
+    pair_ids = {r["prompt_doc_id"] for r in pair_rows} | {
+        r["response_doc_id"] for r in pair_rows
+    }
+    assert not (eval_ids & span_ids) and not (eval_ids & pair_ids)
+
+    # byte-identical re-run: same counters, same part-file bytes
+    out2 = str(tmp_path / "build2")
+    assert run_training_data_build(spark, docs_path, out2) == c
+    for sub in ("eval_docs", "split_assignment", "train_span", "train_fim",
+                "train_instruct"):
+        p1 = sorted(glob.glob(os.path.join(out1, sub, "part-*")))
+        p2 = sorted(glob.glob(os.path.join(out2, sub, "part-*")))
+        assert len(p1) == len(p2) == 1, (sub, p1, p2)
+        assert open(p1[0], "rb").read() == open(p2[0], "rb").read(), sub
