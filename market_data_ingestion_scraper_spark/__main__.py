@@ -83,6 +83,10 @@ def main(argv: list[str] | None = None) -> int:
     tdb.add_argument("--holdout-ppm", type=int, default=100_000)
     tdb.add_argument("--k", type=int, default=5)
     tdb.add_argument("--min-hits", type=int, default=1)
+    tdb.add_argument("--sidecars", action="store_true",
+                     help="also write the frozen-split gram bloom "
+                     "sidecars (sidecar_{train,eval}_grams/) that "
+                     "stream_holdout_tag serves later arrivals from")
 
     prof = sub.add_parser(
         "corpus-profile",
@@ -592,6 +596,7 @@ def main(argv: list[str] | None = None) -> int:
                 holdout_ppm=args.holdout_ppm,
                 k=args.k,
                 min_hits=args.min_hits,
+                write_sidecars=args.sidecars,
             )
         except ValueError as exc:
             print(str(exc), file=sys.stderr)

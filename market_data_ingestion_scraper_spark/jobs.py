@@ -396,6 +396,7 @@ def run_training_data_build(
     holdout_ppm: int = 100_000,
     k: int = 5,
     min_hits: int = 1,
+    write_sidecars: bool = False,
 ) -> dict[str, int]:
     """The engine end-to-end as ONE job: raw documents → quality gate →
     exact dedup → contamination-safe holdout → training examples — each
@@ -419,7 +420,15 @@ def run_training_data_build(
     4. training examples over the train side —
        ``train_span/`` (X34 span corruption), ``train_fim/`` (X34
        FIM), ``train_instruct/`` (X37 adjacent-pair instruction
-       examples, when a ``source`` column exists).
+       examples, when a ``source`` column exists);
+    5. with ``write_sidecars=True``, the frozen-split serve artifacts —
+       ``sidecar_train_grams/`` and ``sidecar_eval_grams/``
+       (:func:`~.operators.splits.holdout_gram_hashes` over the SAME
+       persisted assignment → :func:`~.operators.bloom.build_hash_bloom`
+       → :func:`~.operators.bloom.write_hash_bloom`), so
+       :func:`~.streaming.pipeline.stream_holdout_tag` can route later
+       arrivals against exactly this build's split — the build → serve
+       handoff in one command.
 
     Returns the funnel counters (input → kept → deduped → per-split →
     per-example-family) a build dashboard needs; the numbers reconcile
@@ -518,6 +527,26 @@ def run_training_data_build(
         counters["n_instruct_examples"] = spark.read.parquet(
             os.path.join(out_root, "train_instruct")
         ).count()
+    if write_sidecars:
+        from .operators.bloom import build_hash_bloom, write_hash_bloom
+        from .operators.splits import holdout_gram_hashes
+
+        for side in ("train", "eval"):
+            grams = holdout_gram_hashes(
+                deduped.select("doc_id", "text"), side, k=k,
+                assignment=assignment,
+            )
+            # size to the documented ~10 bits/key rule from the side's
+            # distinct-gram count (next power of two, floor 2^20)
+            n_grams = grams.count()
+            n_bits = 1 << max(20, (n_grams * 10 // 16).bit_length())
+            write_hash_bloom(
+                build_hash_bloom(grams, "gram_hash", n_bits=n_bits),
+                os.path.join(out_root, f"sidecar_{side}_grams"),
+                hash_col="gram_hash",
+                extra_meta={"k": int(k), "holdout_ppm": int(holdout_ppm)},
+            )
+            counters[f"n_{side}_grams"] = n_grams
     deduped.unpersist()
     assignment.unpersist()
     return counters

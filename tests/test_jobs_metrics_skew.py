@@ -129,7 +129,7 @@ def test_run_training_data_build_end_to_end(spark, tmp_path):
         "doc_id", "text", "lang", "source"
     ).write.parquet(docs_path)
     out1 = str(tmp_path / "build1")
-    c = run_training_data_build(spark, docs_path, out1)
+    c = run_training_data_build(spark, docs_path, out1, write_sidecars=True)
 
     assert c["n_input"] == 500
     assert 0 < c["n_quality_kept"] <= c["n_input"]
@@ -194,10 +194,57 @@ def test_run_training_data_build_end_to_end(spark, tmp_path):
 
     # byte-identical re-run: same counters, same part-file bytes
     out2 = str(tmp_path / "build2")
-    assert run_training_data_build(spark, docs_path, out2) == c
+    assert run_training_data_build(
+        spark, docs_path, out2, write_sidecars=True
+    ) == c
     for sub in ("eval_docs", "split_assignment", "train_span", "train_fim",
                 "train_instruct"):
         p1 = sorted(glob.glob(os.path.join(out1, sub, "part-*")))
         p2 = sorted(glob.glob(os.path.join(out2, sub, "part-*")))
         assert len(p1) == len(p2) == 1, (sub, p1, p2)
         assert open(p1[0], "rb").read() == open(p2[0], "rb").read(), sub
+
+
+def test_run_training_data_build_serve_handoff(spark, tmp_path):
+    """write_sidecars=True closes the build -> serve loop: the job's
+    bloom sidecars load with load_hash_bloom and stream_holdout_tag
+    over them reproduces the job's own written split assignment (fp ~ 0
+    at the auto-sized bit budget)."""
+    import os
+
+    from market_data_ingestion_scraper_spark.jobs import (
+        run_training_data_build,
+    )
+    from market_data_ingestion_scraper_spark.operators.bloom import (
+        load_hash_bloom,
+    )
+    from market_data_ingestion_scraper_spark.sources.tables import load_table
+    from market_data_ingestion_scraper_spark.streaming.pipeline import (
+        stream_holdout_tag,
+    )
+
+    docs_path = str(tmp_path / "docs_in")
+    load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text", "lang", "source"
+    ).write.parquet(docs_path)
+    out = str(tmp_path / "build")
+    c = run_training_data_build(spark, docs_path, out, write_sidecars=True)
+    assert c["n_train_grams"] > 0 and c["n_eval_grams"] >= 0
+    tb, tside = load_hash_bloom(spark, os.path.join(out, "sidecar_train_grams"))
+    eb, eside = load_hash_bloom(spark, os.path.join(out, "sidecar_eval_grams"))
+    assert tside["hash_col"] == "gram_hash" and tside["k"] == 5
+
+    # rebuild the deduped corpus the split was made over: the assignment
+    # parquet carries exactly its doc_ids
+    assignment = spark.read.parquet(os.path.join(out, "split_assignment"))
+    corpus = (
+        spark.read.parquet(docs_path)
+        .join(assignment.select("doc_id"), "doc_id", "left_semi")
+        .select("doc_id", "text")
+    )
+    served = {
+        r["doc_id"]: r["split"]
+        for r in stream_holdout_tag(corpus, tb, eb).collect()
+    }
+    want = {r["doc_id"]: r["split"] for r in assignment.collect()}
+    assert served == want
