@@ -481,6 +481,23 @@ def main(argv: list[str] | None = None) -> int:
     ip.add_argument("--max-prompt-tokens", type=int, default=64)
     ip.add_argument("--max-target-tokens", type=int, default=256)
 
+    pp = sub.add_parser(
+        "preference-pairs",
+        help="preference-example assembly (X38, RLHF/DPO shape): "
+        "same-source document TRIPLES with chosen/rejected decided by "
+        "the X35 quality-ensemble vote; vote ties emit nothing",
+    )
+    pp.add_argument("--documents", required=True,
+                    help="parquet with (doc_id, source, text, lang)")
+    pp.add_argument("--out", required=True,
+                    help="output parquet of (prompt_doc_id, "
+                    "chosen_doc_id, rejected_doc_id, source, template_id, "
+                    "input_text, chosen_text, rejected_text, "
+                    "chosen_votes, rejected_votes)")
+    pp.add_argument("--pair-bucket", type=int, default=1024)
+    pp.add_argument("--max-prompt-tokens", type=int, default=64)
+    pp.add_argument("--max-response-tokens", type=int, default=256)
+
     qe = sub.add_parser(
         "quality-ensemble",
         help="document-quality ensembler (X35): LR classifier + "
@@ -1396,6 +1413,40 @@ def main(argv: list[str] | None = None) -> int:
         ).collect()[0]
         print(f"examples={agg['n']} prompt_tokens={agg['p'] or 0} "
               f"target_tokens={agg['t'] or 0} out={args.out}")
+        return 0
+
+    if args.cmd == "preference-pairs":
+        from .operators.instruct import preference_pairs
+
+        docs = spark.read.parquet(args.documents)
+        missing = [
+            c for c in ("doc_id", "source", "text", "lang")
+            if c not in docs.columns
+        ]
+        if missing:
+            print(f"documents parquet missing columns: {missing}",
+                  file=sys.stderr)
+            return 2
+        try:
+            out = preference_pairs(
+                docs, pair_bucket=args.pair_bucket,
+                max_prompt_tokens=args.max_prompt_tokens,
+                max_response_tokens=args.max_response_tokens,
+            )
+        except ValueError as exc:
+            print(str(exc), file=sys.stderr)
+            return 2
+        out.write.mode("overwrite").parquet(args.out)
+        written = spark.read.parquet(args.out)
+        from pyspark.sql import functions as F
+
+        agg = written.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("chosen_votes").alias("c"),
+            F.sum("rejected_votes").alias("r"),
+        ).collect()[0]
+        print(f"examples={agg['n']} chosen_votes={agg['c'] or 0} "
+              f"rejected_votes={agg['r'] or 0} out={args.out}")
         return 0
 
     if args.cmd == "quality-ensemble":

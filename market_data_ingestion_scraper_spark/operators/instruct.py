@@ -37,6 +37,11 @@ not append-legal without completeness).  Run it inside
 periodic backfill the X34 per-row constructors (which ARE stream-legal)
 complement online.
 
+:func:`preference_pairs` (X38) extends the same adjacency discipline
+to TRIPLES and decides chosen/rejected by the X35 quality-ensemble
+vote — the RLHF / DPO preference-example shape (Ouyang et al. 2022
+InstructGPT comparisons; Rafailov et al. 2023 DPO).  Same bounded
+window, same template hashing, same batch/backfill streaming stance.
 
 The reference repo (a Selenium market-data scraper,
 /root/reference/main.py) has no training-data surface; this exists for
@@ -73,6 +78,28 @@ for _t in INSTRUCTION_TEMPLATES:
             "— it cannot be spliced into the SQL oracle literal"
         )
 del _t
+
+
+def _template_choice(id_col: str):
+    """(template_id, template) columns — the hash-deterministic choice
+    both constructors share: ``portable_token_hash('tmpl:' || id) %
+    len(INSTRUCTION_TEMPLATES)``, templates as plan literals."""
+    n_tmpl = len(INSTRUCTION_TEMPLATES)
+    tmpl_id = F.pmod(
+        portable_token_hash(
+            F.concat(F.lit("tmpl:"), F.col(id_col).cast("string"))
+        ),
+        F.lit(n_tmpl),
+    ).cast("int")
+    template = F.element_at(
+        F.array(*[F.lit(t) for t in INSTRUCTION_TEMPLATES]), tmpl_id + 1
+    )
+    return tmpl_id, template
+
+
+def _floor_bucket(id_col: str, width: int):
+    """Exact int64 FLOOR-division bucket (see instruction_pairs)."""
+    return F.expr(f"(`{id_col}` - pmod(`{id_col}`, {width})) div {width}")
 
 
 def instruction_pairs(
@@ -117,17 +144,14 @@ def instruction_pairs(
             "max_prompt_tokens and max_target_tokens must be >= 1, got "
             f"{max_prompt_tokens}/{max_target_tokens}"
         )
-    n_tmpl = len(INSTRUCTION_TEMPLATES)
+    tmpl_id, template = _template_choice(id_col)
     # exact int64 FLOOR division: (id - pmod(id, b)) is the floor
     # multiple even for negative ids (pmod >= 0), and `div` on the
     # exact multiple never rounds.  A double division + cast would
     # truncate toward zero for negative ids and lose precision past
     # 2^53 — both silently desyncing the DuckDB `//` (floor) twin
     # (r17 review finding)
-    pb = int(pair_bucket)
-    bucket = F.expr(
-        f"(`{id_col}` - pmod(`{id_col}`, {pb})) div {pb}"
-    )
+    bucket = _floor_bucket(id_col, int(pair_bucket))
     w = Window.partitionBy(source_col, "_bucket").orderBy(id_col)
     staged = (
         documents.where(F.col(id_col).isNotNull())
@@ -143,15 +167,6 @@ def instruction_pairs(
     )
     paired = staged.filter(
         (F.pmod(F.col("_rn"), F.lit(2)) == 1) & F.col("_next_id").isNotNull()
-    )
-    tmpl_id = F.pmod(
-        portable_token_hash(
-            F.concat(F.lit("tmpl:"), F.col(id_col).cast("string"))
-        ),
-        F.lit(n_tmpl),
-    ).cast("int")
-    template = F.element_at(
-        F.array(*[F.lit(t) for t in INSTRUCTION_TEMPLATES]), tmpl_id + 1
     )
     p_slice = F.slice(
         F.coalesce(F.col("_ts"), F.array().cast("array<string>")),
@@ -177,4 +192,133 @@ def instruction_pairs(
         F.concat_ws(" ", t_slice).alias("target_text"),
         F.size(p_slice).cast("long").alias("n_prompt_tokens"),
         F.size(t_slice).cast("long").alias("n_target_tokens"),
+    )
+
+
+def preference_pairs(
+    documents: DataFrame,
+    quality: DataFrame | None = None,
+    pair_bucket: int = 1024,
+    max_prompt_tokens: int = 64,
+    max_response_tokens: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """X38 preference-example assembly (the RLHF / DPO training shape:
+    prompt + chosen response + rejected response; Ouyang et al. 2022,
+    Rafailov et al. 2023): within each ``(source, doc_id DIV
+    pair_bucket)`` bucket, consecutive same-source document TRIPLES
+    (prompt, candidate A, candidate B — the X37 adjacency discipline
+    extended by one) become one example, with chosen/rejected decided
+    by the X35 quality-ensemble vote count.
+
+    ``quality`` is the (doc_id, votes) relation — pass
+    :func:`~.ensemble.quality_ensemble`'s output (or its persisted
+    selection) to reuse one scoring pass across every consumer; when
+    omitted it is derived here (``documents`` then needs the ensemble's
+    ``lang`` column).  POLICY: triples whose candidates TIE on votes
+    emit nothing — a preference pair with no quality contrast teaches
+    the reward/DPO objective nothing and injects label noise; the
+    dropped count is observable as triples-minus-rows.  Ordering inside
+    a tie never matters, so the output is deterministic without a
+    tie-break rule.
+
+    Returns ``(prompt_doc_id, chosen_doc_id, rejected_doc_id, source,
+    template_id, input_text, chosen_text, rejected_text, chosen_votes,
+    rejected_votes)`` — ``input_text`` is the X37 rendering
+    ('<instruction> template <context> prompt tokens'), response texts
+    cap at ``max_response_tokens``.  NULL-id rows are dropped before
+    grouping (the X37 policy); NULL-text candidates still occupy their
+    position (the ensemble scores them a definite 0 votes).
+
+    Scale shape: ONE bounded-window exchange (the X37 shape: every
+    partition <= pair_bucket consecutive same-source ids) plus two
+    id-keyed equi-joins against the |corpus|-row votes relation — no
+    cartesian, no broadcast of anything corpus-sized (AQE picks the
+    join strategy).  Deterministic and partitioning-invariant: triple
+    formation orders by id, selection is a pure function of the two
+    vote counts."""
+    if int(pair_bucket) < 3:
+        raise ValueError(
+            f"pair_bucket must be >= 3 for triples, got {pair_bucket}"
+        )
+    if int(max_prompt_tokens) < 1 or int(max_response_tokens) < 1:
+        raise ValueError(
+            "max_prompt_tokens and max_response_tokens must be >= 1, got "
+            f"{max_prompt_tokens}/{max_response_tokens}"
+        )
+    if quality is None:
+        from .ensemble import quality_ensemble
+
+        quality = quality_ensemble(documents)
+    votes = quality.select(
+        F.col(id_col).alias("_q_id"), F.col("votes").alias("_votes")
+    )
+    tmpl_id, template = _template_choice(id_col)
+    bucket = _floor_bucket(id_col, int(pair_bucket))
+    w = Window.partitionBy(source_col, "_bucket").orderBy(id_col)
+    staged = (
+        documents.where(F.col(id_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.col(source_col),
+            tokens(text_col).alias("_ts"),
+            bucket.alias("_bucket"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_a_id", F.lead(id_col, 1).over(w))
+        .withColumn("_a_ts", F.lead("_ts", 1).over(w))
+        .withColumn("_b_id", F.lead(id_col, 2).over(w))
+        .withColumn("_b_ts", F.lead("_ts", 2).over(w))
+    )
+    triples = staged.filter(
+        (F.pmod(F.col("_rn"), F.lit(3)) == 1) & F.col("_b_id").isNotNull()
+    )
+    scored = (
+        triples.join(
+            votes.withColumnsRenamed(
+                {"_q_id": "_a_qid", "_votes": "_a_votes"}
+            ),
+            F.col("_a_id") == F.col("_a_qid"),
+        )
+        .join(
+            votes.withColumnsRenamed(
+                {"_q_id": "_b_qid", "_votes": "_b_votes"}
+            ),
+            F.col("_b_id") == F.col("_b_qid"),
+        )
+        .filter(F.col("_a_votes") != F.col("_b_votes"))
+    )
+    a_wins = F.col("_a_votes") > F.col("_b_votes")
+    empty = F.array().cast("array<string>")
+    p_slice = F.slice(
+        F.coalesce(F.col("_ts"), empty), 1, int(max_prompt_tokens)
+    )
+    chosen_ts = F.when(a_wins, F.col("_a_ts")).otherwise(F.col("_b_ts"))
+    rejected_ts = F.when(a_wins, F.col("_b_ts")).otherwise(F.col("_a_ts"))
+    c_slice = F.slice(
+        F.coalesce(chosen_ts, empty), 1, int(max_response_tokens)
+    )
+    r_slice = F.slice(
+        F.coalesce(rejected_ts, empty), 1, int(max_response_tokens)
+    )
+    return scored.select(
+        F.col(id_col).alias("prompt_doc_id"),
+        F.when(a_wins, F.col("_a_id")).otherwise(F.col("_b_id"))
+        .alias("chosen_doc_id"),
+        F.when(a_wins, F.col("_b_id")).otherwise(F.col("_a_id"))
+        .alias("rejected_doc_id"),
+        F.col(source_col),
+        tmpl_id.alias("template_id"),
+        F.concat(
+            F.lit("<instruction> "),
+            template,
+            F.lit(" <context> "),
+            F.concat_ws(" ", p_slice),
+        ).alias("input_text"),
+        F.concat_ws(" ", c_slice).alias("chosen_text"),
+        F.concat_ws(" ", r_slice).alias("rejected_text"),
+        F.greatest("_a_votes", "_b_votes").cast("long").alias("chosen_votes"),
+        F.least("_a_votes", "_b_votes").cast("long").alias("rejected_votes"),
     )

@@ -1074,3 +1074,30 @@ def test_cli_build_training_data(tmp_path, spark):
     spark.read.parquet(docs_path).drop("lang").write.parquet(bad)
     r = _run("build-training-data", "--documents", bad, "--out", out)
     assert r.returncode == 2 and "missing columns" in r.stderr
+
+
+def test_cli_preference_pairs(tmp_path, spark):
+    """preference-pairs: the X38 surface — summary printed, parquet
+    matches the library, missing lang exits 2."""
+    from market_data_ingestion_scraper_spark.sources.tables import load_table
+
+    docs_path = str(tmp_path / "docs")
+    load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "source", "text", "lang"
+    ).write.parquet(docs_path)
+    out = str(tmp_path / "prefs")
+    r = _run("preference-pairs", "--documents", docs_path, "--out", out)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "examples=" in r.stdout and "chosen_votes=" in r.stdout
+
+    from market_data_ingestion_scraper_spark.operators.instruct import (
+        preference_pairs,
+    )
+
+    docs = spark.read.parquet(docs_path)
+    key = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert key(spark.read.parquet(out)) == key(preference_pairs(docs))
+    bad = str(tmp_path / "bad")
+    docs.drop("lang").write.parquet(bad)
+    r = _run("preference-pairs", "--documents", bad, "--out", out)
+    assert r.returncode == 2 and "missing columns" in r.stderr

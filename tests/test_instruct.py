@@ -185,3 +185,114 @@ def test_instruction_pairs_negative_ids_floor_bucketing(spark):
     # floor semantics: -2,-1 share bucket -1; 0,1 share bucket 0
     assert set(got) == {-2, 0}
     assert got[-2][0] == -1 and got[0][0] == 1
+
+
+def _py_preference(rows, votes, pair_bucket=1024, max_p=64, max_r=256):
+    """Composition twin: GIVEN the (gated) ensemble's vote counts,
+    rebuild the triple formation + selection + rendering in pure
+    Python."""
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for doc_id, source, text in rows:
+        if doc_id is None:
+            continue
+        groups[(source, doc_id // pair_bucket)].append((doc_id, text))
+    out = {}
+    for (source, _), docs in groups.items():
+        docs.sort()
+        for i in range(0, len(docs) - 2, 3):
+            (pid, ptext), (aid, atext), (bid, btext) = docs[i:i + 3]
+            va, vb = votes[aid], votes[bid]
+            if va == vb:
+                continue
+            (cid, ctext), (rid, rtext) = (
+                ((aid, atext), (bid, btext)) if va > vb
+                else ((bid, btext), (aid, atext))
+            )
+            tid = _tmpl_id(pid)
+            out[pid] = (
+                cid, rid, source, tid,
+                "<instruction> " + INSTRUCTION_TEMPLATES[tid]
+                + " <context> " + " ".join(_toks(ptext)[:max_p]),
+                " ".join(_toks(ctext)[:max_r]),
+                " ".join(_toks(rtext)[:max_r]),
+                max(va, vb), min(va, vb),
+            )
+    return out
+
+
+def test_preference_pairs_match_composition_twin(spark):
+    """X38: given the gated ensemble's votes, the triple formation,
+    chosen/rejected selection, tie drop, and rendering all equal the
+    pure-Python twin."""
+    from market_data_ingestion_scraper_spark.operators.ensemble import (
+        quality_ensemble,
+    )
+    from market_data_ingestion_scraper_spark.operators.instruct import (
+        preference_pairs,
+    )
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    votes = {
+        r["doc_id"]: r["votes"] for r in quality_ensemble(docs).collect()
+    }
+    rows = [(r["doc_id"], r["source"], r["text"]) for r in
+            docs.select("doc_id", "source", "text").collect()]
+    want = _py_preference(rows, votes)
+    got = {
+        r["prompt_doc_id"]: (
+            r["chosen_doc_id"], r["rejected_doc_id"], r["source"],
+            r["template_id"], r["input_text"], r["chosen_text"],
+            r["rejected_text"], r["chosen_votes"], r["rejected_votes"],
+        )
+        for r in preference_pairs(docs).collect()
+    }
+    assert got == want
+    assert len(got) > 0
+    for c, rj in ((v[7], v[8]) for v in got.values()):
+        assert c > rj  # a preference ALWAYS has contrast (ties dropped)
+
+
+def test_preference_pairs_planted_selection_and_tie_drop(spark):
+    """Planted votes: the higher-vote candidate is chosen regardless of
+    position, vote ties emit nothing, and documents never straddle
+    triples."""
+    from market_data_ingestion_scraper_spark.operators.instruct import (
+        preference_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "s", f"text number {i} here") for i in range(1, 10)],
+        "doc_id long, source string, text string",
+    )
+    # triple (1,2,3): B wins; triple (4,5,6): A wins; triple (7,8,9): tie
+    votes = spark.createDataFrame(
+        [(1, 0), (2, 1), (3, 3), (4, 0), (5, 2), (6, 1), (7, 0), (8, 2),
+         (9, 2)],
+        "doc_id long, votes int",
+    )
+    got = {
+        r["prompt_doc_id"]: r for r in
+        preference_pairs(docs, quality=votes).collect()
+    }
+    assert set(got) == {1, 4}
+    assert got[1]["chosen_doc_id"] == 3 and got[1]["rejected_doc_id"] == 2
+    assert got[4]["chosen_doc_id"] == 5 and got[4]["rejected_doc_id"] == 6
+    assert got[1]["chosen_votes"] == 3 and got[1]["rejected_votes"] == 1
+
+
+def test_preference_pairs_validation(spark):
+    from market_data_ingestion_scraper_spark.operators.instruct import (
+        preference_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "s", "x", "en")], "doc_id long, source string, text string, lang string"
+    )
+    with pytest.raises(ValueError, match="pair_bucket"):
+        preference_pairs(docs, pair_bucket=2)
+    with pytest.raises(ValueError, match="max_prompt_tokens"):
+        preference_pairs(docs, max_response_tokens=0)
