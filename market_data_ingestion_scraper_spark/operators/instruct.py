@@ -217,7 +217,10 @@ def preference_pairs(
     :func:`~.ensemble.quality_ensemble`'s output (or its persisted
     selection) to reuse one scoring pass across every consumer; when
     omitted it is derived here (``documents`` then needs the ensemble's
-    ``lang`` column).  POLICY: triples whose candidates TIE on votes
+    ``lang`` column) and Catalyst inlines the ensemble subtree once PER
+    JOIN SIDE — convenient at fixture scale, but production passes a
+    persisted ``quality=`` so the corpus is scored once (the plan pin
+    covers that call).  POLICY: triples whose candidates TIE on votes
     emit nothing — a preference pair with no quality contrast teaches
     the reward/DPO objective nothing and injects label noise; the
     dropped count is observable as triples-minus-rows.  Ordering inside

@@ -928,3 +928,34 @@ def test_decontam_holdout_no_cartesian_no_corpus_broadcast(spark):
     rep = plan_report(df)
     assert rep.has_partial_agg, rep.summary()
     assert "ArrowEvalPython" not in txt and "BatchEvalPython" not in txt, txt
+
+
+def test_preference_pairs_bounded_window_and_id_joins(spark):
+    """X38: with the recommended precomputed ``quality=`` relation (one
+    ensemble pass reused — the production call), the plan is exactly
+    the X37 shape plus two id-keyed equi-joins: one bounded (source,
+    bucket) window exchange, no cartesian, no nested-loop broadcast at
+    all.  (The ``quality=None`` convenience path inlines the ensemble
+    subtree per join side; its 1-row broadcasts are pinned by the
+    ensemble's own plan test.)"""
+    import re as _re
+
+    from market_data_ingestion_scraper_spark.operators.instruct import (
+        preference_pairs,
+    )
+    from market_data_ingestion_scraper_spark.sources.tables import load_table
+
+    d = load_table(spark, SF, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    votes = spark.createDataFrame(
+        [(i, i % 4) for i in range(500)], "doc_id long, votes int"
+    )
+    df = preference_pairs(d, quality=votes)
+    txt = explain_str(df)
+    assert "CartesianProduct" not in txt, txt
+    assert "BroadcastNestedLoopJoin" not in txt, txt
+    assert "hashpartitioning(source" in txt, txt
+    # exactly one window (the triple formation); joins are equi-joins
+    win_nodes = set(_re.findall(r"^\((\d+)\) Window", txt, _re.M))
+    assert len(win_nodes) == 1, txt
