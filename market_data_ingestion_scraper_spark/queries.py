@@ -6190,6 +6190,91 @@ def q_instruction_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return instruction_pairs(_t(spark, sf, "documents"))
 
 
+def preference_pairs_oracle() -> str:
+    """STAGED oracle for X38 `preference_pairs` — verified green at
+    sf0.001 + sf0.01 at r17 (when the operator shipped beyond the gate)
+    and re-verified continuously by
+    ``test_instruct.test_preference_pairs_staged_oracle`` so it cannot
+    rot before the r18 rotation registers it (with a retirement slot
+    from the r17-green window).  Nests the X35 voter CTEs VERBATIM via
+    the shared constants (the quality_ensemble precedent: the votes the
+    selection rides cannot drift from the gated ensemble), then the X37
+    window discipline extended to triples, the tie-drop policy as the
+    ``va.votes <> vb.votes`` filter, and the capped PSM-style
+    rendering."""
+    from .operators.instruct import INSTRUCTION_TEMPLATES
+
+    tmpl = "['" + "','".join(INSTRUCTION_TEMPLATES) + "']"
+    n = len(INSTRUCTION_TEMPLATES)
+    return f"""
+    WITH {_LR_FEATS},
+    {_LR_SCORE_CTES},
+    clf AS (
+      SELECT f.doc_id,
+             CAST(COALESCE(({_LR_DOT}) > 0, FALSE) AS INT) AS clf_vote
+      FROM f CROSS JOIN w
+    ),
+    {_GOPHER_VOTE_CTES},
+    {_PPL_BUCKET_CTES},
+    pd AS (
+      SELECT d.doc_id, b.ppl_bucket
+      FROM doc_lp s
+      JOIN documents d USING (doc_id)
+      JOIN bucketed b ON b.lang = d.lang AND b.avg_logprob = s.avg_logprob
+    ),
+    vts AS (
+      SELECT c.doc_id, CAST({_ENSEMBLE_VOTES} AS INT) AS votes
+      FROM clf c
+      JOIN gop g USING (doc_id)
+      LEFT JOIN pd USING (doc_id)
+    ),
+    tok3 AS (
+      SELECT doc_id, source, COALESCE({_TOKS}, []) AS ts,
+             doc_id // 1024 AS bucket
+      FROM documents
+      WHERE doc_id IS NOT NULL
+    ),
+    w3 AS (
+      SELECT doc_id, source, ts,
+             row_number() OVER win AS rn,
+             lead(doc_id, 1) OVER win AS a_id,
+             lead(ts, 1) OVER win AS a_ts,
+             lead(doc_id, 2) OVER win AS b_id,
+             lead(ts, 2) OVER win AS b_ts
+      FROM tok3
+      WINDOW win AS (PARTITION BY source, bucket ORDER BY doc_id)
+    ),
+    t3 AS (SELECT * FROM w3 WHERE rn % 3 = 1 AND b_id IS NOT NULL),
+    sel AS (
+      SELECT t3.doc_id, t3.source, t3.ts, t3.a_id, t3.a_ts, t3.b_id,
+             t3.b_ts, va.votes AS a_votes, vb.votes AS b_votes,
+             CAST((('0x' || substring(md5('tmpl:' || t3.doc_id::VARCHAR),
+                   1, 8))::BIGINT % 2147483647) % {n} AS INT) AS template_id
+      FROM t3
+      JOIN vts va ON t3.a_id = va.doc_id
+      JOIN vts vb ON t3.b_id = vb.doc_id
+      WHERE va.votes <> vb.votes
+    )
+    SELECT doc_id AS prompt_doc_id,
+           CASE WHEN a_votes > b_votes THEN a_id ELSE b_id END
+             AS chosen_doc_id,
+           CASE WHEN a_votes > b_votes THEN b_id ELSE a_id END
+             AS rejected_doc_id,
+           source, template_id,
+           '<instruction> ' || ({tmpl})[template_id + 1] || ' <context> '
+             || COALESCE(array_to_string(ts[1:64], ' '), '') AS input_text,
+           COALESCE(array_to_string(
+             (CASE WHEN a_votes > b_votes THEN a_ts ELSE b_ts END)[1:256],
+             ' '), '') AS chosen_text,
+           COALESCE(array_to_string(
+             (CASE WHEN a_votes > b_votes THEN b_ts ELSE a_ts END)[1:256],
+             ' '), '') AS rejected_text,
+           CAST(GREATEST(a_votes, b_votes) AS BIGINT) AS chosen_votes,
+           CAST(LEAST(a_votes, b_votes) AS BIGINT) AS rejected_votes
+    FROM sel
+    """
+
+
 # The external correctness gate snapshots the FIRST 50 entries of the
 # queries() dict (observed r01/r02: entries past position 50 get no
 # correctness row at all).  Registration order in this file is topical, so

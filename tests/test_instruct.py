@@ -296,3 +296,23 @@ def test_preference_pairs_validation(spark):
         preference_pairs(docs, pair_bucket=2)
     with pytest.raises(ValueError, match="max_prompt_tokens"):
         preference_pairs(docs, max_response_tokens=0)
+
+
+def test_preference_pairs_staged_oracle(spark):
+    """The STAGED r18-registration oracle (queries.preference_pairs_oracle
+    — nests the X35 voter CTEs verbatim) stays bit-exact against the
+    operator through the full driver-gate compare, so the r18 rotation
+    can register it as a pure list edit."""
+    from market_data_ingestion_scraper_spark.queries import (
+        preference_pairs_oracle,
+    )
+    from tests.oracle_utils import compare_query
+
+    def q(spark_, sf_):
+        from market_data_ingestion_scraper_spark.operators.instruct import (
+            preference_pairs,
+        )
+
+        return preference_pairs(load_table(spark_, sf_, "documents"))
+
+    compare_query(spark, SF, q, preference_pairs_oracle())
