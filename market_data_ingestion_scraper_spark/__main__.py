@@ -1369,7 +1369,16 @@ def main(argv: list[str] | None = None) -> int:
             print(str(exc), file=sys.stderr)
             return 2
         if args.out:
-            assigned.write.mode("overwrite").parquet(args.out)
+            from .operators.splits import write_holdout_split
+
+            # parquet + the authoritative parameter sidecar, so serving
+            # (assignment= reuse, bloom builds, the stream tagger) can
+            # refuse a gram-width or mode mismatch
+            write_holdout_split(
+                assigned, args.out, k=args.k,
+                holdout_ppm=args.holdout_ppm, min_hits=args.min_hits,
+                cutoff=args.cutoff, ts_col=args.ts_col,
+            )
             assigned = spark.read.parquet(args.out)
         from pyspark.sql import functions as F
 

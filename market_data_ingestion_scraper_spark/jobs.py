@@ -493,9 +493,14 @@ def run_training_data_build(
         sides["eval"], os.path.join(out_root, "eval_docs"),
         sort_within=("doc_id",),
     )
-    write_gold(
+    # the split artifact carries its authoritative parameter sidecar
+    # (above all the gram width k) so assignment= reuse, sidecar builds,
+    # and the streaming tagger can refuse a mismatch
+    from .operators.splits import write_holdout_split
+
+    split_meta = write_holdout_split(
         assignment, os.path.join(out_root, "split_assignment"),
-        sort_within=("doc_id",),
+        k=k, holdout_ppm=holdout_ppm, min_hits=min_hits,
     )
     train = sides["train"]
     span = span_corruption_examples(train)
@@ -529,12 +534,15 @@ def run_training_data_build(
         ).count()
     if write_sidecars:
         from .operators.bloom import build_hash_bloom, write_hash_bloom
-        from .operators.splits import holdout_gram_hashes
+        from .operators.splits import HoldoutSplit, holdout_gram_hashes
 
+        handle = HoldoutSplit(assignment, split_meta)
         for side in ("train", "eval"):
+            # the handle derives (and would refuse a conflicting) gram
+            # width, so the sidecar cannot be built at the wrong k
             grams = holdout_gram_hashes(
-                deduped.select("doc_id", "text"), side, k=k,
-                assignment=assignment,
+                deduped.select("doc_id", "text"), side,
+                assignment=handle,
             )
             # size to the documented ~10 bits/key rule from the side's
             # distinct-gram count (next power of two, floor 2^20)
@@ -544,7 +552,8 @@ def run_training_data_build(
                 build_hash_bloom(grams, "gram_hash", n_bits=n_bits),
                 os.path.join(out_root, f"sidecar_{side}_grams"),
                 hash_col="gram_hash",
-                extra_meta={"k": int(k), "holdout_ppm": int(holdout_ppm)},
+                extra_meta={"k": int(k), "holdout_ppm": int(holdout_ppm),
+                            "min_hits": int(min_hits)},
             )
             counters[f"n_{side}_grams"] = n_grams
     deduped.unpersist()

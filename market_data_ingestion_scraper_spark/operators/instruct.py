@@ -213,14 +213,26 @@ def preference_pairs(
     extended by one) become one example, with chosen/rejected decided
     by the X35 quality-ensemble vote count.
 
-    ``quality`` is the (doc_id, votes) relation — pass
-    :func:`~.ensemble.quality_ensemble`'s output (or its persisted
-    selection) to reuse one scoring pass across every consumer; when
-    omitted it is derived here (``documents`` then needs the ensemble's
-    ``lang`` column) and Catalyst inlines the ensemble subtree once PER
-    JOIN SIDE — convenient at fixture scale, but production passes a
-    persisted ``quality=`` so the corpus is scored once (the plan pin
-    covers that call).  POLICY: triples whose candidates TIE on votes
+    ``quality`` is the (doc_id, votes) relation and MUST cover every
+    candidate document — pass :func:`~.ensemble.quality_ensemble`'s
+    FULL output (or a persisted copy of it), never a keep/drop-filtered
+    SELECTION: the candidates join ``quality`` INNER on both ids, so a
+    triple whose candidate is missing from the relation vanishes
+    silently and is indistinguishable from a documented tie-drop (r17
+    verdict nit).  A filtered selection is also semantically wrong
+    here, not just lossy — a dropped candidate still carries a definite
+    vote count, and that count is exactly the quality contrast a
+    preference pair exists to teach (low-vote documents make the BEST
+    rejected sides).  Coverage of the pairing corpus is the contract;
+    the inner join is then a pure lookup, and the observable
+    triples-minus-rows count measures ONLY tie-drops
+    (``test_instruct.test_preference_pairs_non_covering_quality_drops``
+    pins what a non-covering relation does instead).  When ``quality``
+    is omitted it is derived here (``documents`` then needs the
+    ensemble's ``lang`` column) and Catalyst inlines the ensemble
+    subtree once PER JOIN SIDE — convenient at fixture scale, but
+    production passes a persisted ``quality=`` so the corpus is scored
+    once (the plan pin covers that call).  POLICY: triples whose candidates TIE on votes
     emit nothing — a preference pair with no quality contrast teaches
     the reward/DPO objective nothing and injects label noise; the
     dropped count is observable as triples-minus-rows.  Ordering inside

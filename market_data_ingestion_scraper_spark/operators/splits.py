@@ -234,8 +234,10 @@ def decontaminated_holdout(
       side is never gram-checked, that cost belongs to the bounded
       eval side);
     - ``eval`` — selected and CLEAN: shares fewer than ``min_hits``
-      distinct ``k``-grams with every train document (stats are the
-      sub-threshold actuals, usually 0);
+      distinct ``k``-grams with the training side AS A WHOLE (the
+      contamination aggregate counts distinct shared grams across ALL
+      train documents, strictly stronger than any per-train-document
+      check; stats are the sub-threshold actuals, usually 0);
     - ``quarantine`` — selected but CONTAMINATED (>= ``min_hits``
       distinct grams shared with the train side; stats record the
       evidence), or UNPLACEABLE with stats NULL: a NULL id (no
@@ -369,17 +371,174 @@ def decontaminated_holdout(
     )
 
 
+#: JSON sidecar filename written next to a persisted split assignment —
+#: records the selection parameters (above all the gram width ``k``) the
+#: split was decontaminated at, so every serving path can REFUSE a
+#: mismatch instead of documenting it (r17 review: a k=7 split served
+#: through k=5 sidecars would silently break batch ≡ serve parity).
+#: Underscore-prefixed so ``spark.read.parquet`` ignores it.
+SPLIT_SIDECAR = "_holdout_split.json"
+
+
+class HoldoutSplit:
+    """A :func:`decontaminated_holdout` assignment PLUS the frozen
+    selection parameters it was built with, travelling as one handle —
+    the :class:`~.similarity.AnnIndex` discipline: every consumer that
+    needs a parameter derives it from the handle's metadata instead of
+    re-typing it, and conflicting explicit values are refused (r17
+    verdict: the ``k`` hazard on ``holdout_gram_hashes(assignment=)``
+    was documented but unvalidated).
+
+    Tuple-unpacks as ``(assignment_df, meta)`` for dict-style callers.
+    ``meta`` always carries ``kind='holdout-split'`` and ``k``; hash
+    mode records ``holdout_ppm``, temporal mode ``cutoff``/``ts_col``;
+    ``min_hits`` rides along for provenance."""
+
+    def __init__(self, df: DataFrame, meta: dict):
+        if meta.get("kind") != "holdout-split":
+            raise ValueError(f"not a holdout-split meta: {meta}")
+        if "k" not in meta:
+            raise ValueError(
+                "holdout-split meta must record the gram width 'k' — it "
+                "is the parameter the sidecar exists to freeze"
+            )
+        self.df = df
+        self.meta = dict(meta)
+
+    @property
+    def k(self) -> int:
+        return int(self.meta["k"])
+
+    def __iter__(self):  # (df, meta) unpacking compatibility
+        return iter((self.df, self.meta))
+
+
+def check_split_meta(
+    meta: dict,
+    k: int,
+    holdout_ppm: int | None = None,
+    cutoff: str | None = None,
+    ts_col: str | None = None,
+    what: str = "holdout split artifact",
+) -> None:
+    """Refuse serving-parameter / build-parameter mismatches against a
+    recorded split (or gram-bloom sidecar) metadata dict.  Only keys
+    PRESENT in ``meta`` are checked — older sidecars without a recorded
+    parameter keep loading (they just keep the documented hazard)."""
+    mk = meta.get("k")
+    if mk is not None and int(mk) != int(k):
+        raise ValueError(
+            f"gram-width mismatch: {what} was built at k={mk} but the "
+            f"caller asked for k={k} — a split decontaminated at one "
+            "gram width served through another silently breaks the "
+            "batch ≡ serve parity; pass the artifact's k (or none, "
+            "to derive it)"
+        )
+    # selection-MODE mismatch: a recorded cutoff means the split was
+    # temporal; a recorded holdout_ppm (and no cutoff) means hash mode.
+    # Serving the other mode routes arrivals to the wrong side even
+    # when every shared parameter happens to agree.
+    if meta.get("cutoff") is not None and cutoff is None:
+        raise ValueError(
+            f"selection-mode mismatch: {what} was built TEMPORAL "
+            f"(cutoff={meta['cutoff']!r}) but the caller is serving "
+            "hash mode — pass the artifact's cutoff=/ts_col="
+        )
+    if (
+        meta.get("holdout_ppm") is not None
+        and meta.get("cutoff") is None
+        and cutoff is not None
+    ):
+        raise ValueError(
+            f"selection-mode mismatch: {what} was built HASH-selected "
+            f"(holdout_ppm={meta['holdout_ppm']}) but the caller is "
+            "serving temporal mode"
+        )
+    mp = meta.get("holdout_ppm")
+    if (
+        holdout_ppm is not None
+        and cutoff is None
+        and mp is not None
+        and int(mp) != int(holdout_ppm)
+    ):
+        raise ValueError(
+            f"holdout_ppm mismatch: {what} was built at "
+            f"holdout_ppm={mp} but the caller asked for {holdout_ppm} — "
+            "arrivals would be routed to the wrong side"
+        )
+    for key, val in (("cutoff", cutoff), ("ts_col", ts_col)):
+        mv = meta.get(key)
+        if mv is not None and val is not None and str(mv) != str(val):
+            raise ValueError(
+                f"{key} mismatch: {what} was built with {key}={mv!r} "
+                f"but the caller asked for {val!r}"
+            )
+
+
+def write_holdout_split(
+    assignment: DataFrame,
+    path: str,
+    k: int,
+    holdout_ppm: int | None = 100_000,
+    min_hits: int = 1,
+    cutoff: str | None = None,
+    ts_col: str | None = None,
+    extra_meta: dict | None = None,
+) -> dict:
+    """Persist a :func:`decontaminated_holdout` assignment as parquet
+    plus the authoritative :data:`SPLIT_SIDECAR` — the split artifact a
+    100 TB build hands to every later consumer (``assignment=`` reuse,
+    bloom-sidecar builds, the streaming tagger), carrying the gram
+    width ``k`` and the selection mode so those consumers can refuse a
+    mismatch.  Returns the sidecar dict written."""
+    import json
+    import os
+
+    from ..sources.writer import write_gold
+    from ..util import require_local_path
+
+    require_local_path(path)
+    write_gold(assignment, path, sort_within=("doc_id",))
+    meta: dict = {"kind": "holdout-split", "k": int(k),
+                  "min_hits": int(min_hits)}
+    if cutoff is not None:
+        meta["cutoff"] = str(cutoff)
+        meta["ts_col"] = str(ts_col)
+    elif holdout_ppm is not None:
+        meta["holdout_ppm"] = int(holdout_ppm)
+    if extra_meta:
+        meta.update(extra_meta)
+    with open(os.path.join(path, SPLIT_SIDECAR), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def load_holdout_split(spark, path: str) -> HoldoutSplit:
+    """Load ``(assignment, meta)`` as a :class:`HoldoutSplit` handle;
+    pass it straight to :func:`holdout_gram_hashes` via ``assignment=``
+    so the gram width is DERIVED from the sidecar, never re-typed."""
+    import json
+    import os
+
+    from ..util import require_local_path
+
+    require_local_path(path)
+    with open(os.path.join(path, SPLIT_SIDECAR)) as f:
+        meta = json.load(f)
+    return HoldoutSplit(spark.read.parquet(path), meta)
+
+
 def holdout_gram_hashes(
     documents: DataFrame,
     side: str,
     holdout_ppm: int = 100_000,
-    k: int = 5,
+    k: int | None = None,
     min_hits: int = 1,
     cutoff: str | None = None,
     ts_col: str | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
-    assignment: DataFrame | None = None,
+    assignment: DataFrame | HoldoutSplit | None = None,
 ) -> DataFrame:
     """Distinct md5 gram hashes of one SIDE of a
     :func:`decontaminated_holdout` split — the input to the frozen
@@ -406,11 +565,27 @@ def holdout_gram_hashes(
     ``k`` is NOT: it sets the gram width of the sidecar itself and must
     match the width the split was decontaminated at (r17 review: a
     k=7 split served through k=5 sidecars would silently break the
-    batch ≡ serve parity)."""
+    batch ≡ serve parity).  Pass a :class:`HoldoutSplit` handle (from
+    :func:`load_holdout_split` or built in-memory) and the width is
+    DERIVED from its metadata — an explicitly conflicting ``k`` is
+    REFUSED instead of silently producing the wrong-width sidecar (r17
+    verdict nit: the hazard was documented but unvalidated; bare
+    DataFrame assignments keep the documented hazard for
+    compatibility).  ``k=None`` (the default) means: the handle's
+    width, or 5 when there is no handle."""
     from .dedup import string_shingles
 
     if side not in ("train", "eval"):
         raise ValueError(f"side must be 'train' or 'eval', got {side!r}")
+    if isinstance(assignment, HoldoutSplit):
+        if k is not None:
+            check_split_meta(
+                assignment.meta, k=k, what="holdout split assignment"
+            )
+        k = assignment.k
+        assignment = assignment.df
+    if k is None:
+        k = 5
     if assignment is None:
         assignment = decontaminated_holdout(
             documents,

@@ -1757,19 +1757,39 @@ def stream_holdout_tag(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_artifact_bytes: int = 64 << 20,
+    train_meta: dict | None = None,
+    eval_meta: dict | None = None,
 ) -> DataFrame:
     """Streaming X36 holdout tagging: route incoming documents
     train / eval / quarantine against a FROZEN
     :func:`~..operators.splits.decontaminated_holdout` split, protecting
-    the split's guarantee in BOTH directions:
+    the split's guarantee in BOTH directions — ``min_hits`` applies
+    SYMMETRICALLY:
 
     - a hash-selected EVAL candidate is probed against the frozen
       TRAIN-gram bloom and quarantined on >= ``min_hits`` maybe-hits —
       eval never admits text the training side already contains;
     - a TRAIN-side arrival is probed against the frozen CLEAN-EVAL-gram
-      bloom and quarantined on a hit — newly admitted training text can
-      never retroactively contaminate the frozen eval set (the re-check
-      gap a train-side-only serve would leave open).
+      bloom and quarantined on >= ``min_hits`` maybe-hits — newly
+      admitted training text cannot silently pile verbatim overlap onto
+      the frozen eval set (the re-check gap a train-side-only serve
+      would leave open).  The SAME threshold on purpose: with
+      ``min_hits > 1`` a fixed >=1 guard here would quarantine
+      fit-corpus train documents that legitimately share up to
+      ``min_hits - 1`` grams with clean eval (clean means
+      sub-threshold, not zero), breaking the batch ≡ serve replay
+      parity this tagger is pinned to; the cost is that a train
+      arrival sharing up to ``min_hits - 1`` grams with the frozen
+      eval side is admitted — the exact tolerance the batch builder
+      already accepted when it declared that eval side clean.
+
+    ``train_meta`` / ``eval_meta`` take the bloom artifacts' sidecar
+    dicts (:func:`~..operators.bloom.load_hash_bloom` returns them;
+    the X36 build job records ``k`` and ``holdout_ppm`` there) and
+    REFUSE a gram-width or selection mismatch with the passed
+    parameters instead of silently probing wrong-width grams (r17
+    verdict nit — the :class:`~..operators.splits.HoldoutSplit`
+    refusal, serve side).
 
     Candidacy is the SAME rule as the batch builder that froze the
     split: hash mode (default) uses the portable md5 projection, so a
@@ -1822,6 +1842,15 @@ def stream_holdout_tag(
             "neither) — and it must match the mode the split was built "
             "with"
         )
+    from ..operators.splits import check_split_meta
+
+    for meta, what in ((train_meta, "train-gram bloom"),
+                       (eval_meta, "eval-gram bloom")):
+        if meta is not None:
+            check_split_meta(
+                meta, k=k, holdout_ppm=int(holdout_ppm),
+                cutoff=cutoff, ts_col=ts_col, what=what,
+            )
 
     def _load(blooms: DataFrame, what: str):
         brows = blooms.select(

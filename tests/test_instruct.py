@@ -316,3 +316,39 @@ def test_preference_pairs_staged_oracle(spark):
         return preference_pairs(load_table(spark_, sf_, "documents"))
 
     compare_query(spark, SF, q, preference_pairs_oracle())
+
+
+def test_preference_pairs_non_covering_quality_drops(spark):
+    """Pins the documented coverage contract (r17 verdict nit):
+    quality= must be the FULL (doc_id, votes) relation.  A keep-filtered
+    SELECTION is the non-covering case — triples whose candidates are
+    missing from the relation vanish via the inner joins, silently and
+    indistinguishably from tie-drops — which is exactly why the
+    docstring forbids it."""
+    from market_data_ingestion_scraper_spark.operators.instruct import (
+        preference_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "s", f"text number {i} here") for i in range(1, 7)],
+        "doc_id long, source string, text string",
+    )
+    full = spark.createDataFrame(
+        [(1, 0), (2, 1), (3, 3), (4, 0), (5, 2), (6, 1)],
+        "doc_id long, votes int",
+    )
+    covered = {
+        r["prompt_doc_id"]
+        for r in preference_pairs(docs, quality=full).collect()
+    }
+    assert covered == {1, 4}
+    # a keep=votes>=2 style selection drops candidates 2 and 6 from the
+    # relation -> BOTH triples vanish, though neither was a tie
+    filtered = full.where("votes >= 2")
+    assert preference_pairs(docs, quality=filtered).count() == 0
+    # missing ONE candidate kills only that triple
+    partial = full.where("doc_id <> 2")
+    assert {
+        r["prompt_doc_id"]
+        for r in preference_pairs(docs, quality=partial).collect()
+    } == {4}

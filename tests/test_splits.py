@@ -617,3 +617,177 @@ def test_stream_holdout_tag_temporal_mode(spark):
         stream_holdout_tag(arrivals, tb, eb, cutoff=CUT)
     with pytest.raises(ValueError, match="ISO timestamp"):
         stream_holdout_tag(arrivals, tb, eb, cutoff="nope", ts_col="ts")
+
+
+def test_holdout_split_artifact_roundtrip(spark, tmp_path):
+    """write_holdout_split persists parquet + the authoritative
+    parameter sidecar; load_holdout_split returns the HoldoutSplit
+    handle with the recorded gram width (r17 verdict nit: persist k so
+    serving can refuse instead of documenting)."""
+    from market_data_ingestion_scraper_spark.operators.splits import (
+        decontaminated_holdout,
+        load_holdout_split,
+        write_holdout_split,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    assignment = decontaminated_holdout(docs, k=7)
+    path = str(tmp_path / "split")
+    meta = write_holdout_split(assignment, path, k=7, holdout_ppm=100_000)
+    assert meta["kind"] == "holdout-split" and meta["k"] == 7
+    handle = load_holdout_split(spark, path)
+    assert handle.k == 7
+    assert handle.meta["holdout_ppm"] == 100_000
+    df, m = handle  # tuple-unpacks like the AnnIndex handle
+    assert m["k"] == 7
+    key = lambda d: sorted(map(tuple, d.collect()))  # noqa: E731
+    assert key(df) == key(assignment)
+
+
+def test_holdout_gram_hashes_handle_derives_and_refuses_k(spark, tmp_path):
+    """The HoldoutSplit handle makes the sidecar's gram width
+    authoritative: k is DERIVED when unspecified, and an explicitly
+    conflicting k is REFUSED (previously a silent wrong-width sidecar)."""
+    from market_data_ingestion_scraper_spark.operators.splits import (
+        HoldoutSplit,
+        decontaminated_holdout,
+        holdout_gram_hashes,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    assignment = decontaminated_holdout(docs, k=7).persist()
+    assignment.count()
+    handle = HoldoutSplit(
+        assignment, {"kind": "holdout-split", "k": 7, "min_hits": 1}
+    )
+    derived = holdout_gram_hashes(docs, "train", assignment=handle)
+    explicit = holdout_gram_hashes(
+        docs, "train", k=7, assignment=assignment
+    )
+    key = lambda d: sorted(r["gram_hash"] for r in d.collect())  # noqa: E731
+    assert key(derived) == key(explicit)
+    # matching explicit k passes through the refusal check
+    assert key(
+        holdout_gram_hashes(docs, "train", k=7, assignment=handle)
+    ) == key(explicit)
+    with pytest.raises(ValueError, match="gram-width mismatch"):
+        holdout_gram_hashes(docs, "train", k=5, assignment=handle)
+    assignment.unpersist()
+
+
+def test_holdout_split_handle_validation():
+    from market_data_ingestion_scraper_spark.operators.splits import (
+        HoldoutSplit,
+        check_split_meta,
+    )
+
+    with pytest.raises(ValueError, match="not a holdout-split"):
+        HoldoutSplit(None, {"kind": "sharded-bloom", "k": 5})
+    with pytest.raises(ValueError, match="record the gram width"):
+        HoldoutSplit(None, {"kind": "holdout-split"})
+    # selection-mode refusals: temporal artifact served hash-mode and
+    # vice versa, even when every shared parameter agrees
+    with pytest.raises(ValueError, match="built TEMPORAL"):
+        check_split_meta(
+            {"k": 5, "cutoff": "2024-01-01 00:00:00", "ts_col": "ts"},
+            k=5,
+        )
+    with pytest.raises(ValueError, match="built HASH-selected"):
+        check_split_meta(
+            {"k": 5, "holdout_ppm": 100_000}, k=5,
+            cutoff="2024-01-01 00:00:00", ts_col="ts",
+        )
+    with pytest.raises(ValueError, match="holdout_ppm mismatch"):
+        check_split_meta(
+            {"k": 5, "holdout_ppm": 50_000}, k=5, holdout_ppm=100_000
+        )
+    # keys absent from older metas are not checked (documented hazard
+    # preserved, no refusal)
+    check_split_meta({"k": 5}, k=5, holdout_ppm=123, cutoff=None)
+
+
+def test_stream_holdout_tag_sidecar_meta_refusal(spark):
+    """The serve-side half of the k-persistence nit: passing the bloom
+    artifacts' sidecar dicts lets the tagger refuse a gram-width or
+    selection mismatch instead of silently probing wrong-width grams."""
+    from market_data_ingestion_scraper_spark.streaming.pipeline import (
+        stream_holdout_tag,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h")], "doc_id long, text string"
+    )
+    tb, eb = _holdout_blooms(spark, docs)
+    meta = {"k": 5, "holdout_ppm": 100_000, "min_hits": 1}
+    ok = stream_holdout_tag(
+        docs, tb, eb, train_meta=meta, eval_meta=meta
+    )
+    assert ok.count() == 1
+    with pytest.raises(ValueError, match="gram-width mismatch"):
+        stream_holdout_tag(docs, tb, eb, k=7, train_meta=meta)
+    with pytest.raises(ValueError, match="holdout_ppm mismatch"):
+        stream_holdout_tag(
+            docs, tb, eb, holdout_ppm=50_000, eval_meta=meta
+        )
+    with pytest.raises(ValueError, match="built HASH-selected"):
+        stream_holdout_tag(
+            docs, tb, eb, cutoff="2024-01-01 00:00:00", ts_col="ts",
+            train_meta=meta,
+        )
+
+
+def test_stream_holdout_tag_min_hits_symmetric(spark):
+    """min_hits applies to BOTH probe directions (docstring contract,
+    r17 advice): with min_hits=2 a train arrival sharing exactly one
+    gram with the frozen clean-eval side is ADMITTED — the tolerance
+    the batch builder already accepted when it declared that eval side
+    clean — and an eval candidate sharing one gram with train is
+    admitted by the same threshold."""
+    import hashlib
+
+    from market_data_ingestion_scraper_spark.streaming.pipeline import (
+        stream_holdout_tag,
+    )
+
+    def is_cand(d):
+        h = int(hashlib.md5(f"holdout:{d}".encode()).hexdigest()[:8], 16)
+        return (h % 2_147_483_647) % 1_000_000 < 100_000
+
+    cand_ids = [d for d in range(2000) if is_cand(d)]
+    train_ids = [d for d in range(2000) if not is_cand(d)]
+    train_text = "alpha beta gamma delta epsilon zeta"
+    eval_text = "one two three four five six seven"
+    fit = spark.createDataFrame(
+        [(train_ids[0], train_text), (cand_ids[0], eval_text)],
+        "doc_id long, text string",
+    )
+    tb, eb = _holdout_blooms(spark, fit)
+    # one shared 5-gram each: prefix overlap then diverge
+    one_gram_eval = "one two three four five NOVEL fresh words"
+    one_gram_train = "alpha beta gamma delta epsilon NOVEL other things"
+    arrivals = spark.createDataFrame(
+        [
+            (train_ids[1], one_gram_eval),   # 1 eval-bloom hit
+            (cand_ids[1], one_gram_train),   # 1 train-bloom hit
+            (train_ids[2], f"re {eval_text} full"),   # many eval hits
+            (cand_ids[2], f"re {train_text} full"),   # many train hits
+        ],
+        "doc_id long, text string",
+    )
+    strict = {
+        r["doc_id"]: (r["split"], r["n_hit_grams_ub"]) for r in
+        stream_holdout_tag(arrivals, tb, eb, min_hits=1).collect()
+    }
+    lax = {
+        r["doc_id"]: (r["split"], r["n_hit_grams_ub"]) for r in
+        stream_holdout_tag(arrivals, tb, eb, min_hits=2).collect()
+    }
+    # at min_hits=1 every overlap quarantines, both directions
+    assert strict[train_ids[1]][0] == "quarantine"
+    assert strict[cand_ids[1]][0] == "quarantine"
+    # at min_hits=2 the single-gram arrivals admit SYMMETRICALLY...
+    assert lax[train_ids[1]] == ("train", 1)
+    assert lax[cand_ids[1]] == ("eval", 1)
+    # ...while heavy overlap still quarantines in both directions
+    assert lax[train_ids[2]][0] == "quarantine"
+    assert lax[cand_ids[2]][0] == "quarantine"
