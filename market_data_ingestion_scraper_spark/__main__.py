@@ -498,6 +498,25 @@ def main(argv: list[str] | None = None) -> int:
     pp.add_argument("--max-prompt-tokens", type=int, default=64)
     pp.add_argument("--max-response-tokens", type=int, default=256)
 
+    bn = sub.add_parser(
+        "best-of-n",
+        help="rejection-sampling / best-of-n assembly (X39, SFT "
+        "shape): runs of 1+n same-source documents, keep the "
+        "candidate with the most X35 ensemble votes (ties to the "
+        "lowest id)",
+    )
+    bn.add_argument("--documents", required=True,
+                    help="parquet with (doc_id, source, text, lang)")
+    bn.add_argument("--out", required=True,
+                    help="output parquet of (prompt_doc_id, "
+                    "chosen_doc_id, source, template_id, input_text, "
+                    "chosen_text, chosen_votes, worst_votes)")
+    bn.add_argument("--n", type=int, default=4,
+                    help="candidate pool size per prompt")
+    bn.add_argument("--pair-bucket", type=int, default=1024)
+    bn.add_argument("--max-prompt-tokens", type=int, default=64)
+    bn.add_argument("--max-response-tokens", type=int, default=256)
+
     qe = sub.add_parser(
         "quality-ensemble",
         help="document-quality ensembler (X35): LR classifier + "
@@ -1456,6 +1475,40 @@ def main(argv: list[str] | None = None) -> int:
         ).collect()[0]
         print(f"examples={agg['n']} chosen_votes={agg['c'] or 0} "
               f"rejected_votes={agg['r'] or 0} out={args.out}")
+        return 0
+
+    if args.cmd == "best-of-n":
+        from .operators.instruct import best_of_n_examples
+
+        docs = spark.read.parquet(args.documents)
+        missing = [
+            c for c in ("doc_id", "source", "text", "lang")
+            if c not in docs.columns
+        ]
+        if missing:
+            print(f"documents parquet missing columns: {missing}",
+                  file=sys.stderr)
+            return 2
+        try:
+            out = best_of_n_examples(
+                docs, n=args.n, pair_bucket=args.pair_bucket,
+                max_prompt_tokens=args.max_prompt_tokens,
+                max_response_tokens=args.max_response_tokens,
+            )
+        except ValueError as exc:
+            print(str(exc), file=sys.stderr)
+            return 2
+        out.write.mode("overwrite").parquet(args.out)
+        written = spark.read.parquet(args.out)
+        from pyspark.sql import functions as F
+
+        agg = written.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("chosen_votes").alias("c"),
+            F.sum("worst_votes").alias("w"),
+        ).collect()[0]
+        print(f"examples={agg['n']} chosen_votes={agg['c'] or 0} "
+              f"worst_votes={agg['w'] or 0} out={args.out}")
         return 0
 
     if args.cmd == "quality-ensemble":

@@ -337,3 +337,154 @@ def preference_pairs(
         F.greatest("_a_votes", "_b_votes").cast("long").alias("chosen_votes"),
         F.least("_a_votes", "_b_votes").cast("long").alias("rejected_votes"),
     )
+
+
+def best_of_n_examples(
+    documents: DataFrame,
+    quality: DataFrame | None = None,
+    n: int = 4,
+    pair_bucket: int = 1024,
+    max_prompt_tokens: int = 64,
+    max_response_tokens: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """X39 rejection-sampling / best-of-n example assembly (the SFT
+    half of the RLHF data loop: sample ``n`` candidate responses per
+    prompt, keep the highest-scoring one; Stiennon et al. 2020
+    best-of-n policy, Touvron et al. 2023 Llama-2 rejection sampling):
+    within each ``(source, doc_id DIV pair_bucket)`` bucket, documents
+    order by id and chop into consecutive runs of ``1 + n`` — position
+    0 is the prompt, positions 1..n its candidate pool — and each
+    complete run emits ONE example whose response is the candidate
+    with the MOST X35 quality-ensemble votes.
+
+    Selection is the argmax, ties broken by LOWEST candidate id —
+    deterministic without an RNG, and unlike :func:`preference_pairs`
+    a vote tie is NOT dropped: best-of-n emits no rejected side, so a
+    tied pool injects no preference noise — it just degenerates to a
+    deterministic pick, observable as ``chosen_votes == worst_votes``
+    (the recorded spread is the rejection-sampling quality signal).
+
+    ``quality`` is the (doc_id, votes) relation under the SAME
+    full-coverage contract as :func:`preference_pairs`: pass
+    :func:`~.ensemble.quality_ensemble`'s FULL output, never a
+    keep-filtered selection — a candidate missing from the relation
+    removes its whole group (the inner-join vanish, pinned by
+    ``test_instruct.test_best_of_n_non_covering_quality_drops``).
+    When omitted it is derived here; this constructor joins the votes
+    relation on ONE side only, so Catalyst inlines the ensemble
+    subtree ONCE (cheaper than X38's two-sided inline at fixture
+    scale; production still passes a persisted ``quality=``).
+
+    Returns ``(prompt_doc_id, chosen_doc_id, source, template_id,
+    input_text, chosen_text, chosen_votes, worst_votes)`` — the X37
+    rendering discipline ('<instruction> template <context> prompt
+    tokens', template hash-chosen from the prompt id), response capped
+    at ``max_response_tokens``.  NULL-id rows drop before grouping
+    (the X37 policy); NULL-text candidates occupy their position and
+    score whatever the ensemble gave them.  Incomplete tail runs (a
+    bucket's last group with fewer than ``1 + n`` rows) emit nothing —
+    a partial pool is not a best-of-n draw.
+
+    Scale shape — ONE bounded-window exchange (every partition <=
+    pair_bucket consecutive same-source ids), ONE id-keyed equi-join
+    against the |corpus|-row votes relation (AQE picks the strategy),
+    then ONE partially-aggregable groupBy of <= n+1 rows per group
+    (count / struct-max / min all map-side combine) — strictly fewer
+    exchanges than X38's two vote joins.  Deterministic and
+    partitioning-invariant: runs order by id, the argmax is a pure
+    function of (votes, id)."""
+    if int(n) < 2:
+        raise ValueError(f"n must be >= 2 for a candidate pool, got {n}")
+    if int(pair_bucket) < int(n) + 1:
+        raise ValueError(
+            f"pair_bucket must be >= n + 1 = {int(n) + 1}, got {pair_bucket}"
+        )
+    if int(max_prompt_tokens) < 1 or int(max_response_tokens) < 1:
+        raise ValueError(
+            "max_prompt_tokens and max_response_tokens must be >= 1, got "
+            f"{max_prompt_tokens}/{max_response_tokens}"
+        )
+    if quality is None:
+        from .ensemble import quality_ensemble
+
+        quality = quality_ensemble(documents)
+    votes = quality.select(
+        F.col(id_col).alias("_q_id"), F.col("votes").alias("_votes")
+    )
+    run = int(n) + 1
+    bucket = _floor_bucket(id_col, int(pair_bucket))
+    w = Window.partitionBy(source_col, "_bucket").orderBy(id_col)
+    staged = (
+        documents.where(F.col(id_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.col(source_col),
+            tokens(text_col).alias("_ts"),
+            bucket.alias("_bucket"),
+        )
+        .withColumn("_rn0", F.row_number().over(w) - F.lit(1))
+        # _rn0 >= 0 by construction, so plain div/pmod need no floor fix
+        .withColumn("_grp", F.expr(f"_rn0 div {run}"))
+        .withColumn("_role", F.pmod(F.col("_rn0"), F.lit(run)))
+    )
+    scored = staged.join(
+        votes, staged[id_col] == votes["_q_id"], "left"
+    ).filter((F.col("_role") == 0) | F.col("_votes").isNotNull())
+    is_prompt = F.col("_role") == 0
+    # struct-max argmaxes: (votes, -id) ranks candidates by votes then
+    # by LOWEST id (ids are unique, so the payload fields after the
+    # first two never decide); max over a when() ignores the NULLs the
+    # other role contributes
+    grouped = scored.groupBy(source_col, "_bucket", "_grp").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.max(
+            F.when(is_prompt, F.struct(F.col(id_col), F.col("_ts")))
+        ).alias("_prompt"),
+        F.max(
+            F.when(
+                ~is_prompt,
+                F.struct(
+                    F.col("_votes"),
+                    (-F.col(id_col)).alias("_neg_id"),
+                    F.col(id_col),
+                    F.col("_ts"),
+                ),
+            )
+        ).alias("_best"),
+        F.min(F.when(~is_prompt, F.col("_votes"))).alias("_worst"),
+    )
+    complete = grouped.filter(F.col("_cnt") == run).select(
+        F.col("_prompt")[id_col].alias("_p_id"),
+        F.col("_prompt")["_ts"].alias("_p_ts"),
+        F.col(source_col),
+        F.col("_best")[id_col].alias("_c_id"),
+        F.col("_best")["_ts"].alias("_c_ts"),
+        F.col("_best")["_votes"].alias("_c_votes"),
+        F.col("_worst"),
+    )
+    tmpl_id, template = _template_choice("_p_id")
+    empty = F.array().cast("array<string>")
+    p_slice = F.slice(
+        F.coalesce(F.col("_p_ts"), empty), 1, int(max_prompt_tokens)
+    )
+    c_slice = F.slice(
+        F.coalesce(F.col("_c_ts"), empty), 1, int(max_response_tokens)
+    )
+    return complete.select(
+        F.col("_p_id").alias("prompt_doc_id"),
+        F.col("_c_id").alias("chosen_doc_id"),
+        F.col(source_col),
+        tmpl_id.alias("template_id"),
+        F.concat(
+            F.lit("<instruction> "),
+            template,
+            F.lit(" <context> "),
+            F.concat_ws(" ", p_slice),
+        ).alias("input_text"),
+        F.concat_ws(" ", c_slice).alias("chosen_text"),
+        F.col("_c_votes").cast("long").alias("chosen_votes"),
+        F.col("_worst").cast("long").alias("worst_votes"),
+    )

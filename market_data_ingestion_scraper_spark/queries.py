@@ -6298,6 +6298,114 @@ def q_preference_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return preference_pairs(_t(spark, sf, "documents"))
 
 
+def best_of_n_oracle() -> str:
+    """X39 oracle: nests the X35 voter CTEs VERBATIM via the shared
+    constants (the X38 precedent — the votes the selection rides cannot
+    drift from the gated ensemble), then the run-of-(1+n) grouping as
+    relational window arithmetic and the argmax as a deterministic
+    (votes DESC, doc_id ASC) rank.  All group/template moduli are
+    spliced from the operator's own constants so an edited n or
+    template tuple can never desync the twin."""
+    from .operators.instruct import INSTRUCTION_TEMPLATES
+
+    tmpl = "['" + "','".join(INSTRUCTION_TEMPLATES) + "']"
+    n_tmpl = len(INSTRUCTION_TEMPLATES)
+    n = 4  # the registered query's pool size (operator default)
+    run = n + 1
+    return f"""
+    WITH {_LR_FEATS},
+    {_LR_SCORE_CTES},
+    clf AS (
+      SELECT f.doc_id,
+             CAST(COALESCE(({_LR_DOT}) > 0, FALSE) AS INT) AS clf_vote
+      FROM f CROSS JOIN w
+    ),
+    {_GOPHER_VOTE_CTES},
+    {_PPL_BUCKET_CTES},
+    pd AS (
+      SELECT d.doc_id, b.ppl_bucket
+      FROM doc_lp s
+      JOIN documents d USING (doc_id)
+      JOIN bucketed b ON b.lang = d.lang AND b.avg_logprob = s.avg_logprob
+    ),
+    vts AS (
+      SELECT c.doc_id, CAST({_ENSEMBLE_VOTES} AS INT) AS votes
+      FROM clf c
+      JOIN gop g USING (doc_id)
+      LEFT JOIN pd USING (doc_id)
+    ),
+    tokb AS (
+      SELECT doc_id, source, COALESCE({_TOKS}, []) AS ts,
+             doc_id // 1024 AS bucket
+      FROM documents
+      WHERE doc_id IS NOT NULL
+    ),
+    wn AS (
+      SELECT doc_id, source, ts, bucket,
+             row_number() OVER (PARTITION BY source, bucket
+                                ORDER BY doc_id) - 1 AS rn0
+      FROM tokb
+    ),
+    r AS (SELECT *, rn0 // {run} AS grp, rn0 % {run} AS role FROM wn),
+    p AS (
+      SELECT source, bucket, grp, doc_id AS p_id, ts AS p_ts
+      FROM r WHERE role = 0
+    ),
+    c AS (
+      SELECT r.source, r.bucket, r.grp, r.doc_id, r.ts, v.votes
+      FROM r JOIN vts v USING (doc_id)
+      WHERE r.role > 0
+    ),
+    rk AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY source, bucket, grp
+                                ORDER BY votes DESC, doc_id ASC) AS rnk,
+             COUNT(*) OVER (PARTITION BY source, bucket, grp) AS n_cand,
+             MIN(votes) OVER (PARTITION BY source, bucket, grp) AS worst
+      FROM c
+    ),
+    best AS (SELECT * FROM rk WHERE rnk = 1 AND n_cand = {n}),
+    sel AS (
+      SELECT p.p_id, p.p_ts, b.source, b.doc_id AS c_id, b.ts AS c_ts,
+             b.votes, b.worst,
+             CAST((('0x' || substring(md5('tmpl:' || p.p_id::VARCHAR),
+                   1, 8))::BIGINT % 2147483647) % {n_tmpl} AS INT)
+               AS template_id
+      FROM best b JOIN p USING (source, bucket, grp)
+    )
+    SELECT p_id AS prompt_doc_id, c_id AS chosen_doc_id, source,
+           template_id,
+           '<instruction> ' || ({tmpl})[template_id + 1] || ' <context> '
+             || COALESCE(array_to_string(p_ts[1:64], ' '), '')
+             AS input_text,
+           COALESCE(array_to_string(c_ts[1:256], ' '), '') AS chosen_text,
+           CAST(votes AS BIGINT) AS chosen_votes,
+           CAST(worst AS BIGINT) AS worst_votes
+    FROM sel
+    """
+
+
+@register(
+    "best_of_n_examples",
+    best_of_n_oracle,
+    doc="X39 rejection-sampling / best-of-n assembly (the SFT half of "
+    "the RLHF data loop; operators/instruct.best_of_n_examples): "
+    "consecutive same-source runs of 1 + 4 documents inside bounded "
+    "(source, doc_id DIV 1024) windows — position 0 prompts, positions "
+    "1..4 form the candidate pool — keep the candidate with the most "
+    "X35 ensemble votes (ties to the lowest id, deterministically; no "
+    "rejected side is emitted so ties inject no preference noise).  "
+    "ONE bounded-window exchange + ONE votes equi-join + ONE "
+    "partially-aggregable <=5-row groupBy — strictly fewer exchanges "
+    "than X38.  The oracle nests the voter CTEs via the shared "
+    "constants, the X38 precedent.",
+)
+def q_best_of_n(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.instruct import best_of_n_examples
+
+    return best_of_n_examples(_t(spark, sf, "documents"))
+
+
 # The external correctness gate snapshots the FIRST 50 entries of the
 # queries() dict (observed r01/r02: entries past position 50 get no
 # correctness row at all).  Registration order in this file is topical, so
@@ -6388,6 +6496,15 @@ GATE_DEFERRED: tuple[str, ...] = (
     # oracle) so registration was a pure @register + list edit; first
     # driver gate row due r19 per the standing rotation contract.
     "preference_pairs",
+    # registered r18: X39 best-of-n / rejection-sampling assembly
+    # (operators/instruct.best_of_n_examples — the X37 window
+    # discipline over runs of 1+n, argmax by the X35 ensemble votes).
+    # SQL twin verified green at registration (sf0.001 + sf0.01 via
+    # test_oracle_parity and the /verify gate replica), pinned
+    # meanwhile by the independent pure-Python twin + planted-argmax
+    # tests (test_instruct.py) and a plan pin (test_plans.py); first
+    # driver gate row due r19.
+    "best_of_n_examples",
     "shard_admission_index",
     "span_corruption_examples",
     "fim_examples",
@@ -6420,7 +6537,6 @@ GATE_DEFERRED: tuple[str, ...] = (
     "revenue_by_region",
     "pii_scrub",
     "doc_fingerprints",
-    "uniform_hash_sample",
     "near_dup_clusters",
     "simhash_near_dups",
     "ivfpq_topk_adc",
@@ -6710,6 +6826,23 @@ GATE_RETIRED: tuple[str, ...] = (
     # test_cli.py).  Remains registered, benched, and
     # oracle-parity-tested.
     "quality_classifier_scores",
+    # r18, swapped for best_of_n_examples (X39, retire-on-green: r17
+    # row triple-green).  uniform_hash_sample is the pure
+    # salted-hash-threshold sample demo (one filter projection), and
+    # the deterministic hash-threshold SELECTION discipline it
+    # demonstrates — a salted portable hash compared against a fixed
+    # ppm threshold, NULL keys never selected — is now gated at
+    # strictly richer grain through decontam_holdout_split, whose
+    # hash-mode candidacy applies the identical construction class
+    # (pmod(portable_token_hash('holdout:'||id), 1e6) < ppm, the same
+    # engine-portable md5 machinery, differentialed by the oracle
+    # every cycle) and through its streaming serve (stream_holdout_tag
+    # computes the same candidacy in-plan).  The sampling family keeps
+    # two further gated carriers in weighted_reservoir_sample
+    # (deterministic seeded selection over the same documents grain)
+    # and stratified_sample_by_lang (deterministic content-hash-ranked
+    # quota).  Remains registered, benched, and oracle-parity-tested.
+    "uniform_hash_sample",
 )
 
 
@@ -6763,6 +6896,7 @@ GATE_RETIREMENT_LEDGER: dict[str, tuple[int, int]] = {
     "benchmark_decontam": (17, 16),
     "split_leakage": (17, 16),
     "quality_classifier_scores": (18, 17),
+    "uniform_hash_sample": (18, 17),
 }
 
 

@@ -826,6 +826,51 @@ def main() -> None:
                           "base_pairs": int(base37["n_base"]),
                           "sec": sec}), flush=True)
 
+        # r18: X39 best-of-n assembly.  Same bucket geometry as X37
+        # (runs of 1+4 inside (source, doc_id DIV 1024); replica blocks
+        # never share a bucket), so the replica-0 slice must be
+        # BIT-IDENTICAL to the 1× run and example count grows ~K (the
+        # same bucket-boundary re-cuts).  The probe passes a FIXED
+        # pure-function-of-id votes relation (pmod(id, 5)) so the X39
+        # machinery — window + ONE votes join + bounded argmax groupBy —
+        # is isolated from the corpus-DEPENDENT ensemble fit, whose own
+        # scaling is the quality_ensemble/classifier rows' evidence;
+        # replica-0 votes are unchanged by construction, which is what
+        # makes the invariant meaningful.
+        from market_data_ingestion_scraper_spark.operators.instruct import (
+            best_of_n_examples,
+        )
+
+        spark.catalog.clearCache()
+        votes39 = d37.select(
+            "doc_id", F.pmod(F.col("doc_id"), F.lit(5)).cast("int").alias("votes")
+        )
+        t0 = time.perf_counter()
+        ex39 = best_of_n_examples(d37, quality=votes39)
+        n39 = ex39.count()
+        sec = round(time.perf_counter() - t0, 2)
+        base39 = ex39.filter(F.col("prompt_doc_id") < ID_STRIDE).agg(
+            F.sum(
+                F.pmod(
+                    F.xxhash64(
+                        "prompt_doc_id", "chosen_doc_id", "template_id",
+                        "input_text", "chosen_text", "chosen_votes",
+                        "worst_votes",
+                    ),
+                    F.lit(1_000_000_007),
+                )
+            ).alias("fp"),
+            F.count(F.lit(1)).alias("n_base"),
+        ).collect()[0]
+        results.setdefault("best_of_n", {})[factor] = {
+            "pairs": n39, "sec": sec,
+        }
+        print(json.dumps({"op": "best_of_n", "factor": factor,
+                          "n_examples": n39,
+                          "base_slice_fp": int(base39["fp"]),
+                          "base_examples": int(base39["n_base"]),
+                          "sec": sec}), flush=True)
+
     summary = {
         name: {
             "pairs_growth": round(r[k]["pairs"] / max(r[1]["pairs"], 1), 2),

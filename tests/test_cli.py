@@ -1101,3 +1101,28 @@ def test_cli_preference_pairs(tmp_path, spark):
     docs.drop("lang").write.parquet(bad)
     r = _run("preference-pairs", "--documents", bad, "--out", out)
     assert r.returncode == 2 and "missing columns" in r.stderr
+
+
+def test_cli_best_of_n(tmp_path, spark):
+    """best-of-n: the X39 surface — summary printed, parquet matches
+    the library, a bad n exits 2."""
+    from market_data_ingestion_scraper_spark.sources.tables import load_table
+
+    docs_path = str(tmp_path / "docs")
+    load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "source", "text", "lang"
+    ).write.parquet(docs_path)
+    out = str(tmp_path / "bofn")
+    r = _run("best-of-n", "--documents", docs_path, "--out", out)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "examples=" in r.stdout and "worst_votes=" in r.stdout
+
+    from market_data_ingestion_scraper_spark.operators.instruct import (
+        best_of_n_examples,
+    )
+
+    docs = spark.read.parquet(docs_path)
+    key = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert key(spark.read.parquet(out)) == key(best_of_n_examples(docs))
+    r = _run("best-of-n", "--documents", docs_path, "--out", out, "--n", "1")
+    assert r.returncode == 2 and "n must be >= 2" in r.stderr

@@ -959,3 +959,34 @@ def test_preference_pairs_bounded_window_and_id_joins(spark):
     # exactly one window (the triple formation); joins are equi-joins
     win_nodes = set(_re.findall(r"^\((\d+)\) Window", txt, _re.M))
     assert len(win_nodes) == 1, txt
+
+
+def test_best_of_n_single_window_one_join_partial_agg(spark):
+    """X39: with the recommended precomputed ``quality=`` relation the
+    plan is ONE bounded (source, bucket) window exchange, ONE id-keyed
+    equi-join against the votes relation, and ONE partially-aggregable
+    groupBy (count/struct-max/min all map-side combine over <= n+1 row
+    groups) — no cartesian, no nested-loop broadcast, no Python."""
+    import re as _re
+
+    from market_data_ingestion_scraper_spark.operators.instruct import (
+        best_of_n_examples,
+    )
+    from market_data_ingestion_scraper_spark.sources.tables import load_table
+
+    d = load_table(spark, SF, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    votes = spark.createDataFrame(
+        [(i, i % 4) for i in range(500)], "doc_id long, votes int"
+    )
+    df = best_of_n_examples(d, quality=votes)
+    txt = explain_str(df)
+    assert "CartesianProduct" not in txt, txt
+    assert "BroadcastNestedLoopJoin" not in txt, txt
+    assert "ArrowEvalPython" not in txt and "BatchEvalPython" not in txt, txt
+    assert "hashpartitioning(source" in txt, txt
+    win_nodes = set(_re.findall(r"^\((\d+)\) Window", txt, _re.M))
+    assert len(win_nodes) == 1, txt
+    rep = plan_report(df)
+    assert rep.has_partial_agg, rep.summary()
