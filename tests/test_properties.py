@@ -165,8 +165,13 @@ def test_duplicated_span_stats_invariants(spark, texts):
         assert 0 < s["dup_token_fraction"] <= 1
         assert 1 <= s["n_spans"] <= s["n_dup_grams"]
         assert n <= s["max_span_tokens"] <= s["n_tokens"]
-        # a span of g grams covers g + n - 1 tokens; fraction consistent
-        assert s["n_dup_grams"] + s["n_spans"] * (n - 1) >= round(
+        # spans merge start positions with gap <= n-1 (overlapping
+        # windows, not only consecutive ones), so a span of g grams
+        # covers at most (g-1)*(n-1) + n tokens; summed over spans:
+        # covered <= n_dup_grams*(n-1) + n_spans.  (The earlier bound
+        # n_dup_grams + n_spans*(n-1) assumed gap == 1 within a span
+        # and is violated by e.g. dup positions {0, 2} at n=4.)
+        assert s["n_dup_grams"] * (n - 1) + s["n_spans"] >= round(
             s["dup_token_fraction"] * s["n_tokens"]
         )
     strip = {r["doc_id"]: r.asDict()
