@@ -233,41 +233,68 @@ def minhash_table(
     k: int = 3,
     portable: bool = False,
 ) -> DataFrame:
-    """MinHash signatures as a (id, sig) table, computed scalably: explode
-    the shingle set once → groupBy(id) with 64 flat MIN aggregates → pack
-    into one array column.
+    """MinHash signatures as a (id, sig) table, computed scalably: one
+    gram stream per document → groupBy(id) with 64 flat MIN aggregates →
+    pack into one array column.
 
     This shape matters twice over at 100 TB: shingling runs exactly once
     per document (the groupBy shuffle is a hard materialization barrier no
     CollapseProject can cross), and the shuffle carries (id, 64 longs) —
-    not shingle sets, not text.  Docs with no shingles (empty text) get the
-    sentinel signature via a left join.
+    not shingle sets, not text.  MIN over a multiset equals MIN over its
+    set, so the gram stream is NOT deduplicated, and docs with no shingles
+    get the sentinel via per-slot ``coalesce(min(...), p)`` on an outer
+    explode — no sentinel join, no second scan of ``documents`` (r18:
+    the left-join form re-scanned the corpus for ids alone).
 
-    The portable path goes through :func:`hashed_shingle_table` so the
-    md5 token hash is paid per distinct token, not per occurrence —
-    identical signature values, ~vocabulary/occurrences of the hash CPU."""
+    The portable path hashes each DISTINCT token once (md5 is the cost;
+    Zipf makes occurrences ≫ vocabulary), joins the dictionary back to
+    the (id, pos, token) occurrence stream, and composes k-gram field
+    values positionally with ``lead`` over the per-doc window — the
+    window's (id) shuffle is reused by the mins groupBy, and the
+    collect_list array rebuild the dictionary join used to need
+    (ObjectHashAggregate, no partial agg, no codegen) is gone entirely
+    (r18: measured 1.54 → 0.79 s at sf0.1, values bit-identical)."""
+    from pyspark.sql.window import Window
+
     documents = _spread(documents)
     if portable:
-        hashed = hashed_shingle_table(documents, k, id_col, text_col)
+        occ = documents.select(
+            F.col(id_col), F.posexplode_outer(tokens(text_col)).alias("pos", "w")
+        )
+        vocab = (
+            occ.where(F.col("w").isNotNull())
+            .select("w")
+            .distinct()
+            .select("w", portable_token_hash(F.col("w")).alias("hw"))
+        )
+        win = Window.partitionBy(id_col).orderBy("pos")
+        g = F.col("hw")
+        for j in range(1, k):
+            # same field arithmetic as _gram_array; a lead past the doc
+            # end is NULL and null-propagates, so short/empty docs yield
+            # only NULL grams (→ sentinel below)
+            g = (g * 131 + F.lead("hw", j).over(win)) % HASH_P
+        hashed = occ.join(vocab, "w", "left").select(
+            F.col(id_col), g.alias("x")
+        )
     else:
         hashed = documents.select(
-            F.col(id_col), F.explode(shingles(text_col, k, portable)).alias("x")
+            F.col(id_col),
+            F.explode_outer(shingles(text_col, k, portable)).alias("x"),
         )
+    sentinel_slot = F.lit(HASH_P).cast("long")
     mins = hashed.groupBy(id_col).agg(
         *[
-            F.min((F.lit(a) * F.col("x") + F.lit(b)) % HASH_P).alias(f"m{i}")
+            F.coalesce(
+                F.min((F.lit(a) * F.col("x") + F.lit(b)) % HASH_P),
+                sentinel_slot,
+            ).alias(f"m{i}")
             for i, (a, b) in enumerate(_AB)
         ]
     )
-    sig = mins.select(
+    return mins.select(
         id_col,
         F.array(*[F.col(f"m{i}") for i in range(N_HASHES)]).alias("sig"),
-    )
-    sentinel = F.array(*[F.lit(HASH_P).cast("long")] * N_HASHES)
-    return (
-        documents.select(id_col)
-        .join(sig, id_col, "left")
-        .select(F.col(id_col), F.coalesce(F.col("sig"), sentinel).alias("sig"))
     )
 
 
@@ -1370,9 +1397,24 @@ def shared_gram_pairs(
     sharing zero n-grams never meet, cost is Σ_g df(g)² over gram doc
     frequencies; at n=8 grams are near-unique (df ≈ 1-2) so the join is
     close to linear.  ``max_df`` caps boilerplate grams exactly like the
-    ssjoin's stop-shingle guard."""
-    ex = documents.select(
-        F.col(id_col), F.explode(string_shingles(text_col, n)).alias("gram")
+    ssjoin's stop-shingle guard.
+
+    The inverted index carries ``xxhash64`` of each distinct gram, not
+    the ~50-byte 8-token string — the gram is a join key only (never
+    surfaced), so the count is identical modulo a 64-bit collision (the
+    banding precedent) and both self-join sides shuffle 8-byte longs;
+    the index is persisted one generation so the corpus is shingled
+    once, not once per join side (r18: 2.20 → ~1.2 s at sf0.1)."""
+    ex = _persist_generation(
+        "shared_gram_pairs.index",
+        documents.select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    string_shingles(text_col, n), lambda g: F.xxhash64(g)
+                )
+            ).alias("gram"),
+        ),
     )
     if max_df is not None:
         keep = (
@@ -1422,13 +1464,20 @@ def duplicated_span_stats(
     and the exact fraction of tokens covered by duplicated spans.
 
     Scale shape (this is the suffix-array-free approximation): the gram
-    table is one posexplode — ~tokens/doc rows of (32-hex md5, id, pos);
-    the ≥min_df filter is a map-side-combined groupBy on the gram hash
-    plus an equi-join back (output rows = duplicated occurrences, no
-    quadratic pair blowup — unlike the pairwise view, hot boilerplate
-    grams cost df rows here, not df²); span merging is one per-doc
-    window over only the duplicated positions.  The corpus text itself
-    never shuffles."""
+    table is one posexplode — ~tokens/doc rows of (xxhash64 long, id,
+    pos); the ≥min_df filter runs INSIDE one gram-keyed window pass
+    (dense_rank over doc id, then its partition max = exact distinct-doc
+    count), so the gram table is computed once and shuffled once — the
+    previous groupBy(count_distinct) + equi-join-back shape computed the
+    (unpersisted) gram subtree twice and shuffled it twice, and the
+    32-hex md5 string key carried 4× the bytes of the 8-byte hash
+    (r18: 2.87 → measured ~1.9 s at sf0.1, identical output; gram
+    identity is a join/grouping key only, never surfaced, so the hash
+    swap is the banding precedent — identical modulo a 64-bit
+    collision).  No quadratic pair blowup — unlike the pairwise view,
+    hot boilerplate grams cost df rows here, not df²; span merging is
+    one per-doc window over only the duplicated positions.  The corpus
+    text itself never shuffles."""
     from pyspark.sql.window import Window
 
     staged = documents.select(
@@ -1440,19 +1489,19 @@ def duplicated_span_stats(
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(1), F.col("_nt") - (n - 1)),
-                lambda i: F.md5(
-                    F.concat_ws(" ", F.slice("_toks", i, n)).cast("binary")
-                ),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice("_toks", i, n))),
             )
         ).alias("pos", "gram"),
     )
-    dup = (
-        grams.groupBy("gram")
-        .agg(F.count_distinct(F.col(id_col)).alias("_df"))
+    gw = Window.partitionBy("gram")
+    dpos = (
+        grams.withColumn(
+            "_dr", F.dense_rank().over(gw.orderBy(id_col))
+        )
+        .withColumn("_df", F.max("_dr").over(gw))
         .filter(F.col("_df") >= min_df)
-        .select("gram")
+        .select(id_col, "n_tokens", "pos")
     )
-    dpos = grams.join(dup, "gram").select(id_col, "n_tokens", "pos")
     w = Window.partitionBy(id_col).orderBy("pos")
     brk = F.when(
         F.col("pos") - F.lag("pos").over(w) <= n - 1, F.lit(0)
@@ -1680,18 +1729,20 @@ def dedup_rate_by_source(
 def _gram_occurrences(
     staged: DataFrame, length: int, id_col: str
 ) -> DataFrame:
-    """(id, gram) — every ``length``-token gram occurrence, gram as the
-    32-hex md5 of the space-joined token slice (the same hashed-gram
+    """(id, gram) — every ``length``-token gram occurrence, gram as
+    xxhash64 of the space-joined token slice (the same hashed-gram
     convention as :func:`duplicated_span_stats`: equality on the hash IS
-    equality on the substring, modulo md5 collisions)."""
+    equality on the substring, modulo a 64-bit collision; the hash is a
+    grouping key only, never surfaced).  r18: xxhash64 replaces the
+    32-hex md5 string — each probe's shuffle row narrows from 32+ bytes
+    to 8 and the per-occurrence hash is one JVM intrinsic instead of
+    md5 + hex encoding, across ~log2(max_len)+2 probe scans."""
     return staged.filter(F.col("_nt") >= length).select(
         F.col(id_col),
         F.explode(
             F.transform(
                 F.sequence(F.lit(1), F.col("_nt") - (length - 1)),
-                lambda i: F.md5(
-                    F.concat_ws(" ", F.slice("_toks", i, length)).cast("binary")
-                ),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice("_toks", i, length))),
             )
         ).alias("gram"),
     )

@@ -203,8 +203,15 @@ def quality_ensemble(
     if not 1 <= int(min_votes) <= 3:
         raise ValueError(f"min_votes must be in [1, 3], got {min_votes}")
 
-    feats = classifier_features(
-        quality_features(documents), label_threshold=label_threshold
+    # the slim per-doc feature projection feeds TWO consumers — the
+    # 1-row weights aggregate and the scoring projection — and Catalyst
+    # would inline the whole tokenize+featurize subtree into each;
+    # persist one generation so the corpus is featurized once per call
+    feats = _persist_generation(
+        "quality_ensemble.feats",
+        classifier_features(
+            quality_features(documents), label_threshold=label_threshold
+        ),
     )
     # NULL-text documents carry NULL classifier/gopher keeps (their
     # features are NULL end to end); coalesce every VOTE to 0 so an

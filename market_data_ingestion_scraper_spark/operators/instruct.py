@@ -264,9 +264,17 @@ def preference_pairs(
             f"{max_prompt_tokens}/{max_response_tokens}"
         )
     if quality is None:
+        from .dedup import _persist_generation
         from .ensemble import quality_ensemble
 
-        quality = quality_ensemble(documents)
+        # the votes relation joins in TWICE (candidate A and candidate
+        # B sides); un-persisted, Catalyst inlines the whole ensemble
+        # voter subtree into each join side and the corpus is scored
+        # twice (r18: measured ~2x the ensemble cost).  One cached
+        # generation per operator — the house pattern.
+        quality = _persist_generation(
+            "preference_pairs.quality", quality_ensemble(documents)
+        )
     votes = quality.select(
         F.col(id_col).alias("_q_id"), F.col("votes").alias("_votes")
     )

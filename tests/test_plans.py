@@ -882,6 +882,11 @@ def test_quality_ensemble_composes_without_cartesian(spark):
     combine map-side."""
     import re as _re
 
+    # a prior test may have materialized this operator's persisted
+    # generations (feats / scored); a cache hit swaps subtrees for
+    # InMemoryTableScans whose stringified stored plans re-print the
+    # 1-row BNLs under fresh node ids (the simhash-pin precedent)
+    spark.catalog.clearCache()
     df = _plan(spark, "quality_ensemble")
     txt = explain_str(df)
     assert "CartesianProduct" not in txt, txt
