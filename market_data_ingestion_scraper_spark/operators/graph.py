@@ -64,14 +64,20 @@ def pagerank(
         raise ValueError(f"damping_pct {damping_pct} not a percentage")
     from .dedup import _release_checkpoint
 
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct()
     # nodes and the outdegree-joined edge list are LOOP INVARIANTS read
     # every iteration: materialize them once (at 100 TB these are the
     # persisted graph artifacts — the edge list with outdegree IS the
     # adjacency index a link-graph pipeline writes out), instead of
-    # re-running the upstream joins/distincts n_iter times.
+    # re-running the upstream joins/distincts n_iter times.  The
+    # distinct edge list itself feeds BOTH invariants (nodes and
+    # out_edges) — checkpoint it first so the upstream join + distinct
+    # runs once, not once per invariant (r18: the two eager builds each
+    # re-ran the full edge derivation).
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -87,6 +93,7 @@ def pagerank(
         # nodes-sized checkpoint per degenerate call (r10 review)
         result = result.localCheckpoint(eager=True)
         _release_checkpoint(nodes)
+        _release_checkpoint(e)
         return result
 
     if n_nodes == 0:
@@ -101,6 +108,9 @@ def pagerank(
     # contributions only need (src, rank) for nodes WITH out-edges;
     # pre-join outdegree once so the loop joins a single slim relation
     out_edges = e.join(outdeg, "src").localCheckpoint(eager=True)
+    # both invariants are materialized — the raw edge checkpoint's
+    # blocks are dead weight for the rest of the loop
+    _release_checkpoint(e)
 
     ranks = nodes.select("node", F.lit(unit).cast("long").alias("rank_m"))
     prev = None
