@@ -229,10 +229,17 @@ def curation_pipeline(documents: DataFrame) -> DataFrame:
     order is the plan, not luck), the drop list anti-joins, and the final
     report is a single grouped aggregate.  Every stage bounded exactly as
     its standalone operator documents."""
-    from .dedup import dedup_survivors
+    from .dedup import _persist_generation, dedup_survivors
     from .text import gopher_rules
 
-    kept = gopher_rules(documents).filter(F.col("keep") == 1).select("doc_id")
+    # `gated` feeds BOTH the ssjoin inside dedup_survivors and the final
+    # report join, so an unpersisted keep set re-runs the gopher
+    # tokenize+featurize gate once per reference; the id-only keep set
+    # is the slimmest thing to cache (r18)
+    kept = _persist_generation(
+        "curation_pipeline.kept",
+        gopher_rules(documents).filter(F.col("keep") == 1).select("doc_id"),
+    )
     gated = documents.join(kept, "doc_id")
     surviving = dedup_survivors(gated)
     final = gated.join(surviving, "doc_id")
