@@ -73,6 +73,36 @@ def test_minhash_lsh_has_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in txt
 
 
+def test_minhash_table_fused_no_object_agg_no_sentinel_join(spark):
+    """r18 rewrite pins: the portable signature pipeline composes grams
+    with lead() over the per-doc window (no collect_list array rebuild —
+    ObjectHashAggregate has no codegen and no partial aggregation), and
+    the empty-doc sentinel comes from coalesce'd MIN aggregates, not a
+    left join back to a second corpus scan."""
+    from market_data_ingestion_scraper_spark.operators.dedup import (
+        minhash_table,
+    )
+    from market_data_ingestion_scraper_spark.sources import load_table
+
+    spark.catalog.clearCache()  # cached generations reprint stored plans
+    docs = load_table(spark, SF, "documents")
+    for portable in (True, False):
+        with aqe_disabled(spark):
+            txt = explain_str(minhash_table(docs, portable=portable))
+        assert "ObjectHashAggregate" not in txt, txt
+        # formatted output prints each scan twice (tree + detail); the
+        # sentinel join's third corpus scan would read 6 (portable:
+        # occurrences + vocab + sentinel) / 4 (xxhash: shingles +
+        # sentinel) mentions
+        n_scans = txt.count("Scan parquet")
+        if portable:
+            assert n_scans == 4, txt  # occurrences + vocab only
+        else:
+            assert n_scans == 2, txt  # one scan, period
+            # xxhash path: explode_outer + one groupBy, no join at all
+            assert "Join" not in txt, txt
+
+
 def test_embedding_near_dups_has_no_cartesian(spark):
     # simple mode: each BroadcastExchange line names its mode, so the
     # count rule below can tell the deliberate 1-row weights broadcast

@@ -307,6 +307,53 @@ def test_shard_admission_index_handle_parity(spark, tmp_path):
     assert via_index == via_frames
 
 
+def test_shard_admission_overlapping_ids_across_sides(spark):
+    """The corpus_docs form signatures shard UNION corpus in ONE
+    side-tagged pass (r18); the struct (side, id) key must keep the two
+    id spaces disjoint even when the SAME doc_id appears on both sides
+    with different text.  Truth source: the corpus_sigs= path, which
+    signatures the sides separately and never unions them."""
+    from market_data_ingestion_scraper_spark.operators.dedup import (
+        band_keys_from_sigs,
+        minhash_table,
+    )
+
+    shard = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta", "s1"),
+            (2, "totally unrelated shard text here now", "s1"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    # corpus REUSES ids 1 and 2 with different text; corpus doc 1
+    # near-duplicates shard doc 1 (same text), corpus doc 2 does not
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta", "c"),
+            (2, "completely different corpus document text", "c"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    union_form = {
+        tuple(r) for r in shard_admission_report(
+            shard, corpus, threshold=0.5, portable=True
+        ).collect()
+    }
+    corpus_sigs = minhash_table(corpus, portable=True)
+    separate_form = {
+        tuple(r) for r in shard_admission_report(
+            shard,
+            corpus_index=band_keys_from_sigs(corpus_sigs, 16),
+            corpus_sigs=corpus_sigs,
+            threshold=0.5,
+            portable=True,
+        ).collect()
+    }
+    assert union_form == separate_form
+    # and the planted truth: shard doc 1 is a vs-corpus dup, doc 2 admits
+    assert union_form == {(u"s1", 2, 1, 0, 1, 500000)}
+
+
 def test_shard_admission_validation(spark):
     docs_df = spark.read.parquet(f"{SF}/documents.parquet")
     with pytest.raises(ValueError, match="corpus_docs="):
