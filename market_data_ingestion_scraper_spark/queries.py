@@ -6414,18 +6414,85 @@ def q_best_of_n(spark: SparkSession, sf: str) -> DataFrame:
 # queries, and finally entries whose evidence already exists elsewhere
 # (rows-only demos pinned by pytest, long-stable double-green rows).
 GATE_PRIORITY: tuple[str, ...] = (
-    # r18 rotation (executes the hard commitment recorded here at r17 and
-    # in COVERAGE.md): the 50 queries last checked green at r16 parked in
-    # GATE_DEFERRED through r17 and hit the 2-round staleness limit this
+    # r19 rotation (executes the hard commitment recorded here at r18 and
+    # in COVERAGE.md): the 50 queries last checked green at r17 parked in
+    # GATE_DEFERRED through r18 and hit the 2-round staleness limit this
     # round — the entire list rotates back into the snapshot window.  At
-    # its head sit the two r17 registrations taking their FIRST driver
-    # gate rows: `decontam_holdout_split` (X36 contamination-aware
-    # eval-split builder) and `instruction_pairs` (X37 instruction-pair
-    # assembly).  Both SQL twins were verified green at registration
-    # (sf0.001 + sf0.01 via test_oracle_parity and the /verify gate
-    # replica) and each is pinned meanwhile by an independent pure-Python
-    # twin (test_splits.py, test_instruct.py) plus a plan pin
-    # (test_plans.py).
+    # its head sit the two r18 registrations taking their FIRST driver
+    # gate rows: `preference_pairs` (X38) and `best_of_n_examples` (X39),
+    # both SQL-twin-verified green at registration (sf0.001 + sf0.01 via
+    # test_oracle_parity and the /verify gate replica) and pinned
+    # meanwhile by independent pure-Python twins + planted-argmax tests
+    # (test_instruct.py) plus plan pins (test_plans.py).  This window
+    # also delivers the post-change driver rows the r18 verdict required
+    # for the optimization rewrites: shard_admission_index,
+    # quality_ensemble, near_dup_clusters, minhash_est_calibration
+    # (gated carrier of the retired minhash_lsh_candidates +
+    # ngram_jaccard_near_dups evidence) and duplicated_span_stats
+    # (carrier of cross_doc_gram_overlap), plus simhash_near_dups and
+    # dsir_select ahead of their r19 optimization work.
+    "preference_pairs",
+    "best_of_n_examples",
+    "shard_admission_index",
+    "span_corruption_examples",
+    "fim_examples",
+    "quality_ensemble",
+    "memorization_profile",
+    "domain_mix_report",
+    "xlingual_align",
+    "curriculum_packed_order",
+    "trigram_backoff_quality",
+    "hard_negative_mining",
+    "perplexity_buckets",
+    "dsir_select",
+    "bloom_dedup_filter",
+    "kmeans_refine_step",
+    "corpus_snapshot_diff",
+    "temperature_mixture",
+    "bm25_ranking",
+    "shipping_lead_time",
+    "top3_parts_per_brand",
+    "cumulative_monthly_volume",
+    "daily_price_delta",
+    "indexed_commodity_groups",
+    "union_day_slices",
+    "link_text_filter",
+    "commodity_lookup",
+    "brands_never_shipped_1998",
+    "boilerplate_grams",
+    "label_centroids",
+    "top5_commodities",
+    "revenue_by_region",
+    "pii_scrub",
+    "doc_fingerprints",
+    "near_dup_clusters",
+    "simhash_near_dups",
+    "ivfpq_topk_adc",
+    "quality_funnel",
+    "multimodal_features",
+    "video_frame_sample",
+    "source_language_mix",
+    "semdedup_drop",
+    "minhash_est_calibration",
+    "ann_recall_eval",
+    "ivf_recall_eval",
+    "dedup_rate_by_source",
+    "token_count_histogram",
+    "embedding_norm_outliers",
+    "image_near_dups",
+    "duplicated_span_stats",
+)
+
+# The queries checked green at r18 park outside the snapshot window
+# this round; they hit the 2-round staleness limit at r20, so the r20
+# rotation MUST move this entire list into GATE_PRIORITY (and park the
+# r19-green window here).  With 100 exported queries and a 50-row
+# snapshot the cycle is exactly two rounds — sustainable indefinitely.
+# Queries newly registered at r20 would join the head of this window
+# (the decontam_holdout_split / instruction_pairs precedent): SQL twins
+# verified green at registration time, first driver gate rows the
+# following round.
+GATE_DEFERRED: tuple[str, ...] = (
     "decontam_holdout_split",
     "instruction_pairs",
     "hybrid_rrf_retrieval",
@@ -6476,83 +6543,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "pivot_status_qty",
     "cube_revenue",
     "quantity_percentiles",
-)
-
-# The queries checked green at r17 park outside the snapshot window
-# this round; they hit the 2-round staleness limit at r19, so the r19
-# rotation MUST move this entire list into GATE_PRIORITY (and park the
-# r18-green window here).  With 100 exported queries and a 50-row
-# snapshot the cycle is exactly two rounds — sustainable indefinitely.
-# Queries newly registered at r18 join the head of this window (the
-# decontam_holdout_split / instruction_pairs precedent): their SQL
-# twins are verified green at registration time and they take their
-# first driver gate rows at r19.
-GATE_DEFERRED: tuple[str, ...] = (
-    # registered r18: X38 preference-pair assembly
-    # (operators/instruct.preference_pairs — the X37 window discipline
-    # extended to triples, selection by the X35 ensemble votes).  The
-    # oracle was STAGED and verified green at r17 (sf0.001 + sf0.01,
-    # re-pinned every run by test_instruct.test_preference_pairs_staged_
-    # oracle) so registration was a pure @register + list edit; first
-    # driver gate row due r19 per the standing rotation contract.
-    "preference_pairs",
-    # registered r18: X39 best-of-n / rejection-sampling assembly
-    # (operators/instruct.best_of_n_examples — the X37 window
-    # discipline over runs of 1+n, argmax by the X35 ensemble votes).
-    # SQL twin verified green at registration (sf0.001 + sf0.01 via
-    # test_oracle_parity and the /verify gate replica), pinned
-    # meanwhile by the independent pure-Python twin + planted-argmax
-    # tests (test_instruct.py) and a plan pin (test_plans.py); first
-    # driver gate row due r19.
-    "best_of_n_examples",
-    "shard_admission_index",
-    "span_corruption_examples",
-    "fim_examples",
-    "quality_ensemble",
-    "memorization_profile",
-    "domain_mix_report",
-    "xlingual_align",
-    "curriculum_packed_order",
-    "trigram_backoff_quality",
-    "hard_negative_mining",
-    "perplexity_buckets",
-    "dsir_select",
-    "bloom_dedup_filter",
-    "kmeans_refine_step",
-    "corpus_snapshot_diff",
-    "temperature_mixture",
-    "bm25_ranking",
-    "shipping_lead_time",
-    "top3_parts_per_brand",
-    "cumulative_monthly_volume",
-    "daily_price_delta",
-    "indexed_commodity_groups",
-    "union_day_slices",
-    "link_text_filter",
-    "commodity_lookup",
-    "brands_never_shipped_1998",
-    "boilerplate_grams",
-    "label_centroids",
-    "top5_commodities",
-    "revenue_by_region",
-    "pii_scrub",
-    "doc_fingerprints",
-    "near_dup_clusters",
-    "simhash_near_dups",
-    "ivfpq_topk_adc",
-    "quality_funnel",
-    "multimodal_features",
-    "video_frame_sample",
-    "source_language_mix",
-    "semdedup_drop",
-    "minhash_est_calibration",
-    "ann_recall_eval",
-    "ivf_recall_eval",
-    "dedup_rate_by_source",
-    "token_count_histogram",
-    "embedding_norm_outliers",
-    "image_near_dups",
-    "duplicated_span_stats",
 )
 
 # Retired from the GATE EXPORT only (r8, on the r7 verdict's advice): each
