@@ -1,12 +1,26 @@
-"""CLI smoke tests via subprocess — the user-facing surface stays green."""
+"""CLI smoke tests — the user-facing surface stays green.
+
+The true `python -m` PROCESS contract (module entry point, JVM boot,
+process exit codes) is covered by the three `_run_subprocess` smoke
+tests below.  Every other test drives the SAME `main(argv)` dispatch
+in-process through `_run` (r19): each subprocess run paid a fresh
+~20 s JVM boot, which put this file alone at ~20 min of wall — the
+argument parsing, validation, dispatch, artifact I/O and printed
+output those tests assert on are byte-identical in-process, and
+`get_spark` is `getOrCreate`, so the suite's shared session JVM
+serves every invocation."""
 
 from __future__ import annotations
 
+import contextlib
+import io
 import subprocess
 import sys
+import traceback
+from types import SimpleNamespace
 
 
-def _run(*args: str) -> subprocess.CompletedProcess:
+def _run_subprocess(*args: str) -> subprocess.CompletedProcess:
     return subprocess.run(
         [sys.executable, "-m", "market_data_ingestion_scraper_spark", *args],
         capture_output=True,
@@ -15,20 +29,44 @@ def _run(*args: str) -> subprocess.CompletedProcess:
     )
 
 
+def _run(*args: str) -> SimpleNamespace:
+    """In-process CLI invocation with the subprocess result surface
+    (.returncode/.stdout/.stderr).  SystemExit maps to its code (the
+    argparse error path); any other exception maps to returncode 1 with
+    the traceback on stderr — exactly what the subprocess form showed."""
+    from market_data_ingestion_scraper_spark.__main__ import main
+
+    out, err = io.StringIO(), io.StringIO()
+    with contextlib.redirect_stdout(out), contextlib.redirect_stderr(err):
+        try:
+            rc = main(list(args))
+        except SystemExit as exc:
+            code = exc.code
+            rc = code if isinstance(code, int) else (0 if code is None else 1)
+        except BaseException:
+            err.write(traceback.format_exc())
+            rc = 1
+    return SimpleNamespace(
+        returncode=rc, stdout=out.getvalue(), stderr=err.getvalue()
+    )
+
+
 def test_cli_list():
-    r = _run("list")
+    r = _run_subprocess("list")
     assert r.returncode == 0
     assert "top5_commodities" in r.stdout and "[oracle]" in r.stdout
 
 
 def test_cli_unknown_query_exit_code():
-    r = _run("run", "definitely_not_a_query")
+    r = _run_subprocess("run", "definitely_not_a_query")
     assert r.returncode == 2
     assert "unknown query" in r.stderr
 
 
 def test_cli_run_small_query():
-    r = _run("run", "commodity_lookup", "--sf-dir", "/root/testdata/sf0.001")
+    r = _run_subprocess(
+        "run", "commodity_lookup", "--sf-dir", "/root/testdata/sf0.001"
+    )
     assert r.returncode == 0
     assert "red gear" in r.stdout
 

@@ -437,13 +437,18 @@ def test_banding_recall_invariant_across_block_counts(spark):
         if want is None:
             want = got
         assert got == want, n_blocks
-    # end-to-end: identical verified pairs on real text at 4 vs 6 blocks
+    # end-to-end: identical verified pairs on real text at wide vs
+    # default block counts.  n_blocks=12 (keep=2 → C(12,2)=66 key
+    # structs) exercises the wide-key combination dial; the previous
+    # n_blocks=14 built a C(14,4)=1001-struct array expression whose
+    # Catalyst planning alone cost ~60 s — pure test wall, no extra
+    # coverage (r19 suite-time fix).
     docs = spark.createDataFrame(
         [(0, BASE), (1, BASE.replace("quick", "speedy")), (2, BASE)],
         "doc_id long, text string",
     )
     out_wide = {tuple(r) for r in D.simhash_near_duplicates(
-        docs, max_hamming=10, n_blocks=14).collect()}
+        docs, max_hamming=10, n_blocks=12).collect()}
     out_default = {tuple(r) for r in D.simhash_near_duplicates(
         docs, max_hamming=10).collect()}  # None -> 11 blocks
     assert out_wide == out_default and (0, 2, 0) in out_default

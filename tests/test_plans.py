@@ -658,8 +658,24 @@ def test_registered_queries_emit_no_windowexec_warn(spark):
 
     sf = "/root/testdata/sf0.001"
     offenders = []
-    for name, spec in REGISTRY.items():
-        plan = spec.fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+
+    # Planning the 140 physical plans is independent driver-side work —
+    # run it 4-wide (r19 suite-time fix: py4j releases the GIL and
+    # Catalyst plans distinct queries concurrently; 45 s → ~15 s).
+    # Plans are BUILT in the pool too: eager-checkpoint operators run
+    # driver actions at fn() time, and those overlap the same way.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def plan_text(item):
+        name, spec = item
+        return (
+            name,
+            spec.fn(spark, sf)._jdf.queryExecution().executedPlan().toString(),
+        )
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        plans = list(pool.map(plan_text, REGISTRY.items()))
+    for name, plan in plans:
         # WindowExec prints `Window [funcs], [partSpec], [orderSpec]`,
         # omitting empty specs: 3 groups = fully specified, 2 groups =
         # either (funcs, partition) — fine — or (funcs, order) — the
