@@ -152,52 +152,15 @@ def shingles(
     :func:`portable_token_hash`, making every downstream signature value
     reproducible in the DuckDB oracle; xxhash64 stays the throughput
     default.  NOTE: this column form pays the token hash per OCCURRENCE —
-    for the md5-based portable hash prefer the dictionary-based table form
-    (:func:`hashed_shingle_table`), which hashes each distinct token once."""
+    for the md5-based portable hash prefer :func:`minhash_table`'s fused
+    window-lead path, which hashes each distinct token once via the
+    vocabulary dictionary and composes grams positionally."""
     tok_hash = (
         portable_token_hash
         if portable
         else (lambda w: F.pmod(F.xxhash64(w), F.lit(HASH_P)))
     )
     return _gram_array(F.transform(tokens(text), tok_hash), k)
-
-
-def hashed_shingle_table(
-    documents: DataFrame,
-    k: int = 3,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """Exploded (id, shingle-hash) table with the PORTABLE token hash paid
-    once per DISTINCT token instead of once per occurrence.
-
-    md5+conv cost a large constant per call and Zipf makes occurrences ≫
-    vocabulary, so: posexplode tokens → distinct-token dictionary (md5
-    only here) → hash join back → rebuild each document's positional
-    hash array → compose k-grams.  Signature values are identical to
-    ``shingles(..., portable=True)`` — same field arithmetic, same oracle
-    SQL.  The dictionary is corpus-bounded (vocabulary, not occurrences);
-    at fixture scale it broadcasts, at 100 TB it is a shuffle join that
-    still beats hashing every occurrence on CPU."""
-    occ = documents.select(
-        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "w")
-    )
-    vocab = occ.select("w").distinct().select(
-        "w", portable_token_hash(F.col("w")).alias("hw")
-    )
-    rebuilt = (
-        occ.join(vocab, "w")
-        .groupBy(id_col)
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "hw"))),
-                lambda s: s.hw,
-            ).alias("hs")
-        )
-    )
-    return rebuilt.select(
-        F.col(id_col), F.explode(_gram_array(F.col("hs"), k)).alias("x")
-    )
 
 
 def minhash_signature(
@@ -1482,7 +1445,18 @@ def duplicated_span_stats(
     collision).  No quadratic pair blowup — unlike the pairwise view,
     hot boilerplate grams cost df rows here, not df²; span merging is
     one per-doc window over only the duplicated positions.  The corpus
-    text itself never shuffles."""
+    text itself never shuffles.
+
+    Skew tradeoff (r18 advisor): every occurrence of one gram lands in
+    ONE task's window sort (window partitions cannot split), whereas the
+    old groupBy(count_distinct) shape had map-side partial aggregation —
+    so a single boilerplate gram occurring ~1e9 times would make one
+    straggler task.  Acceptable at bench scale and for corpora without
+    extreme boilerplate; for production profiles with hot grams, fall
+    back to the groupBy+join shape over a persisted gram table (compute
+    grams once, groupBy(gram).agg(count_distinct(id)) with partial agg,
+    join the ≥min_df gram set back) — same output, one extra shuffle,
+    skew-immune."""
     from pyspark.sql.window import Window
 
     staged = documents.select(
@@ -1734,20 +1708,36 @@ def dedup_rate_by_source(
 def _gram_occurrences(
     staged: DataFrame, length: int, id_col: str
 ) -> DataFrame:
-    """(id, gram) — every ``length``-token gram occurrence, gram as
-    xxhash64 of the space-joined token slice (the same hashed-gram
-    convention as :func:`duplicated_span_stats`: equality on the hash IS
-    equality on the substring, modulo a 64-bit collision; the hash is a
-    grouping key only, never surfaced).  r18: xxhash64 replaces the
-    32-hex md5 string — each probe's shuffle row narrows from 32+ bytes
-    to 8 and the per-occurrence hash is one JVM intrinsic instead of
-    md5 + hex encoding, across ~log2(max_len)+2 probe scans."""
+    """(id, gram) — every ``length``-token gram occurrence, gram as a
+    128-bit struct of two independent xxhash64 lanes over the
+    space-joined token slice (lane 2 appends a salt field to the hash
+    input).  The hash is a grouping key only, never surfaced.
+
+    Why 128 bits (r19, on the r18 advisor's finding): unlike the LSH
+    banding keys — whose collisions are removed by the signature
+    join-back — NOTHING downstream verifies these keys, and
+    ``dup_exists``'s monotone boolean flips on a single false equality.
+    At ~1e13 gram occurrences per probe (the 100 TB shape) 64-bit
+    birthday collisions are expected in the millions; at 128 bits the
+    expected count is ~1e-13 — the same exactness class as the sha256
+    content hashes elsewhere in this module.  Versus the pre-r18 md5
+    form this still shuffles 16 fixed bytes instead of a 32-hex string
+    and computes two JVM intrinsics instead of md5 + hex encoding,
+    across ~log2(max_len)+2 probe scans.  The gram string is let-bound
+    so it is built once per position, not once per lane."""
+    gram_pair = lambda i: _let(  # noqa: E731 — local expression builder
+        F.concat_ws(" ", F.slice("_toks", i, length)),
+        lambda s: F.struct(
+            F.xxhash64(s).alias("g1"),
+            F.xxhash64(s, F.lit(1)).alias("g2"),
+        ),
+    )
     return staged.filter(F.col("_nt") >= length).select(
         F.col(id_col),
         F.explode(
             F.transform(
                 F.sequence(F.lit(1), F.col("_nt") - (length - 1)),
-                lambda i: F.xxhash64(F.concat_ws(" ", F.slice("_toks", i, length))),
+                gram_pair,
             )
         ).alias("gram"),
     )
@@ -1762,7 +1752,11 @@ def longest_dup_substring(
 ) -> DataFrame:
     """EXACT longest duplicated token-substring statistics (the
     suffix-array question of Lee et al. 2021, arXiv:2107.06499 §4,
-    answered suffix-array-free): one row —
+    answered suffix-array-free; "exact" modulo 128-bit gram-hash
+    collisions — expected ~1e-13 false equalities at 1e13 gram
+    occurrences, the same exactness class as this module's sha256
+    content hashes, and 2^64 times tighter than the unverified 64-bit
+    key the r18 advisor flagged): one row —
 
       (max_dup_tokens, n_grams_at_max, n_occurrences_at_max,
        n_docs_at_max)
@@ -1893,16 +1887,16 @@ def shard_admission_report(
     exact half-up integer ppm of admitted over n_new.
 
     Scale shape at 100 TB: the shard is shingled/signatured ONCE (the
-    persisted-generation cache feeds banding, the corpus join-back and
-    the self-join); corpus candidates come from the slim ID-ONLY
-    (band, key) equi-join against the persisted band index — the corpus
-    text is never re-shingled and, with the ``bands/`` layout
-    partitioned by band, partition pruning reads only the shard's
-    bands; within-shard candidates are the same banded equi-join of the
-    shard against itself (shard-bounded).  Signatures join back only
-    for DEDUPLICATED candidate pairs; every shuffle carries ids and
-    64-long signatures, never text.  The final report is a
-    |sources|-row aggregate.
+    persisted-generation cache feeds banding, the verification join-back
+    and the self-join); corpus AND within-shard candidates come from ONE
+    slim ID-ONLY (band, key) equi-join of the shard bands against the
+    side-tagged union of the corpus band index and the shard's own bands
+    — the corpus text is never re-shingled and, with the ``bands/``
+    layout partitioned by band, partition pruning reads only the shard's
+    bands.  Signatures join back only for DEDUPLICATED candidate pairs
+    (one union-keyed join, not one per side); every shuffle carries ids
+    and 64-long signatures, never text.  The final report is a
+    |sources|-row aggregate over one groupBy(id) flag pass.
 
     ``index`` accepts the :class:`~.similarity.AnnIndex` handle from
     ``load_ann_index`` (kind ``minhash``, split layout) and derives
@@ -1969,66 +1963,64 @@ def shard_admission_report(
         )
     shard_bands = band_keys_from_sigs(shard_sigs, n_bands, id_col=id_col)
 
-    def _verified(cand_ids: DataFrame, other_sigs: DataFrame,
-                  other_id: str) -> DataFrame:
-        """(id, other_id, est_jaccard ≥ threshold) for deduplicated
-        candidate id pairs — signatures join back once per pair."""
-        cand = cand_ids.join(
+    # ONE banded candidate pass + ONE verification pass (r19; guide
+    # §2.4).  The corpus join and the within-shard self-join share the
+    # same left side (shard_bands) and the same (band, key) equi-key, so
+    # they run as a single join against the side-tagged union of both
+    # partner band tables; likewise the two signature join-backs collapse
+    # into one join against the side-tagged union of both partner sig
+    # tables, and the two per-flag distinct+left-join pairs collapse into
+    # one groupBy(id) flag aggregate.  Semantics are unchanged: corpus
+    # partners count unconditionally, shard partners only when their id
+    # is SMALLER (keep-lowest-id — the larger id of a qualifying pair is
+    # the duplicate), pair dedup keys include the side so overlapping
+    # shard/corpus id spaces stay disjoint (pinned by
+    # test_shard_admission_overlapping_ids_across_sides), and
+    # est_jaccard ≥ threshold is evaluated per deduplicated pair exactly
+    # as before.  Plan effect at sf0.1: 2 banded joins → 1, 4 sig
+    # join-backs → 2, 2 pair dedups → 1, 2 flag distincts + 2 left
+    # joins → 1 groupBy + 1 left join.
+    partners = corpus_bands.select(
+        F.lit(1).alias("_pside"), F.col(id_col).alias("_pid"), "band", "key"
+    ).unionByName(
+        shard_bands.select(
+            F.lit(0).alias("_pside"), F.col(id_col).alias("_pid"),
+            "band", "key",
+        )
+    )
+    cand = (
+        shard_bands.join(partners, ["band", "key"])
+        .filter((F.col("_pside") == 1) | (F.col("_pid") < F.col(id_col)))
+        .select(id_col, "_pside", "_pid")
+        .dropDuplicates([id_col, "_pside", "_pid"])
+    )
+    partner_sigs = corpus_sigs.select(
+        F.lit(1).alias("_pside"),
+        F.col(id_col).alias("_pid"),
+        F.col("sig").alias("sig_b"),
+    ).unionByName(
+        shard_sigs.select(
+            F.lit(0).alias("_pside"),
+            F.col(id_col).alias("_pid"),
+            F.col("sig").alias("sig_b"),
+        )
+    )
+    verified = (
+        cand.join(
             shard_sigs.select(F.col(id_col), F.col("sig").alias("sig_a")),
             id_col,
-        ).join(
-            other_sigs.select(
-                F.col(id_col).alias(other_id), F.col("sig").alias("sig_b")
-            ),
-            other_id,
         )
-        return cand.select(id_col, other_id, _sig_agreement()).filter(
-            F.col("est_jaccard") >= threshold
-        )
-
-    vs_corpus_ids = (
-        shard_bands.join(
-            corpus_bands.withColumnRenamed(id_col, "_corpus_id"),
-            ["band", "key"],
-        )
-        .select(id_col, "_corpus_id")
-        .dropDuplicates([id_col, "_corpus_id"])
+        .join(partner_sigs, ["_pside", "_pid"])
+        .select(id_col, "_pside", _sig_agreement())
+        .filter(F.col("est_jaccard") >= threshold)
     )
-    dropped_corpus = (
-        _verified(vs_corpus_ids, corpus_sigs, "_corpus_id")
-        .select(id_col)
-        .distinct()
-        .withColumn("_dup_corpus", F.lit(True))
+    dup_flags = verified.groupBy(id_col).agg(
+        F.max(F.col("_pside") == 1).alias("_dup_corpus"),
+        F.max(F.col("_pside") == 0).alias("_dup_new"),
     )
-
-    a = shard_bands.select(
-        F.col(id_col).alias("_ida"), "band", "key"
-    )
-    b = shard_bands.select(
-        F.col(id_col).alias(id_col), "band", "key"
-    )
-    within_ids = (
-        a.join(b, ["band", "key"])
-        .filter(F.col("_ida") < F.col(id_col))
-        .select("_ida", id_col)
-        .dropDuplicates(["_ida", id_col])
-    )
-    # keep-lowest-id: the LARGER id of a qualifying pair is the duplicate
-    dropped_new = (
-        _verified(
-            within_ids.select(F.col(id_col), F.col("_ida")),
-            shard_sigs,
-            "_ida",
-        )
-        .select(id_col)
-        .distinct()
-        .withColumn("_dup_new", F.lit(True))
-    )
-
     flags = (
         new_docs.select(F.col(id_col), F.col(source_col).alias("source"))
-        .join(dropped_corpus, id_col, "left")
-        .join(dropped_new, id_col, "left")
+        .join(dup_flags, id_col, "left")
         .select(
             "source",
             F.coalesce("_dup_corpus", F.lit(False)).alias("_dc"),

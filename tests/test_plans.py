@@ -93,12 +93,16 @@ def test_minhash_table_fused_no_object_agg_no_sentinel_join(spark):
         # formatted output prints each scan twice (tree + detail); the
         # sentinel join's third corpus scan would read 6 (portable:
         # occurrences + vocab + sentinel) / 4 (xxhash: shingles +
-        # sentinel) mentions
+        # sentinel) mentions.  Bounded with <= (r18 advisor): an exact
+        # == would break on a Spark version that adds a detail section
+        # to plan printing without any real plan regression; the
+        # sentinel-join regression this pin exists for would push the
+        # count ABOVE the bound.
         n_scans = txt.count("Scan parquet")
         if portable:
-            assert n_scans == 4, txt  # occurrences + vocab only
+            assert 1 <= n_scans <= 4, txt  # occurrences + vocab only
         else:
-            assert n_scans == 2, txt  # one scan, period
+            assert 1 <= n_scans <= 2, txt  # one scan, period
             # xxhash path: explode_outer + one groupBy, no join at all
             assert "Join" not in txt, txt
 

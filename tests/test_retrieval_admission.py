@@ -622,3 +622,54 @@ def test_bm25_multi_matches_single(spark):
         for r in bm25_scores(docs_df, ("table",), top_k=20).collect()
     )
     assert got8 == want8
+
+
+def test_stream_admission_agrees_with_fused_batch_report(spark):
+    """r19 (on the r18 verdict's parity ask): the stream-legal admission
+    filter and the batch report must agree on the corpus direction
+    through BOTH rewrites — the r18 fused window-lead minhash_table and
+    the r19 single-pass union candidate join.  Per source, the stream
+    filter's admitted count must equal the report's
+    n_new - n_dup_vs_corpus (the stream covers new-vs-corpus only; the
+    within-shard direction is the batch report's job by contract)."""
+    from pyspark.sql import functions as F
+
+    from market_data_ingestion_scraper_spark.operators.dedup import (
+        band_keys_from_sigs,
+        minhash_table,
+    )
+    from market_data_ingestion_scraper_spark.streaming import pipeline as P
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
+    new = docs.filter("doc_id % 5 = 0")
+    corpus = docs.filter("doc_id % 5 <> 0")
+    corpus_sigs = minhash_table(corpus, portable=True).persist()
+    try:
+        corpus_bands = band_keys_from_sigs(corpus_sigs)
+        admitted_ids = {
+            r["doc_id"]
+            for r in P.stream_shard_admission_filter(
+                new.select("doc_id", "text"), corpus_bands, corpus_sigs,
+                threshold=0.5, portable=True,
+            ).collect()
+        }
+        stream_admitted = {
+            r["source"]: r["n"]
+            for r in new.filter(F.col("doc_id").isin(admitted_ids))
+            .groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        report = {
+            r["source"]: r
+            for r in shard_admission_report(
+                new, corpus, threshold=0.5, portable=True
+            ).collect()
+        }
+    finally:
+        corpus_sigs.unpersist()
+    assert set(stream_admitted) <= set(report)
+    for src, rep in report.items():
+        assert stream_admitted.get(src, 0) == rep["n_new"] - rep[
+            "n_dup_vs_corpus"
+        ], (src, rep)
