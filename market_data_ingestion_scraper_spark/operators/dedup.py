@@ -203,48 +203,32 @@ def minhash_table(
     This shape matters twice over at 100 TB: shingling runs exactly once
     per document (the groupBy shuffle is a hard materialization barrier no
     CollapseProject can cross), and the shuffle carries (id, 64 longs) —
-    not shingle sets, not text.  MIN over a multiset equals MIN over its
-    set, so the gram stream is NOT deduplicated, and docs with no shingles
-    get the sentinel via per-slot ``coalesce(min(...), p)`` on an outer
-    explode — no sentinel join, no second scan of ``documents`` (r18:
-    the left-join form re-scanned the corpus for ids alone).
+    not shingle sets, not text.  Docs with no shingles get the sentinel
+    via per-slot ``coalesce(min(...), p)`` on an outer explode — no
+    sentinel join, no second scan of ``documents`` (r18: the left-join
+    form re-scanned the corpus for ids alone).
 
-    The portable path hashes each DISTINCT token once (md5 is the cost;
-    Zipf makes occurrences ≫ vocabulary), joins the dictionary back to
-    the (id, pos, token) occurrence stream, and composes k-gram field
-    values positionally with ``lead`` over the per-doc window — the
-    window's (id) shuffle is reused by the mins groupBy, and the
-    collect_list array rebuild the dictionary join used to need
-    (ObjectHashAggregate, no partial agg, no codegen) is gone entirely
-    (r18: measured 1.54 → 0.79 s at sf0.1, values bit-identical)."""
-    from pyspark.sql.window import Window
-
-    documents = _spread(documents)
-    if portable:
-        occ = documents.select(
-            F.col(id_col), F.posexplode_outer(tokens(text_col)).alias("pos", "w")
-        )
-        vocab = (
-            occ.where(F.col("w").isNotNull())
-            .select("w")
-            .distinct()
-            .select("w", portable_token_hash(F.col("w")).alias("hw"))
-        )
-        win = Window.partitionBy(id_col).orderBy("pos")
-        g = F.col("hw")
-        for j in range(1, k):
-            # same field arithmetic as _gram_array; a lead past the doc
-            # end is NULL and null-propagates, so short/empty docs yield
-            # only NULL grams (→ sentinel below)
-            g = (g * 131 + F.lead("hw", j).over(win)) % HASH_P
-        hashed = occ.join(vocab, "w", "left").select(
-            F.col(id_col), g.alias("x")
-        )
-    else:
-        hashed = documents.select(
-            F.col(id_col),
-            F.explode_outer(shingles(text_col, k, portable)).alias("x"),
-        )
+    BOTH hash flavors now ride the scan as one per-row projection +
+    explode + partially-aggregated groupBy (r19).  The r18 portable path
+    hashed each distinct token once through a vocabulary dictionary and
+    composed grams with ``lead`` over a per-doc window — but that shape
+    pays THREE occurrence-scale data movements a projection never does
+    (the vocab distinct, the dictionary join back to every occurrence,
+    and the window's partition+SORT of every occurrence by (id, pos)),
+    while md5-per-occurrence is embarrassingly parallel scan-time CPU.
+    Measured at sf0.1 (same JVM, interleaved min-of-4): fused window
+    1.51 s vs column form 1.04 s (0.68×), signature values bit-identical
+    (exceptAll 0/0), and the column form matches the xxhash floor
+    (1.16 s) — the window machinery, not the hash, was the cost.  At
+    100 TB the gap widens: the only remaining shuffle is the per-doc
+    partial-aggregated 64-long rows.  The per-row gram composition is
+    :func:`shingles` (``_gram_array``): each token hashed once per row,
+    O(n·k) field ops, and its per-row ``array_distinct`` is exact here
+    because MIN over a multiset equals MIN over its set."""
+    hashed = _spread(documents).select(
+        F.col(id_col),
+        F.explode_outer(shingles(text_col, k, portable)).alias("x"),
+    )
     sentinel_slot = F.lit(HASH_P).cast("long")
     mins = hashed.groupBy(id_col).agg(
         *[
