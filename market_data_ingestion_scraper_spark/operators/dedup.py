@@ -1018,6 +1018,65 @@ PORTABLE_HASH64_SQL = (
 )
 
 
+def _simhash_from_hash_arrays():
+    """Vectorized per-batch SimHash fold (guide §4.2): Arrow-batched
+    pandas UDF that turns each row's ``array<long>`` of token hashes into
+    the 64-bit majority signature with numpy — ``unpackbits`` expands the
+    batch's tokens to a (tokens, 64) bit matrix once, ``add.reduceat``
+    segment-sums it per document, and the majority/packing steps are two
+    vectorized lines.  Bit-exact with the expression form it replaces
+    (``(h >> i) & 1`` under two's complement equals the logical-shift
+    bit for every i including the sign bit; majority and packing are
+    integer ops) — pinned by the exceptAll parity probe and the oracle.
+
+    Why a Python node is the RIGHT call here (r19): the expression form
+    folded 64 interpreted higher-order ``size(filter(...))`` passes per
+    row — measured 1.73 s at sf0.1 against 0.87 s for this batch fold,
+    with tokenize+hash staging only 0.16 s of it.  The UDF is a pure
+    projection (stream-legal, no shuffle at any scale); only ``_hs``
+    crosses the Arrow boundary (~8 B/token), and the bit matrix is
+    chunked to ≤ 2^21 tokens (~128 MB) so one wide batch cannot balloon
+    worker memory."""
+    import numpy as np
+    import pandas as pd
+
+    def _sh(hs):
+        if len(hs) == 0:
+            return pd.Series([], dtype="int64")
+        arrs = [np.asarray(a, dtype=np.int64).view(np.uint64) for a in hs]
+        lens = np.fromiter(
+            (len(a) for a in arrs), dtype=np.int64, count=len(arrs)
+        )
+        shifts = np.arange(64, dtype=np.uint64)
+        out = np.empty(len(arrs), dtype=np.uint64)
+        # chunk on DOC boundaries with a ~2^21-token budget: fixed peak
+        # memory however long the documents in a batch are
+        budget, start = 1 << 21, 0
+        while start < len(arrs):
+            end, tok = start, 0
+            while end < len(arrs) and (tok == 0 or tok + lens[end] <= budget):
+                tok += lens[end]
+                end += 1
+            flat = np.concatenate(arrs[start:end])
+            bits = np.unpackbits(
+                flat.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+            )
+            seg = np.cumsum(lens[start:end]) - lens[start:end]
+            cnt = np.add.reduceat(bits, seg, axis=0, dtype=np.int64)
+            maj = (cnt * 2 > lens[start:end, None]).astype(np.uint64)
+            out[start:end] = (maj << shifts).sum(axis=1, dtype=np.uint64)
+            start = end
+        return pd.Series(out.view(np.int64))
+
+    # real annotation objects, not strings: this module's
+    # `from __future__ import annotations` would otherwise leave pyspark's
+    # type-hint inference unable to resolve 'pd.Series' (pandas is a
+    # function-local import here so the one Arrow UDF doesn't put pandas
+    # on every dedup import path)
+    _sh.__annotations__ = {"hs": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_sh, "long")
+
+
 def simhash_table(
     documents: DataFrame,
     id_col: str = "doc_id",
@@ -1028,11 +1087,16 @@ def simhash_table(
     of tokens with bit i set exceeds half the token count.
 
     Pure per-row projection: the token array is hashed ONCE into a staged
-    ``array<long>`` column, then 64 flat ``size(filter(...))`` bit counts
-    fold into the signature — no explode, no shuffle at ANY scale (the
-    earlier explode → groupBy shape shuffled (doc_id, 64 ints) per doc and
-    re-hashed per occurrence; this is ~2x faster at sf0.1 and strictly
-    better distributed: SimHash rides the scan).
+    ``array<long>`` column in the JVM (md5/xxhash ride the scan), and the
+    64 per-bit majority counts fold in a vectorized Arrow batch
+    (:func:`_simhash_from_hash_arrays` — numpy ``unpackbits`` +
+    ``add.reduceat``, guide §4.2).  No explode, no shuffle at ANY scale:
+    SimHash rides the scan.  r19: the previous 64 interpreted
+    ``size(filter(...))`` expression passes were 90% of the operator's
+    cost (1.73 s vs 0.87 s at sf0.1, bit-identical output); r18 had
+    already measured JVM-expression reformulations (aggregate fold,
+    packed lanes) within ±6% — the interpreter overhead, not the
+    formulation, was the wall.
 
     ``portable=True`` uses :func:`portable_token_hash64` so the DuckDB
     oracle reproduces every hash bit; xxhash64 is the throughput default."""
@@ -1047,18 +1111,9 @@ def simhash_table(
     # "near-duplicate" of the others, and the explode-based oracle drops
     # them by construction.
     staged = staged.filter(F.size("_hs") > 0)
-    n = F.size("_hs")
-    sh = F.lit(0).cast("long")
-    for i in range(64):
-        c = F.size(
-            F.filter("_hs", lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1)
-        )
-        sh = sh.bitwiseOR(
-            F.when(c * 2 > n, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
-    return staged.select(id_col, sh.alias("sh"))
+    return staged.select(
+        id_col, _simhash_from_hash_arrays()(F.col("_hs")).alias("sh")
+    )
 
 
 def hamming_band_keys(

@@ -1,3 +1,3 @@
-from .audit import aqe_disabled, explain_str, plan_report
+from .audit import aqe_disabled, executed_shuffles, explain_str, plan_report
 
-__all__ = ["aqe_disabled", "explain_str", "plan_report"]
+__all__ = ["aqe_disabled", "executed_shuffles", "explain_str", "plan_report"]
