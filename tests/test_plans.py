@@ -74,11 +74,13 @@ def test_minhash_lsh_has_no_cartesian(spark):
 
 
 def test_minhash_table_fused_no_object_agg_no_sentinel_join(spark):
-    """r18 rewrite pins: the portable signature pipeline composes grams
-    with lead() over the per-doc window (no collect_list array rebuild —
-    ObjectHashAggregate has no codegen and no partial aggregation), and
-    the empty-doc sentinel comes from coalesce'd MIN aggregates, not a
-    left join back to a second corpus scan."""
+    """r18/r19 rewrite pins: the signature pipeline is a per-row shingle
+    projection + explode + partially-aggregated MIN groupBy for BOTH
+    hash flavors (no collect_list array rebuild — ObjectHashAggregate
+    has no codegen and no partial aggregation; r19 also dropped the
+    portable path's vocab dictionary + window), and the empty-doc
+    sentinel comes from coalesce'd MIN aggregates, not a left join back
+    to a second corpus scan."""
     from market_data_ingestion_scraper_spark.operators.dedup import (
         minhash_table,
     )
